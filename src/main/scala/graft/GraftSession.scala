@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] single-JVM harness but configured the way a
+  * 1000-executor cluster job would be: AQE on (runtime join-strategy switching,
+  * skew-join splitting, partition coalescing), broadcast threshold left at the
+  * 10MB default so small dimensions broadcast automatically, UTC session time
+  * zone for oracle parity (the reference loads into PostgreSQL with no TZ
+  * conversion — /root/reference/sql/schema.sql uses plain TIMESTAMP).
+  */
+object GraftSession {
+
+  /** Shuffle partitions: on the test harness we match core count; on a real
+    * cluster this would be ~2-3x total executor cores (and AQE coalesces down).
+    */
+  def defaultParallelism: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(master: String = s"local[$defaultParallelism]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", defaultParallelism.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query of the engine: a Spark (DataFrame-API) program plus, when
+  * the semantics are ANSI-SQL-expressible, an equivalent DuckDB SQL oracle the
+  * driver runs on the same parquet tables for the correctness gate.
+  *
+  * Determinism rules every QueryDef must follow (so oracle hashes match):
+  *   - every output column aliased identically in Spark and SQL;
+  *   - explicit ORDER BY on a deterministic, duplicate-free key set;
+  *   - no raw float aggregation: sums go through DECIMAL (exact, order
+  *     independent) and are cast back to DOUBLE — see [[graft.functions.Det]].
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** queries included in the per-round benchmark headline set */
+    headline: Boolean = false)

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic aggregation helpers.
+  *
+  * Floating-point SUM/AVG depend on accumulation order, which differs between
+  * Spark partial/final aggregation and any single-threaded oracle — and even
+  * between two Spark runs with different partitioning. At 100 TB that
+  * nondeterminism is guaranteed. We aggregate money-like doubles through
+  * DecimalType (exact, associative, order-independent) and cast the final
+  * result back to double. Decimal partial aggregation stays inside
+  * whole-stage codegen, so the cost is a few percent over double sums.
+  */
+object Det {
+
+  /** Exact sum of a 2-decimal money column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact sum for computed per-row doubles (e.g. price*(1-discount)):
+    * 6 fractional digits preserved before the order-independent sum.
+    */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast(DoubleType)
+
+  /** Order-independent mean: exact decimal sum divided by count, in doubles. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** SQL fragments for the DuckDB oracle mirroring the above. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+  def sqlDsum6(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(24,6))) AS DOUBLE)"
+  def sqlDavg(expr: String): String =
+    s"(${sqlDsum(expr)} / COUNT(*))"
+}

@@ -1,0 +1,445 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Det._
+import graft.functions.DateFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's 19 declared analytics queries (/root/reference/sql/queries.sql,
+  * SURVEY.md §2.B Q1-Q19) re-expressed Spark-first over the TPC-H-ish star in
+  * /root/testdata: orders plays fact_transactions, customer/part/nation play the
+  * dimensions, o_orderpriority/o_orderstatus/l_returnflag play the enum dims.
+  *
+  * Every query is a declarative DataFrame program — Catalyst does predicate
+  * pushdown, column pruning into the parquet scan, broadcast-join selection for
+  * the small dimensions, and partial (map-side) aggregation. Scale notes per
+  * query where the plan shape matters at 100 TB.
+  */
+object StarQueries {
+
+  private def q(name: String, oracle: String, headline: Boolean = false)(
+      f: Tables => DataFrame): QueryDef =
+    QueryDef(name, (s: SparkSession, dir: String) => f(Tables(s, dir)), Some(oracle), headline)
+
+  // ---------------------------------------------------------------------------
+  // Q1 — record counts across all tables (sql/queries.sql:24-35).
+  // Seven parallel COUNT(*) scans UNION ALL'd; count-only scans read parquet
+  // row-group metadata, no column data.
+  private val q01 = q(
+    "q01_record_counts",
+    """SELECT * FROM (
+       SELECT 'region' AS table_name, COUNT(*) AS record_count FROM region
+       UNION ALL SELECT 'nation', COUNT(*) FROM nation
+       UNION ALL SELECT 'customer', COUNT(*) FROM customer
+       UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+       UNION ALL SELECT 'part', COUNT(*) FROM part
+       UNION ALL SELECT 'orders', COUNT(*) FROM orders
+       UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+       ) ORDER BY table_name""") { t =>
+    def one(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("record_count")).select(lit(name).as("table_name"), col("record_count"))
+    one("region", t.region)
+      .unionAll(one("nation", t.nation))
+      .unionAll(one("customer", t.customer))
+      .unionAll(one("supplier", t.supplier))
+      .unionAll(one("part", t.part))
+      .unionAll(one("orders", t.orders))
+      .unionAll(one("lineitem", t.lineitem))
+      .orderBy("table_name")
+  }
+
+  // Q2 — orphaned fact rows (NOT EXISTS x3, OR-combined; sql/queries.sql:40-46).
+  // Shape: fact left-joins each parent's key set, keep rows missing any parent.
+  // At scale the parent key sets are small relative to the fact → broadcast;
+  // orders-side is itself big, so that join stays shuffle (AQE decides).
+  private val q02 = q(
+    "q02_orphaned_facts",
+    """SELECT COUNT(*) AS orphan_count FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          OR NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+          OR NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""") { t =>
+    t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(t.orders.select(col("o_orderkey")).distinct(), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(t.part.select(col("p_partkey")).distinct()), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(t.supplier.select(col("s_suppkey")).distinct()), col("l_suppkey") === col("s_suppkey"), "left")
+      .filter(col("o_orderkey").isNull || col("p_partkey").isNull || col("s_suppkey").isNull)
+      .agg(count(lit(1)).as("orphan_count"))
+  }
+
+  // Q3 — duplicate-key detection via GROUP BY + HAVING (sql/queries.sql:51-54):
+  // customers holding more than one order.
+  private val q03 = q(
+    "q03_duplicate_keys",
+    """SELECT o_custkey, COUNT(*) AS order_count FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) > 1
+       ORDER BY order_count DESC, o_custkey""") { t =>
+    t.orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_count"))
+      .filter(col("order_count") > 1)
+      .orderBy(col("order_count").desc, col("o_custkey"))
+  }
+
+  // Q4 — amount data-quality stats incl. exact interpolated median
+  // (sql/queries.sql:59-65). percentile() is the exact variant —
+  // percentile_approx would break the oracle. Median is rounded to 6dp:
+  // the two engines interpolate with algebraically equal but floating-point-
+  // different formulas.
+  private val q04 = q(
+    "q04_amount_stats",
+    s"""SELECT COUNT(*) AS total_orders,
+        MIN(o_totalprice) AS min_amount,
+        MAX(o_totalprice) AS max_amount,
+        ROUND(${sqlDavg("o_totalprice")}, 6) AS avg_amount,
+        ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 6) AS median_amount
+        FROM orders""") { t =>
+    t.orders.agg(
+      count(lit(1)).as("total_orders"),
+      min("o_totalprice").as("min_amount"),
+      max("o_totalprice").as("max_amount"),
+      round(davg(col("o_totalprice")), 6).as("avg_amount"),
+      round(percentile(col("o_totalprice"), lit(0.5)).cast("double"), 6).as("median_amount"))
+  }
+
+  // Q5 — monthly spending trends (sql/queries.sql:74-84): group fact by
+  // calendar month. Decimal partial aggregation → ~12-80 groups; the shuffle
+  // moves only one row per (partition, group) thanks to map-side combine.
+  private val q05 = q(
+    "q05_monthly_trends",
+    s"""SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        COUNT(*) AS transaction_count,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        ROUND(${sqlDavg("o_totalprice")}, 6) AS avg_transaction
+        FROM orders GROUP BY 1, 2 ORDER BY year, month""",
+    headline = true) { t =>
+    t.orders
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        round(davg(col("o_totalprice")), 6).as("avg_transaction"))
+      .orderBy("year", "month")
+  }
+
+  // Q6 — quarterly comparison (sql/queries.sql:89-97).
+  private val q06 = q(
+    "q06_quarterly",
+    s"""SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+        COUNT(*) AS transaction_count, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders GROUP BY 1, 2 ORDER BY year, quarter""") { t =>
+    t.orders
+      .groupBy(year(col("o_orderdate")).as("year"), quarter(col("o_orderdate")).as("quarter"))
+      .agg(count(lit(1)).as("transaction_count"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("year", "quarter")
+  }
+
+  // Q7 — day-of-week patterns (sql/queries.sql:102-111). ISO dow derived in
+  // the plan (DateFns.isoDayOfWeek) — pure expression, stays in codegen.
+  private val q07 = q(
+    "q07_dow_patterns",
+    s"""SELECT isodow(o_orderdate) AS day_of_week, dayname(o_orderdate) AS day_name,
+        COUNT(*) AS transaction_count,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        ROUND(${sqlDavg("o_totalprice")}, 6) AS avg_transaction
+        FROM orders GROUP BY 1, 2 ORDER BY day_of_week""") { t =>
+    t.orders
+      .groupBy(
+        isoDayOfWeek(col("o_orderdate")).as("day_of_week"),
+        dayName(col("o_orderdate")).as("day_name"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        round(davg(col("o_totalprice")), 6).as("avg_transaction"))
+      .orderBy("day_of_week")
+  }
+
+  // Q8 — weekend vs weekday split (sql/queries.sql:116-124): CASE WHEN label
+  // then group.
+  private val q08 = q(
+    "q08_weekend_split",
+    s"""SELECT CASE WHEN isodow(o_orderdate) IN (6,7) THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+        COUNT(*) AS transaction_count,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        ROUND(${sqlDavg("o_totalprice")}, 6) AS avg_transaction
+        FROM orders GROUP BY 1 ORDER BY day_type""") { t =>
+    t.orders
+      .groupBy(when(isWeekend(col("o_orderdate")), "Weekend").otherwise("Weekday").as("day_type"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        round(davg(col("o_totalprice")), 6).as("avg_transaction"))
+      .orderBy("day_type")
+  }
+
+  // Q9 — top categories with % of total (sql/queries.sql:133-142): scalar
+  // subquery for the grand total. In Spark the scalar is a 1-row DataFrame
+  // cross-joined in (broadcast nested loop of a single row — free); Catalyst
+  // plans the same for a scalar subquery in SQL.
+  private val q09 = q(
+    "q09_returnflag_pct",
+    s"""SELECT l_returnflag,
+        COUNT(*) AS transaction_count,
+        ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+        ROUND(100.0 * ${sqlDsum6("l_extendedprice * (1 - l_discount)")} /
+          (SELECT ${sqlDsum6("l_extendedprice * (1 - l_discount)")} FROM lineitem), 2) AS pct_of_total
+        FROM lineitem GROUP BY l_returnflag ORDER BY revenue DESC, l_returnflag""",
+    headline = true) { t =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val total = t.lineitem.agg(dsum6(rev).as("grand_total"))
+    t.lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("transaction_count"), dsum6(rev).as("revenue"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("l_returnflag"),
+        col("transaction_count"),
+        col("revenue"),
+        round(lit(100.0) * col("revenue") / col("grand_total"), 2).as("pct_of_total"))
+      .orderBy(col("revenue").desc, col("l_returnflag"))
+  }
+
+  // Q10 — category-by-month pivot via conditional aggregation
+  // (sql/queries.sql:147-158): SUM(CASE WHEN ...) x priority bucket. One pass,
+  // one shuffle — the pivot is map-side expressions, not a join.
+  private val q10 = q(
+    "q10_priority_pivot",
+    s"""SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        ${sqlDsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_total,
+        ${sqlDsum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END")} AS high_total,
+        ${sqlDsum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END")} AS medium_total,
+        ${sqlDsum("CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN o_totalprice ELSE 0 END")} AS low_total
+        FROM orders GROUP BY 1, 2 ORDER BY year, month""") { t =>
+    def bucket(cond: org.apache.spark.sql.Column) =
+      dsum(when(cond, col("o_totalprice")).otherwise(lit(0)))
+    t.orders
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(
+        bucket(col("o_orderpriority") === "1-URGENT").as("urgent_total"),
+        bucket(col("o_orderpriority") === "2-HIGH").as("high_total"),
+        bucket(col("o_orderpriority") === "3-MEDIUM").as("medium_total"),
+        bucket(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).as("low_total"))
+      .orderBy("year", "month")
+  }
+
+  // Q11 — top-20 merchants → top-20 parts by revenue (sql/queries.sql:167-178).
+  // part is the small side → broadcast; ORDER BY + LIMIT plans as
+  // TakeOrderedAndProject (per-partition top-k, no global sort).
+  private val q11 = q(
+    "q11_top_parts",
+    s"""SELECT p.p_partkey, p.p_name,
+        COUNT(*) AS times_sold,
+        ${sqlDsum6("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 20""",
+    headline = true) { t =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(count(lit(1)).as("times_sold"), dsum6(rev).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  // Q12 — merchant visit frequency → customers per nation with COUNT(DISTINCT)
+  // (sql/queries.sql:183-192). countDistinct expands to a two-phase aggregate;
+  // the distinct set (custkey) is re-shuffled once — unavoidable for exact
+  // distinct; approx_count_distinct is the 100TB escape hatch when 2% error is
+  // acceptable.
+  private val q12 = q(
+    "q12_nation_customers",
+    s"""SELECT n.n_name AS nation,
+        COUNT(DISTINCT o.o_custkey) AS unique_customers,
+        COUNT(*) AS order_count,
+        ${sqlDsum("o.o_totalprice")} AS total_spent
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY unique_customers DESC, nation LIMIT 15""") { t =>
+    t.orders
+      .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        countDistinct(col("o_custkey")).as("unique_customers"),
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("unique_customers").desc, col("nation"))
+      .limit(15)
+  }
+
+  // Q13 — payment-method usage distribution → order-status distribution with
+  // scalar-subquery % of all orders (sql/queries.sql:201-210).
+  private val q13 = q(
+    "q13_status_distribution",
+    """SELECT o_orderstatus,
+       COUNT(*) AS order_count,
+       ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM orders), 2) AS pct_of_orders
+       FROM orders GROUP BY 1 ORDER BY order_count DESC, o_orderstatus""") { t =>
+    val total = t.orders.agg(count(lit(1)).as("n_total"))
+    t.orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("order_count"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("o_orderstatus"),
+        col("order_count"),
+        round(lit(100.0) * col("order_count") / col("n_total"), 2).as("pct_of_orders"))
+      .orderBy(col("order_count").desc, col("o_orderstatus"))
+  }
+
+  // Q14 — payment method by category → priority x status matrix
+  // (sql/queries.sql:215-224).
+  private val q14 = q(
+    "q14_priority_by_status",
+    s"""SELECT o_orderpriority, o_orderstatus,
+        COUNT(*) AS order_count, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus""") { t =>
+    t.orders.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  // Q15 — top-10 users by spend (sql/queries.sql:232-243): join to the
+  // customer dim for the name, broadcast (customer ≪ orders), top-k.
+  private val q15 = q(
+    "q15_top_customers",
+    s"""SELECT c.c_custkey, c.c_name,
+        COUNT(*) AS order_count,
+        ${sqlDsum("o.o_totalprice")} AS total_spent,
+        MAX(o.o_totalprice) AS max_order
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 10""") { t =>
+    t.orders.join(broadcast(t.customer.select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        max(col("o_totalprice")).as("max_order"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // Q16 — top-5 customers' breakdown via IN-subquery → left-semi join against
+  // a top-k (sql/queries.sql:248-266). The top-5 set is tiny → broadcast semi
+  // join; no shuffle of the big side.
+  private val q16 = q(
+    "q16_top5_breakdown",
+    s"""SELECT o_custkey, o_orderstatus,
+        COUNT(*) AS order_count, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC, o_custkey LIMIT 5)
+        GROUP BY 1, 2 ORDER BY o_custkey, o_orderstatus""") { t =>
+    val top5 = t.orders.groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+      .limit(5)
+      .select("o_custkey")
+    t.orders.join(broadcast(top5), Seq("o_custkey"), "left_semi")
+      .groupBy("o_custkey", "o_orderstatus")
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("o_custkey", "o_orderstatus")
+  }
+
+  // Q17 — month-over-month growth: CTE + LAG window (sql/queries.sql:275-296).
+  // The monthly aggregate is tiny (≤ #months rows) so the unpartitioned window
+  // is safe at any scale — the shuffle-to-one-partition happens after the
+  // reduction, not on raw data.
+  private val q17 = q(
+    "q17_mom_growth",
+    s"""WITH monthly AS (
+          SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+                 ${sqlDsum("o_totalprice")} AS total_spent
+          FROM orders GROUP BY 1, 2)
+        SELECT year, month, total_spent,
+               LAG(total_spent) OVER (ORDER BY year, month) AS prev_month,
+               ROUND(100.0 * (total_spent - LAG(total_spent) OVER (ORDER BY year, month))
+                     / NULLIF(LAG(total_spent) OVER (ORDER BY year, month), 0), 2) AS growth_pct
+        FROM monthly ORDER BY year, month""",
+    headline = true) { t =>
+    val w = Window.orderBy("year", "month")
+    t.orders
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"))
+      .withColumn("prev_month", lag(col("total_spent"), 1).over(w))
+      .withColumn(
+        "growth_pct",
+        round(lit(100.0) * (col("total_spent") - col("prev_month")) /
+          nullif(col("prev_month"), lit(0.0)), 2))
+      .orderBy("year", "month")
+  }
+
+  // Q18 — running total per category (sql/queries.sql:301-313): running SUM
+  // OVER (PARTITION BY status ORDER BY date ROWS UNBOUNDED PRECEDING). The
+  // order key is made unique (date, orderkey) so prefix sums are deterministic;
+  // sums run in decimal so the prefix is exact. At 100 TB a 3-value partition
+  // key would be the bottleneck — the scale fix is range-partitioning by
+  // (status, date) which Spark's window exec already does within a partition;
+  // for truly huge partitions, pre-aggregate per day first.
+  private val q18 = q(
+    "q18_running_total",
+    """SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS order_date, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       FROM orders ORDER BY o_orderstatus, order_date, o_orderkey""") { t =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .select(col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("order_date", col("o_orderdate").cast("date"))
+      .select("o_orderstatus", "order_date", "o_orderkey", "o_totalprice", "running_total")
+      .orderBy("o_orderstatus", "order_date", "o_orderkey")
+  }
+
+  // Q19 — anomaly detection by z-score (sql/queries.sql:317-340): per-group
+  // moments via CTE, join back, filter x > mean + 1.5*stddev (the reference
+  // uses 3*mean; this data is near-uniform so that returns nothing — same
+  // operator shape, data-appropriate threshold). Stddev is computed from
+  // exact decimal sums (sum, sum of squares) so both engines see identical
+  // doubles — stddev_samp over raw doubles is accumulation-order-dependent.
+  // The per-brand stats table is tiny → broadcast back-join, single pass over
+  // the fact + one reduction.
+  private val q19 = q(
+    "q19_anomaly_zscore",
+    s"""WITH stats AS (
+          SELECT p.p_brand,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${sqlDsum6("l.l_extendedprice")} AS s1,
+                 ${sqlDsum6("l.l_extendedprice * l.l_extendedprice")} AS s2
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1)
+        SELECT l.l_orderkey, l.l_linenumber, p.p_brand, l.l_extendedprice,
+               ROUND(s.s1 / s.n, 6) AS brand_avg,
+               ROUND((l.l_extendedprice - s.s1 / s.n)
+                     / NULLIF(sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 0), 4) AS z_score
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN stats s ON p.p_brand = s.p_brand
+        WHERE l.l_extendedprice > s.s1 / s.n
+              + 1.5 * sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))
+        ORDER BY l_orderkey, l_linenumber""",
+    headline = true) { t =>
+    val joined = t.lineitem.join(broadcast(t.part.select("p_partkey", "p_brand")),
+      col("l_partkey") === col("p_partkey"))
+    val stats = joined.groupBy("p_brand").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum6(col("l_extendedprice")).as("s1"),
+      dsum6(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+    val mean = col("s1") / col("n")
+    val std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    joined.join(broadcast(stats), "p_brand")
+      .filter(col("l_extendedprice") > mean + lit(1.5) * std)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("l_extendedprice"),
+        round(mean, 6).as("brand_avg"),
+        round((col("l_extendedprice") - mean) / nullif(std, lit(0.0)), 4).as("z_score"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}
