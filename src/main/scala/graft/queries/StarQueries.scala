@@ -6,6 +6,7 @@ import graft.functions.DateFns._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The reference's 19 declared analytics queries (/root/reference/sql/queries.sql,
   * SURVEY.md §2.B Q1-Q19) re-expressed Spark-first over the TPC-H-ish star in
@@ -41,19 +42,21 @@ object StarQueries {
     def one(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("record_count")).select(lit(name).as("table_name"), col("record_count"))
     one("region", t.region)
-      .unionAll(one("nation", t.nation))
-      .unionAll(one("customer", t.customer))
-      .unionAll(one("supplier", t.supplier))
-      .unionAll(one("part", t.part))
-      .unionAll(one("orders", t.orders))
-      .unionAll(one("lineitem", t.lineitem))
+      .union(one("nation", t.nation))
+      .union(one("customer", t.customer))
+      .union(one("supplier", t.supplier))
+      .union(one("part", t.part))
+      .union(one("orders", t.orders))
+      .union(one("lineitem", t.lineitem))
       .orderBy("table_name")
   }
 
   // Q2 — orphaned fact rows (NOT EXISTS x3, OR-combined; sql/queries.sql:40-46).
-  // Shape: fact left-joins each parent's key set, keep rows missing any parent.
-  // At scale the parent key sets are small relative to the fact → broadcast;
-  // orders-side is itself big, so that join stays shuffle (AQE decides).
+  // Shape: fact left-joins each parent's PRIMARY-KEY column (o_orderkey /
+  // p_partkey / s_suppkey are unique, so no distinct() pre-shuffle and no row
+  // duplication), keep rows missing any parent. No broadcast hints: orders /
+  // part / supplier all grow with scale factor, so AQE picks broadcast vs
+  // shuffle at runtime from the observed sizes.
   private val q02 = q(
     "q02_orphaned_facts",
     """SELECT COUNT(*) AS orphan_count FROM lineitem l
@@ -61,9 +64,9 @@ object StarQueries {
           OR NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
           OR NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""") { t =>
     t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-      .join(t.orders.select(col("o_orderkey")).distinct(), col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(t.part.select(col("p_partkey")).distinct()), col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(t.supplier.select(col("s_suppkey")).distinct()), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(t.orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(t.part.select(col("p_partkey")), col("l_partkey") === col("p_partkey"), "left")
+      .join(t.supplier.select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left")
       .filter(col("o_orderkey").isNull || col("p_partkey").isNull || col("s_suppkey").isNull)
       .agg(count(lit(1)).as("orphan_count"))
   }
@@ -222,7 +225,8 @@ object StarQueries {
   }
 
   // Q11 — top-20 merchants → top-20 parts by revenue (sql/queries.sql:167-178).
-  // part is the small side → broadcast; ORDER BY + LIMIT plans as
+  // part grows with scale factor, so no broadcast hint — AQE selects the join
+  // strategy from runtime sizes; ORDER BY + LIMIT plans as
   // TakeOrderedAndProject (per-partition top-k, no global sort).
   private val q11 = q(
     "q11_top_parts",
@@ -233,7 +237,7 @@ object StarQueries {
         GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 20""",
     headline = true) { t =>
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+    t.lineitem.join(t.part.select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name")
       .agg(count(lit(1)).as("times_sold"), dsum6(rev).as("revenue"))
       .orderBy(col("revenue").desc, col("p_partkey"))
@@ -299,7 +303,8 @@ object StarQueries {
   }
 
   // Q15 — top-10 users by spend (sql/queries.sql:232-243): join to the
-  // customer dim for the name, broadcast (customer ≪ orders), top-k.
+  // customer dim for the name (customer grows with SF — no broadcast hint,
+  // AQE decides), then top-k.
   private val q15 = q(
     "q15_top_customers",
     s"""SELECT c.c_custkey, c.c_name,
@@ -308,7 +313,7 @@ object StarQueries {
         MAX(o.o_totalprice) AS max_order
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 10""") { t =>
-    t.orders.join(broadcast(t.customer.select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+    t.orders.join(t.customer.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(
         count(lit(1)).as("order_count"),
@@ -397,11 +402,17 @@ object StarQueries {
   // Q19 — anomaly detection by z-score (sql/queries.sql:317-340): per-group
   // moments via CTE, join back, filter x > mean + 1.5*stddev (the reference
   // uses 3*mean; this data is near-uniform so that returns nothing — same
-  // operator shape, data-appropriate threshold). Stddev is computed from
-  // exact decimal sums (sum, sum of squares) so both engines see identical
-  // doubles — stddev_samp over raw doubles is accumulation-order-dependent.
-  // The per-brand stats table is tiny → broadcast back-join, single pass over
-  // the fact + one reduction.
+  // operator shape, data-appropriate threshold; deviation recorded in
+  // SURVEY §7.4 fidelity notes). Stddev is computed from exact decimal sums
+  // (sum, sum of squares) so both engines see identical doubles —
+  // stddev_samp over raw doubles is accumulation-order-dependent.
+  //
+  // Scale shape (fixes r1 double-join): pass 1 pre-aggregates the moments per
+  // l_partkey BEFORE touching part — map-side combine collapses the fact to
+  // ≤|part| rows, and only that reduced set joins part (no broadcast hint;
+  // AQE decides) to roll up per brand (sums of decimal partials ≡ direct
+  // sums — exact and associative). Pass 2 is the unavoidable second fact
+  // scan joined to part and to the tiny broadcast stats (≤ #brands rows).
   private val q19 = q(
     "q19_anomaly_zscore",
     s"""WITH stats AS (
@@ -422,15 +433,24 @@ object StarQueries {
               + 1.5 * sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))
         ORDER BY l_orderkey, l_linenumber""",
     headline = true) { t =>
-    val joined = t.lineitem.join(broadcast(t.part.select("p_partkey", "p_brand")),
-      col("l_partkey") === col("p_partkey"))
-    val stats = joined.groupBy("p_brand").agg(
-      count(lit(1)).cast("double").as("n"),
-      dsum6(col("l_extendedprice")).as("s1"),
-      dsum6(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+    val partDim = t.part.select("p_partkey", "p_brand")
+    // pass 1: fact → per-partkey decimal partial moments (tiny after combine),
+    // then join the reduced set to part and roll up to brand level.
+    val perPart = t.lineitem.groupBy(col("l_partkey")).agg(
+      count(lit(1)).as("pn"),
+      sum(col("l_extendedprice").cast(DecimalType(24, 6))).as("ps1"),
+      sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(24, 6))).as("ps2"))
+    val stats = perPart
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(
+        sum(col("pn")).cast("double").as("n"),
+        sum(col("ps1")).cast("double").as("s1"),
+        sum(col("ps2")).cast("double").as("s2"))
     val mean = col("s1") / col("n")
     val std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    joined.join(broadcast(stats), "p_brand")
+    // pass 2: fact ⋈ part (AQE-selected strategy) ⋈ broadcast tiny stats.
+    t.lineitem.join(partDim, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(stats), "p_brand")
       .filter(col("l_extendedprice") > mean + lit(1.5) * std)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("l_extendedprice"),
