@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Permissive coercion engine-wide: bad casts yield null (pandas
+      // errors='coerce' semantics the reference's transform relies on),
+      // instead of Spark 4's ANSI runtime errors.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
 

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.EtlQueries
 import graft.queries.StarQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +15,7 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def defs: Seq[QueryDef] =
-    StarQueries.all
+    StarQueries.all ++ EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

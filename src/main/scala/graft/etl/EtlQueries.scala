@@ -1,0 +1,248 @@
+package graft.etl
+
+import graft.{QueryDef, Tables}
+import graft.functions.PyTitle.sqlPyTitle
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL-half QueryDefs (SURVEY §2.A) — each pairs a TxnPipeline stage with a
+  * DuckDB oracle that recomputes the SAME stage in SQL from the shared
+  * deterministic dirty source, so the correctness gate covers the reference's
+  * transform/star-build semantics end-to-end (VERDICT r1 "Next round" #1/#3).
+  */
+object EtlQueries {
+
+  /** ETL stages depend on permissive cast-null coercion (pandas
+    * errors='coerce'); Spark 4 defaults ANSI on, which would throw instead.
+    * Set per-session at run time so the defs behave under any driver session.
+    */
+  private def permissive(s: SparkSession): Unit =
+    s.conf.set("spark.sql.ansi.enabled", "false")
+
+  private def q(name: String, oracle: String, headline: Boolean = false)(
+      f: Tables => DataFrame): QueryDef =
+    QueryDef(name, (s: SparkSession, dir: String) => { permissive(s); f(Tables(s, dir)) },
+      Some(oracle), headline)
+
+  // ------------------------------------------------------------ oracle CTEs
+
+  private val cats = TxnPipeline.AllowedCategories.map(s => s"'$s'").mkString(", ")
+  private val pays = TxnPipeline.AllowedPayments.map(s => s"'$s'").mkString(", ")
+
+  private val dateAttrsSql =
+    """CAST(strftime(date, '%Y%m%d') AS INT) AS date_key, date,
+       CAST(year(date) AS INT) AS year, CAST(quarter(date) AS INT) AS quarter,
+       CAST(month(date) AS INT) AS month, CAST(day(date) AS INT) AS day,
+       monthname(date) AS month_name, dayname(date) AS day_name,
+       CAST(isodow(date) AS INT) AS day_of_week,
+       CAST(weekofyear(date) AS INT) AS week_of_year,
+       isodow(date) IN (6, 7) AS is_weekend"""
+
+  /** Shared WITH prefix recomputing the whole pipeline in DuckDB. */
+  private val withPrefix: String =
+    s"""WITH dirty AS (${DirtyTxns.oracleCte}),
+    dedup AS (
+      SELECT * FROM (
+        SELECT d.*, ROW_NUMBER() OVER (PARTITION BY transaction_id ORDER BY seq) AS rn
+        FROM dirty d) z
+      WHERE rn = 1),
+    pre AS (
+      SELECT seq, transaction_id,
+             category AS cat_raw, amount AS amt_raw, merchant AS merch_raw,
+             payment_method AS pay_raw, user_id AS user_raw, date AS date_raw,
+             trim(category) AS cat_t,
+             regexp_replace(trim(merchant), '\\s+', ' ', 'g') AS merch_t,
+             trim(payment_method) AS pay_t,
+             trim(date) AS date_t, trim(amount) AS amt_t, trim(user_id) AS user_t
+      FROM dedup),
+    std AS (
+      SELECT seq, transaction_id, cat_raw, amt_raw, merch_raw, pay_raw, user_raw, date_raw,
+             ${sqlPyTitle("cat_t")} AS category,
+             ${sqlPyTitle("merch_t")} AS merchant,
+             ${sqlPyTitle("pay_t")} AS payment_method,
+             TRY_CAST(date_t AS DATE) AS date,
+             TRY_CAST(amt_t AS DECIMAL(10,3)) AS amt3,
+             CASE WHEN regexp_matches(user_t, '^-?[0-9]+$$') THEN CAST(user_t AS BIGINT) END AS user_id
+      FROM pre),
+    std2 AS (
+      SELECT * EXCLUDE (ami),
+             CASE WHEN amt3 IS NULL THEN NULL ELSE
+               (CASE WHEN amt3 < 0 THEN -1.0 ELSE 1.0 END) *
+               (CAST(ami // 10 + (CASE WHEN ami % 10 > 5
+                                       OR (ami % 10 = 5 AND (ami // 10) % 2 = 1)
+                                  THEN 1 ELSE 0 END) AS DOUBLE) / 100.0) END AS amount
+      FROM (SELECT *, CAST(abs(amt3) * 1000 AS BIGINT) AS ami FROM std) z),
+    flags AS (
+      SELECT *,
+        (transaction_id IS NULL OR date_raw IS NULL OR cat_raw IS NULL OR amt_raw IS NULL
+         OR merch_raw IS NULL OR pay_raw IS NULL OR user_raw IS NULL) AS f_null_required,
+        (amount IS NULL OR amount <= 0) AS f_amount_nonpos,
+        (amount IS NOT NULL AND amount > 10000.0) AS f_amount_excessive,
+        (date IS NULL) AS f_date_unparseable,
+        (date IS NOT NULL AND date < DATE '${TxnPipeline.MinValidDate}') AS f_date_old,
+        (date IS NOT NULL AND date > DATE '${TxnPipeline.MaxValidDate}') AS f_date_future,
+        (category IS NULL OR category NOT IN ($cats)) AS f_category_invalid,
+        (payment_method IS NULL OR payment_method NOT IN ($pays)) AS f_payment_invalid,
+        (user_id IS NULL) AS f_user_invalid
+      FROM std2),
+    flags2 AS (
+      SELECT *, NOT (f_null_required OR f_amount_nonpos OR f_amount_excessive
+                     OR f_date_unparseable OR f_date_old OR f_date_future
+                     OR f_category_invalid OR f_payment_invalid OR f_user_invalid) AS is_valid
+      FROM flags),
+    valid AS (
+      SELECT transaction_id, date, category, amount, merchant, payment_method, user_id
+      FROM flags2 WHERE is_valid),
+    dim_category AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY category_name) AS INT) AS category_key, category_name
+      FROM (SELECT DISTINCT category AS category_name FROM valid) z),
+    dim_merchant AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY merchant_name) AS INT) AS merchant_key, merchant_name
+      FROM (SELECT DISTINCT merchant AS merchant_name FROM valid) z),
+    dim_payment_method AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY payment_method_name) AS INT) AS payment_method_key,
+             payment_method_name
+      FROM (SELECT DISTINCT payment_method AS payment_method_name FROM valid) z),
+    dim_user AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS INT) AS user_key, user_id
+      FROM (SELECT DISTINCT user_id FROM valid) z),
+    dim_date AS (
+      SELECT $dateAttrsSql
+      FROM (SELECT DISTINCT date FROM valid) z),
+    fact AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY v.transaction_id) AS INT) AS transaction_key,
+             v.transaction_id, dd.date_key, dc.category_key, dm.merchant_key,
+             dp.payment_method_key, du.user_key, v.amount
+      FROM valid v
+      JOIN dim_category dc ON v.category = dc.category_name
+      JOIN dim_merchant dm ON v.merchant = dm.merchant_name
+      JOIN dim_payment_method dp ON v.payment_method = dp.payment_method_name
+      JOIN dim_user du ON v.user_id = du.user_id
+      JOIN dim_date dd ON v.date = dd.date)"""
+
+  // -------------------------------------------------------------- QueryDefs
+
+  // t01 — P-source cross-check: the dirty derivation itself must agree
+  // between engines before any stage is tested on top of it.
+  private val t01 = q("t01_dirty_source",
+    s"$withPrefix SELECT * FROM dirty ORDER BY seq") { t =>
+    DirtyTxns(t.orders).orderBy("seq")
+  }
+
+  // t02 — P5-P11: dedup keep-first + standardize + coerce (headline: this is
+  // the reference's transform hot path).
+  // (date is exposed as VARCHAR here because this stage legitimately contains
+  // NULL dates — unparseable inputs — and NULL dates can't be hash-compared
+  // as NaT; valid-only outputs downstream keep DATE type.)
+  private val t02 = q("t02_standardized",
+    s"""$withPrefix
+       SELECT seq, transaction_id, category, merchant, payment_method,
+              CAST(date AS VARCHAR) AS date, amount, user_id
+       FROM std2 ORDER BY seq""",
+    headline = true) { t =>
+    TxnPipeline.standardize(TxnPipeline.dedupKeepFirst(DirtyTxns(t.orders)))
+      .withColumn("date", col("date").cast("string"))
+      .select("seq", "transaction_id", "category", "merchant", "payment_method",
+        "date", "amount", "user_id")
+      .orderBy("seq")
+  }
+
+  // t03 — P12 issue accounting: per-rule violation counts + valid count,
+  // mirroring the reference's logged validation summary.
+  private val t03 = q("t03_issue_counts",
+    s"""$withPrefix
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty) AS n_raw,
+              CAST(COUNT(*) AS BIGINT) AS n_deduped,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty) - CAST(COUNT(*) AS BIGINT) AS n_dup_removed,
+              CAST(SUM(CASE WHEN f_null_required THEN 1 ELSE 0 END) AS BIGINT) AS n_null_required,
+              CAST(SUM(CASE WHEN f_amount_nonpos THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_nonpos,
+              CAST(SUM(CASE WHEN f_amount_excessive THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_excessive,
+              CAST(SUM(CASE WHEN f_date_unparseable THEN 1 ELSE 0 END) AS BIGINT) AS n_date_unparseable,
+              CAST(SUM(CASE WHEN f_date_old THEN 1 ELSE 0 END) AS BIGINT) AS n_date_old,
+              CAST(SUM(CASE WHEN f_date_future THEN 1 ELSE 0 END) AS BIGINT) AS n_date_future,
+              CAST(SUM(CASE WHEN f_category_invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_category_invalid,
+              CAST(SUM(CASE WHEN f_payment_invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_payment_invalid,
+              CAST(SUM(CASE WHEN f_user_invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_user_invalid,
+              CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+       FROM flags2""") { t =>
+    val raw = DirtyTxns(t.orders)
+    val flags = TxnPipeline.withFlags(TxnPipeline.standardize(TxnPipeline.dedupKeepFirst(raw)))
+    val flagSums = Seq(
+      "f_null_required", "f_amount_nonpos", "f_amount_excessive", "f_date_unparseable",
+      "f_date_old", "f_date_future", "f_category_invalid", "f_payment_invalid",
+      "f_user_invalid").map(f => sum(col(f).cast("long")).as("n_" + f.stripPrefix("f_")))
+    flags.agg(count(lit(1)).as("n_deduped"),
+        (flagSums :+ sum(col("is_valid").cast("long")).as("n_valid")): _*)
+      .crossJoin(broadcast(raw.agg(count(lit(1)).as("n_raw"))))
+      .withColumn("n_dup_removed", col("n_raw") - col("n_deduped"))
+  }
+
+  // t04 — the transform output contract: clean, typed, valid transactions.
+  private val t04 = q("t04_valid_txns",
+    s"$withPrefix SELECT * FROM valid ORDER BY transaction_id",
+    headline = true) { t =>
+    TxnPipeline.cleanValid(DirtyTxns(t.orders)).orderBy("transaction_id")
+  }
+
+  // t05 — P14: dim_date with all 11 attributes from data dates.
+  private val t05 = q("t05_dim_date",
+    s"$withPrefix SELECT * FROM dim_date ORDER BY date_key") { t =>
+    TxnPipeline.dimDate(TxnPipeline.cleanValid(DirtyTxns(t.orders))).orderBy("date_key")
+  }
+
+  // t06-t09 — P15+P18: distinct-extract dims with deterministic surrogate keys.
+  private val t06 = q("t06_dim_category",
+    s"$withPrefix SELECT * FROM dim_category ORDER BY category_key") { t =>
+    TxnPipeline.dimCategory(TxnPipeline.cleanValid(DirtyTxns(t.orders))).orderBy("category_key")
+  }
+  private val t07 = q("t07_dim_merchant",
+    s"$withPrefix SELECT * FROM dim_merchant ORDER BY merchant_key") { t =>
+    TxnPipeline.dimMerchant(TxnPipeline.cleanValid(DirtyTxns(t.orders))).orderBy("merchant_key")
+  }
+  private val t08 = q("t08_dim_payment",
+    s"$withPrefix SELECT * FROM dim_payment_method ORDER BY payment_method_key") { t =>
+    TxnPipeline.dimPayment(TxnPipeline.cleanValid(DirtyTxns(t.orders))).orderBy("payment_method_key")
+  }
+  private val t09 = q("t09_dim_user",
+    s"$withPrefix SELECT * FROM dim_user ORDER BY user_key") { t =>
+    TxnPipeline.dimUser(TxnPipeline.cleanValid(DirtyTxns(t.orders))).orderBy("user_key")
+  }
+
+  // t10 — P16+P18+P20: the enriched fact with all 5 surrogate keys.
+  private val t10 = q("t10_fact_build",
+    s"$withPrefix SELECT * FROM fact ORDER BY transaction_key",
+    headline = true) { t =>
+    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+    TxnPipeline.buildFact(valid,
+      TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
+      TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid),
+      TxnPipeline.dimDate(valid))
+      .orderBy("transaction_key")
+  }
+
+  // t11 — P17/P21: idempotent incremental load = anti-join against the
+  // already-loaded key set (reference src/load.py:534-582).
+  private val t11 = q("t11_incremental_antijoin",
+    s"""$withPrefix
+       SELECT transaction_id FROM valid
+       WHERE transaction_id NOT IN (SELECT transaction_id FROM valid WHERE user_id % 2 = 0)
+       ORDER BY transaction_id""") { t =>
+    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+    val existing = valid.filter(col("user_id") % 2 === 0).select("transaction_id")
+    valid.join(existing, Seq("transaction_id"), "left_anti")
+      .select("transaction_id").orderBy("transaction_id")
+  }
+
+  // t12 — P24: dim_date pre-population over the fixed calendar range
+  // (sequence() + date attrs; reference sql/populate_dim_date.sql).
+  private val t12 = q("t12_dim_date_range",
+    s"""SELECT $dateAttrsSql
+       FROM (SELECT CAST(unnest(generate_series(DATE '${TxnPipeline.MinValidDate}',
+                                                DATE '${TxnPipeline.MaxValidDate}',
+                                                INTERVAL 1 DAY)) AS DATE) AS date) z
+       ORDER BY date_key""") { t =>
+    TxnPipeline.dimDateRange(t.spark).orderBy("date_key")
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+}

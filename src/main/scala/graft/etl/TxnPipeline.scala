@@ -1,0 +1,204 @@
+package graft.etl
+
+import graft.functions.DateFns._
+import graft.functions.PyTitle.pyTitle
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Error raised when fact enrichment meets a natural key with no dimension row
+  * — the reference ABORTS the load rather than dropping rows
+  * (/root/reference/src/load.py:427-527, FactLoadError). */
+final class FactLoadError(msg: String) extends RuntimeException(msg)
+
+/** The transform half of the engine: SURVEY §2.A P5-P16/P18/P20/P24
+  * re-expressed as declarative DataFrame stages (reference semantics from
+  * /root/reference/src/transform.py:122-626).
+  *
+  * Every stage is a pure DataFrame→DataFrame function with no driver-side
+  * row iteration — at 100 TB each is a narrow map (standardize/validate) or
+  * a keyed shuffle (dedup) that AQE sizes.
+  */
+object TxnPipeline {
+
+  // Validation constants — the reference's src/config.py:45-89 matrix with the
+  // date window adapted to the testdata's 1995-2001 order dates. MAX_VALID_DATE
+  // is injected (not wall-clock now()) per SURVEY §7.4 #4.
+  val MinValidDate = "1995-01-01"
+  val MaxValidDate = "2001-12-31"
+  val MaxAmount = 10000.0
+  /** Allowed values AFTER standardization (reference validates post-clean). */
+  val AllowedCategories: Seq[String] = Seq(
+    "Groceries", "Dining", "Transport", "Entertainment",
+    "Utilities", "Healthcare", "Shopping", "Travel")
+  val AllowedPayments: Seq[String] = Seq("Credit Card", "Debit Card", "Cash", "Digital Wallet")
+
+  /** P5 — dedup by transaction_id keeping FIRST in file order. Spark's
+    * dropDuplicates keeps an arbitrary row; the reference keeps first
+    * (src/transform.py:139-144), so this is an explicit row_number over the
+    * file-order column. NULL ids form one group in both engines.
+    */
+  def dedupKeepFirst(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy("transaction_id").orderBy("seq")
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** P6-P11 — trim, standardize (Python-exact title-case), coerce-with-null.
+    * Keeps the raw columns (suffix _raw) because the null-required validation
+    * rule inspects pre-coercion values. Amount goes string → DECIMAL(10,3) →
+    * bround HALF_EVEN to 2dp (pandas .round() is banker's rounding —
+    * reference tests/test_transform.py:366-377) → double.
+    */
+  def standardize(deduped: DataFrame): DataFrame =
+    deduped.select(
+      col("seq"),
+      col("transaction_id"),
+      col("category").as("cat_raw"),
+      col("amount").as("amt_raw"),
+      col("merchant").as("merch_raw"),
+      col("payment_method").as("pay_raw"),
+      col("user_id").as("user_raw"),
+      col("date").as("date_raw"),
+      pyTitle(trim(col("category"))).as("category"),
+      pyTitle(regexp_replace(trim(col("merchant")), "\\s+", " ")).as("merchant"),
+      pyTitle(trim(col("payment_method"))).as("payment_method"),
+      trim(col("date")).cast("date").as("date"),
+      bround(trim(col("amount")).cast("decimal(10,3)"), 2)
+        .cast("decimal(10,2)").cast("double").as("amount"),
+      when(trim(col("user_id")).rlike("^-?[0-9]+$"), trim(col("user_id")).cast("long"))
+        .as("user_id"))
+
+  /** P12 — the reference's 9-rule validation matrix
+    * (src/transform.py:174-337) as independent boolean flags. A row can fail
+    * several rules; `is_valid` requires none.
+    */
+  def withFlags(std: DataFrame): DataFrame = {
+    val flags = Seq(
+      "f_null_required" -> (col("transaction_id").isNull || col("date_raw").isNull ||
+        col("cat_raw").isNull || col("amt_raw").isNull || col("merch_raw").isNull ||
+        col("pay_raw").isNull || col("user_raw").isNull),
+      "f_amount_nonpos" -> (col("amount").isNull || col("amount") <= 0),
+      "f_amount_excessive" -> (col("amount").isNotNull && col("amount") > MaxAmount),
+      "f_date_unparseable" -> col("date").isNull,
+      "f_date_old" -> (col("date").isNotNull && col("date") < lit(MinValidDate).cast("date")),
+      "f_date_future" -> (col("date").isNotNull && col("date") > lit(MaxValidDate).cast("date")),
+      "f_category_invalid" -> (col("category").isNull || !col("category").isin(AllowedCategories: _*)),
+      "f_payment_invalid" -> (col("payment_method").isNull || !col("payment_method").isin(AllowedPayments: _*)),
+      "f_user_invalid" -> col("user_id").isNull)
+    val withF = flags.foldLeft(std) { case (df, (n, c)) => df.withColumn(n, c) }
+    withF.withColumn("is_valid", !flags.map(f => col(f._1)).reduce(_ || _))
+  }
+
+  /** The filtered, typed, clean transaction set (reference transform output). */
+  def validTxns(flags: DataFrame): DataFrame =
+    flags.filter(col("is_valid")).select(
+      "transaction_id", "date", "category", "amount",
+      "merchant", "payment_method", "user_id")
+
+  /** Full raw→valid chain. */
+  def cleanValid(raw: DataFrame): DataFrame =
+    validTxns(withFlags(standardize(dedupKeepFirst(raw))))
+
+  // ------------------------------------------------------------- dimensions
+
+  /** P15+P18 — distinct-extract a dimension with a dense surrogate key
+    * assigned by row_number over the natural-key order (the reference reads
+    * back PostgreSQL SERIAL keys; deterministic ordering replaces the
+    * database sequence — SURVEY §7.3).
+    *
+    * Scale note: row_number over an unpartitioned window serializes the dim
+    * through one task. Fine for bounded dims (category=8, payment=4,
+    * date≤#days); for an unbounded dim (user, merchant) at 100 TB the same
+    * dense-key contract is kept by sortWithinPartitions + per-partition
+    * offset (zipWithIndex pattern) — the dims here are ≤ O(100k) so the
+    * simple window wins on clarity and the shuffle is one reduced column.
+    */
+  def dimFrom(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
+    valid.select(col(natCol).as(nameCol)).distinct()
+      .withColumn(keyName, row_number().over(Window.orderBy(nameCol)))
+      .select(keyName, nameCol)
+
+  def dimCategory(valid: DataFrame): DataFrame =
+    dimFrom(valid, "category", "category_key", "category_name")
+  def dimMerchant(valid: DataFrame): DataFrame =
+    dimFrom(valid, "merchant", "merchant_key", "merchant_name")
+  def dimPayment(valid: DataFrame): DataFrame =
+    dimFrom(valid, "payment_method", "payment_method_key", "payment_method_name")
+  def dimUser(valid: DataFrame): DataFrame =
+    dimFrom(valid, "user_id", "user_key", "user_id")
+
+  /** P14 — dim_date with all 11 attributes from the distinct dates present
+    * in the data (reference src/transform.py:344-403).
+    */
+  def dimDate(valid: DataFrame): DataFrame =
+    dateAttrs(valid.select(col("date")).distinct())
+
+  /** P24 — dim_date pre-population over a fixed calendar range
+    * (reference sql/populate_dim_date.sql:20-76, GENERATE_SERIES).
+    */
+  def dimDateRange(spark: org.apache.spark.sql.SparkSession,
+                   from: String = MinValidDate, to: String = MaxValidDate): DataFrame =
+    dateAttrs(spark.range(1).select(
+      explode(sequence(lit(from).cast("date"), lit(to).cast("date"),
+        expr("interval 1 day"))).as("date")))
+
+  private def dateAttrs(dates: DataFrame): DataFrame =
+    dates.select(
+      dateKey(col("date")).as("date_key"),
+      col("date"),
+      year(col("date")).as("year"),
+      quarter(col("date")).as("quarter"),
+      month(col("date")).as("month"),
+      dayofmonth(col("date")).as("day"),
+      monthName(col("date")).as("month_name"),
+      dayName(col("date")).as("day_name"),
+      isoDayOfWeek(col("date")).as("day_of_week"),
+      weekofyear(col("date")).as("week_of_year"),
+      isWeekend(col("date")).as("is_weekend"))
+
+  // ------------------------------------------------------------------- fact
+
+  /** P16+P20 — fact build: project natural keys, resolve all 5 surrogate
+    * keys. Enum dims (category/payment) are bounded → broadcast hint; the
+    * others are left to AQE. `abortOnUnmapped` reproduces the reference's
+    * error-not-filter semantics: a natural key missing from a dim kills the
+    * load instead of silently dropping rows (src/load.py:460-508).
+    */
+  def buildFact(valid: DataFrame,
+                dCat: DataFrame, dMerch: DataFrame, dPay: DataFrame,
+                dUser: DataFrame, dDate: DataFrame,
+                abortOnUnmapped: Boolean = false): DataFrame = {
+    val enriched = valid
+      .join(broadcast(dCat), valid("category") === dCat("category_name"), "left")
+      .join(dMerch, valid("merchant") === dMerch("merchant_name"), "left")
+      .join(broadcast(dPay), valid("payment_method") === dPay("payment_method_name"), "left")
+      .join(dUser.withColumnRenamed("user_id", "u_natural"),
+        valid("user_id") === col("u_natural"), "left")
+      .join(dDate.select(col("date_key"), col("date").as("d_natural")),
+        valid("date") === col("d_natural"), "left")
+    if (abortOnUnmapped) {
+      val missing = enriched.filter(
+        col("category_key").isNull || col("merchant_key").isNull ||
+        col("payment_method_key").isNull || col("user_key").isNull ||
+        col("date_key").isNull).count()
+      if (missing > 0)
+        throw new FactLoadError(s"$missing fact rows reference unmapped dimension keys")
+    }
+    enriched.select(
+      row_number().over(Window.orderBy("transaction_id")).as("transaction_key"),
+      col("transaction_id"), col("date_key"), col("category_key"),
+      col("merchant_key"), col("payment_method_key"), col("user_key"),
+      col("amount"))
+  }
+
+  /** Convenience: full star build from the raw dirty frame. */
+  def buildStar(raw: DataFrame): Map[String, DataFrame] = {
+    val valid = cleanValid(raw)
+    val (dc, dm, dp, du, dd) =
+      (dimCategory(valid), dimMerchant(valid), dimPayment(valid), dimUser(valid), dimDate(valid))
+    Map(
+      "valid" -> valid, "dim_category" -> dc, "dim_merchant" -> dm,
+      "dim_payment_method" -> dp, "dim_user" -> du, "dim_date" -> dd,
+      "fact_transactions" -> buildFact(valid, dc, dm, dp, du, dd))
+  }
+}
