@@ -31,6 +31,9 @@ object GraftSession {
       // errors='coerce' semantics the reference's transform relies on),
       // instead of Spark 4's ANSI runtime errors.
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as long nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
 

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
+import graft.llm.LlmQueries
 import graft.queries.StarQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +16,7 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def defs: Seq[QueryDef] =
-    StarQueries.all ++ EtlQueries.all
+    StarQueries.all ++ EtlQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

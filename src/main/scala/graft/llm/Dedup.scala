@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Three tiers, in increasing fuzziness:
+  *   - exact:   hash-groupBy on normalized text — one shuffle of (hash, id)
+  *   - minhash: banded MinHash LSH → bucket join → exact-Jaccard verify —
+  *              the scale path for near-dup detection (never all-pairs)
+  *   - simhash: 64-bit fingerprints whose Hamming distance approximates
+  *              cosine similarity of the token sets
+  *
+  * All distributed: per-doc signature computation is a narrow map; candidate
+  * generation shuffles only (band, hash, id) tuples; verification touches
+  * only candidate documents (semi-join restriction).
+  */
+object Dedup {
+
+  /** Exact dedup: group by MD5 of normalized text; representative = lowest
+    * doc_id, copies counted. At 100 TB this shuffles one 32-char hash + id
+    * per document, never the text.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .select("rep_id", "fingerprint", "n_copies")
+
+  // MinHash parameters: k = bands * rows hashes; a pair with Jaccard j
+  // collides in ≥1 band with prob 1-(1-j^rows)^bands — at j=0.9 the miss
+  // probability is ~4e-8, at j=0.5 the false-candidate rate per pair is ~1%.
+  val MinhashBands = 16
+  val MinhashRows = 4
+
+  /** Per-document MinHash signature: for seed s, min over shingles of
+    * xxhash64(s, shingle). Pure expressions — k×|shingles| hashes per doc,
+    * all inside codegen, no UDF.
+    */
+  def minhashSignature(documents: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = TextFns.shingles(col("text"), shingleN)
+    val sig = (0 until MinhashBands * MinhashRows).map { s =>
+      array_min(transform(col("sh"), x => xxhash64(lit(s), x)))
+    }
+    documents
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), array(sig: _*).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs: explode each signature into (band,
+    * band_hash) buckets, self-join the bucket table, emit ordered distinct
+    * pairs. The shuffle key is (band, band_hash) — bucket sizes stay small
+    * because only near-identical band slices collide.
+    */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = (0 until MinhashBands).map { b =>
+      val slice = (0 until MinhashRows).map(r => element_at(col("sig"), b * MinhashRows + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("band_hash"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val a = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified by EXACT shingle Jaccard ≥
+    * threshold. Verification joins shingle sets only for documents that
+    * appear in some candidate pair (semi-join restriction), so the big text
+    * arrays never shuffle for non-candidates.
+    */
+  def nearDupPairs(documents: DataFrame, threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignature(documents, shingleN)
+    val cands = candidatePairs(sigs)
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shForCands = sigs.join(candIds, Seq("doc_id"), "left_semi").select("doc_id", "sh")
+    cands
+      .join(shForCands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shForCands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), TextFns.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit frequency-weighted SimHash: bit k of the fingerprint is the
+    * sign of Σ_occurrences (2·bit_k(xxhash64(token)) − 1) — each token
+    * occurrence votes, so near-identical token FREQUENCY profiles (not just
+    * sets) give small Hamming distance; that is what separates near-dups in
+    * low-vocabulary corpora. One explode + one groupBy with 64 conditional
+    * sums — map-side combine keeps the shuffle at one row per
+    * (doc, partition).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents.select(
+      col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k"))
+    val assembled = (0 until 64).map(k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between SimHash fingerprints of candidate pairs —
+    * used by tests and by the SimHash-based near-dup variant.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val s = simhash(documents)
+    val sigs = minhashSignature(documents)
+    val cands = candidatePairs(sigs)
+    cands
+      .join(s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

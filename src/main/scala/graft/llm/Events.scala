@@ -1,0 +1,48 @@
+package graft.llm
+
+import graft.functions.Det._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators in their BATCH form — the same transformations run
+  * under Structured Streaming (see graft.streaming.StreamingOps); windowed
+  * aggregation and sessionization are the canonical stateful shapes.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type: `window()` buckets align to the
+    * epoch hour, so the batch result equals a date_trunc('hour') group-by.
+    * Decimal sums for order-independent totals.
+    */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum of
+    * session starts, then one aggregate per session. The window partitions
+    * by user — exactly the state Structured Streaming keeps per key in
+    * flatMapGroupsWithState; expressed relationally it is two window passes
+    * over data already shuffled once by user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = lit(gapMinutes * 60L * 1000000L)
+    val us = unix_micros(col("ts"))
+    events
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("total_value"))
+  }
+}

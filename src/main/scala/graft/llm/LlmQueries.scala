@@ -1,0 +1,194 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline QueryDefs: deduplication (d*), similarity search (s*),
+  * text analysis (x*), event windows/sessions (e*). Oracled wherever DuckDB
+  * can recompute the exact semantics; LSH-approximate variants (d03, s02)
+  * are rows-only and verified by recall tests instead.
+  */
+object LlmQueries {
+
+  private def q(name: String, oracle: Option[String], headline: Boolean = false)(
+      f: Tables => DataFrame): QueryDef =
+    QueryDef(name, (s: SparkSession, dir: String) => {
+      // events.parquet carries TIMESTAMP(NANOS); read as long and convert
+      // (works under any driver-created session, not just GraftSession).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      f(Tables(s, dir))
+    }, oracle, headline)
+
+  /** events with the nanos-long ts converted to a microsecond timestamp
+    * (integer division — same truncation DuckDB applies reading ns parquet).
+    */
+  private def eventsTs(t: Tables): DataFrame =
+    t.events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ------------------------------------------------------------------ dedup
+
+  // d01 — exact dedup via hash-groupBy (shuffles fingerprints, never text).
+  private val d01 = q("d01_dedup_exact", Some(
+    s"""SELECT min(doc_id) AS rep_id, fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM (SELECT doc_id, md5(${TextFns.sqlNormalized("text")}) AS fp FROM documents) z
+        GROUP BY fp ORDER BY rep_id""")) { t =>
+    Dedup.exact(t.documents).orderBy("rep_id")
+  }
+
+  // d02 — MinHash-LSH near-dup pairs, exact-Jaccard-verified at ≥0.8. The
+  // oracle computes ALL qualifying pairs by sparse shingle equi-join (never
+  // all-pairs), so a hash match proves the banded LSH missed nothing.
+  private val d02 = q("d02_neardup_minhash", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b,
+                 CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        ORDER BY doc_a, doc_b"""), headline = true) { t =>
+    Dedup.nearDupPairs(t.documents, threshold = 0.8).orderBy("doc_a", "doc_b")
+  }
+
+  // d03 — SimHash fingerprints (no DuckDB twin for xxhash64 → rows-only;
+  // Hamming-distance behavior is covered by DedupSpec).
+  private val d03 = q("d03_simhash", None) { t =>
+    Dedup.simhash(t.documents).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  // s01 — exact brute-force top-10 cosine for the query subset
+  // (vec_id % 100 = 0). Cosines hash-compare as raw doubles: both engines
+  // sum strictly left-to-right in double (verified bit-identical).
+  private val s01 = q("s01_knn_bruteforce", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank"""), headline = true) { t =>
+    Similarity.bruteForceTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; recall vs
+  // s01 is asserted in SimilaritySpec).
+  private val s02 = q("s02_knn_lsh", None) { t =>
+    Similarity.lshTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  private val x01 = q("x01_token_stats", Some(
+    """SELECT doc_id,
+        CAST(tl AS INT) AS n_chars,
+        CAST(len(w) AS INT) AS n_tokens,
+        CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+        CAST(list_sum(list_transform(w, x -> len(x))) AS INT) AS sum_token_len,
+        CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio
+        FROM (SELECT doc_id, len(text) AS tl, string_split_regex(lower(text), '\s+') AS w
+              FROM documents) z
+        ORDER BY doc_id""")) { t =>
+    TextAnalysis.tokenStats(t.documents).orderBy("doc_id")
+  }
+
+  private val langHitsSql = TextAnalysis.Lexicons.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(w, x -> x IN ($lst))) AS INT) AS ${lang}_hits"
+  }.mkString(",\n        ")
+
+  private val x02 = q("x02_lang_id", Some(
+    s"""SELECT doc_id, $langHitsSql,
+        CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+             WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+             WHEN de_hits >= fr_hits THEN 'de'
+             ELSE 'fr' END AS predicted_lang
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) z
+        ORDER BY doc_id""")) { t =>
+    TextAnalysis.langId(t.documents).orderBy("doc_id")
+  }
+
+  private val x03 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("x03_quality_score", Some(
+      s"""WITH base AS (
+            SELECT doc_id, len(text) AS n_chars,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+          m AS (
+            SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                   CAST(len(w) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                   CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                   CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles
+            FROM base),
+          s AS (
+            SELECT *,
+                   least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                   CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
+                   CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                   CASE WHEN n_tokens > 2
+                        THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                        ELSE 0.0 END AS uniq3
+            FROM m)
+          SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop, n_shingles,
+                 len_score, diversity, stop_ratio, uniq3,
+                 (len_score + diversity + stop_ratio + uniq3) / 4.0 AS quality
+          FROM s ORDER BY doc_id""")) { t =>
+      TextAnalysis.qualityScore(t.documents).orderBy("doc_id")
+    }
+  }
+
+  private val x04 = q("x04_fingerprints", Some(
+    s"""SELECT doc_id, md5(n) AS fingerprint, CAST(len(n) AS INT) AS norm_len
+        FROM (SELECT doc_id, ${TextFns.sqlNormalized("text")} AS n FROM documents) z
+        ORDER BY doc_id""")) { t =>
+    TextAnalysis.fingerprints(t.documents).orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- events
+
+  private val e01 = q("e01_hourly_windows", Some(
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${sqlDsum("value")} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+    headline = true) { t =>
+    Events.hourlyWindows(eventsTs(t)).orderBy("window_start", "event_type")
+  }
+
+  private val e02 = q("e02_sessionization", Some(
+    s"""WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+        s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               ${sqlDsum("value")} AS total_value
+        FROM s2 GROUP BY 1, 2 ORDER BY user_id, session_id""")) { t =>
+    Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, x01, x02, x03, x04, e01, e02)
+}

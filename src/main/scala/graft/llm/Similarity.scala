@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *   - brute-force exact top-k: broadcast the (small) query set against the
+  *     corpus — the correctness baseline, one corpus scan, no shuffle of the
+  *     corpus, `TakeOrdered`-style per-query top-k via window over the
+  *     (tiny) query partition count;
+  *   - hyperplane-LSH bucketed ANN: L hash tables × b sign-projection bits;
+  *     candidates share a bucket in ≥1 table, exact cosine re-ranks only
+  *     candidates. The scale path — corpus shuffles by (table, bucket), and
+  *     bucket sizes are ~n/2^b per table.
+  *
+  * All arithmetic in double via zip_with/aggregate — strictly sequential
+  * left-to-right summation, so results are bit-reproducible across engines
+  * and partitionings.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for a query subset.
+    * `queryPred` selects the query vectors (broadcast side).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  // LSH configuration: L tables × b bits. Collision prob for angle θ is
+  // 1-(1-(1-θ/π)^b)^L — tuned so near neighbors (θ small) collide in ≥1
+  // table while the corpus spreads over 2^b buckets per table.
+  val LshTables = 8
+  val LshBits = 8
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane components (no RNG state — a
+    * splitmix-style integer mix keyed by (plane, dim), uniform in [-0.5,0.5];
+    * sign projections only need symmetry, not gaussianity).
+    */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 1000003L).toDouble / 1000003.0) - 0.5
+  }
+
+  /** Per-vector bucket codes: one row per (vec_id, table, bucket). */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val tables = (0 until LshTables).map { t =>
+      val code = (0 until LshBits).map { i =>
+        val w = typedlit((0 until Dim).map(d => planeComponent(t * LshBits + i, d)))
+        when(dot(col("embedding"), w) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), code.as("bucket"))
+    }
+    embeddings.select(col("vec_id"), col("embedding"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over
+    * all L tables; exact cosine re-ranks candidates only.
+    */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val buckets = lshBuckets(embeddings)
+    val qb = buckets.filter(queryPred)
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cb = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val cands = broadcast(qb).join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * lexicon-based language ID, composite quality scoring, fingerprinting.
+  * Pure expression compositions — every scoring formula has an exact DuckDB
+  * twin in [[graft.llm.LlmQueries]].
+  */
+object TextAnalysis {
+
+  /** Tiny stopword lexicons for the language-ID heuristic. Deliberately
+    * minimal — the mechanism (lexicon-hit scoring + deterministic argmax) is
+    * the operator; production would swap in real per-language profiles.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "en", "es"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "en", "est"))
+
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_token_len"))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("type_token_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Lexicon-hit counts per language + deterministic argmax prediction. */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val scored = documents.select(
+      (col("doc_id") +: Lexicons.map { case (lang, words) =>
+        size(filter(t, x => x.isin(words.map(lit): _*).cast("boolean"))).as(s"${lang}_hits")
+      }): _*)
+    val Seq(en, es, de, fr) = Lexicons.map(l => col(s"${l._1}_hits"))
+    scored.withColumn("predicted_lang",
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+  }
+
+  /** Composite quality score: equal-weight blend of length saturation,
+    * lexical diversity, stopword-ratio, and 3-gram uniqueness — the
+    * standard cheap pre-filter shape for training-data pipelines.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val sh = TextFns.shingles(col("text"))
+    val enStops = Lexicons.head._2
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      size(filter(t, x => x.isin(enStops.map(lit): _*).cast("boolean"))).as("n_stop"),
+      size(sh).as("n_shingles"))
+      .withColumn("len_score", least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+      .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("uniq3", when(col("n_tokens") > 2,
+        col("n_shingles").cast("double") / (col("n_tokens") - 2).cast("double")).otherwise(0.0))
+      // no ROUND: the components are exact small rationals that frequently
+      // land on 6dp half-way points where Spark/DuckDB double rounding
+      // diverges; the raw double is deterministic (identical op order).
+      .withColumn("quality",
+        (col("len_score") + col("diversity") + col("stop_ratio") + col("uniq3")) / 4.0)
+  }
+
+  /** Document fingerprint: MD5 of normalized text (exact-dup key) — the
+    * portable stand-in for a rolling content hash.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint"),
+      length(TextFns.normalized(col("text"))).as("norm_len"))
+}
