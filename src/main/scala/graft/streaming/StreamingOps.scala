@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.functions.Det._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Event row for the typed streaming API (events.parquet schema with ts as
+  * a proper timestamp). */
+final case class EventRow(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Per-user running aggregate maintained by the stateful operator. */
+final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured-Streaming twins of the batch event operators
+  * (graft.llm.Events): the SAME logical transformations run incrementally —
+  * `readStream → transform → writeStream` with watermarks bounding state.
+  *
+  * Scale notes: windowed aggregation state is (window × event_type) rows,
+  * bounded by the watermark horizon; the keyed state in
+  * [[runningUserCounts]] is one small case class per user, partitioned by
+  * the stream's groupBy key exactly like a shuffle.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts/sums with a watermark: late events
+    * beyond `watermark` are dropped and their windows finalized (state
+    * eviction). Works unchanged on a batch frame (watermark is a no-op).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Custom keyed state: per-user running (count, decimal-safe total) via
+    * mapGroupsWithState — the Structured Streaming escape hatch for
+    * aggregations the built-in operators can't express. Emits the updated
+    * aggregate for every user touched in each micro-batch.
+    */
+  def runningUserCounts(events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          // cents-exact accumulation (values are 2dp): avoids float drift
+          // across micro-batches the same way the batch path sums decimals
+          val (n, cents) = rows.foldLeft((prev.n_events, math.round(prev.total_value * 100))) {
+            case ((c, s), e) => (c + 1, s + math.round(e.value * 100))
+          }
+          val next = UserAgg(userId, n, cents / 100.0)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load-half of the engine re-expressed for a lakehouse (no PostgreSQL in
+  * the sandbox — the reference's JDBC patterns map 1:1 onto a parquet
+  * warehouse; the JDBC variants would only swap the reader/writer calls):
+  *
+  *   - P17/P21: idempotent append = left_anti against the target's key set
+  *     then append-only write (the reference's `ON CONFLICT DO NOTHING` +
+  *     pre-insert anti-join, src/load.py:135-223,534-582);
+  *   - P22: batched writes are Spark's native per-partition parquet files
+  *     (JDBC would be `.option("batchsize", 1000)`);
+  *   - P23: multi-table transactional load via versioned-snapshot publish —
+  *     all star tables are written to a new version directory and a CURRENT
+  *     pointer file is atomically moved, giving readers snapshot isolation
+  *     without Delta (the staging-table pattern from SURVEY §7.3);
+  *   - P25: pre-flight validation of warehouse layout.
+  */
+object ParquetWarehouse {
+
+  /** P17/P21 — append only rows whose key is absent from the target.
+    * Returns the number of new rows written. The anti-join reads ONLY the
+    * key column of the target (column pruning reaches the parquet scan).
+    */
+  def appendIdempotent(df: DataFrame, path: String, keyCol: String): Long = {
+    val spark = df.sparkSession
+    val fresh =
+      if (Files.exists(Paths.get(path))) {
+        val existingKeys = spark.read.parquet(path).select(keyCol)
+        df.join(existingKeys, Seq(keyCol), "left_anti")
+      } else df
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(path)
+    n
+  }
+
+  private val Pointer = "CURRENT"
+
+  /** P23 — atomic multi-table publish: write every table under
+    * `root/v<next>/<table>/`, then swap the CURRENT pointer with an atomic
+    * file move. A crash mid-write leaves the previous version live.
+    */
+  def publishSnapshot(root: String, tables: Map[String, DataFrame]): String = {
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    val next = "v" + (currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$next/$name")
+    }
+    val tmp = rootPath.resolve(s".$Pointer.tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, rootPath.resolve(Pointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  def currentVersion(root: String): Option[String] = {
+    val p = Paths.get(root, Pointer)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** Read a table from the currently-published snapshot. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    spark.read.parquet(s"$root/$v/$table")
+  }
+
+  /** P25 — pre-flight: warehouse exists, pointer readable, all required
+    * tables present and non-empty (reference src/etl_pipeline.py:65-183).
+    */
+  final case class PreFlight(ok: Boolean, problems: Seq[String], rowCounts: Map[String, Long])
+
+  def preFlight(spark: SparkSession, root: String, required: Seq[String]): PreFlight = {
+    currentVersion(root) match {
+      case None => PreFlight(ok = false, Seq(s"no CURRENT snapshot pointer under $root"), Map.empty)
+      case Some(v) =>
+        val (problems, counts) = required.foldLeft((Seq.empty[String], Map.empty[String, Long])) {
+          case ((ps, cs), t) =>
+            val dir = Paths.get(root, v, t)
+            if (!Files.exists(dir)) (ps :+ s"missing table $t in $v", cs)
+            else {
+              val n = spark.read.parquet(dir.toString).count()
+              (if (n == 0) ps :+ s"table $t is empty" else ps, cs + (t -> n))
+            }
+        }
+        PreFlight(problems.isEmpty, problems, counts)
+    }
+  }
+}

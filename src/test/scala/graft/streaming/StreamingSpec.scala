@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics tests: incremental execution must agree with the
+  * batch twin, and keyed state must accumulate across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, ts: String, user: Long, typ: String, value: Double) =
+    EventRow(id, Timestamp.valueOf(ts), user, typ, value)
+
+  private val batch1 = Seq(
+    ev(1, "2024-01-01 10:05:00", 1, "view", 1.50),
+    ev(2, "2024-01-01 10:45:00", 1, "view", 2.25),
+    ev(3, "2024-01-01 11:10:00", 2, "click", 4.00))
+  private val batch2 = Seq(
+    ev(4, "2024-01-01 11:30:00", 1, "view", 1.00),
+    ev(5, "2024-01-01 12:05:00", 2, "click", 3.75))
+
+  test("streaming windowed aggregation equals the batch result on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .groupBy("window_start", "event_type") // Update mode re-emits; keep latest per key
+        .agg(max("n_events").as("n_events"), max("total_value").as("total_value"))
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = StreamingOps.windowedCounts((batch1 ++ batch2).toDF())
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("ruc").outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      val after1 = spark.table("ruc").as[UserAgg].collect().map(u => u.user_id -> u).toMap
+      assert(after1(1L) == UserAgg(1L, 2L, 3.75))
+      assert(after1(2L) == UserAgg(2L, 1L, 4.00))
+      stream.addData(batch2)
+      q.processAllAvailable()
+      // Update mode appends new rows to the memory sink; latest per user wins
+      val after2 = spark.table("ruc").as[UserAgg].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(after2(1L) == UserAgg(1L, 3L, 4.75))
+      assert(after2(2L) == UserAgg(2L, 2L, 7.75))
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are dropped from finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.windowedCounts(stream.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1) // max ts 11:10 → watermark 10:10 after this batch
+      q.processAllAvailable()
+      stream.addData(Seq(ev(9, "2024-01-01 14:00:00", 3, "view", 1.0))) // advances watermark to 13:00
+      q.processAllAvailable()
+      stream.addData(Seq(ev(10, "2024-01-01 10:20:00", 1, "view", 99.0))) // late, window [10,11) finalized
+      q.processAllAvailable()
+      stream.addData(Seq(ev(11, "2024-01-01 16:00:00", 3, "view", 1.0))) // push watermark past everything
+      q.processAllAvailable()
+      val w10 = spark.table("late")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()
+      assert(w10.length == 1)
+      assert(w10(0).getAs[Long]("n_events") == 2) // late event 10 NOT counted
+    } finally q.stop()
+  }
+}
