@@ -29,6 +29,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench warmup] ${d.name}: ${e.getMessage}") }
     }
     val results = defs.map { d =>
+      // drop any persisted cut-points a previous run registered, so each
+      // measurement pays its query's full cost (warm JVM, cold data)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try exec(d.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}") }

@@ -212,7 +212,9 @@ object EtlQueries {
   private val t10 = q("t10_fact_build",
     s"$withPrefix SELECT * FROM fact ORDER BY transaction_key",
     headline = true) { t =>
+    // six consumers of the valid set (5 dims + fact) — persist the cut
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TxnPipeline.buildFact(valid,
       TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
       TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid),
@@ -227,7 +229,10 @@ object EtlQueries {
        SELECT transaction_id FROM valid
        WHERE transaction_id NOT IN (SELECT transaction_id FROM valid WHERE user_id % 2 = 0)
        ORDER BY transaction_id""") { t =>
+    // both the incoming set and the existing-keys branch read the valid
+    // frame — persist so clean+validate runs once
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val existing = valid.filter(col("user_id") % 2 === 0).select("transaction_id")
     valid.join(existing, Seq("transaction_id"), "left_anti")
       .select("transaction_id").orderBy("transaction_id")

@@ -191,9 +191,15 @@ object TxnPipeline {
       col("amount"))
   }
 
-  /** Convenience: full star build from the raw dirty frame. */
+  /** Convenience: full star build from the raw dirty frame. The valid set
+    * feeds SIX consumers (5 dims + fact) — persist it once instead of
+    * re-running extract+clean+validate per consumer. (At 100 TB the same
+    * cut-point would be a checkpoint to storage; MEMORY_AND_DISK is right
+    * for the per-file batch sizes this pipeline targets.)
+    */
   def buildStar(raw: DataFrame): Map[String, DataFrame] = {
     val valid = cleanValid(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dc, dm, dp, du, dd) =
       (dimCategory(valid), dimMerchant(valid), dimPayment(valid), dimUser(valid), dimDate(valid))
     Map(

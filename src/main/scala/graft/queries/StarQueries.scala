@@ -434,23 +434,23 @@ object StarQueries {
         ORDER BY l_orderkey, l_linenumber""",
     headline = true) { t =>
     val partDim = t.part.select("p_partkey", "p_brand")
-    // pass 1: fact → per-partkey decimal partial moments (tiny after combine),
-    // then join the reduced set to part and roll up to brand level.
-    val perPart = t.lineitem.groupBy(col("l_partkey")).agg(
-      count(lit(1)).as("pn"),
-      sum(col("l_extendedprice").cast(DecimalType(24, 6))).as("ps1"),
-      sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(24, 6))).as("ps2"))
-    val stats = perPart
+    // One joined definition referenced by both the moments pass and the
+    // back-join. Spark re-computes it per reference — measured CHEAPER here
+    // than persisting (caching 600k rows costs more than a second
+    // parquet-scan + AQE-broadcast join; the 4-column projection is pushed
+    // into the scan). At 100 TB the same trade-off is decided by storage
+    // bandwidth vs cache capacity; the projected re-scan is the safe default.
+    val joined = t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
       .join(partDim, col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand").agg(
-        sum(col("pn")).cast("double").as("n"),
-        sum(col("ps1")).cast("double").as("s1"),
-        sum(col("ps2")).cast("double").as("s2"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "p_brand")
+    val stats = joined.groupBy("p_brand").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum6(col("l_extendedprice")).as("s1"),
+      dsum6(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
     val mean = col("s1") / col("n")
     val std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    // pass 2: fact ⋈ part (AQE-selected strategy) ⋈ broadcast tiny stats.
-    t.lineitem.join(partDim, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(stats), "p_brand")
+    joined.join(broadcast(stats), "p_brand")
       .filter(col("l_extendedprice") > mean + lit(1.5) * std)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("l_extendedprice"),
