@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics tests: salted joins preserve semantics while spreading
+  * hot keys; bucketed tables co-locate joins with zero shuffle.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // 10k rows, 90% on one hot key — the salting target
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(0L).as("k"),
+        col("id").as("payload"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val salted = SkewJoin.salted(big, small, "k", salt = 8).select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join spreads the hot key across salt sub-partitions") {
+    val big = spark.range(1000).select(lit(0L).as("k"), col("id").as("p"))
+    val small = Seq((0L, "x")).toDF("k", "v")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8)).cast("int"))
+    val spread = bigS.groupBy("__salt").count().collect()
+    assert(spread.length == 8, "all 8 salt buckets populated")
+    assert(spread.map(_.getLong(1)).max < 1000 * 0.3, "no bucket holds the whole hot key")
+  }
+
+  test("bucketed tables co-locate the join: zero exchange in the plan") {
+    val n = 10000
+    spark.sql("DROP TABLE IF EXISTS bkt_fact")
+    spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_fact")
+    spark.range(n / 10).select(col("id").as("k"), lit("d").as("name"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_dim")
+    // disable auto-broadcast so the join would OTHERWISE shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_fact").join(spark.table("bkt_dim"), Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == n / 10)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}

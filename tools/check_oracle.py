@@ -25,12 +25,24 @@ def norm(v):
     return v
 
 
+NEAR_MISSES = []
+
+
 def cmp_cell(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        if a == b:
+            return True
+        # relative-epsilon fallback: engines that round/interpolate with
+        # algebraically-equal but floating-point-different formulas can land
+        # one ulp apart on rounding boundaries; treat as a near-miss (logged)
+        # rather than a hard fail (ADVICE r1).
+        if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)):
+            NEAR_MISSES.append((a, b))
+            return True
+        return False
     # Decimal vs float etc.
     try:
         if type(a) is not type(b):
@@ -87,7 +99,9 @@ def main():
             print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(o)} rows)")
+            nm = f" [{len(NEAR_MISSES)} near-miss]" if NEAR_MISSES else ""
+            NEAR_MISSES.clear()
+            print(f"PASS {name} ({len(o)} rows){nm}")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
