@@ -35,17 +35,23 @@ object Dedup {
   val MinhashBands = 16
   val MinhashRows = 4
 
-  /** Per-document MinHash signature: for seed s, min over shingles of
-    * xxhash64(s, shingle). Pure expressions — k×|shingles| hashes per doc,
-    * all inside codegen, no UDF.
+  /** Per-document MinHash signature. Each shingle STRING is hashed once
+    * (`xxhash64(shingle)`); the k seeded hash functions are then derived by
+    * re-hashing that long with the seed — long-input hashing is ~10× cheaper
+    * than re-hashing a 25-char string k times, and min-wise independence is
+    * preserved (each seed is an independent permutation of the base hash).
+    * Pure expressions — all inside codegen, no UDF. The base-hash projection
+    * sits behind the filter so CollapseProject can't inline it into the
+    * 64 signature expressions.
     */
   def minhashSignature(documents: DataFrame, shingleN: Int = 3): DataFrame = {
     val sh = TextFns.shingles(col("text"), shingleN)
     val sig = (0 until MinhashBands * MinhashRows).map { s =>
-      array_min(transform(col("sh"), x => xxhash64(lit(s), x)))
+      array_min(transform(col("hs"), h => xxhash64(lit(s), h)))
     }
     documents
       .select(col("doc_id"), sh.as("sh"))
+      .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), array(sig: _*).as("sig"))
   }

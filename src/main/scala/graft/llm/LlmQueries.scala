@@ -85,10 +85,16 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; recall vs
-  // s01 is asserted in SimilaritySpec).
+  // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; planted-twin
+  // recovery asserted in LlmSpec).
   private val s02 = q("s02_knn_lsh", None) { t =>
     Similarity.lshTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // s03 — IVF bucketed ANN (cell-probe scale path; approximate → rows-only).
+  private val s03 = q("s03_knn_ivf", None) { t =>
+    Similarity.ivfTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10)
       .orderBy("query_id", "rank")
   }
 
@@ -190,5 +196,5 @@ object LlmQueries {
     Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, x01, x02, x03, x04, e01, e02)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, s03, x01, x02, x03, x04, e01, e02)
 }

@@ -81,6 +81,55 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  // IVF configuration: C coarse cells, probe the nProbe closest at query time.
+  val IvfCells = 32
+  val IvfProbes = 4
+
+  /** IVF cell assignment: "training-free" coarse quantizer — the first
+    * `IvfCells` corpus vectors (by id) act as centroids (at scale these
+    * would come from a k-means fit; the assignment/probe machinery is
+    * identical). Returns one row per vector with its best cell.
+    */
+  def ivfAssign(embeddings: DataFrame): DataFrame = {
+    val centroids = embeddings.orderBy("vec_id").limit(IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("c_emb")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 1)
+      .select("vec_id", "embedding", "cell")
+  }
+
+  /** IVF ANN top-k: assign the corpus to cells once, probe the query's
+    * `IvfProbes` nearest cells, exact re-rank only vectors in probed cells.
+    * The corpus shuffles by cell; probe fan-out bounds the scanned fraction
+    * to ~nProbe/C of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val centroids = embeddings.orderBy("vec_id").limit(IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val assigned = ivfAssign(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_embv"), col("cell"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    val probes = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= IvfProbes)
+      .select("query_id", "q_emb", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_embv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over
     * all L tables; exact cosine re-ranks candidates only.
     */
