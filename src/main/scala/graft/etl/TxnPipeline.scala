@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * (/root/reference/src/load.py:427-527, FactLoadError). */
 final class FactLoadError(msg: String) extends RuntimeException(msg)
 
+/** A clean, validated transaction — the typed contract of the transform
+  * output (SURVEY §1.3: typed Dataset where the schema is fixed; untyped
+  * DataFrame everywhere schemas are dynamic).
+  */
+final case class Transaction(
+    transaction_id: String,
+    date: java.sql.Date,
+    category: String,
+    amount: Double,
+    merchant: String,
+    payment_method: String,
+    user_id: Long)
+
 /** The transform half of the engine: SURVEY §2.A P5-P16/P18/P20/P24
   * re-expressed as declarative DataFrame stages (reference semantics from
   * /root/reference/src/transform.py:122-626).
@@ -99,6 +112,13 @@ object TxnPipeline {
   def cleanValid(raw: DataFrame): DataFrame =
     validTxns(withFlags(standardize(dedupKeepFirst(raw))))
 
+  /** Typed view of the transform output. */
+  def cleanValidTyped(raw: DataFrame): org.apache.spark.sql.Dataset[Transaction] = {
+    val df = cleanValid(raw)
+    import df.sparkSession.implicits._
+    df.as[Transaction]
+  }
+
   // ------------------------------------------------------------- dimensions
 
   /** P15+P18 — distinct-extract a dimension with a dense surrogate key
@@ -117,6 +137,29 @@ object TxnPipeline {
     valid.select(col(natCol).as(nameCol)).distinct()
       .withColumn(keyName, row_number().over(Window.orderBy(nameCol)))
       .select(keyName, nameCol)
+
+  /** The scale variant of [[dimFrom]] for UNBOUNDED dims (users, merchants
+    * at 100 TB): identical output contract — dense 1..N keys in natural-key
+    * order — without serializing through one window task. Range-partition by
+    * the natural key, sort within partitions, then assign global indices via
+    * zipWithIndex (one extra count job for partition offsets; every
+    * partition numbers its rows independently). The one justified RDD use in
+    * the engine: per-partition imperative indexing.
+    */
+  def dimFromScalable(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame = {
+    val spark = valid.sparkSession
+    val distinctSorted = valid.select(col(natCol).as(nameCol)).distinct()
+      .repartitionByRange(col(nameCol))
+      .sortWithinPartitions(nameCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(keyName,
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        distinctSorted.schema.fields.toSeq)
+    val indexed = distinctSorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq((idx + 1).toInt +: row.toSeq)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 
   def dimCategory(valid: DataFrame): DataFrame =
     dimFrom(valid, "category", "category_key", "category_name")

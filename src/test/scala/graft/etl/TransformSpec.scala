@@ -200,6 +200,26 @@ class TransformSpec extends SparkSpec {
     assert(second.count() == 0)
   }
 
+  test("scalable dim builder produces the identical dense-key contract") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val valid = TxnPipeline.cleanValid(DirtyTxns(orders))
+    val window = TxnPipeline.dimFrom(valid, "merchant", "merchant_key", "merchant_name")
+      .orderBy("merchant_key").collect().toSeq
+    val scalable = TxnPipeline.dimFromScalable(valid, "merchant", "merchant_key", "merchant_name")
+      .orderBy("merchant_key").collect().toSeq
+    assert(window == scalable)
+  }
+
+  test("typed Dataset view round-trips the transform output") {
+    val ds = TxnPipeline.cleanValidTyped(starRaw)
+    val rows = ds.collect().sortBy(_.transaction_id)
+    assert(rows.length == 4)
+    assert(rows.head == Transaction("T1", java.sql.Date.valueOf("1996-05-07"),
+      "Groceries", 12.34, "Acme Corp", "Cash", 7L))
+    // typed filter/map compile and run
+    assert(ds.filter(_.amount > 15.0).count() == 3)
+  }
+
   // -------------------------------------------------------------- integration
 
   test("full pipeline on the derived dirty source agrees with hand counts (sf0.001)") {
