@@ -169,6 +169,15 @@ object LlmQueries {
     TextAnalysis.fingerprints(t.documents).orderBy("doc_id")
   }
 
+  // x05 — corpus-level top-20 token bigrams (distinct per doc, so the count
+  // is documents-containing, not raw occurrences).
+  private val x05 = q("x05_top_bigrams", Some(
+    s"""SELECT shingle AS ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (${TextFns.sqlShingleRows("doc_id", "text", "documents", n = 2)}) z
+        GROUP BY shingle ORDER BY n_docs DESC, ngram LIMIT 20""")) { t =>
+    TextAnalysis.topNgrams(t.documents, n = 2, k = 20)
+  }
+
   // ----------------------------------------------------------------- events
 
   private val e01 = q("e01_hourly_windows", Some(
@@ -196,5 +205,5 @@ object LlmQueries {
     Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, s03, x01, x02, x03, x04, e01, e02)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, s03, x01, x02, x03, x04, x05, e01, e02)
 }

@@ -84,4 +84,18 @@ object TextAnalysis {
       col("doc_id"),
       md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint"),
       length(TextFns.normalized(col("text"))).as("norm_len"))
+
+  /** Corpus-level top-k token n-grams: explode each document's distinct
+    * n-grams, count across the corpus, keep the k most frequent
+    * (deterministic ties by n-gram). explode → partial-agg → shuffle of
+    * (ngram, count) partials → TakeOrdered; the corpus text itself never
+    * shuffles.
+    */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    documents
+      .select(explode(TextFns.shingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(k)
 }
