@@ -47,6 +47,19 @@ class WarehouseSpec extends SparkSpec {
     assert(!pf.ok)
   }
 
+  test("star integrity: a freshly built star passes every check; corruption is caught") {
+    import graft.etl.{DirtyTxns, TxnPipeline}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val star = TxnPipeline.buildStar(DirtyTxns(orders)) - "valid"
+    val results = StarIntegrity.checks(star)
+    assert(results.forall(_._2 == 0L), s"violations: ${results.filter(_._2 != 0)}")
+    // corrupt: drop half the user dim → orphan_user fires
+    val corrupted = star + ("dim_user" -> star("dim_user").filter(col("user_key") % 2 === 0))
+    val bad = StarIntegrity.checks(corrupted).toMap
+    assert(bad("orphan_user") > 0)
+    assert(!StarIntegrity.allClean(corrupted))
+  }
+
   test("multimodal: feature extraction is deterministic, features are unit-mass histograms") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs)).collect()
