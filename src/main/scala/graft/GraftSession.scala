@@ -22,6 +22,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", defaultParallelism.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
