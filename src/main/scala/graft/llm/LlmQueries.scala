@@ -64,6 +64,26 @@ object LlmQueries {
     Dedup.simhash(t.documents).orderBy("doc_id")
   }
 
+  // d04 — embedding-cosine near-dup, metadata-blocked exact (block = label;
+  // pairs within a block only — one shuffle by block, no corpus all-pairs).
+  // Threshold 0.45 sits under this data's max pairwise cosine (~0.51) so
+  // the output is non-trivial; cosines are strict left-to-right double
+  // sums, bit-identical to DuckDB's list_dot_product.
+  private val d04 = q("d04_embedding_neardup", Some(
+    """SELECT a.label AS blk, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
+       ORDER BY vec_a, vec_b""")) { t =>
+    Similarity.blockedNearDupPairs(t.embeddings, threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ------------------------------------------------------------- similarity
 
   // s01 — exact brute-force top-10 cosine for the query subset
@@ -205,5 +225,6 @@ object LlmQueries {
     Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, s01, s02, s03, x01, x02, x03, x04, x05, e01, e02)
+  val all: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, s01, s02, s03, x01, x02, x03, x04, x05, e01, e02)
 }

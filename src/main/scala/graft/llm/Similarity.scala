@@ -81,6 +81,25 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** Blocked exact near-dup pairs: all (a,b) with cosine ≥ threshold WITHIN
+    * a blocking key (here the label column — in production a cluster id,
+    * shard, or coarse quantizer cell). Exact within blocks, never all-pairs
+    * across the corpus: the join key is the block, so each block's pairs
+    * are generated locally after one shuffle by block.
+    */
+  def blockedNearDupPairs(embeddings: DataFrame, threshold: Double,
+                          blockCol: String = "label"): DataFrame = {
+    val a = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col(blockCol).as("blk"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("blk"), col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.
   val IvfCells = 32
   val IvfProbes = 4
