@@ -44,13 +44,16 @@ object Dedup {
     * sits behind the filter so CollapseProject can't inline it into the
     * 64 signature expressions.
     */
-  def minhashSignature(documents: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = TextFns.shingles(col("text"), shingleN)
+  def minhashSignature(documents: DataFrame, shingleN: Int = 3): DataFrame =
+    signatureFromShingles(
+      documents.select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh")))
+
+  /** Signature stage over a pre-computed (doc_id, sh) frame. */
+  def signatureFromShingles(shingled: DataFrame): DataFrame = {
     val sig = (0 until MinhashBands * MinhashRows).map { s =>
       array_min(transform(col("hs"), h => xxhash64(lit(s), h)))
     }
-    documents
-      .select(col("doc_id"), sh.as("sh"))
+    shingled
       .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), array(sig: _*).as("sig"))
@@ -87,18 +90,19 @@ object Dedup {
     * arrays never shuffle for non-candidates.
     */
   def nearDupPairs(documents: DataFrame, threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignature(documents, shingleN)
+    // the shingle frame feeds both the signature pipeline and the verify
+    // join — persist it so tokenize+shingle runs once
+    val shOnly = documents
+      .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signatureFromShingles(shOnly)
     // the candidate frame fans out to THREE consumers (both sides of the id
-    // union + the verify join) — persist it so the signature+self-join
+    // union + the verify join) — persist it so the signature+bucket
     // pipeline runs once; candidates are tiny (near-identical band slices)
     val cands = candidatePairs(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    // verify needs only the shingle sets — a fresh shingle-only projection
-    // (NOT `sigs`, whose plan would drag the whole 64-hash signature
-    // computation into the verify branch a second time)
-    val shOnly = documents.select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
     val shForCands = shOnly.join(candIds, Seq("doc_id"), "left_semi").select("doc_id", "sh")
     cands
       .join(shForCands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -89,14 +89,18 @@ object Similarity {
     */
   def blockedNearDupPairs(embeddings: DataFrame, threshold: Double,
                           blockCol: String = "label"): DataFrame = {
-    val a = embeddings.select(col(blockCol).as("blk"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col(blockCol).as("blk"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // norms are per-VECTOR — compute them once before the pair join; inside
+    // the join each pair would recompute both norms (3× the dot products)
+    val normed = embeddings.select(col(blockCol).as("blk"), col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = normed.select(col("blk"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = normed.select(col("blk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("blk"), col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
