@@ -459,7 +459,47 @@ object StarQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // Q20 — the 100 TB-safe formulation of Q18's running total: pre-aggregate
+  // to one row per (status, day) BEFORE the window, so the window input is
+  // ≤ |status|×|days| rows regardless of fact size — the documented
+  // mitigation for running totals over low-cardinality partition keys.
+  private val q20 = q(
+    "q20_running_total_daily",
+    s"""WITH daily AS (
+          SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS order_date,
+                 ${sqlDsum("o_totalprice")} AS daily_total
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, order_date, daily_total,
+               CAST(SUM(CAST(daily_total AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_orderstatus ORDER BY order_date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM daily ORDER BY o_orderstatus, order_date""") { t =>
+    val w = Window.partitionBy("o_orderstatus").orderBy("order_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .groupBy(col("o_orderstatus"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(dsum(col("o_totalprice")).as("daily_total"))
+      .withColumn("running_total",
+        sum(col("daily_total").cast("decimal(18,2)")).over(w).cast("double"))
+      .orderBy("o_orderstatus", "order_date")
+  }
+
+  // Q21 — sketch-based approximate aggregates: the 100 TB escape hatch when
+  // exact COUNT(DISTINCT)/percentile are too expensive (single-pass HLL++ /
+  // KLL-style sketches, no distinct re-shuffle). Approximate → rows-only;
+  // accuracy vs the exact answers is asserted in ApproxSpec.
+  private val q21 = QueryDef(
+    "q21_approx_aggregates",
+    (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.orders.agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
+        count(lit(1)).as("n_orders"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
+    },
+    oracle = None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }
