@@ -198,6 +198,29 @@ object LlmQueries {
     TextAnalysis.topNgrams(t.documents, n = 2, k = 20)
   }
 
+  // x06 — whitespace vs BPE-ish-regex token counts per document.
+  private val x06 = {
+    val pat = TextAnalysis.BpePattern.replace("'", "''")
+    q("x06_token_counts", Some(
+      s"""SELECT doc_id,
+          CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""")) { t =>
+      TextAnalysis.tokenCounts(t.documents).orderBy("doc_id")
+    }
+  }
+
+  // x07 — polynomial rolling-hash fingerprints (bit-identical fold in both
+  // engines; modulus keeps intermediates under int64 overflow).
+  private val x07 = q("x07_rolling_hash", Some(
+    s"""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) AS rhash
+        FROM documents ORDER BY doc_id""")) { t =>
+    TextAnalysis.rollingHash(t.documents).orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- events
 
   private val e01 = q("e01_hourly_windows", Some(
@@ -226,5 +249,5 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, s01, s02, s03, x01, x02, x03, x04, x05, e01, e02)
+    Seq(d01, d02, d03, d04, s01, s02, s03, x01, x02, x03, x04, x05, x06, x07, e01, e02)
 }

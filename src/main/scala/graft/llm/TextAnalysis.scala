@@ -85,6 +85,37 @@ object TextAnalysis {
       md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint"),
       length(TextFns.normalized(col("text"))).as("norm_len"))
 
+  /** BPE-ish regex tokenization (GPT-2-style pattern simplified to the
+    * ASCII classes this corpus uses): contractions, space-prefixed word /
+    * number / punctuation runs. The mechanism — regex pre-tokenization
+    * before a subword merge table — is what real BPE tokenizers run as
+    * their first pass.
+    */
+  val BpePattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val ws = TextFns.tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(ws).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+  }
+
+  /** Polynomial rolling hash over the character stream — the classic
+    * content-defined fingerprint. Modulus 2^53-111 keeps every intermediate
+    * below int64 overflow (DuckDB checks overflow; Java wraps — staying
+    * under the limit makes both engines produce the identical value).
+    */
+  val RollMod = 9007199254740881L
+
+  def rollingHash(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31 + c) % RollMod).as("rhash"))
+
   /** Corpus-level top-k token n-grams: explode each document's distinct
     * n-grams, count across the corpus, keep the k most frequent
     * (deterministic ties by n-gram). explode → partial-agg → shuffle of
