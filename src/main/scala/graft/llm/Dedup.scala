@@ -111,6 +111,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTERS from the verified pair set: connected components by
+    * iterative min-label propagation (each doc adopts the smallest doc_id
+    * reachable through near-dup edges). Components here are tiny (pairs /
+    * triples), so the loop converges in 2-3 iterations; the iteration count
+    * is bounded and convergence is checked by a count — the standard
+    * DataFrame-level CC shape when a graph library isn't warranted.
+    * Output: one row per document that belongs to some near-dup cluster,
+    * labeled with the cluster representative (min doc_id).
+    */
+  def nearDupClusters(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected edge list incl. self-loops so isolated members keep labels
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("rep").as("nrep")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nrep")).as("nrep"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("doc_id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** 64-bit frequency-weighted SimHash: bit k of the fingerprint is the
     * sign of Σ_occurrences (2·bit_k(xxhash64(token)) − 1) — each token
     * occurrence votes, so near-identical token FREQUENCY profiles (not just

@@ -22,6 +22,31 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows advancing every 15 minutes: each event lands in
+    * 4 overlapping windows (the streaming `window(ts, "1 hour", "15 min")`
+    * shape, computed batch-side).
+    */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+  /** Signup→purchase conversion: users whose first purchase is at or after
+    * their first signup. One groupBy with conditional min — no joins.
+    */
+  def signupPurchaseFunnel(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull)
+      .agg(
+        count(lit(1)).as("n_signed_up"),
+        sum(when(col("first_purchase") >= col("first_signup"), 1).otherwise(0)).as("n_converted"))
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

@@ -84,6 +84,34 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  // d05 — near-dup CLUSTERS: connected components over the verified pair
+  // set (label propagation in Spark; recursive CTE in the oracle — tiny
+  // components, so both converge immediately).
+  private val d05 = q("d05_neardup_clusters", Some(
+    s"""WITH RECURSIVE sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        qual AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                  UNION SELECT doc_b, doc_a FROM qual),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a FROM edges)
+        SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+        FROM nodes n LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a ORDER BY doc_id""")) { t =>
+    Dedup.nearDupClusters(t.documents, threshold = 0.8)
+  }
+
   // ------------------------------------------------------------- similarity
 
   // s01 — exact brute-force top-10 cosine for the query subset
@@ -248,6 +276,33 @@ object LlmQueries {
     Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
   }
 
+  // e03 — SLIDING 1-hour windows every 15 minutes: each event belongs to 4
+  // overlapping windows; the oracle derives the same window starts by
+  // integer bucket arithmetic on epoch microseconds.
+  private val e03 = q("e03_sliding_windows", Some(
+    s"""SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS window_start,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${sqlDsum("value")} AS total_value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+        GROUP BY 1 ORDER BY window_start""")) { t =>
+    Events.slidingWindows(eventsTs(t))
+  }
+
+  // e04 — conversion funnel: users whose first purchase follows their first
+  // signup (min-ts per event type, then an ordered comparison).
+  private val e04 = q("e04_signup_purchase_funnel", Some(
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+              CAST(SUM(CASE WHEN first_purchase >= first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+       FROM (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+         FROM events GROUP BY user_id) z
+       WHERE first_signup IS NOT NULL""")) { t =>
+    Events.signupPurchaseFunnel(eventsTs(t))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, s01, s02, s03, x01, x02, x03, x04, x05, x06, x07, e01, e02)
+    Seq(d01, d02, d03, d04, d05, s01, s02, s03,
+      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04)
 }
