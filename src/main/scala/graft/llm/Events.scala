@@ -47,6 +47,18 @@ object Events {
         count(lit(1)).as("n_signed_up"),
         sum(when(col("first_purchase") >= col("first_signup"), 1).otherwise(0)).as("n_converted"))
 
+  /** Sessionization via Spark's BUILT-IN session_window operator (gap-merged
+    * event-time windows — the same 30-min-inactivity semantics as
+    * [[sessionize]], and the operator that runs stateful under Structured
+    * Streaming). Emits one row per (user, session) keyed by session start.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

@@ -302,7 +302,25 @@ object LlmQueries {
     Events.signupPurchaseFunnel(eventsTs(t))
   }
 
+  // e05 — the built-in session_window operator must produce the SAME
+  // sessions as the lag+running-sum formulation (e02): the oracle reuses
+  // that chain, keyed by session start.
+  private val e05 = q("e05_session_window", Some(
+    s"""WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+        s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s)
+        SELECT user_id, min(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ${sqlDsum("value")} AS total_value
+        FROM s2 GROUP BY user_id, session_id ORDER BY user_id, session_start""")) { t =>
+    Events.sessionWindows(eventsTs(t)).orderBy("user_id", "session_start")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04)
+      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05)
 }
