@@ -59,6 +59,32 @@ object Events {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** As-of join: attribute each purchase to the user's most recent view at
+    * or before the purchase time. Spark has no ASOF JOIN operator; the
+    * scale-correct formulation is the tagged UNION + last(ignoreNulls)
+    * running window — one shuffle by user, no range-join row explosion
+    * (a naive inequality join would be O(views × purchases) per user).
+    * Views sort before purchases at equal timestamps (kind tiebreak), which
+    * matches ASOF's `>=` semantics.
+    */
+  def asofViewAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("vid"), lit(null).cast("long").as("pid"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("vid"), col("event_id").as("pid"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_id", last(col("vid"), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("vid").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("pid").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("view_id"), col("view_ts").cast("string").as("view_ts"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

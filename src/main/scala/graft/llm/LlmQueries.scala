@@ -320,7 +320,22 @@ object LlmQueries {
     Events.sessionWindows(eventsTs(t)).orderBy("user_id", "session_start")
   }
 
+  // e06 — as-of join (purchase → most recent prior view per user). The
+  // oracle uses DuckDB's native ASOF JOIN; Spark expresses the same
+  // semantics with the tagged-union running window (no range-join blowup).
+  // view_ts is exposed as VARCHAR because it is legitimately NULL for
+  // unattributed purchases (NaT can't be hash-compared).
+  private val e06 = q("e06_asof_attribution", Some(
+    """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               v.event_id AS view_id, CAST(v.ts AS VARCHAR) AS view_ts
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY purchase_id""")) { t =>
+    Events.asofViewAttribution(eventsTs(t)).orderBy("purchase_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05)
+      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05, e06)
 }
