@@ -127,48 +127,66 @@ object TxnPipeline {
     * database sequence — SURVEY §7.3).
     *
     * Scale note: row_number over an unpartitioned window serializes the dim
-    * through one task. Fine for bounded dims (category=8, payment=4,
-    * date≤#days); for an unbounded dim (user, merchant) at 100 TB the same
-    * dense-key contract is kept by sortWithinPartitions + per-partition
-    * offset (zipWithIndex pattern) — the dims here are ≤ O(100k) so the
-    * simple window wins on clarity and the shuffle is one reduced column.
+    * through one task — acceptable ONLY for dims with a bounded domain
+    * (category=8, payment=4, date≤#days). Unbounded dims (user, merchant)
+    * default to [[dimFromScalable]] instead.
     */
   def dimFrom(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
     valid.select(col(natCol).as(nameCol)).distinct()
       .withColumn(keyName, row_number().over(Window.orderBy(nameCol)))
       .select(keyName, nameCol)
 
-  /** The scale variant of [[dimFrom]] for UNBOUNDED dims (users, merchants
-    * at 100 TB): identical output contract — dense 1..N keys in natural-key
-    * order — without serializing through one window task. Range-partition by
-    * the natural key, sort within partitions, then assign global indices via
-    * zipWithIndex (one extra count job for partition offsets; every
-    * partition numbers its rows independently). The one justified RDD use in
-    * the engine: per-partition imperative indexing.
+  /** Dense surrogate keys at scale: prepend `keyName` = the row's 1-based
+    * global rank in `orderCol` order WITHOUT a global single-partition
+    * window. Range-partition by the order column (partitions then hold
+    * disjoint, ordered key ranges), sort within partitions, and assign
+    * global indices via zipWithIndex (one extra job computes per-partition
+    * offsets; every partition then numbers its rows independently). The
+    * resulting (key, row) pairing is independent of partition boundaries —
+    * range partitions are globally ordered — so the output is deterministic
+    * even though the range sampler's split points are not part of the
+    * contract. The one justified RDD use in the engine: per-partition
+    * imperative indexing.
+    *
+    * Key type is INT to match the reference's SERIAL keys (and the DuckDB
+    * oracle's CAST AS INT); past 2^31 rows the same pattern widens to LONG
+    * verbatim (`idx + 1` without `.toInt`).
+    *
+    * `orderCol` must be duplicate-free (natural keys here), else the rank
+    * among equal values is partition-placement-dependent.
     */
-  def dimFromScalable(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame = {
-    val spark = valid.sparkSession
-    val distinctSorted = valid.select(col(natCol).as(nameCol)).distinct()
-      .repartitionByRange(col(nameCol))
-      .sortWithinPartitions(nameCol)
+  def withDenseKey(df: DataFrame, keyName: String, orderCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(keyName,
         org.apache.spark.sql.types.IntegerType, nullable = false) +:
-        distinctSorted.schema.fields.toSeq)
-    val indexed = distinctSorted.rdd.zipWithIndex().map { case (row, idx) =>
+        sorted.schema.fields.toSeq)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq((idx + 1).toInt +: row.toSeq)
     }
     spark.createDataFrame(indexed, schema)
   }
 
+  /** The scale variant of [[dimFrom]] for UNBOUNDED dims (users, merchants
+    * at 100 TB): identical output contract — dense 1..N keys in natural-key
+    * order — without serializing through one window task (see
+    * [[withDenseKey]]).
+    */
+  def dimFromScalable(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
+    withDenseKey(valid.select(col(natCol).as(nameCol)).distinct(), keyName, nameCol)
+
   def dimCategory(valid: DataFrame): DataFrame =
     dimFrom(valid, "category", "category_key", "category_name")
+  /** Merchant cardinality grows linearly with data size (the reference's own
+    * sample has 8.6k merchants per 10k rows) — scale path by default. */
   def dimMerchant(valid: DataFrame): DataFrame =
-    dimFrom(valid, "merchant", "merchant_key", "merchant_name")
+    dimFromScalable(valid, "merchant", "merchant_key", "merchant_name")
   def dimPayment(valid: DataFrame): DataFrame =
     dimFrom(valid, "payment_method", "payment_method_key", "payment_method_name")
+  /** User dim is unbounded for the same reason — scale path by default. */
   def dimUser(valid: DataFrame): DataFrame =
-    dimFrom(valid, "user_id", "user_key", "user_id")
+    dimFromScalable(valid, "user_id", "user_key", "user_id")
 
   /** P14 — dim_date with all 11 attributes from the distinct dates present
     * in the data (reference src/transform.py:344-403).
@@ -227,11 +245,16 @@ object TxnPipeline {
       if (missing > 0)
         throw new FactLoadError(s"$missing fact rows reference unmapped dimension keys")
     }
-    enriched.select(
-      row_number().over(Window.orderBy("transaction_id")).as("transaction_key"),
-      col("transaction_id"), col("date_key"), col("category_key"),
-      col("merchant_key"), col("payment_method_key"), col("user_key"),
-      col("amount"))
+    // the FACT table is the one guaranteed-huge table: its surrogate key
+    // must never serialize through a single-partition window (row_number
+    // over a global ORDER BY = every fact row through ONE task). Same dense
+    // 1..N-in-transaction_id-order contract via the range+zipWithIndex path.
+    withDenseKey(
+      enriched.select(
+        col("transaction_id"), col("date_key"), col("category_key"),
+        col("merchant_key"), col("payment_method_key"), col("user_key"),
+        col("amount")),
+      "transaction_key", "transaction_id")
   }
 
   /** Convenience: full star build from the raw dirty frame. The valid set

@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("py_title"), "custom expression present in the codegen'd projection")
   }
 
+  test("no single-partition window over unbounded tables (t10 fact / t07 merchant / t09 user)") {
+    // a reverted row_number().over(Window.orderBy(...)) would reappear here
+    // as a Window + Exchange SinglePartition pair in the visible plan
+    Seq("t10_fact_build", "t07_dim_merchant", "t09_dim_user").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$n funnels through a single partition:\n$plan")
+    }
+  }
+
   test("exact dedup shuffles fingerprints, not text (d01 scan prunes to doc_id+text, agg on hash)") {
     val plan = planOf("d01_dedup_exact")
     // partial aggregation before the exchange = map-side combine

@@ -210,6 +210,27 @@ class TransformSpec extends SparkSpec {
     assert(window == scalable)
   }
 
+  test("withDenseKey ranks multi-partition input 1..N in order-column order, off a single partition") {
+    val df = spark.range(0, 1000).toDF("n")
+      .select(concat(lit("T"), format_string("%04d", col("n"))).as("transaction_id"),
+        (col("n") * 3).as("payload"))
+      .repartition(13) // deliberately scrambled partition placement
+    // AQE legitimately coalesces a 1000-row shuffle to one partition by SIZE;
+    // disable coalescing here to expose the structural property — the range
+    // exchange spreads work, it never MANDATES a single partition
+    val keyed = withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      val k = TxnPipeline.withDenseKey(df, "transaction_key", "transaction_id")
+      assert(k.rdd.getNumPartitions > 1, "dense-key path must not funnel through one partition")
+      k
+    }
+    val rows = keyed.orderBy("transaction_key").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 1000))
+    assert(rows.map(_.getString(1)).toSeq == rows.map(_.getString(1)).sorted.toSeq)
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).forall {
+      case (id, p) => p == id.drop(1).toLong * 3
+    })
+  }
+
   test("typed Dataset view round-trips the transform output") {
     val ds = TxnPipeline.cleanValidTyped(starRaw)
     val rows = ds.collect().sortBy(_.transaction_id)
