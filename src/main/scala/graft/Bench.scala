@@ -4,43 +4,68 @@ import org.apache.spark.sql.DataFrame
 
 /** Per-round benchmark main (driver contract — prints ONE JSON line on stdout).
   *
-  * Harness rules (fixes the r1 measurement bugs):
+  * Harness rules (fixes the r1/r2 measurement bugs):
   *   - queries run in DECLARED registration order, not Map iteration order;
   *   - one unmeasured warm-up pass absorbs JVM/codegen/parquet-footer warm-up
   *     so the first measured query isn't charged for it;
+  *   - each query is measured `SPARK_GRAFT_REPS` times (default 3) and
+  *     reported as the MEDIAN — the documented ±30% box noise made single
+  *     runs unreadable round-over-round (ADVICE r2);
   *   - execution is a noop-format write, which runs the FULL physical plan —
   *     `.count()` would let Catalyst eliminate top-level sorts and prune every
   *     column, leaving ORDER BY and projection cost unmeasured;
+  *   - a query that throws is reported in a "failed" list and EXCLUDED from
+  *     the per-query map and the total, so a crashed run can't masquerade as
+  *     a fast one (ADVICE r2);
   *   - the metric JSON is the only stdout line (Spark logs go to stderr).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_REPS (measured
+  * repetitions), SPARK_GRAFT_ONLY (comma-separated query-name filter, for
+  * local iteration on a subset).
   */
 object Bench {
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.getOrCreate()
 
-    val defs = SparkEntry.defs
+    val defs = SparkEntry.defs.filter(d => only.forall(_.contains(d.name)))
     // warm-up: one full unmeasured pass in declared order.
     defs.foreach { d =>
       try exec(d.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench warmup] ${d.name}: ${e.getMessage}") }
     }
-    val results = defs.map { d =>
-      // drop any persisted cut-points a previous run registered, so each
-      // measurement pays its query's full cost (warm JVM, cold data)
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try exec(d.run(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}") }
-      d.name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Option[Double])] = defs.map { d =>
+      val times = (1 to reps).flatMap { _ =>
+        // drop any persisted cut-points a previous run registered, so each
+        // measurement pays its query's full cost (warm JVM, cold data)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { exec(d.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
+            None
+        }
+      }
+      d.name -> (if (times.size == reps) Some(median(times)) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
