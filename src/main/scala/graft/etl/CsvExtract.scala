@@ -47,6 +47,27 @@ object CsvExtract {
       .csv(path)
       .withColumn("seq", monotonically_increasing_id())
 
+  /** P1 over a DIRECTORY BATCH: read several CSV files as ONE frame with a
+    * composite file-order `seq` = struct(file, off). A single multi-file
+    * `spark.read.csv(paths: _*)` packs small files into shared partitions in
+    * SIZE order, so `monotonically_increasing_id` alone cannot encode
+    * "first in file order" across files — each file is read separately and
+    * tagged with the caller's file index, which keeps keep-first dedup
+    * deterministic across the batch. Struct `seq` sorts field-wise
+    * (file, then within-file offset), so every downstream consumer that
+    * orders by `seq` gets batch order unchanged. File order is the CALLER's
+    * contract (the reference processes batches in invocation order) — pass
+    * paths sorted if lexicographic order is intended. Schemas may differ in
+    * extra columns (tolerated, null-filled on the other files).
+    */
+  def readBatch(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readBatch needs at least one path")
+    paths.zipWithIndex.map { case (p, i) =>
+      read(spark, p).withColumn("seq",
+        struct(lit(i).as("file"), col("seq").as("off")))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** P3 — structure validation report (src/extract.py:64-104). */
   final case class StructureReport(
       rowCount: Long, missingColumns: Seq[String], extraColumns: Seq[String], allNullRows: Long)

@@ -249,65 +249,94 @@ object EtlQueries {
     TxnPipeline.dimDateRange(t.spark).orderBy("date_key")
   }
 
+  /** Shared oracle tail for the CSV-ingestion defs: standardize + coerce +
+    * validate + final valid projection over a `dedup` CTE the caller
+    * provides. `seq` (file order) is only consumed by the caller's dedup.
+    */
+  private val csvCleanTail: String =
+    s""",
+       pre AS (
+         SELECT transaction_id,
+                category AS cat_raw, amount AS amt_raw, merchant AS merch_raw,
+                payment_method AS pay_raw, user_id AS user_raw, date AS date_raw,
+                trim(category) AS cat_t,
+                regexp_replace(trim(merchant), '\\s+', ' ', 'g') AS merch_t,
+                trim(payment_method) AS pay_t,
+                trim(date) AS date_t, trim(amount) AS amt_t, trim(user_id) AS user_t
+         FROM dedup),
+       std AS (
+         SELECT transaction_id, cat_raw, amt_raw, merch_raw, pay_raw, user_raw, date_raw,
+                ${sqlPyTitle("cat_t")} AS category,
+                ${sqlPyTitle("merch_t")} AS merchant,
+                ${sqlPyTitle("pay_t")} AS payment_method,
+                TRY_CAST(date_t AS DATE) AS date,
+                TRY_CAST(amt_t AS DECIMAL(10,3)) AS amt3,
+                CASE WHEN regexp_matches(user_t, '^-?[0-9]+$$') THEN CAST(user_t AS BIGINT) END AS user_id
+         FROM pre),
+       std2 AS (
+         SELECT * EXCLUDE (ami),
+                CASE WHEN amt3 IS NULL THEN NULL ELSE
+                  (CASE WHEN amt3 < 0 THEN -1.0 ELSE 1.0 END) *
+                  (CAST(ami // 10 + (CASE WHEN ami % 10 > 5
+                                          OR (ami % 10 = 5 AND (ami // 10) % 2 = 1)
+                                     THEN 1 ELSE 0 END) AS DOUBLE) / 100.0) END AS amount
+         FROM (SELECT *, CAST(abs(amt3) * 1000 AS BIGINT) AS ami FROM std) z)
+       SELECT transaction_id, date, category, amount, merchant, payment_method, user_id
+       FROM std2
+       WHERE NOT (transaction_id IS NULL OR date_raw IS NULL OR cat_raw IS NULL
+                  OR amt_raw IS NULL OR merch_raw IS NULL OR pay_raw IS NULL OR user_raw IS NULL)
+         AND amount IS NOT NULL AND amount > 0 AND amount <= 10000.0
+         AND date IS NOT NULL AND date >= DATE '${TxnPipeline.MinValidDate}'
+         AND date <= DATE '${TxnPipeline.MaxValidDate}'
+         AND category IN ($cats) AND payment_method IN ($pays)
+         AND user_id IS NOT NULL
+       ORDER BY transaction_id"""
+
+  private val fixtureA = "/root/repo/fixtures/transactions_dirty.csv"
+  private val fixtureB = "/root/repo/fixtures/transactions_dirty_b.csv"
+
   // c01 — P1 through the gate: real CSV extraction of the committed dirty
   // fixture (header-first all-string read, extra column tolerated), then the
   // full clean+validate pipeline. Oracle reads the same file with DuckDB's
-  // read_csv. The engine-internal `seq` column is replaced by a
-  // deterministic rank over transaction_id file order isn't needed for the
-  // VALID output (dedup keeps the first in file order; the fixture's dup has
-  // its copies in id order too).
-  private val c01 = {
-    val fixture = "/root/repo/fixtures/transactions_dirty.csv"
-    q("c01_csv_extract_clean",
-      s"""WITH dirty AS (
-            SELECT ROW_NUMBER() OVER () AS seq, transaction_id, date, category,
-                   amount, merchant, payment_method, user_id
-            FROM read_csv('$fixture', header=true, all_varchar=true)),
-          dedup AS (
-            SELECT * FROM (
-              SELECT d.*, ROW_NUMBER() OVER (PARTITION BY transaction_id ORDER BY seq) AS rn
-              FROM dirty d) z WHERE rn = 1),
-          pre AS (
-            SELECT seq, transaction_id,
-                   category AS cat_raw, amount AS amt_raw, merchant AS merch_raw,
-                   payment_method AS pay_raw, user_id AS user_raw, date AS date_raw,
-                   trim(category) AS cat_t,
-                   regexp_replace(trim(merchant), '\\s+', ' ', 'g') AS merch_t,
-                   trim(payment_method) AS pay_t,
-                   trim(date) AS date_t, trim(amount) AS amt_t, trim(user_id) AS user_t
-            FROM dedup),
-          std AS (
-            SELECT seq, transaction_id, cat_raw, amt_raw, merch_raw, pay_raw, user_raw, date_raw,
-                   ${sqlPyTitle("cat_t")} AS category,
-                   ${sqlPyTitle("merch_t")} AS merchant,
-                   ${sqlPyTitle("pay_t")} AS payment_method,
-                   TRY_CAST(date_t AS DATE) AS date,
-                   TRY_CAST(amt_t AS DECIMAL(10,3)) AS amt3,
-                   CASE WHEN regexp_matches(user_t, '^-?[0-9]+$$') THEN CAST(user_t AS BIGINT) END AS user_id
-            FROM pre),
-          std2 AS (
-            SELECT * EXCLUDE (ami),
-                   CASE WHEN amt3 IS NULL THEN NULL ELSE
-                     (CASE WHEN amt3 < 0 THEN -1.0 ELSE 1.0 END) *
-                     (CAST(ami // 10 + (CASE WHEN ami % 10 > 5
-                                             OR (ami % 10 = 5 AND (ami // 10) % 2 = 1)
-                                        THEN 1 ELSE 0 END) AS DOUBLE) / 100.0) END AS amount
-            FROM (SELECT *, CAST(abs(amt3) * 1000 AS BIGINT) AS ami FROM std) z)
-          SELECT transaction_id, date, category, amount, merchant, payment_method, user_id
-          FROM std2
-          WHERE NOT (transaction_id IS NULL OR date_raw IS NULL OR cat_raw IS NULL
-                     OR amt_raw IS NULL OR merch_raw IS NULL OR pay_raw IS NULL OR user_raw IS NULL)
-            AND amount IS NOT NULL AND amount > 0 AND amount <= 10000.0
-            AND date IS NOT NULL AND date >= DATE '${TxnPipeline.MinValidDate}'
-            AND date <= DATE '${TxnPipeline.MaxValidDate}'
-            AND category IN ($cats) AND payment_method IN ($pays)
-            AND user_id IS NOT NULL
-          ORDER BY transaction_id""") { t =>
-      TxnPipeline.cleanValid(CsvExtract.extract(t.spark, fixture))
-        .orderBy("transaction_id")
-    }
+  // read_csv; dedup keeps the first in within-file order.
+  private val c01 = q("c01_csv_extract_clean",
+    s"""WITH dirty AS (
+          SELECT ROW_NUMBER() OVER () AS seq, transaction_id, date, category,
+                 amount, merchant, payment_method, user_id
+          FROM read_csv('$fixtureA', header=true, all_varchar=true)),
+        dedup AS (
+          SELECT * FROM (
+            SELECT d.*, ROW_NUMBER() OVER (PARTITION BY transaction_id ORDER BY seq) AS rn
+            FROM dirty d) z WHERE rn = 1)
+        $csvCleanTail""") { t =>
+    TxnPipeline.cleanValid(CsvExtract.extract(t.spark, fixtureA))
+      .orderBy("transaction_id")
+  }
+
+  // c02 — P1 over a DIRECTORY BATCH: two files, keep-first dedup across the
+  // batch in (file, within-file offset) order. The composite struct `seq`
+  // from CsvExtract.readBatch carries exactly that order; the oracle pins
+  // the same rule with ROW_NUMBER ordered by (file index, per-file row
+  // number). Fixture B repeats TXN-001/TXN-002 with different values —
+  // keep-first must keep file A's version.
+  private val c02 = q("c02_csv_multifile_clean",
+    s"""WITH dirty AS (
+          SELECT 0 AS f, ROW_NUMBER() OVER () AS o, transaction_id, date, category,
+                 amount, merchant, payment_method, user_id
+          FROM read_csv('$fixtureA', header=true, all_varchar=true)
+          UNION ALL
+          SELECT 1, ROW_NUMBER() OVER (), transaction_id, date, category,
+                 amount, merchant, payment_method, user_id
+          FROM read_csv('$fixtureB', header=true, all_varchar=true)),
+        dedup AS (
+          SELECT * FROM (
+            SELECT d.*, ROW_NUMBER() OVER (PARTITION BY transaction_id ORDER BY f, o) AS rn
+            FROM dirty d) z WHERE rn = 1)
+        $csvCleanTail""") { t =>
+    TxnPipeline.cleanValid(CsvExtract.readBatch(t.spark, Seq(fixtureA, fixtureB)))
+      .orderBy("transaction_id")
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, c01)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, c01, c02)
 }

@@ -65,7 +65,10 @@ object Events {
     * running window — one shuffle by user, no range-join row explosion
     * (a naive inequality join would be O(views × purchases) per user).
     * Views sort before purchases at equal timestamps (kind tiebreak), which
-    * matches ASOF's `>=` semantics.
+    * matches ASOF's `>=` semantics; among views sharing one (user, ts) the
+    * final `vid` sort key makes last() deterministically pick the MAX view
+    * event_id (ASOF itself is unspecified on such ties — the oracle pins
+    * the same max-event_id rule by pre-deduping views per (user, ts)).
     */
   def asofViewAttribution(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")
@@ -74,7 +77,7 @@ object Events {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
         lit(null).cast("long").as("vid"), col("event_id").as("pid"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "vid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionByName(purchases)
       .withColumn("view_id", last(col("vid"), ignoreNulls = true).over(w))

@@ -326,7 +326,8 @@ object LlmQueries {
   // view_ts is exposed as VARCHAR because it is legitimately NULL for
   // unattributed purchases (NaT can't be hash-compared).
   private val e06 = q("e06_asof_attribution", Some(
-    """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    """WITH v AS (SELECT user_id, ts, max(event_id) AS event_id
+                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
         SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
                v.event_id AS view_id, CAST(v.ts AS VARCHAR) AS view_ts

@@ -78,6 +78,29 @@ class CsvExtractSpec extends SparkSpec {
     assert(prof("transaction_id") == (0L, 0.0))
   }
 
+  test("readBatch: keep-first dedup holds ACROSS files in batch order") {
+    val a = tmpCsv(s"$header\nT1,1996-05-07,groceries,12.34,acme,cash,42\nT2,1996-05-08,dining,5.00,zebra,cash,7\n")
+    val b = tmpCsv(s"$header\nT1,1996-05-07,groceries,99.99,acme,cash,42\nT3,1996-05-09,travel,8.00,zebra,cash,9\n")
+    val valid = TxnPipeline.cleanValid(CsvExtract.readBatch(spark, Seq(a, b)))
+      .orderBy("transaction_id").collect()
+    assert(valid.map(_.getAs[String]("transaction_id")).toSeq == Seq("T1", "T2", "T3"))
+    // file A's copy of T1 wins, not file B's 99.99
+    assert(valid(0).getAs[Double]("amount") == 12.34)
+    // reversed batch order flips the winner — order is the caller's contract
+    val reversed = TxnPipeline.cleanValid(CsvExtract.readBatch(spark, Seq(b, a)))
+      .filter(col("transaction_id") === "T1").collect()
+    assert(reversed(0).getAs[Double]("amount") == 99.99)
+  }
+
+  test("readBatch tolerates differing extra columns across files") {
+    val a = tmpCsv(s"$header,notes\nT1,1996-05-07,groceries,1.00,m,cash,1,hi\n")
+    val b = tmpCsv(s"$header\nT2,1996-05-08,dining,2.00,m,cash,2\n")
+    val batch = CsvExtract.readBatch(spark, Seq(a, b)).orderBy("seq").collect()
+    assert(batch.length == 2)
+    assert(batch(0).getAs[String]("notes") == "hi")
+    assert(batch(1).getAs[String]("notes") == null)
+  }
+
   test("1000-row file extracts completely and feeds the pipeline") {
     val rows = (1 to 1000).map(i =>
       f"T$i%d,1996-05-${(i % 28) + 1}%02d,groceries,${i % 100}%d.50,merchant $i%d,cash,${i % 10}%d")

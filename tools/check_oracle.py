@@ -62,6 +62,9 @@ def main():
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        # reset per query: near-misses from a FAILed query must not leak
+        # into the next passing query's count (ADVICE r2)
+        NEAR_MISSES.clear()
         try:
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
@@ -100,7 +103,6 @@ def main():
             n_fail += 1
         else:
             nm = f" [{len(NEAR_MISSES)} near-miss]" if NEAR_MISSES else ""
-            NEAR_MISSES.clear()
             print(f"PASS {name} ({len(o)} rows){nm}")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
