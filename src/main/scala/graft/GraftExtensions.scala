@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "py_title takes exactly one argument")
         PyTitleCase(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "vec_dot takes exactly two arguments")
+        graft.functions.VecDot(args.head, args(1))
+      }))
   }
 }

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two float-array columns, in double.
+    * Backed by the codegen'd [[graft.functions.VecDot]] native expression —
+    * the zip_with/aggregate formulation is CodegenFallback (interpreted per
+    * element) and was the dominant cost of every ANN operator; results are
+    * bit-identical (same strict left-to-right double accumulation).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
