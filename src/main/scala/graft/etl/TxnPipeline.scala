@@ -158,14 +158,28 @@ object TxnPipeline {
   def withDenseKey(df: DataFrame, keyName: String, orderCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val fieldTypes = sorted.schema.fields.map(_.dataType)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(keyName,
         org.apache.spark.sql.types.IntegerType, nullable = false) +:
         sorted.schema.fields.toSeq)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq((idx + 1).toInt +: row.toSeq)
+    // InternalRows straight off the physical plan — the public
+    // createDataFrame path would box every row through the Row converters
+    // twice (InternalRow→Row→InternalRow), which dominates the cost of this
+    // operator. UnsafeRow buffers are reused by the partition iterator, so
+    // copy before values outlive the current element. zipWithIndex's count
+    // job re-reads only the post-shuffle stage (shuffle files are reused
+    // across the two jobs of the shared lineage).
+    val indexed = sorted.queryExecution.toRdd.zipWithIndex().map { case (row, idx) =>
+      val r = row.copy()
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        fieldTypes.length + 1)
+      out.update(0, (idx + 1).toInt)
+      var i = 0
+      while (i < fieldTypes.length) { out.update(i + 1, r.get(i, fieldTypes(i))); i += 1 }
+      (out: org.apache.spark.sql.catalyst.InternalRow)
     }
-    spark.createDataFrame(indexed, schema)
+    org.apache.spark.sql.graftx.Bridge.fromInternalRows(spark, indexed, schema)
   }
 
   /** The scale variant of [[dimFrom]] for UNBOUNDED dims (users, merchants
