@@ -35,29 +35,25 @@ object Dedup {
   val MinhashBands = 16
   val MinhashRows = 4
 
-  /** Per-document MinHash signature. Each shingle STRING is hashed once
-    * (`xxhash64(shingle)`); the k seeded hash functions are then derived by
-    * re-hashing that long with the seed — long-input hashing is ~10× cheaper
-    * than re-hashing a 25-char string k times, and min-wise independence is
-    * preserved (each seed is an independent permutation of the base hash).
-    * Pure expressions — all inside codegen, no UDF. The base-hash projection
-    * sits behind the filter so CollapseProject can't inline it into the
-    * 64 signature expressions.
+  /** Per-document MinHash signature via the fused native
+    * [[graft.functions.MinhashSig]] expression: each shingle STRING is
+    * hashed once, the k seeded permutations derive by re-hashing that long
+    * with each seed, and all k minima stream in ONE codegen'd pass — the
+    * composable transform/array_min formulation walks interpreted HOFs k+1
+    * times per document (CodegenFallback) and was the dominant near-dup
+    * cost. Same hash family, bit-identical signatures
+    * (MinhashSigSpec asserts parity).
     */
   def minhashSignature(documents: DataFrame, shingleN: Int = 3): DataFrame =
     signatureFromShingles(
       documents.select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh")))
 
   /** Signature stage over a pre-computed (doc_id, sh) frame. */
-  def signatureFromShingles(shingled: DataFrame): DataFrame = {
-    val sig = (0 until MinhashBands * MinhashRows).map { s =>
-      array_min(transform(col("hs"), h => xxhash64(lit(s), h)))
-    }
+  def signatureFromShingles(shingled: DataFrame): DataFrame =
     shingled
-      .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), array(sig: _*).as("sig"))
-  }
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinhashFns.minhashSig(col("sh"), MinhashBands * MinhashRows).as("sig"))
 
   /** Banded LSH candidate pairs: explode each signature into (band,
     * band_hash) buckets, ONE shuffle groups ids per bucket, and pairs are
