@@ -190,23 +190,15 @@ object Dedup {
     * sign of Σ_occurrences (2·bit_k(xxhash64(token)) − 1) — each token
     * occurrence votes, so near-identical token FREQUENCY profiles (not just
     * sets) give small Hamming distance; that is what separates near-dups in
-    * low-vocabulary corpora. One explode + one groupBy with 64 conditional
-    * sums — map-side combine keeps the shuffle at one row per
-    * (doc, partition).
+    * low-vocabulary corpora. Computed by the native
+    * [[graft.functions.Simhash64]] expression as a NARROW MAP — the
+    * relational explode + 64-sum groupBy formulation paid a shuffle for a
+    * per-document computation (SimhashSpec asserts bit parity between the
+    * two).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents.select(
-      col("doc_id"),
-      explode(TextFns.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k"))
-    val assembled = (0 until 64).map(k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.SimhashFns.simhash64(TextFns.tokens(col("text"))).as("simhash"))
 
   /** Hamming distance between SimHash fingerprints of candidate pairs —
     * used by tests and by the SimHash-based near-dup variant.
