@@ -75,6 +75,35 @@ object ParquetWarehouse {
     spark.read.parquet(s"$root/$v/$table")
   }
 
+  /** Scale layout #1 — date-partitioned fact: `path/year=…/month=…/…` so
+    * time-ranged queries (the dominant star-query shape: monthly trends,
+    * quarterly, MoM growth) touch only matching partition directories.
+    * Partition pruning happens at PLANNING time from the directory listing —
+    * at 100 TB a one-month query reads ~1/84th of the table without a
+    * filter ever reaching row level (WarehouseSpec asserts the pruned scan).
+    */
+  def writeFactPartitioned(fact: DataFrame, dimDate: DataFrame, path: String): Unit =
+    fact
+      .join(broadcast(dimDate.select(col("date_key"), col("year"), col("month"))), Seq("date_key"))
+      .write.mode("overwrite")
+      .partitionBy("year", "month")
+      .parquet(path)
+
+  /** Scale layout #2 — bucketed fact: pre-shuffled into N buckets by a join
+    * key and sorted within buckets. Every subsequent aggregation or join ON
+    * that key plans WITHOUT an exchange (the one-time shuffle at write
+    * amortizes across every downstream query) — the co-located-join pattern
+    * for fact⋈fact and fact⋈big-dim at 100 TB. Bucketing needs the table
+    * catalog, hence saveAsTable.
+    */
+  def writeFactBucketed(fact: DataFrame, table: String, bucketCol: String,
+                        nBuckets: Int = 32): Unit =
+    fact.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** P25 — pre-flight: warehouse exists, pointer readable, all required
     * tables present and non-empty (reference src/etl_pipeline.py:65-183).
     */

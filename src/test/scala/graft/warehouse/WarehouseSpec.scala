@@ -60,6 +60,52 @@ class WarehouseSpec extends SparkSpec {
     assert(!StarIntegrity.allClean(corrupted))
   }
 
+  test("date-partitioned fact: a one-month query prunes to matching partition dirs") {
+    import graft.etl.{DirtyTxns, TxnPipeline}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val star = TxnPipeline.buildStar(DirtyTxns(orders))
+    val path = tmpDir() + "/fact_by_month"
+    ParquetWarehouse.writeFactPartitioned(
+      star("fact_transactions"), star("dim_date"), path)
+    val oneMonth = spark.read.parquet(path)
+      .filter(col("year") === 1996 && col("month") === 5)
+    val plan = oneMonth.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    // partition predicates must be handled at listing time, NOT as data filters
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("year") && scanLine.contains("month"))
+    // and the pruned read returns exactly the month's rows
+    val expected = spark.read.parquet(path)
+      .filter(col("year") === 1996 && col("month") === 5).count()
+    assert(oneMonth.count() == expected && expected > 0)
+  }
+
+  test("bucketed fact: aggregation and self-join on the bucket key plan with NO exchange") {
+    import graft.etl.{DirtyTxns, TxnPipeline}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val fact = TxnPipeline.buildStar(DirtyTxns(orders))("fact_transactions")
+    ParquetWarehouse.writeFactBucketed(fact, "fact_bucketed_test", "user_key", nBuckets = 8)
+    val t = spark.table("fact_bucketed_test")
+    // per-user aggregation: bucketed layout satisfies the required
+    // distribution — no shuffle
+    val agg = t.groupBy("user_key").agg(sum("amount").as("total"))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$aggPlan")
+    // self-join on the bucket key: both sides pre-shuffled — no exchange
+    val joined = t.select(col("user_key"), col("amount"))
+      .join(t.select(col("user_key"), col("amount").as("amount2")), Seq("user_key"))
+    joined.collect()
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join must not shuffle:\n$joinPlan")
+    // contrast: the same aggregation on the unbucketed frame DOES shuffle
+    val unbucketed = fact.groupBy("user_key").agg(sum("amount").as("total"))
+    assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "unbucketed groupBy should need an exchange — contrast case")
+  }
+
   test("multimodal: feature extraction is deterministic, features are unit-mass histograms") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs)).collect()
