@@ -38,6 +38,19 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the ingest twin of `graft.llm.Dedup.exact`:
+    * drop events whose key was already seen, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` evicts seen-keys
+    * older than the horizon, so state is O(keys per watermark window), not
+    * O(all keys ever) — the property that keeps a 100 TB/day ingest
+    * deduplicable). Works unchanged on a batch frame.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom keyed state: per-user running (count, decimal-safe total) via
     * mapGroupsWithState — the Structured Streaming escape hatch for
     * aggregations the built-in operators can't express. Emits the updated

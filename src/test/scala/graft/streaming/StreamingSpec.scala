@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      // replay event 2 (same id, different payload) plus one fresh event in
+      // a LATER micro-batch — the seen-keys state must suppress the replay
+      stream.addData(Seq(
+        ev(2, "2024-01-01 10:45:00", 1, "view", 999.0),
+        ev(6, "2024-01-01 11:20:00", 2, "click", 1.25)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 6L))
+      // the FIRST arrival's payload survived
+      val v2 = spark.table("dedup").filter(col("event_id") === 2).select("value")
+        .as[Double].collect()
+      assert(v2.toSeq == Seq(2.25))
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped from finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
