@@ -21,22 +21,17 @@ object TextFns {
   /** Distinct n-word shingles (the unit of Jaccard similarity). Documents
     * shorter than n words get an empty set.
     *
-    * Built from n shifted `slice`s zipped together rather than a
-    * `transform` whose lambda indexes the token array: a lambda that
-    * captures an outer array subtree re-evaluates that subtree PER ELEMENT
-    * (O(tokens²) per document — measured 10s for 5k docs before the
-    * rewrite); zip_with lambdas touch only their own arguments, so this
-    * version is linear.
+    * Backed by the native codegen'd [[graft.functions.WordShingles]]
+    * expression (one pass: lowercase → whitespace split → n-gram join →
+    * first-occurrence distinct). The history of this operator is the HOF
+    * pitfall ladder: a `transform` lambda indexing the token array
+    * re-evaluates the captured subtree per element (O(tokens²)); the
+    * slice+zip_with chain fixed that but still walked interpreted
+    * CodegenFallback HOFs n+2 times per document. Byte-identical output to
+    * both (WordShinglesSpec).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    val len = size(t) - (n - 1)
-    val parts = (0 until n).map(j => slice(t, lit(j + 1), len))
-    val joined = parts.reduceLeft((acc, next) =>
-      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
-    when(size(t) >= n, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleFns.wordShingles(text, n)
 
   /** Exact Jaccard similarity of two string-array columns, as double
     * (integer set sizes → one double division, bit-identical across engines).
