@@ -27,5 +27,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vec_dot takes exactly two arguments")
         graft.functions.VecDot(args.head, args(1))
       }))
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinhashSig].getName, "minhash_sig"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "minhash_sig takes (array<string>, k)")
+        graft.functions.MinhashSig(args.head, intLit(args(1), "minhash_sig k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.Simhash64].getName, "simhash64"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "simhash64 takes exactly one argument")
+        graft.functions.Simhash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "word_shingles takes (string, n)")
+        graft.functions.WordShingles(args.head, intLit(args(1), "word_shingles n"))
+      }))
   }
 }

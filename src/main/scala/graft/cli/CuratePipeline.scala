@@ -1,0 +1,39 @@
+package graft.cli
+
+import graft.GraftSession
+import graft.llm.Curation
+
+/** Training-corpus curation entry point:
+  *
+  *   runMain graft.cli.CuratePipeline --input <documents.parquet>
+  *     --output <dir> [--min-quality 0.53] [--lang en] [--threshold 0.8]
+  *
+  * Reads a documents table, applies the curation composition (near-dup
+  * removal + quality floor + language filter — see [[graft.llm.Curation]]),
+  * writes the curated corpus as parquet, and prints one JSON stats line.
+  */
+object CuratePipeline {
+
+  def main(argv: Array[String]): Unit = {
+    val opts = argv.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val input = opts.getOrElse("--input",
+      sys.error("--input <documents parquet> is required"))
+    val output = opts.getOrElse("--output", sys.error("--output <dir> is required"))
+    val minQuality = opts.getOrElse("--min-quality", "0.53").toDouble
+    val lang = opts.get("--lang").orElse(Some("en")).filter(_ != "any")
+    val threshold = opts.getOrElse("--threshold", "0.8").toDouble
+
+    val spark = GraftSession.getOrCreate()
+    try {
+      val docs = spark.read.parquet(input)
+      val nIn = docs.count()
+      val curated = Curation.curate(docs, minQuality, lang, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOut = curated.count()
+      curated.write.mode("overwrite").parquet(output)
+      println(
+        s"""{"input_docs":$nIn,"curated_docs":$nOut,"dropped":${nIn - nOut},""" +
+          s""""min_quality":$minQuality,"lang":"${lang.getOrElse("any")}","threshold":$threshold}""")
+    } finally spark.stop()
+  }
+}

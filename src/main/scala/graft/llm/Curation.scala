@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the flagship composition of the
+  * LLM-data operators — near-dup removal (keep each cluster's
+  * representative), quality-score floor, language filter — producing the
+  * curated corpus a pre-training pipeline would feed to tokenization.
+  *
+  * Every stage is an independently-oracled operator (d05 clusters, x03
+  * quality, x02 lang-ID), so the composition is oracled END-TO-END as
+  * QueryDef p01: DuckDB recomputes the full pipeline and the result
+  * hash-matches.
+  *
+  * Scale shape: quality + lang are narrow per-document maps; dedup is the
+  * banded-LSH path (never all-pairs); the final assembly is two key joins
+  * plus one anti-join on doc_id. Nothing shuffles document text except the
+  * doc_id-keyed joins of the retained set.
+  */
+object Curation {
+
+  /** Curate a documents frame: drop near-dup non-representatives, keep docs
+    * with quality ≥ `minQuality`, and (optionally) a single predicted
+    * language.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.53,
+             lang: Option[String] = Some("en"), dedupThreshold: Double = 0.8): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val langs = TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang"))
+    // non-representative members of near-dup clusters are the drop set;
+    // representatives (rep == doc_id) and singletons survive
+    val nonReps = Dedup.nearDupClusters(docs, dedupThreshold)
+      .filter(col("doc_id") =!= col("rep"))
+      .select("doc_id")
+    docs.select("doc_id", "text")
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .filter(col("quality") >= minQuality)
+      .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
+      .select("doc_id", "text", "quality", "predicted_lang")
+  }
+}

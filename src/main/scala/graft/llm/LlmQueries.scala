@@ -336,7 +336,74 @@ object LlmQueries {
     Events.asofViewAttribution(eventsTs(t)).orderBy("purchase_id")
   }
 
+  // ---------------------------------------------------------------- pipeline
+
+  // p01 — END-TO-END curation: near-dup removal (cluster representatives
+  // kept) + quality floor + language filter, the flagship composition of
+  // d05/x03/x02. The oracle recomputes the ENTIRE pipeline (recursive-CTE
+  // clusters, quality formula, lang argmax) so the composition — not just
+  // the stages — is hash-verified.
+  private val p01 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("p01_curate_corpus", Some(
+      s"""WITH RECURSIVE sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          qual AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON doc_a = ca.doc_id
+            JOIN counts cb ON doc_b = cb.doc_id
+            WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                    UNION SELECT doc_b, doc_a FROM qual),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          nodes AS (SELECT DISTINCT a FROM edges),
+          clusters AS (
+            SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+            FROM nodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a),
+          dropset AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
+          base AS (SELECT doc_id, len(text) AS n_chars,
+                          string_split_regex(lower(text), '\\s+') AS w
+                   FROM documents),
+          m AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                       CAST(len(w) AS INT) AS n_tokens,
+                       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                       CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                       CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles,
+                       $langHitsSql
+                FROM base),
+          scored AS (
+            SELECT doc_id,
+                   (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                    + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CASE WHEN n_tokens > 2
+                           THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                           ELSE 0.0 END) / 4.0 AS quality,
+                   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM m)
+          SELECT d.doc_id, d.text, s.quality, s.predicted_lang
+          FROM documents d
+          JOIN scored s ON d.doc_id = s.doc_id
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropset)
+            AND s.quality >= 0.53 AND s.predicted_lang = 'en'
+          ORDER BY d.doc_id"""), headline = true) { t =>
+      Curation.curate(t.documents, minQuality = 0.53, lang = Some("en"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05, e06)
+      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05, e06, p01)
 }

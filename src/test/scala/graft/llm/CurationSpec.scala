@@ -1,0 +1,32 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the curation composition (end-to-end values are oracled by
+  * p01; these are the structural properties).
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("curation keeps exactly the quality-passing, lang-matching cluster representatives") {
+    val curated = Curation.curate(docs, minQuality = 0.53, lang = Some("en")).collect()
+    assert(curated.nonEmpty && curated.length < docs.count())
+    assert(curated.forall(_.getAs[Double]("quality") >= 0.53))
+    assert(curated.forall(_.getAs[String]("predicted_lang") == "en"))
+    // no near-dup non-representative survives
+    val nonReps = Dedup.nearDupClusters(docs, 0.8)
+      .filter(col("doc_id") =!= col("rep"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = curated.map(_.getLong(0)).toSet
+    assert(kept.intersect(nonReps).isEmpty)
+  }
+
+  test("lang = None disables the language filter") {
+    val anyLang = Curation.curate(docs, minQuality = 0.0, lang = None).count()
+    val nonReps = Dedup.nearDupClusters(docs, 0.8)
+      .filter(col("doc_id") =!= col("rep")).count()
+    assert(anyLang == docs.count() - nonReps)
+  }
+}
