@@ -122,19 +122,18 @@ object TxnPipeline {
   // ------------------------------------------------------------- dimensions
 
   /** P15+P18 — distinct-extract a dimension with a dense surrogate key
-    * assigned by row_number over the natural-key order (the reference reads
-    * back PostgreSQL SERIAL keys; deterministic ordering replaces the
-    * database sequence — SURVEY §7.3).
+    * assigned in natural-key order (the reference reads back PostgreSQL
+    * SERIAL keys; deterministic ordering replaces the database sequence —
+    * SURVEY §7.3).
     *
-    * Scale note: row_number over an unpartitioned window serializes the dim
-    * through one task — acceptable ONLY for dims with a bounded domain
-    * (category=8, payment=4, date≤#days). Unbounded dims (user, merchant)
-    * default to [[dimFromScalable]] instead.
+    * Same range+zipWithIndex path as the unbounded dims: even for bounded
+    * domains (category=8, payment=4) the global-window formulation would
+    * emit runtime single-partition WindowExec plans, and routing everything
+    * through [[withDenseKey]] keeps ONE key-assignment code path with no
+    * scale caveats.
     */
   def dimFrom(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
-    valid.select(col(natCol).as(nameCol)).distinct()
-      .withColumn(keyName, row_number().over(Window.orderBy(nameCol)))
-      .select(keyName, nameCol)
+    dimFromScalable(valid, natCol, keyName, nameCol)
 
   /** Dense surrogate keys at scale: prepend `keyName` = the row's 1-based
     * global rank in `orderCol` order WITHOUT a global single-partition

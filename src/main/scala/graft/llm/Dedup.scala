@@ -186,6 +186,42 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: find corpus documents that share word
+    * n-grams with a held-out benchmark/eval set — the standard guard
+    * against test-set leakage into training data. Returns the
+    * contamination report (one row per contaminated corpus doc with its
+    * shared-shingle count); [[decontaminate]] applies it as a filter.
+    *
+    * Scale shape: the benchmark side is small by construction (eval sets
+    * are thousands of docs, not billions), so its distinct shingle set
+    * BROADCASTS; the corpus side is one narrow explode + a broadcast hash
+    * join + a partial-aggregated groupBy(doc_id) — corpus text never
+    * shuffles, and the only exchange carries (doc_id, count) partials.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          shingleN: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      // shingles are distinct within a doc, so count(*) = distinct shared
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Drop contaminated documents (≥ `minShared` shingles overlapping the
+    * benchmark) from the corpus — anti-join against the report's ids.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    minShared: Int = 1, shingleN: Int = 3): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, shingleN)
+        .filter(col("n_shared_shingles") >= minShared)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** 64-bit frequency-weighted SimHash: bit k of the fingerprint is the
     * sign of Σ_occurrences (2·bit_k(xxhash64(token)) − 1) — each token
     * occurrence votes, so near-identical token FREQUENCY profiles (not just

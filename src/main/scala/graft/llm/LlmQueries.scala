@@ -249,6 +249,114 @@ object LlmQueries {
     TextAnalysis.rollingHash(t.documents).orderBy("doc_id")
   }
 
+  // x08 — within-document n-gram repetition fractions (Gopher-style quality
+  // rules): pure narrow map, dup fraction = 1 - distinct/total per n.
+  private val x08 = q("x08_repetition", Some(
+    """WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+       m AS (SELECT doc_id,
+               CAST(len(w) AS INT) AS n_tokens,
+               CAST(greatest(len(w) - 1, 0) AS INT) AS tot_2grams,
+               CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1]))) AS INT) AS dist_2grams,
+               CAST(greatest(len(w) - 2, 0) AS INT) AS tot_3grams,
+               CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS dist_3grams
+             FROM base)
+       SELECT *,
+         CASE WHEN tot_2grams > 0
+              THEN 1.0 - CAST(dist_2grams AS DOUBLE) / CAST(tot_2grams AS DOUBLE)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN tot_3grams > 0
+              THEN 1.0 - CAST(dist_3grams AS DOUBLE) / CAST(tot_3grams AS DOUBLE)
+              ELSE 0.0 END AS dup_3gram_frac
+       FROM m ORDER BY doc_id""")) { t =>
+    TextAnalysis.repetition(t.documents).orderBy("doc_id")
+  }
+
+  // x09 — PII scrubbing. The corpus itself is clean word-salad, so the def
+  // derives a noisy variant IN-QUERY (deterministic per-doc injections of
+  // emails / URLs / long digit runs — the DirtyTxns pattern) and the oracle
+  // re-applies the identical injection + scrub chain: 500 distinct strings
+  // hash-verify that both engines' regex replace semantics agree.
+  private val x09 = {
+    val noisySql =
+      """text
+         || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' see https://example.com/d/' || doc_id::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ref ' || (doc_id + 10000000)::VARCHAR ELSE '' END"""
+    val u = TextAnalysis.UrlPattern
+    val e = TextAnalysis.EmailPattern
+    val njoin = TextAnalysis.LongNumPattern
+    q("x09_pii_scrub", Some(
+      s"""WITH noisy AS (SELECT doc_id, $noisySql AS nt FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(nt, '$u')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(regexp_replace(nt, '$u', '<URL>', 'g'), '$e')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(nt, '$u', '<URL>', 'g'),
+                '$e', '<EMAIL>', 'g'), '$njoin')) AS INT) AS n_longnums,
+           regexp_replace(regexp_replace(regexp_replace(nt, '$u', '<URL>', 'g'),
+                '$e', '<EMAIL>', 'g'), '$njoin', '<NUM>', 'g') AS scrubbed
+         FROM noisy ORDER BY doc_id""")) { t =>
+      val noisy = t.documents.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://example.com/d/"), col("doc_id").cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ref "), (col("doc_id") + 10000000L).cast("string")))
+          .otherwise("")).as("nt"))
+      TextAnalysis.piiScrub(noisy, "nt").orderBy("doc_id")
+    }
+  }
+
+  // x10 — deterministic stratified sampling (domain mixing): keep 50% of
+  // 'en', 25% of every other language, keyed by an md5 bucket of doc_id —
+  // stable across runs/partitionings, which is what makes it oracle-able.
+  private val x10 = q("x10_stratified_sample", Some(
+    s"""SELECT doc_id, lang, ${Sampling.sqlHashBucket("doc_id", "strata")} AS bucket
+        FROM documents
+        WHERE ${Sampling.sqlHashBucket("doc_id", "strata")} <
+              CASE WHEN lang = 'en' THEN ${Sampling.sqlHex2(0.5)} ELSE ${Sampling.sqlHex2(0.25)} END
+        ORDER BY doc_id""")) { t =>
+    Sampling.stratifiedSample(t.documents, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.25)
+      .select(col("doc_id"), col("lang"), Sampling.hashBucket(col("doc_id"), "strata").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // x11 — deterministic train/val/test split (~80/10/10): contiguous md5
+  // bucket ranges, so re-ingesting a document can never migrate it across
+  // splits.
+  private val x11 = q("x11_train_split", Some(
+    s"""SELECT doc_id, ${Sampling.sqlHashBucket("doc_id", "split")} AS bucket,
+        CASE WHEN ${Sampling.sqlHashBucket("doc_id", "split")} < ${Sampling.sqlHex2(0.8)} THEN 'train'
+             WHEN ${Sampling.sqlHashBucket("doc_id", "split")} < ${Sampling.sqlHex2(0.9)} THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")) { t =>
+    Sampling.trainValTestSplit(t.documents, "doc_id")
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  // d06 — benchmark decontamination: corpus docs sharing any 3-shingle with
+  // the held-out "benchmark" subset (doc_id % 50 = 0 here). The benchmark
+  // shingle set broadcasts; corpus text never shuffles.
+  private val d06 = q("d06_decontaminate", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM sh JOIN b USING (shingle)
+        WHERE doc_id % 50 <> 0
+        GROUP BY doc_id ORDER BY doc_id""")) { t =>
+    Dedup.contaminationReport(
+      t.documents.filter(col("doc_id") % 50 =!= 0),
+      t.documents.filter(col("doc_id") % 50 === 0))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- events
 
   private val e01 = q("e01_hourly_windows", Some(
@@ -404,6 +512,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, e01, e02, e03, e04, e05, e06, p01)
+    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
+      e01, e02, e03, e04, e05, e06, p01)
 }

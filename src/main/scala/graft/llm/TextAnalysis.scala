@@ -116,6 +116,58 @@ object TextAnalysis {
         lit(0L),
         (h, c) => (h * 31 + c) % RollMod).as("rhash"))
 
+  /** Within-document repetition signals (the Gopher-style quality rules):
+    * the duplicate fraction of word n-grams for n = 2 and 3 — a document
+    * whose text loops on itself has few distinct n-grams relative to its
+    * n-gram count. Pure narrow map (total counts are token arithmetic,
+    * distinct counts come from the one-pass shingle expression); zero
+    * shuffle at any scale.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    def dupFrac(tot: Column, dist: Column): Column =
+      when(tot > 0, lit(1.0) - dist.cast("double") / tot.cast("double")).otherwise(0.0)
+    documents.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      greatest(size(t) - 1, lit(0)).as("tot_2grams"),
+      size(TextFns.shingles(col("text"), 2)).as("dist_2grams"),
+      greatest(size(t) - 2, lit(0)).as("tot_3grams"),
+      size(TextFns.shingles(col("text"), 3)).as("dist_3grams"))
+      .withColumn("dup_2gram_frac", dupFrac(col("tot_2grams"), col("dist_2grams")))
+      .withColumn("dup_3gram_frac", dupFrac(col("tot_3grams"), col("dist_3grams")))
+  }
+
+  // PII scrubbing patterns — the common subset of java.util.regex and RE2
+  // so the DuckDB oracle applies byte-identical semantics.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val LongNumPattern = "[0-9]{7,}"
+
+  /** PII redaction: replace emails / URLs / long digit runs with typed
+    * placeholder tokens and report per-class hit counts. Scrub order is
+    * URL → email → number (a URL may embed an email-shaped userinfo part;
+    * scrubbing it first keeps the classes disjoint). Narrow map, zero
+    * shuffle — the regexes are the whole cost and stream through
+    * whole-stage codegen.
+    */
+  def piiScrub(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(
+        regexp_replace(col(textCol), UrlPattern, "<URL>"),
+        lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(col(textCol), UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        lit(LongNumPattern), lit(0))).as("n_longnums"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        LongNumPattern, "<NUM>").as("scrubbed"))
+
   /** Corpus-level top-k token n-grams: explode each document's distinct
     * n-grams, count across the corpus, keep the k most frequent
     * (deterministic ties by n-gram). explode → partial-agg → shuffle of

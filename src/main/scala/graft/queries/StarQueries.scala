@@ -347,9 +347,12 @@ object StarQueries {
   }
 
   // Q17 — month-over-month growth: CTE + LAG window (sql/queries.sql:275-296).
-  // The monthly aggregate is tiny (≤ #months rows) so the unpartitioned window
+  // The monthly aggregate is tiny (≤ #months rows) so a one-partition window
   // is safe at any scale — the shuffle-to-one-partition happens after the
-  // reduction, not on raw data.
+  // reduction, not on raw data. The constant partition key states that
+  // intent explicitly (and keeps runtime plans free of the generic
+  // "No Partition Defined" WindowExec warning that flags genuinely
+  // unbounded inputs).
   private val q17 = q(
     "q17_mom_growth",
     s"""WITH monthly AS (
@@ -362,7 +365,7 @@ object StarQueries {
                      / NULLIF(LAG(total_spent) OVER (ORDER BY year, month), 0), 2) AS growth_pct
         FROM monthly ORDER BY year, month""",
     headline = true) { t =>
-    val w = Window.orderBy("year", "month")
+    val w = Window.partitionBy(lit(1)).orderBy("year", "month")
     t.orders
       .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
       .agg(dsum(col("o_totalprice")).as("total_spent"))
@@ -499,7 +502,25 @@ object StarQueries {
     },
     oracle = None)
 
+  // Q22 — ROLLUP subtotals (year, quarter) → the warehouse drill-down shape:
+  // one pass computes per-quarter, per-year, and grand-total rows (Spark
+  // expands grouping sets inside a single hash aggregate — no extra scans).
+  // NULL grouping columns mark subtotal rows; both engines order NULLS FIRST
+  // explicitly since their ASC defaults differ.
+  private val q22 = q(
+    "q22_rollup_totals",
+    s"""SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+        COUNT(*) AS order_count, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate))
+        ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""") { t =>
+    t.orders
+      .rollup(year(col("o_orderdate")).as("year"), quarter(col("o_orderdate")).as("quarter"))
+      .agg(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }

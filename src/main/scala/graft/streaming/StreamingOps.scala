@@ -51,6 +51,40 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension frame — the streaming twin of the fact-build's dimension
+    * lookups (P19/P20). The static side re-resolves per micro-batch and
+    * broadcasts (dims are small by definition), so the stream never
+    * shuffles: each micro-batch is a map-side hash join. Works unchanged
+    * on a batch frame.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream join: purchases matched to same-user views at most
+    * `horizon` older — the incremental form of the attribution join
+    * (graft.llm.Events.asofViewAttribution's windowed cousin). Both sides
+    * carry watermarks and the join predicate bounds event-time distance,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the horizon — state stays O(events per horizon), the
+    * property that makes a stream-stream join runnable forever.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       horizon: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Custom keyed state: per-user running (count, decimal-safe total) via
     * mapGroupsWithState — the Structured Streaming escape hatch for
     * aggregations the built-in operators can't express. Emits the updated

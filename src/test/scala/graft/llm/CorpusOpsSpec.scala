@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the round-3 corpus operators: repetition signals,
+  * PII scrubbing, deterministic sampling/splits, and benchmark
+  * decontamination. (Their cross-engine exactness is covered by the
+  * x08-x11/d06 DuckDB oracles; these tests pin the SEMANTICS on hand-built
+  * inputs where the expected values are computable by eye.)
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("repetition: dup fractions match hand-computed values") {
+    val df = Seq(
+      (1L, "a a a a"),        // 2-grams: 3 total, 1 distinct; 3-grams: 2 total, 1 distinct
+      (2L, "a b c d"),        // all distinct
+      (3L, "x")               // too short: fractions 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df).orderBy("doc_id")
+      .select("dup_2gram_frac", "dup_3gram_frac").as[(Double, Double)].collect()
+    assert(math.abs(r(0)._1 - 2.0 / 3.0) < 1e-12 && math.abs(r(0)._2 - 0.5) < 1e-12)
+    assert(r(1) == ((0.0, 0.0)))
+    assert(r(2) == ((0.0, 0.0)))
+  }
+
+  test("piiScrub: redacts emails, urls, digit runs; counts per class") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.io and see https://a.b/c?d=1 code 12345678"),
+      (2L, "clean text 123")  // short digits survive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_urls") == 1
+      && out(0).getAs[Int]("n_longnums") == 1)
+    assert(out(0).getAs[String]("scrubbed") == "mail <EMAIL> and see <URL> code <NUM>")
+    assert(out(1).getAs[String]("scrubbed") == "clean text 123")
+  }
+
+  test("sampling is deterministic and hits the target rate within tolerance") {
+    val once = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val twice = Sampling.hashSample(docs.repartition(7), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == twice, "sample must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(once.size / n - 0.5) < 0.1, s"rate ${once.size / n} far from 0.5")
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.9), 0.1)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate > 0.7, s"en kept at $enRate, expected ~0.9")
+    assert(deRate < 0.35, s"de kept at $deRate, expected ~0.1")
+  }
+
+  test("train/val/test split is exhaustive, disjoint, and id-stable") {
+    val split = Sampling.trainValTestSplit(docs, "doc_id").select("doc_id", "split")
+    assert(split.count() == docs.count())
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    // stability: the split of a given id is unchanged when computed on a subset
+    val subset = Sampling.trainValTestSplit(docs.filter(col("doc_id") < 100), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset == full, "membership of other rows must not affect a doc's split")
+  }
+
+  test("decontamination: planted overlap is reported; clean docs survive") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated words here padding tokens"),
+      (2L, "said the quick brown fox yesterday"),  // shares "the quick brown" + "quick brown fox"
+      (3L, "another clean document with no overlap at all")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(corpus, bench).collect()
+    assert(report.map(_.getLong(0)).toSet == Set(2L))
+    assert(report.head.getLong(1) == 2L)
+    val clean = Dedup.decontaminate(corpus, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 3L))
+  }
+
+  test("decontamination plan broadcasts the benchmark shingles (no corpus shuffle of text)") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val plan = Dedup.contaminationReport(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+}

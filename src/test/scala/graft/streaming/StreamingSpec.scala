@@ -92,6 +92,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.enrichStream(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(Seq(ev(7, "2024-01-01 12:00:00", 3, "view", 1.0))) // user 3 not in dim
+      q.processAllAvailable()
+      val rows = spark.table("enrich").select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("gold") && rows(3L).contains("basic"))
+      assert(rows(7L).isEmpty, "unmatched stream rows survive with null tier (left join)")
+    } finally q.stop()
+  }
+
+  test("stream-stream view→purchase join equals the batch join, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0),
+      ev(2, "2024-01-01 10:30:00", 2, "view", 0))
+    val purchases = Seq(
+      ev(3, "2024-01-01 10:40:00", 1, "purchase", 5.0),  // 40 min after view 1 → joins
+      ev(4, "2024-01-01 12:30:00", 2, "purchase", 7.0))  // 2 h after view 2 → outside horizon
+    val vStream = MemoryStream[EventRow]
+    val pStream = MemoryStream[EventRow]
+    val q = StreamingOps.viewPurchaseJoin(vStream.toDF(), pStream.toDF())
+      .writeStream.format("memory").queryName("vpjoin").outputMode(OutputMode.Append()).start()
+    try {
+      vStream.addData(views)
+      q.processAllAvailable()
+      pStream.addData(purchases)
+      q.processAllAvailable()
+      val streamed = spark.table("vpjoin").select("view_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((1L, 3L)))
+      val batch = StreamingOps.viewPurchaseJoin(views.toDF(), purchases.toDF())
+        .select("view_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped from finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
