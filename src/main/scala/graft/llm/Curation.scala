@@ -41,4 +41,22 @@ object Curation {
       .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
       .select("doc_id", "text", "quality", "predicted_lang")
   }
+
+  /** The full training-corpus build: benchmark decontamination → curation
+    * (near-dup removal + quality floor + language filter) → deterministic
+    * train/val/test assignment. One DataFrame program composing five
+    * independently-oracled operators; oracled end-to-end as p02.
+    *
+    * Scale shape: decontamination broadcasts the benchmark shingle set;
+    * curation's dedup is banded LSH; the split is a narrow map — the only
+    * text-carrying shuffles are the doc_id-keyed joins of survivors.
+    */
+  def buildTrainingCorpus(docs: DataFrame, benchmark: DataFrame,
+                          minQuality: Double = 0.53, lang: Option[String] = Some("en"),
+                          dedupThreshold: Double = 0.8): DataFrame = {
+    val decontaminated = Dedup.decontaminate(docs, benchmark)
+    curate(decontaminated, minQuality, lang, dedupThreshold)
+      .transform(Sampling.trainValTestSplit(_, "doc_id"))
+      .select("doc_id", "quality", "predicted_lang", "split")
+  }
 }

@@ -511,8 +511,89 @@ object LlmQueries {
     }
   }
 
+  // p02 — the FULL training-corpus build: decontaminate (vs the doc_id%50=0
+  // benchmark subset) → curate (near-dup reps + quality floor + 'en') →
+  // deterministic train/val/test split. The oracle recomputes the entire
+  // composition — crucially the near-dup clusters form over the
+  // DECONTAMINATED corpus (dropping a contaminated cluster member changes
+  // downstream cluster membership), so stage ordering is hash-verified too.
+  private val p02 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    val b = Sampling.sqlHashBucket("c.doc_id", "split")
+    q("p02_training_corpus", Some(
+      s"""WITH RECURSIVE sh0 AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+          bsh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 50 = 0),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM sh0 JOIN bsh USING (shingle)
+            WHERE doc_id % 50 <> 0),
+          corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 50 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          sh AS (SELECT * FROM sh0 WHERE doc_id IN (SELECT doc_id FROM corpus)),
+          counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          qual AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN counts ca ON doc_a = ca.doc_id
+            JOIN counts cb ON doc_b = cb.doc_id
+            WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                    UNION SELECT doc_b, doc_a FROM qual),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          nodes AS (SELECT DISTINCT a FROM edges),
+          clusters AS (
+            SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+            FROM nodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a),
+          dropset AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
+          base AS (SELECT doc_id, len(text) AS n_chars,
+                          string_split_regex(lower(text), '\\s+') AS w
+                   FROM corpus),
+          m AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                       CAST(len(w) AS INT) AS n_tokens,
+                       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                       CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                       CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles,
+                       $langHitsSql
+                FROM base),
+          scored AS (
+            SELECT doc_id,
+                   (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                    + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CASE WHEN n_tokens > 2
+                           THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                           ELSE 0.0 END) / 4.0 AS quality,
+                   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM m)
+          SELECT c.doc_id, s.quality, s.predicted_lang,
+                 CASE WHEN $b < ${Sampling.sqlHex2(0.8)} THEN 'train'
+                      WHEN $b < ${Sampling.sqlHex2(0.9)} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM corpus c
+          JOIN scored s ON c.doc_id = s.doc_id
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM dropset)
+            AND s.quality >= 0.53 AND s.predicted_lang = 'en'
+          ORDER BY c.doc_id""")) { t =>
+      Curation.buildTrainingCorpus(
+        t.documents.filter(col("doc_id") % 50 =!= 0),
+        t.documents.filter(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
-      e01, e02, e03, e04, e05, e06, p01)
+      e01, e02, e03, e04, e05, e06, p01, p02)
 }

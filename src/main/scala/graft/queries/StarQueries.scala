@@ -346,13 +346,15 @@ object StarQueries {
       .orderBy("o_custkey", "o_orderstatus")
   }
 
-  // Q17 — month-over-month growth: CTE + LAG window (sql/queries.sql:275-296).
-  // The monthly aggregate is tiny (≤ #months rows) so a one-partition window
-  // is safe at any scale — the shuffle-to-one-partition happens after the
-  // reduction, not on raw data. The constant partition key states that
-  // intent explicitly (and keeps runtime plans free of the generic
-  // "No Partition Defined" WindowExec warning that flags genuinely
-  // unbounded inputs).
+  // Q17 — month-over-month growth: CTE + LAG (sql/queries.sql:275-296). The
+  // monthly rollup is bounded (≤12 rows/year of data, ever), so instead of a
+  // global-ORDER-BY window — the one WindowExec shape that serializes through
+  // a single partition and can't be distinguished at runtime from a genuine
+  // scale bug — LAG is expressed as "value at the greatest earlier month":
+  // a broadcast self-join of the tiny rollup + max_by. Same previous-PRESENT-
+  // month semantics as LAG (not calendar-month arithmetic, which would differ
+  // on gappy data); every runtime plan in the engine is now free of
+  // unpartitioned windows.
   private val q17 = q(
     "q17_mom_growth",
     s"""WITH monthly AS (
@@ -365,15 +367,19 @@ object StarQueries {
                      / NULLIF(LAG(total_spent) OVER (ORDER BY year, month), 0), 2) AS growth_pct
         FROM monthly ORDER BY year, month""",
     headline = true) { t =>
-    val w = Window.partitionBy(lit(1)).orderBy("year", "month")
-    t.orders
+    val monthly = t.orders
       .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
       .agg(dsum(col("o_totalprice")).as("total_spent"))
-      .withColumn("prev_month", lag(col("total_spent"), 1).over(w))
+      .withColumn("idx", col("year") * 12 + col("month"))
+    val prev = monthly.select(col("idx").as("p_idx"), col("total_spent").as("p_total"))
+    monthly.join(broadcast(prev), col("p_idx") < col("idx"), "left")
+      .groupBy("year", "month", "total_spent")
+      .agg(max_by(col("p_total"), col("p_idx")).as("prev_month"))
       .withColumn(
         "growth_pct",
         round(lit(100.0) * (col("total_spent") - col("prev_month")) /
           nullif(col("prev_month"), lit(0.0)), 2))
+      .select("year", "month", "total_spent", "prev_month", "growth_pct")
       .orderBy("year", "month")
   }
 

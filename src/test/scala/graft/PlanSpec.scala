@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NO registered query plans an unpartitioned WindowExec (engine-wide)") {
+    // an empty partitionSpec means every row of the window's input funnels
+    // through ONE task — the one WindowExec shape that cannot scale. Bounded
+    // post-aggregation frames express "previous row" via broadcast self-join
+    // + max_by instead (q17), so zero tolerance engine-wide.
+    val offenders = SparkEntry.defs.flatMap { d =>
+      val plan = d.run(spark, sf).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(d.name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   test("exact dedup shuffles fingerprints, not text (d01 scan prunes to doc_id+text, agg on hash)") {
     val plan = planOf("d01_dedup_exact")
     // partial aggregation before the exchange = map-side combine

@@ -29,4 +29,18 @@ class CurationSpec extends SparkSpec {
       .filter(col("doc_id") =!= col("rep")).count()
     assert(anyLang == docs.count() - nonReps)
   }
+
+  test("buildTrainingCorpus: no contaminated or benchmark doc survives; every row is split-labeled") {
+    val benchmark = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val out = Curation.buildTrainingCorpus(corpus, benchmark).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    val contaminated = Dedup.contaminationReport(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty, "contaminated docs must be dropped")
+    assert(ids.forall(_ % 50 != 0), "benchmark ids never enter the corpus")
+    assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    assert(out.forall(_.getAs[Double]("quality") >= 0.53))
+  }
 }
