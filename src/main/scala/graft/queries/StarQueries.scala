@@ -526,7 +526,55 @@ object StarQueries {
       .orderBy(col("year").asc_nulls_first, col("quarter").asc_nulls_first)
   }
 
+  // Q23 — per-group top-k (top-3 customers per order priority): the ranking
+  // shape the reference's top-N queries imply but never group. Runs through
+  // graft.operators.TopKPerGroup's salted two-phase ranking — the single
+  // PARTITION BY o_orderpriority window the oracle uses would funnel each
+  // priority's full customer set through ONE task at scale (5 groups =
+  // 5 tasks for all customers); the two-phase form bounds every sort at
+  // rows/(groups·fanout) and ranks identically (total order via the
+  // custkey tie-break).
+  private val q23 = q(
+    "q23_top_customers_per_priority",
+    s"""WITH spend AS (
+          SELECT o_orderpriority, o_custkey, ${sqlDsum("o_totalprice")} AS total_spent
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY total_spent DESC, o_custkey) AS rank FROM spend)
+        SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_custkey, total_spent
+        FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""") { t =>
+    val spend = t.orders.groupBy("o_orderpriority", "o_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spent"))
+    graft.operators.TopKPerGroup.topKPerGroup(
+      spend, Seq("o_orderpriority"), "o_custkey",
+      Seq(col("total_spent").desc, col("o_custkey").asc), k = 3)
+      .select("o_orderpriority", "rank", "o_custkey", "total_spent")
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  // Q24 — grouped EXACT percentiles (Q4's median generalized per group):
+  // Spark's `percentile` is a true aggregate — partials shuffle by the group
+  // key like any hash agg (the sorted-values merge happens per group at the
+  // reducer), so exact medians scale with group parallelism. approx
+  // percentile (q21) remains the escape hatch when groups are huge.
+  private val q24 = q(
+    "q24_median_by_status",
+    """SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median,
+       PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { t =>
+    t.orders.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("median"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }
