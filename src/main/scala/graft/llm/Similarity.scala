@@ -126,6 +126,26 @@ object Similarity {
       .orderBy(col("h"), col("cell")).limit(IvfCells)
       .select("cell", "c_emb")
 
+  /** Trained IVF quantizer: Spark MLlib k-means centroids (the production
+    * path — fitted centers tile the data distribution, so cells are
+    * balanced where the sampled quantizer inherits the corpus's skew).
+    * The fit is one MLlib job over the corpus; the k centers come back to
+    * the driver (k vectors, not data) and feed the same broadcast
+    * assignment/probe machinery as the sampled quantizer.
+    */
+  def ivfCentroidsKMeans(embeddings: DataFrame, k: Int = IvfCells,
+                         seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val feats = embeddings.select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+  }
+
   /** IVF cell assignment against a given centroid set: one row per corpus
     * vector with its best cell (centroids broadcast, corpus scanned once).
     */
@@ -149,8 +169,13 @@ object Similarity {
     * and the probe side — computed once and persisted (32 rows), not
     * recomputed per consumer (VERDICT r2 #5).
     */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val centroids = ivfCentroids(embeddings)
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
+    ivfTopKWith(embeddings, ivfCentroids(embeddings), queryPred, k)
+
+  /** IVF top-k with a caller-supplied quantizer (sampled or k-means). */
+  def ivfTopKWith(embeddings: DataFrame, centroidsIn: DataFrame,
+                  queryPred: Column, k: Int = 10): DataFrame = {
+    val centroids = centroidsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ivfAssign(embeddings, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_embv"), col("cell"))

@@ -90,6 +90,23 @@ class LlmSpec extends SparkSpec {
     assert(hits >= (top1.size * 0.8).toInt, s"only $hits/${top1.size} planted twins found at rank 1")
   }
 
+  test("IVF with the k-means quantizer recovers planted twins too") {
+    val queryPred = col("vec_id") % 50 === 0 && col("vec_id") < 1000000L
+    val twins = embs.filter(col("vec_id") % 50 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * lit(1.05f)).otherwise(x)).as("embedding"),
+      col("label"))
+    val corpus = embs.unionByName(twins)
+    val top1 = Similarity.ivfTopKWith(corpus,
+      Similarity.ivfCentroidsKMeans(corpus), queryPred, 10)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = top1.count { case (q, n) => n == q + 1000000L }
+    assert(hits >= (top1.size * 0.8).toInt, s"only $hits/${top1.size} planted twins at rank 1")
+  }
+
   test("IVF assignment covers every vector with exactly one cell") {
     val assigned = Similarity.ivfAssign(embs)
     assert(assigned.count() == embs.count())
