@@ -47,15 +47,43 @@ object Curation {
     * train/val/test assignment. One DataFrame program composing five
     * independently-oracled operators; oracled end-to-end as p02.
     *
-    * Scale shape: decontamination broadcasts the benchmark shingle set;
-    * curation's dedup is banded LSH; the split is a narrow map — the only
-    * text-carrying shuffles are the doc_id-keyed joins of survivors.
+    * Scale shape: ONE shingling pass over the corpus serves BOTH
+    * decontamination and near-dup clustering (shingling is the dominant
+    * narrow compute at 100 TB — running it per stage would double it);
+    * the benchmark shingle set broadcasts; dedup is banded LSH; quality /
+    * lang / split are narrow maps. The only text-carrying shuffles are the
+    * doc_id-keyed joins of survivors.
     */
   def buildTrainingCorpus(docs: DataFrame, benchmark: DataFrame,
                           minQuality: Double = 0.53, lang: Option[String] = Some("en"),
                           dedupThreshold: Double = 0.8): DataFrame = {
-    val decontaminated = Dedup.decontaminate(docs, benchmark)
-    curate(decontaminated, minQuality, lang, dedupThreshold)
+    val sh = docs.select(col("doc_id"), TextFns.shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = benchmark
+      .select(explode(TextFns.shingles(col("text"))).as("shingle")).distinct()
+    // materialize the contaminated-id list NOW (ids only): every later
+    // consumer reads the checkpointed ids, so releasing the shingle cache
+    // below cannot silently re-trigger a full re-shingling pass
+    val contaminatedIds = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .select("doc_id").distinct()
+      .localCheckpoint(true)
+    val cleanSh = sh.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    // the clustering loop materializes eagerly (checkpointed labels), so
+    // the shared shingle frame can be released as soon as it returns
+    val nonReps = Dedup.nearDupClustersFromShingles(cleanSh, dedupThreshold)
+      .filter(col("doc_id") =!= col("rep"))
+      .select("doc_id")
+    sh.unpersist()
+    val cleanDocs = docs.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    val quality = TextAnalysis.qualityScore(cleanDocs).select(col("doc_id"), col("quality"))
+    val langs = TextAnalysis.langId(cleanDocs).select(col("doc_id"), col("predicted_lang"))
+    cleanDocs.select("doc_id", "text")
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .filter(col("quality") >= minQuality)
+      .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
       .transform(Sampling.trainValTestSplit(_, "doc_id"))
       .select("doc_id", "quality", "predicted_lang", "split")
   }

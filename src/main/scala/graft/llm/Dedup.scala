@@ -100,6 +100,19 @@ object Dedup {
     val shOnly = documents
       .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (result, releaseCands) = nearDupPairsFromShingles(shOnly, threshold)
+    (result, () => { releaseCands(); shOnly.unpersist(); () })
+  }
+
+  /** Pair detection over a pre-computed (doc_id, sh) shingle frame — the
+    * entry point for pipelines that already paid the shingling pass
+    * (e.g. the p02 composition shares ONE shingle frame between
+    * decontamination and clustering). `shOnly` should be persisted by the
+    * caller; the cleanup handle releases only this stage's internal
+    * candidate cache.
+    */
+  def nearDupPairsFromShingles(shOnly: DataFrame,
+                               threshold: Double = 0.8): (DataFrame, () => Unit) = {
     val sigs = signatureFromShingles(shOnly)
     // the candidate frame fans out to THREE consumers (both sides of the id
     // union + the verify join) — persist it so the signature+bucket
@@ -114,7 +127,7 @@ object Dedup {
       .join(shForCands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), TextFns.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (result, () => { shOnly.unpersist(); cands.unpersist(); () })
+    (result, () => { cands.unpersist(); () })
   }
 
   /** Near-dup CLUSTERS from the verified pair set: connected components by
@@ -134,9 +147,17 @@ object Dedup {
     */
   val MaxCcIterations = 50
 
-  def nearDupClusters(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def nearDupClusters(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    clustersFromPairSource(nearDupPairsWithCleanup(documents, threshold))
+
+  /** Clusters over a pre-computed shingle frame (see
+    * [[nearDupPairsFromShingles]]). */
+  def nearDupClustersFromShingles(shOnly: DataFrame, threshold: Double = 0.8): DataFrame =
+    clustersFromPairSource(nearDupPairsFromShingles(shOnly, threshold))
+
+  private def clustersFromPairSource(src: (DataFrame, () => Unit)): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (pairDf, releasePairPipeline) = nearDupPairsWithCleanup(documents, threshold)
+    val (pairDf, releasePairPipeline) = src
     val pairs = pairDf
       .select(col("doc_a"), col("doc_b"))
       .persist(mad)
