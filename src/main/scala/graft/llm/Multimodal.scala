@@ -63,6 +63,26 @@ object Multimodal {
     }
   }
 
+  /** Resize stand-in — the image-downscale/audio-resample slot: block-average
+    * the payload by `factor` (each output byte is the mean of `factor` input
+    * bytes), emitting a proportionally smaller payload with metadata updated
+    * to match. Deterministic, per-partition batched like [[extractFeatures]];
+    * a real image resize swaps the block-average for the codec call and
+    * changes no schema.
+    */
+  def resize(assets: Dataset[Asset], factor: Int = 4): Dataset[Asset] = {
+    require(factor > 0)
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val out = a.payload.grouped(factor)
+          .map(block => (block.map(_ & 0xFF).sum / block.length).toByte)
+          .toArray
+        Asset(a.asset_id, a.mime, out.length, out)
+      }
+    }
+  }
+
   /** Frame-sampling stand-in: split the payload into fixed-size chunks and
     * fingerprint every k-th chunk — the access pattern of video keyframe
     * sampling, expressed on the opaque payload.

@@ -24,7 +24,15 @@ object Sampling {
   def hashBucket(id: Column, salt: String): Column =
     substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")), 1, 2)
 
-  private def hex2(rate: Double): String = f"${math.round(rate * 256)}%02x"
+  /** Two-hex-char threshold for a keep rate. Rates that round to the full
+    * 256 buckets return "g0" — lexically above every hex bucket, so the
+    * comparison keeps ALL rows (a naive "100" would compare BELOW "ff" as
+    * a string and silently keep almost nothing at rate 1.0).
+    */
+  private def hex2(rate: Double): String = {
+    val buckets = math.round(rate * 256)
+    if (buckets >= 256) "g0" else f"$buckets%02x"
+  }
 
   /** Uniform deterministic sample: keep ~`rate` of rows keyed by `idCol`. */
   def hashSample(df: DataFrame, idCol: String, rate: Double,
@@ -65,5 +73,6 @@ object Sampling {
   def sqlHashBucket(idCol: String, salt: String): String =
     s"substring(md5($idCol::VARCHAR || ':$salt'), 1, 2)"
 
+  /** DuckDB twin of the threshold (identical boundary semantics). */
   def sqlHex2(rate: Double): String = s"'${hex2(rate)}'"
 }

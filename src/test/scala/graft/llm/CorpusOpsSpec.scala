@@ -49,6 +49,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(once.size / n - 0.5) < 0.1, s"rate ${once.size / n} far from 0.5")
   }
 
+  test("rate boundaries: 1.0 keeps everything, 0.0 keeps nothing") {
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.9), 0.1)
     val byLang = sampled.groupBy("lang").count().collect()

@@ -121,6 +121,25 @@ class WarehouseSpec extends SparkSpec {
       again.sortBy(_.asset_id).map(_.checksum).toSeq)
   }
 
+  test("multimodal: resize block-averages the payload and updates metadata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val assets = Multimodal.syntheticAssets(docs)
+    val resized = Multimodal.resize(assets, factor = 4).collect()
+    val original = assets.collect().map(a => a.asset_id -> a).toMap
+    resized.foreach { r =>
+      val o = original(r.asset_id)
+      assert(r.n_bytes == (o.n_bytes + 3) / 4, "payload shrinks by the factor (ceil)")
+      assert(r.n_bytes == r.payload.length, "metadata tracks the new payload")
+      // first output byte is the mean of the first 4 input bytes
+      val expected = (o.payload.take(4).map(_ & 0xFF).sum / math.min(4, o.payload.length)).toByte
+      assert(r.payload.head == expected)
+    }
+    // deterministic
+    val again = Multimodal.resize(assets, factor = 4).collect()
+    assert(resized.sortBy(_.asset_id).map(_.payload.toSeq).toSeq ==
+      again.sortBy(_.asset_id).map(_.payload.toSeq).toSeq)
+  }
+
   test("multimodal: chunk sampling keeps every k-th fixed-size chunk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     val chunks = Multimodal.sampleChunks(Multimodal.syntheticAssets(docs), chunkBytes = 64, every = 4)
