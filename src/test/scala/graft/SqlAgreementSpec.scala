@@ -58,6 +58,27 @@ class SqlAgreementSpec extends SparkSpec {
          FROM monthly ORDER BY year, month""")
   }
 
+  test("q22 DataFrame rollup ≡ spark.sql GROUP BY ROLLUP") {
+    agree(byName("q22_rollup_totals"),
+      """SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM orders GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate))
+         ORDER BY year ASC NULLS FIRST, quarter ASC NULLS FIRST""")
+  }
+
+  test("q23 two-phase top-k ≡ spark.sql single-window ranking") {
+    agree(byName("q23_top_customers_per_priority"),
+      """WITH spend AS (
+           SELECT o_orderpriority, o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+           FROM orders GROUP BY 1, 2),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                     ORDER BY total_spent DESC, o_custkey) AS rank FROM spend)
+         SELECT o_orderpriority, rank, o_custkey, total_spent
+         FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""")
+  }
+
   test("extension-registered py_title works from Spark SQL") {
     val r = spark.sql("SELECT py_title(\"o'brien-smith 2x llc\") AS t").collect()(0).getString(0)
     assert(r == "O'Brien-Smith 2X Llc")
