@@ -88,6 +88,29 @@ object Events {
         col("view_id"), col("view_ts").cast("string").as("view_ts"))
   }
 
+  /** Multi-step ORDERED funnel (signup → view → purchase): step k counts a
+    * user only if their first step-k event follows their first qualifying
+    * step-(k-1) event. One shuffle by user; the three per-user minima are
+    * window aggregates over the same partitioning (no extra exchanges), and
+    * the per-user distinct collapses the frame before the global count — no
+    * countDistinct expansion over raw events.
+    */
+  def multistepFunnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = events
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") >= col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+        col("ts"))).over(w))
+      .select("user_id", "t1", "t2", "t3")
+      .distinct()
+    perUser.agg(
+      sum(col("t1").isNotNull.cast("long")).as("n_signup"),
+      sum(col("t2").isNotNull.cast("long")).as("n_then_view"),
+      sum(col("t3").isNotNull.cast("long")).as("n_then_purchase"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

@@ -444,6 +444,57 @@ object LlmQueries {
     Events.asofViewAttribution(eventsTs(t)).orderBy("purchase_id")
   }
 
+  // x12 — language-ADAPTIVE stopword ratio: each document scored against its
+  // predicted language's lexicon (the quality refinement that stops an
+  // English stopword list from penalizing non-English docs).
+  private val x12 = q("x12_stop_ratio_by_lang", Some(
+    s"""WITH m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, $langHitsSql
+               FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                     FROM documents) z),
+        p AS (SELECT *,
+                CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                     WHEN de_hits >= fr_hits THEN 'de'
+                     ELSE 'fr' END AS predicted_lang
+              FROM m)
+        SELECT doc_id, predicted_lang, n_tokens,
+               CASE predicted_lang WHEN 'en' THEN en_hits WHEN 'es' THEN es_hits
+                    WHEN 'de' THEN de_hits ELSE fr_hits END AS n_stop_predicted,
+               CAST(CASE predicted_lang WHEN 'en' THEN en_hits WHEN 'es' THEN es_hits
+                    WHEN 'de' THEN de_hits ELSE fr_hits END AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE) AS stop_ratio
+        FROM p ORDER BY doc_id""")) { t =>
+    TextAnalysis.stopRatioByLang(t.documents).orderBy("doc_id")
+  }
+
+  // e07 — multi-step ORDERED funnel (signup → view → purchase): step k
+  // requires the first step-k event at/after the first qualifying
+  // step-(k-1) event. Comparisons run at MICROSECOND precision in both
+  // engines (events.parquet is ns; min() commutes with truncation, so
+  // epoch_us on both sides of every >= matches Spark's us timestamps
+  // exactly even when two events fall inside the same microsecond).
+  private val e07 = q("e07_multistep_funnel", Some(
+    """WITH w1 AS (
+         SELECT user_id, ts, event_type,
+                min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+         FROM events),
+       w2 AS (SELECT *,
+                min(CASE WHEN event_type = 'view' AND epoch_us(ts) >= epoch_us(t1) THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+              FROM w1),
+       w3 AS (SELECT *,
+                min(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= epoch_us(t2) THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+              FROM w2),
+       u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+       SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_then_view,
+              CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchase
+       FROM u""")) { t =>
+    Events.multistepFunnel(eventsTs(t))
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   // p01 — END-TO-END curation: near-dup removal (cluster representatives
@@ -594,6 +645,6 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
-      e01, e02, e03, e04, e05, e06, p01, p02)
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
+      e01, e02, e03, e04, e05, e06, e07, p01, p02)
 }

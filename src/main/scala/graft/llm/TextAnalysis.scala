@@ -49,6 +49,34 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Language-adaptive stopword ratio: score each document against the
+    * lexicon of its PREDICTED language, not a fixed one — the quality
+    * refinement that keeps non-English documents from being penalized by an
+    * English stopword list. Narrow map (lexicons are tiny literals).
+    */
+  def stopRatioByLang(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val scored = documents.select(
+      (Seq(col("doc_id"), size(t).as("n_tokens")) ++ Lexicons.map { case (lang, words) =>
+        size(filter(t, x => x.isin(words.map(lit): _*).cast("boolean"))).as(s"${lang}_hits")
+      }): _*)
+    val Seq(en, es, de, fr) = Lexicons.map(l => col(s"${l._1}_hits"))
+    val predicted =
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    val hitsOfPredicted = Lexicons.tail.foldLeft(
+      when(predicted === Lexicons.head._1, col(s"${Lexicons.head._1}_hits"))) {
+      case (acc, (lang, _)) => acc.when(predicted === lang, col(s"${lang}_hits"))
+    }
+    scored.select(
+      col("doc_id"), predicted.as("predicted_lang"), col("n_tokens"),
+      hitsOfPredicted.as("n_stop_predicted"))
+      .withColumn("stop_ratio",
+        col("n_stop_predicted").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Composite quality score: equal-weight blend of length saturation,
     * lexical diversity, stopword-ratio, and 3-gram uniqueness — the
     * standard cheap pre-filter shape for training-data pipelines.

@@ -82,6 +82,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(subset == full, "membership of other rows must not affect a doc's split")
   }
 
+  test("multistep funnel: ordering between steps is enforced") {
+    import java.sql.Timestamp
+    def ev(id: Long, ts: String, user: Long, typ: String) =
+      (id, Timestamp.valueOf(ts), user, typ, 1.0)
+    val events = Seq(
+      // user 1: signup → view → purchase in order: counts in all three steps
+      ev(1, "2024-01-01 09:00:00", 1, "signup"),
+      ev(2, "2024-01-01 10:00:00", 1, "view"),
+      ev(3, "2024-01-01 11:00:00", 1, "purchase"),
+      // user 2: view BEFORE signup, purchase after signup but no view after
+      // signup: counts in step 1 only
+      ev(4, "2024-01-01 08:00:00", 2, "view"),
+      ev(5, "2024-01-01 09:00:00", 2, "signup"),
+      ev(6, "2024-01-01 10:00:00", 2, "purchase"),
+      // user 3: purchase BETWEEN signup and view: steps 1 and 2 only
+      ev(7, "2024-01-01 09:00:00", 3, "signup"),
+      ev(8, "2024-01-01 09:30:00", 3, "purchase"),
+      ev(9, "2024-01-01 10:00:00", 3, "view"),
+      // user 4: never signs up: no step
+      ev(10, "2024-01-01 09:00:00", 4, "view"),
+      ev(11, "2024-01-01 10:00:00", 4, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.multistepFunnel(events).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("stopRatioByLang scores against the predicted language's lexicon") {
+    val df = Seq(
+      (1L, "el la de y en es los la"),      // spanish-heavy: all 8 tokens are es stopwords
+      (2L, "the a and of completely new")   // english: 4 of 6 are en stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.stopRatioByLang(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("predicted_lang") == "es")
+    assert(math.abs(r(0).getAs[Double]("stop_ratio") - 1.0) < 1e-12)
+    assert(r(1).getAs[String]("predicted_lang") == "en")
+    assert(math.abs(r(1).getAs[Double]("stop_ratio") - 4.0 / 6.0) < 1e-12)
+  }
+
   test("decontamination: planted overlap is reported; clean docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
