@@ -38,6 +38,26 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(twoPhase(3, 8, repartitioned = true) == direct(3))
   }
 
+  test("seeded property: equivalence holds on random data with heavy value ties") {
+    import spark.implicits._
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // few groups, many ties (values drawn from just 5 distinct levels) —
+      // the regime where an incomplete total order would surface
+      val rows = Seq.tabulate(500)(i => (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(5).toDouble))
+      val df = rows.toDF("g", "id", "v").repartition(7)
+      val direct = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("g", "rank", "id", "v")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val two = TopKPerGroup.topKPerGroup(df, Seq("g"), "id",
+        Seq(col("v").desc, col("id").asc), 5, fanout = 16)
+        .select("g", "rank", "id", "v")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(two == direct, s"seed=$seed")
+    }
+  }
+
   test("every window in the two-phase plan is partitioned") {
     val plan = TopKPerGroup.topKPerGroup(spend, Seq("o_orderpriority"), "o_custkey",
       Seq(col("total").desc, col("o_custkey").asc), 3).queryExecution.sparkPlan
