@@ -155,6 +155,30 @@ object Dedup {
   def nearDupClustersFromShingles(shOnly: DataFrame, threshold: Double = 0.8): DataFrame =
     clustersFromPairSource(nearDupPairsFromShingles(shOnly, threshold))
 
+  /** Clusters over an arbitrary caller-built pair set (doc_a, doc_b). */
+  def clustersFromPairs(pairs: DataFrame): DataFrame =
+    clustersFromPairSource((pairs, () => ()))
+
+  /** MULTI-SIGNAL near-dup clusters: a pair is an edge if the documents are
+    * near-dups by text (shingle Jaccard ≥ `jaccardT`, banded-LSH detected)
+    * OR by embedding (blocked cosine ≥ `cosT`) — the practical dedup rule
+    * for corpora where paraphrases evade lexical overlap but embed close,
+    * and near-verbatim copies embed apart only through formatting noise.
+    * Both signals are the independently-oracled operators (d02, d04); the
+    * union of their edge sets feeds one connected-components pass.
+    * `embeddings.vec_id` must key the same namespace as
+    * `documents.doc_id`.
+    */
+  def multiSignalClusters(documents: DataFrame, embeddings: DataFrame,
+                          jaccardT: Double = 0.8, cosT: Double = 0.45): DataFrame = {
+    val (textPairs, release) = nearDupPairsWithCleanup(documents, jaccardT)
+    val embPairs = Similarity.blockedNearDupPairs(embeddings, cosT)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val pairs = textPairs.select("doc_a", "doc_b").union(embPairs).distinct()
+    try clustersFromPairs(pairs)
+    finally release()
+  }
+
   private def clustersFromPairSource(src: (DataFrame, () => Unit)): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (pairDf, releasePairPipeline) = src

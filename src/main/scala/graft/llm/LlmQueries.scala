@@ -112,6 +112,44 @@ object LlmQueries {
     Dedup.nearDupClusters(t.documents, threshold = 0.8)
   }
 
+  // d07 — MULTI-SIGNAL near-dup clusters: edges = text near-dups (j ≥ 0.8)
+  // ∪ embedding near-dups (cos ≥ 0.45, blocked) over the shared doc/vec id
+  // namespace; connected components over the union. The oracle recomputes
+  // both signals (the d02 and d04 formulations verbatim) and the recursive
+  // closure of their union.
+  private val d07 = q("d07_multisignal_clusters", Some(
+    s"""WITH RECURSIVE sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        qt AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+        qe AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45),
+        qual AS (SELECT doc_a, doc_b FROM qt UNION SELECT doc_a, doc_b FROM qe),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                  UNION SELECT doc_b, doc_a FROM qual),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a FROM edges)
+        SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+        FROM nodes n LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a ORDER BY doc_id""")) { t =>
+    Dedup.multiSignalClusters(t.documents, t.embeddings)
+  }
+
   // ------------------------------------------------------------- similarity
 
   // s01 — exact brute-force top-10 cosine for the query subset
@@ -644,7 +682,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
+    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
       e01, e02, e03, e04, e05, e06, e07, p01, p02)
 }

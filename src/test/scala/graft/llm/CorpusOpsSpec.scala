@@ -120,6 +120,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("stop_ratio") - 4.0 / 6.0) < 1e-12)
   }
 
+  test("multi-signal clusters cover both the text-only and embedding-only memberships") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val multi = Dedup.multiSignalClusters(docs, embs)
+      .collect().map(_.getLong(0)).toSet
+    val textOnly = Dedup.nearDupClusters(docs, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val embMembers = Similarity.blockedNearDupPairs(embs, 0.45)
+      .select("vec_a", "vec_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(textOnly.subsetOf(multi), "every text near-dup member stays clustered")
+    assert(embMembers.subsetOf(multi), "every embedding near-dup member joins a cluster")
+    assert(multi == textOnly ++ embMembers, "no member appears without a supporting signal")
+  }
+
   test("decontamination: planted overlap is reported; clean docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
