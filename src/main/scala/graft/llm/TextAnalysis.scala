@@ -104,6 +104,43 @@ object TextAnalysis {
         (col("len_score") + col("diversity") + col("stop_ratio") + col("uniq3")) / 4.0)
   }
 
+  /** Quality + language prediction in ONE narrow projection, keeping the
+    * text — the row-local form of (qualityScore ⋈ langId) that needs no
+    * doc_id join, which is what lets the stateless curation stages run
+    * unchanged on a STREAM (joining the separately derived frames would be
+    * a stream-stream join). Formulas identical to [[qualityScore]] /
+    * [[langId]].
+    */
+  def scoreDocuments(documents: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val sh = TextFns.shingles(col("text"))
+    val enStops = Lexicons.head._2
+    val base = documents.select(
+      (Seq(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        size(filter(t, x => x.isin(enStops.map(lit): _*).cast("boolean"))).as("n_stop"),
+        size(sh).as("n_shingles")) ++ Lexicons.map { case (lang, words) =>
+        size(filter(t, x => x.isin(words.map(lit): _*).cast("boolean"))).as(s"${lang}_hits")
+      }): _*)
+    val Seq(en, es, de, fr) = Lexicons.map(l => col(s"${l._1}_hits"))
+    base
+      .withColumn("len_score", least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+      .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("uniq3", when(col("n_tokens") > 2,
+        col("n_shingles").cast("double") / (col("n_tokens") - 2).cast("double")).otherwise(0.0))
+      .withColumn("quality",
+        (col("len_score") + col("diversity") + col("stop_ratio") + col("uniq3")) / 4.0)
+      .withColumn("predicted_lang",
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+      .select("doc_id", "text", "quality", "predicted_lang")
+  }
+
   /** Document fingerprint: MD5 of normalized text (exact-dup key) — the
     * portable stand-in for a rolling content hash.
     */

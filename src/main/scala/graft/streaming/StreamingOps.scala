@@ -85,6 +85,21 @@ object StreamingOps {
       .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
   }
 
+  /** Streaming corpus filter: the STATELESS half of the curation pipeline
+    * (quality floor + language filter) applied to a document stream. Both
+    * scores come from ONE narrow projection
+    * ([[graft.llm.TextAnalysis.scoreDocuments]]) — joining the separately
+    * derived quality/lang frames would be a stream-stream join, while the
+    * row-local composition runs under Structured Streaming unchanged.
+    * (Near-dup removal needs cross-document state and stays a batch/compact
+    * step — the standard split in streaming ingest pipelines.)
+    */
+  def curateStream(documents: DataFrame, minQuality: Double = 0.53,
+                   lang: Option[String] = Some("en")): DataFrame =
+    graft.llm.TextAnalysis.scoreDocuments(documents)
+      .filter(col("quality") >= minQuality)
+      .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
+
   /** Custom keyed state: per-user running (count, decimal-safe total) via
     * mapGroupsWithState — the Structured Streaming escape hatch for
     * aggregations the built-in operators can't express. Emits the updated

@@ -120,6 +120,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("stop_ratio") - 4.0 / 6.0) < 1e-12)
   }
 
+  test("scoreDocuments agrees with qualityScore ⋈ langId (single-projection form)") {
+    val one = TextAnalysis.scoreDocuments(docs)
+      .select("doc_id", "quality", "predicted_lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val joined = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(one == joined)
+  }
+
   test("multi-signal clusters cover both the text-only and embedding-only memberships") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val multi = Dedup.multiSignalClusters(docs, embs)

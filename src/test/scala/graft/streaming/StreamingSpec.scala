@@ -139,6 +139,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation stages run unchanged on a document stream (batch ≡ stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.curateStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate").outputMode(OutputMode.Append()).start()
+    try {
+      val (firstHalf, secondHalf) = docs.splitAt(50)
+      stream.addData(firstHalf)
+      q.processAllAvailable()
+      stream.addData(secondHalf)
+      q.processAllAvailable()
+      val streamed = spark.table("curate").select("doc_id", "quality", "predicted_lang")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val batch = StreamingOps.curateStream(docs.toSeq.toDF("doc_id", "text"))
+        .select("doc_id", "quality", "predicted_lang")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped from finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
