@@ -505,6 +505,36 @@ object LlmQueries {
     TextAnalysis.stopRatioByLang(t.documents).orderBy("doc_id")
   }
 
+  // x13 — TOKEN-BUDGET sampling: greedy-fill documents in deterministic
+  // (hash-bucket, doc_id) order until the cumulative token count crosses the
+  // budget (the crossing document is kept). The global running sum goes
+  // through graft.operators.PrefixSum — the scale-safe two-pass prefix sum —
+  // while the oracle uses the single-partition window formulation the
+  // operator replaces, so the def cross-checks the decomposition itself.
+  private val x13 = {
+    val b = Sampling.sqlHashBucket("doc_id", "budget")
+    q("x13_token_budget", Some(
+      s"""WITH s AS (SELECT doc_id, $b AS bucket,
+                 CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
+               FROM documents),
+          r AS (SELECT *, SUM(n_tokens) OVER (
+                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 12, '0')
+                  ROWS UNBOUNDED PRECEDING) AS running_sum FROM s)
+          SELECT doc_id, bucket, n_tokens, CAST(running_sum AS BIGINT) AS running_sum
+          FROM r WHERE running_sum - n_tokens < 10000 ORDER BY doc_id""")) { t =>
+      val scored = t.documents.select(
+        col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), "budget").as("bucket"),
+        size(TextFns.tokens(col("text"))).as("n_tokens"))
+        .withColumn("sort_key",
+          concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 12, "0")))
+      graft.operators.PrefixSum.withRunningSum(scored, "sort_key", "n_tokens")
+        .filter(col("running_sum") - col("n_tokens") < 10000)
+        .select("doc_id", "bucket", "n_tokens", "running_sum")
+        .orderBy("doc_id")
+    }
+  }
+
   // e07 — multi-step ORDERED funnel (signup → view → purchase): step k
   // requires the first step-k event at/after the first qualifying
   // step-(k-1) event. Comparisons run at MICROSECOND precision in both
@@ -683,6 +713,6 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
       e01, e02, e03, e04, e05, e06, e07, p01, p02)
 }
