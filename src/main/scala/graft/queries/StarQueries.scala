@@ -443,22 +443,35 @@ object StarQueries {
         ORDER BY l_orderkey, l_linenumber""",
     headline = true) { t =>
     val partDim = t.part.select("p_partkey", "p_brand")
-    // One joined definition referenced by both the moments pass and the
-    // back-join. Spark re-computes it per reference — measured CHEAPER here
-    // than persisting (caching 600k rows costs more than a second
-    // parquet-scan + AQE-broadcast join; the 4-column projection is pushed
-    // into the scan). At 100 TB the same trade-off is decided by storage
-    // bandwidth vs cache capacity; the projected re-scan is the safe default.
+    // Pass 1: moments per l_partkey BEFORE touching part. Map-side combine
+    // collapses the fact to ≤|part| rows, so the partkey→brand join sees the
+    // reduced set, not row-level lineitem. Partials stay DecimalType through
+    // the rollup — decimal addition is exact and associative, so summing
+    // per-partkey partials per brand equals the direct brand sum bit-for-bit
+    // (oracle unchanged; the final cast to double happens once, after).
+    val perPart = t.lineitem
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast(DecimalType(24, 6))).as("ps1"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(24, 6))).as("ps2"))
+    val stats = perPart
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(col("pn")).cast("double").as("n"),
+        sum(col("ps1")).cast("double").as("s1"),
+        sum(col("ps2")).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    // Pass 2: the unavoidable second fact scan at row level (output carries
+    // per-row columns), joined to part (AQE decides broadcast vs shuffle)
+    // and to the tiny broadcast stats (≤ #brands rows).
     val joined = t.lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
       .join(partDim, col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "p_brand")
-    val stats = joined.groupBy("p_brand").agg(
-      count(lit(1)).cast("double").as("n"),
-      dsum6(col("l_extendedprice")).as("s1"),
-      dsum6(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
-    val mean = col("s1") / col("n")
-    val std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
     joined.join(broadcast(stats), "p_brand")
       .filter(col("l_extendedprice") > mean + lit(1.5) * std)
       .select(
