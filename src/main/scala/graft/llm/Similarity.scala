@@ -172,9 +172,24 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
     ivfTopKWith(embeddings, ivfCentroids(embeddings), queryPred, k)
 
-  /** IVF top-k with a caller-supplied quantizer (sampled or k-means). */
+  /** IVF top-k with a caller-supplied quantizer (sampled or k-means).
+    * Eager + leak-free: the top-k result is ≤ k·|queries| rows by contract,
+    * so it is materialized (localCheckpoint) and the centroid cache released
+    * before returning — a session composing many ANN queries accrues no
+    * persisted intermediates (VERDICT r3 #3). Callers that want the lazy
+    * frame and control of the cache lifetime use [[ivfTopKWithCleanup]].
+    */
   def ivfTopKWith(embeddings: DataFrame, centroidsIn: DataFrame,
                   queryPred: Column, k: Int = 10): DataFrame = {
+    val (df, release) = ivfTopKWithCleanup(embeddings, centroidsIn, queryPred, k)
+    try df.localCheckpoint(true) finally release()
+  }
+
+  /** Lazy [[ivfTopKWith]] plus a handle that unpersists the shared centroid
+    * cache — call it after materializing the result.
+    */
+  def ivfTopKWithCleanup(embeddings: DataFrame, centroidsIn: DataFrame,
+                         queryPred: Column, k: Int = 10): (DataFrame, () => Unit) = {
     val centroids = centroidsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ivfAssign(embeddings, centroids)
@@ -189,12 +204,13 @@ object Similarity {
       .filter(col("rnk") <= IvfProbes)
       .select("query_id", "q_emb", "cell")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probes).join(assigned, Seq("cell"))
+    val result = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_embv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+    (result, () => { centroids.unpersist(); () })
   }
 
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over
@@ -210,6 +226,16 @@ object Similarity {
     *     join restricted to candidates).
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    // eager + leak-free convenience form — see ivfTopKWith's scaladoc
+    val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k)
+    try df.localCheckpoint(true) finally release()
+  }
+
+  /** Lazy [[lshTopK]] plus a handle that unpersists the shared bucket
+    * cache — call it after materializing the result.
+    */
+  def lshTopKWithCleanup(embeddings: DataFrame, queryPred: Column,
+                         k: Int = 10): (DataFrame, () => Unit) = {
     val buckets = lshBuckets(embeddings)
       .select("vec_id", "table", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -224,7 +250,7 @@ object Similarity {
     val qEmb = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cands
+    val result = cands
       .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         Seq("neighbor_id"))
       .join(broadcast(qEmb), Seq("query_id"))
@@ -232,5 +258,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+    (result, () => { buckets.unpersist(); () })
   }
 }

@@ -128,6 +128,32 @@ class LlmSpec extends SparkSpec {
     assert(cands < nQueries * n / 2, s"$cands candidates ≈ brute force for $nQueries×$n")
   }
 
+  test("ANN paths leave no persisted intermediates behind (VERDICT r3 #3)") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.keySet
+    val queryPred = col("vec_id") % 50 === 0
+    // lazy WithCleanup variants: zero residue once the handle is called
+    val before1 = persisted
+    val (lsh, releaseLsh) = Similarity.lshTopKWithCleanup(embs, queryPred, 10)
+    lsh.write.format("noop").mode("overwrite").save()
+    releaseLsh()
+    assert((persisted -- before1).isEmpty, "lshTopKWithCleanup leaked persisted RDDs")
+    val before2 = persisted
+    val (ivf, releaseIvf) =
+      Similarity.ivfTopKWithCleanup(embs, Similarity.ivfCentroids(embs), queryPred, 10)
+    ivf.write.format("noop").mode("overwrite").save()
+    releaseIvf()
+    assert((persisted -- before2).isEmpty, "ivfTopKWithCleanup leaked persisted RDDs")
+    // eager convenience forms: at most the materialized ≤k·|queries|-row
+    // result's own checkpoint — the bucket/centroid caches must be gone
+    val before3 = persisted
+    Similarity.lshTopK(embs, queryPred, 10).count()
+    assert((persisted -- before3).size <= 1, "lshTopK left internal caches persisted")
+    val before4 = persisted
+    Similarity.ivfTopK(embs, queryPred, 10).count()
+    assert((persisted -- before4).size <= 1, "ivfTopK left internal caches persisted")
+  }
+
   test("exact dedup representatives cover every document exactly once") {
     val d = Dedup.exact(docs)
     assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
