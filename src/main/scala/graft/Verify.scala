@@ -39,6 +39,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ANN quality artifact (VERDICT r3 #2): measured recall/cost for the
+    // approximate tier rides along with every full correctness dump.
+    if (only.isEmpty)
+      try Files.writeString(Paths.get(s"$outDir/recall.json"),
+        Recall.toJson(Recall.measure(spark, sfDir)) + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] recall report failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -51,6 +51,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of true (query_id, neighbor_id) pairs the approximate index
+    * returned. Both frames use the bruteForceTopK/lshTopK output schema.
+    * One semi-join + two counts — no embeddings move.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = e.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = e.count()
+    if (total == 0) 1.0 else hits.toDouble / total
+  }
+
   // LSH configuration: L tables × b bits. Collision prob for angle θ is
   // 1-(1-(1-θ/π)^b)^L — tuned so near neighbors (θ small) collide in ≥1
   // table while the corpus spreads over 2^b buckets per table.
@@ -70,11 +83,16 @@ object Similarity {
     (java.lang.Math.floorMod(z, 1000003L).toDouble / 1000003.0) - 0.5
   }
 
-  /** Per-vector bucket codes: one row per (vec_id, table, bucket). */
-  def lshBuckets(embeddings: DataFrame): DataFrame = {
-    val tables = (0 until LshTables).map { t =>
-      val code = (0 until LshBits).map { i =>
-        val w = typedlit((0 until Dim).map(d => planeComponent(t * LshBits + i, d)))
+  /** Per-vector bucket codes: one row per (vec_id, table, bucket).
+    * `nTables`×`nBits` defaults are the scale-tuned config; callers trade
+    * recall vs candidate volume by raising tables / lowering bits
+    * (measured per-config in the RECALL artifact, see [[graft.Recall]]).
+    */
+  def lshBuckets(embeddings: DataFrame, nTables: Int = LshTables,
+                 nBits: Int = LshBits): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val code = (0 until nBits).map { i =>
+        val w = typedlit((0 until Dim).map(d => planeComponent(t * nBits + i, d)))
         when(dot(col("embedding"), w) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("table"), code.as("bucket"))
@@ -119,11 +137,12 @@ object Similarity {
     * centroids would come from a k-means fit; the assignment/probe machinery
     * is identical.
     */
-  def ivfCentroids(embeddings: DataFrame, seed: Long = 42L): DataFrame =
+  def ivfCentroids(embeddings: DataFrame, seed: Long = 42L,
+                   cells: Int = IvfCells): DataFrame =
     embeddings
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         xxhash64(col("vec_id"), lit(seed)).as("h"))
-      .orderBy(col("h"), col("cell")).limit(IvfCells)
+      .orderBy(col("h"), col("cell")).limit(cells)
       .select("cell", "c_emb")
 
   /** Trained IVF quantizer: Spark MLlib k-means centroids (the production
@@ -169,8 +188,9 @@ object Similarity {
     * and the probe side — computed once and persisted (32 rows), not
     * recomputed per consumer (VERDICT r2 #5).
     */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
-    ivfTopKWith(embeddings, ivfCentroids(embeddings), queryPred, k)
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+              nProbe: Int = IvfProbes): DataFrame =
+    ivfTopKWith(embeddings, ivfCentroids(embeddings), queryPred, k, nProbe)
 
   /** IVF top-k with a caller-supplied quantizer (sampled or k-means).
     * Eager + leak-free: the top-k result is ≤ k·|queries| rows by contract,
@@ -180,29 +200,39 @@ object Similarity {
     * frame and control of the cache lifetime use [[ivfTopKWithCleanup]].
     */
   def ivfTopKWith(embeddings: DataFrame, centroidsIn: DataFrame,
-                  queryPred: Column, k: Int = 10): DataFrame = {
-    val (df, release) = ivfTopKWithCleanup(embeddings, centroidsIn, queryPred, k)
+                  queryPred: Column, k: Int = 10,
+                  nProbe: Int = IvfProbes): DataFrame = {
+    val (df, release) = ivfTopKWithCleanup(embeddings, centroidsIn, queryPred, k, nProbe)
     try df.localCheckpoint(true) finally release()
+  }
+
+  /** The query→probed-cell stage: each query's `nProbe` closest centroids.
+    * Shared by [[ivfTopKWithCleanup]] and the recall/cost report.
+    */
+  def ivfProbes(embeddings: DataFrame, centroids: DataFrame,
+                queryPred: Column, nProbe: Int = IvfProbes): DataFrame = {
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "q_emb", "cell")
   }
 
   /** Lazy [[ivfTopKWith]] plus a handle that unpersists the shared centroid
     * cache — call it after materializing the result.
     */
   def ivfTopKWithCleanup(embeddings: DataFrame, centroidsIn: DataFrame,
-                         queryPred: Column, k: Int = 10): (DataFrame, () => Unit) = {
+                         queryPred: Column, k: Int = 10,
+                         nProbe: Int = IvfProbes): (DataFrame, () => Unit) = {
     val centroids = centroidsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ivfAssign(embeddings, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_embv"), col("cell"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
-    val probes = embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("cell"),
-        cosine(col("q_emb"), col("c_emb")).as("score"))
-      .withColumn("rnk", row_number().over(wProbe))
-      .filter(col("rnk") <= IvfProbes)
-      .select("query_id", "q_emb", "cell")
+    val probes = ivfProbes(embeddings, centroids, queryPred, nProbe)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     val result = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -225,18 +255,20 @@ object Similarity {
     *     after the distinct (query side broadcast, corpus side one keyed
     *     join restricted to candidates).
     */
-  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+              nTables: Int = LshTables, nBits: Int = LshBits): DataFrame = {
     // eager + leak-free convenience form — see ivfTopKWith's scaladoc
-    val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k)
+    val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k, nTables, nBits)
     try df.localCheckpoint(true) finally release()
   }
 
-  /** Lazy [[lshTopK]] plus a handle that unpersists the shared bucket
-    * cache — call it after materializing the result.
+  /** Distinct same-bucket (query_id, neighbor_id) pairs — the candidate
+    * stage shared by [[lshTopKWithCleanup]] and the recall/cost report.
     */
-  def lshTopKWithCleanup(embeddings: DataFrame, queryPred: Column,
-                         k: Int = 10): (DataFrame, () => Unit) = {
-    val buckets = lshBuckets(embeddings)
+  def lshCandidatePairs(embeddings: DataFrame, queryPred: Column,
+                        nTables: Int = LshTables,
+                        nBits: Int = LshBits): (DataFrame, () => Unit) = {
+    val buckets = lshBuckets(embeddings, nTables, nBits)
       .select("vec_id", "table", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qIds = embeddings.filter(queryPred).select("vec_id")
@@ -247,6 +279,16 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+    (cands, () => { buckets.unpersist(); () })
+  }
+
+  /** Lazy [[lshTopK]] plus a handle that unpersists the shared bucket
+    * cache — call it after materializing the result.
+    */
+  def lshTopKWithCleanup(embeddings: DataFrame, queryPred: Column,
+                         k: Int = 10, nTables: Int = LshTables,
+                         nBits: Int = LshBits): (DataFrame, () => Unit) = {
+    val (cands, release) = lshCandidatePairs(embeddings, queryPred, nTables, nBits)
     val qEmb = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -258,6 +300,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
-    (result, () => { buckets.unpersist(); () })
+    (result, release)
   }
 }
