@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * QueryDef p01: DuckDB recomputes the full pipeline and the result
   * hash-matches.
   *
-  * Scale shape: quality + lang are narrow per-document maps; dedup is the
-  * banded-LSH path (never all-pairs); the final assembly is two key joins
-  * plus one anti-join on doc_id. Nothing shuffles document text except the
-  * doc_id-keyed joins of the retained set.
+  * Scale shape: quality + lang come from the ONE fused row-local scoring
+  * pass ([[TextAnalysis.scoreDocuments]] — the same stage the streaming
+  * twin runs), so the corpus is scanned once for scoring, not once per
+  * signal; dedup is the banded-LSH path (never all-pairs); the final
+  * assembly is one anti-join on doc_id against the (small) non-rep set.
   */
 object Curation {
 
@@ -26,17 +27,13 @@ object Curation {
     */
   def curate(docs: DataFrame, minQuality: Double = 0.53,
              lang: Option[String] = Some("en"), dedupThreshold: Double = 0.8): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
-    val langs = TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang"))
     // non-representative members of near-dup clusters are the drop set;
     // representatives (rep == doc_id) and singletons survive
     val nonReps = Dedup.nearDupClusters(docs, dedupThreshold)
       .filter(col("doc_id") =!= col("rep"))
       .select("doc_id")
-    docs.select("doc_id", "text")
+    TextAnalysis.scoreDocuments(docs)
       .join(nonReps, Seq("doc_id"), "left_anti")
-      .join(quality, Seq("doc_id"))
-      .join(langs, Seq("doc_id"))
       .filter(col("quality") >= minQuality)
       .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
       .select("doc_id", "text", "quality", "predicted_lang")
@@ -76,12 +73,8 @@ object Curation {
       .select("doc_id")
     sh.unpersist()
     val cleanDocs = docs.join(contaminatedIds, Seq("doc_id"), "left_anti")
-    val quality = TextAnalysis.qualityScore(cleanDocs).select(col("doc_id"), col("quality"))
-    val langs = TextAnalysis.langId(cleanDocs).select(col("doc_id"), col("predicted_lang"))
-    cleanDocs.select("doc_id", "text")
+    TextAnalysis.scoreDocuments(cleanDocs)
       .join(nonReps, Seq("doc_id"), "left_anti")
-      .join(quality, Seq("doc_id"))
-      .join(langs, Seq("doc_id"))
       .filter(col("quality") >= minQuality)
       .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
       .transform(Sampling.trainValTestSplit(_, "doc_id"))
