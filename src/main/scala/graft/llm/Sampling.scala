@@ -13,25 +13,28 @@ import org.apache.spark.sql.functions._
   * engines — which is what makes them oracle-checkable in DuckDB and, in
   * production, what makes a train/test split immune to pipeline re-runs.
   *
-  * The decision predicate compares the first two hex chars of
-  * `md5(id || ':' || salt)` against a threshold: 256 equal-probability
-  * buckets, rate = threshold/256. All narrow maps — sampling 100 TB shuffles
-  * nothing.
+  * The decision predicate compares the first four hex chars of
+  * `md5(id || ':' || salt)` against a threshold: 65536 equal-probability
+  * buckets, rate = threshold/65536 — fine enough that per-mille rates
+  * (0.001 → 66 buckets) don't quantize to zero (ADVICE r3). All narrow
+  * maps — sampling 100 TB shuffles nothing.
   */
 object Sampling {
 
-  /** Two-hex-char md5 bucket of an id column (256 uniform buckets). */
+  /** Four-hex-char md5 bucket of an id column (65536 uniform buckets). */
   def hashBucket(id: Column, salt: String): Column =
-    substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")), 1, 2)
+    substring(md5(concat(id.cast("string"), lit(":" + salt)).cast("binary")), 1, 4)
 
-  /** Two-hex-char threshold for a keep rate. Rates that round to the full
-    * 256 buckets return "g0" — lexically above every hex bucket, so the
-    * comparison keeps ALL rows (a naive "100" would compare BELOW "ff" as
-    * a string and silently keep almost nothing at rate 1.0).
+  /** Four-hex-char threshold for a keep rate. Rates that round to the full
+    * 65536 buckets return "g000" — lexically above every hex bucket, so the
+    * comparison keeps ALL rows (a naive "10000" would compare BELOW "ffff"
+    * as a string and silently keep almost nothing at rate 1.0). Rates
+    * outside [0,1] are an error, not a malformed threshold string.
     */
   private def hex2(rate: Double): String = {
-    val buckets = math.round(rate * 256)
-    if (buckets >= 256) "g0" else f"$buckets%02x"
+    require(rate >= 0.0 && rate <= 1.0, s"sampling rate $rate outside [0, 1]")
+    val buckets = math.round(rate * 65536)
+    if (buckets >= 65536) "g000" else f"$buckets%04x"
   }
 
   /** Uniform deterministic sample: keep ~`rate` of rows keyed by `idCol`. */
@@ -71,7 +74,7 @@ object Sampling {
 
   /** DuckDB twin of [[hashBucket]]. */
   def sqlHashBucket(idCol: String, salt: String): String =
-    s"substring(md5($idCol::VARCHAR || ':$salt'), 1, 2)"
+    s"substring(md5($idCol::VARCHAR || ':$salt'), 1, 4)"
 
   /** DuckDB twin of the threshold (identical boundary semantics). */
   def sqlHex2(rate: Double): String = s"'${hex2(rate)}'"

@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * the range shuffle's files. Exact for integral values (long arithmetic).
   *
   * `orderCol` must be duplicate-free, else prefix values among equal keys
-  * are partition-placement-dependent.
+  * are partition-placement-dependent. `valueCol` must not contain nulls:
+  * the output column is declared non-nullable, and InternalRow.getLong on a
+  * null slot would silently read 0 — a null value row fails fast instead
+  * (the window formulation this replaces would yield null running sums, a
+  * semantics no caller of an exact prefix sum wants silently) (ADVICE r3).
   */
 object PrefixSum {
 
@@ -37,8 +41,13 @@ object PrefixSum {
     val outSchema = StructType(schema.fields.toSeq :+ StructField(outCol, LongType, nullable = false))
     // the two jobs share this RDD instance, so the range shuffle runs once
     val rdd = sorted.queryExecution.toRdd
-    def valueOf(r: org.apache.spark.sql.catalyst.InternalRow): Long =
+    def valueOf(r: org.apache.spark.sql.catalyst.InternalRow): Long = {
+      if (r.isNullAt(vIdx))
+        throw new IllegalArgumentException(
+          s"withRunningSum: null in value column '$valueCol' — an exact prefix " +
+            "sum over nulls is undefined; filter or coalesce them first")
       if (vIsLong) r.getLong(vIdx) else r.getInt(vIdx).toLong
+    }
     val partSums = rdd
       .mapPartitions(it => Iterator.single(it.foldLeft(0L)((acc, r) => acc + valueOf(r))))
       .collect()

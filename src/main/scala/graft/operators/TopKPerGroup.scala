@@ -29,17 +29,25 @@ import org.apache.spark.sql.functions._
 object TopKPerGroup {
 
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], tieBreakCol: String,
-                   order: Seq[Column], k: Int, fanout: Int = 64): DataFrame = {
+                   order: Seq[Column], k: Int, fanout: Int = 64,
+                   rankCol: String = "rank"): DataFrame = {
     require(k > 0 && fanout > 0)
+    // withColumn silently REPLACES a same-named input column, so the output
+    // rank column must not collide (caller picks another name), and the
+    // phase-1 scratch column gets a name no input can contain (ADVICE r3)
+    require(!df.columns.contains(rankCol),
+      s"topKPerGroup: input already has a '$rankCol' column — pass a different rankCol")
+    val localRk = Iterator.from(0).map(i => s"__topk_rk$i")
+      .find(n => !df.columns.contains(n)).get
     val salt = pmod(xxhash64(col(tieBreakCol)), lit(fanout)).cast("int")
     val g = groupCols.map(col)
     val local = df
-      .withColumn("__rk", row_number().over(
+      .withColumn(localRk, row_number().over(
         Window.partitionBy(g :+ salt: _*).orderBy(order: _*)))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+      .filter(col(localRk) <= k)
+      .drop(localRk)
     local
-      .withColumn("rank", row_number().over(Window.partitionBy(g: _*).orderBy(order: _*)))
-      .filter(col("rank") <= k)
+      .withColumn(rankCol, row_number().over(Window.partitionBy(g: _*).orderBy(order: _*)))
+      .filter(col(rankCol) <= k)
   }
 }
