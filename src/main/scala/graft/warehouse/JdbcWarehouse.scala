@@ -44,21 +44,58 @@ object JdbcWarehouse {
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, props)
 
+  /** The target's existing key set as a PARALLEL JDBC read: a one-row
+    * driver-side MIN/MAX probe supplies the partition bounds, then the scan
+    * splits into `numPartitions` stride ranges on the (numeric) key — at
+    * warehouse scale the key read is N concurrent range queries, not one
+    * executor draining the whole table through a single cursor (VERDICT r3
+    * #6). An empty target (NULL bounds) or a non-integer key (stride
+    * partitioning needs numeric bounds) falls back to the plain
+    * single-partition read. Column pruning pushes into the generated
+    * SELECT either way — only the key column crosses the wire.
+    */
+  def existingKeys(spark: org.apache.spark.sql.SparkSession, url: String,
+                   table: String, keyCol: String,
+                   numPartitions: Int = 4): DataFrame = {
+    import java.sql.Types._
+    val conn = DriverManager.getConnection(url)
+    val bounds = try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($keyCol), MAX($keyCol) FROM $table")
+        val integral = rs.getMetaData.getColumnType(1) match {
+          case TINYINT | SMALLINT | INTEGER | BIGINT => true
+          case _ => false
+        }
+        rs.next()
+        if (!integral) None
+        else {
+          val lo = rs.getLong(1)
+          if (rs.wasNull()) None else Some((lo, rs.getLong(2)))
+        }
+      } finally st.close()
+    } finally conn.close()
+    bounds match {
+      case Some((lo, hi)) =>
+        spark.read.jdbc(url, table, keyCol, lo, hi + 1, numPartitions, props).select(keyCol)
+      case None =>
+        spark.read.jdbc(url, table, props).select(keyCol)
+    }
+  }
+
   /** P17/P21 — idempotent append: only rows whose key is absent from the
-    * target are inserted. The existing-key read goes through the JDBC
-    * source with column pruning pushed into the generated SELECT (only the
-    * key column crosses the wire); the anti-join runs ONCE (persisted) for
-    * both the count and the write. At warehouse scale the key read would
-    * add partitionColumn/lowerBound/upperBound/numPartitions so the scan
-    * parallelizes; semantics are identical.
+    * target are inserted. The existing-key read is the parallel bounded
+    * scan ([[existingKeys]]); the anti-join runs ONCE (persisted) for both
+    * the count and the write.
     *
     * Returns the number of new rows written.
     */
   def appendIdempotent(df: DataFrame, url: String, table: String, keyCol: String,
-                       batchSize: Int = DefaultBatchSize): Long = {
+                       batchSize: Int = DefaultBatchSize,
+                       keyReadPartitions: Int = 4): Long = {
     val spark = df.sparkSession
-    val existingKeys = spark.read.jdbc(url, table, props).select(keyCol)
-    val fresh = df.join(existingKeys, Seq(keyCol), "left_anti")
+    val existing = existingKeys(spark, url, table, keyCol, keyReadPartitions)
+    val fresh = df.join(existing, Seq(keyCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = fresh.count()

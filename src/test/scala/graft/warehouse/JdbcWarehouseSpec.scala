@@ -53,6 +53,38 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(readTable("txns").count() == 30)
   }
 
+  test("existing-key read parallelizes over numeric keys (bounded stride scan)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE fact_k (row_key BIGINT PRIMARY KEY, v DOUBLE)")
+      st.close()
+    } finally conn.close()
+    JdbcWarehouse.appendBatched(
+      (0L until 100L).map(i => (i, i * 0.5)).toDF("row_key", "v"), url, "fact_k")
+    val keys = JdbcWarehouse.existingKeys(spark, url, "fact_k", "row_key", numPartitions = 3)
+    assert(keys.rdd.getNumPartitions == 3, "numeric key read must split into stride partitions")
+    assert(keys.count() == 100)
+    // idempotency through the parallel read: re-run inserts 0, growth inserts the delta
+    val again = JdbcWarehouse.appendIdempotent(
+      (0L until 100L).map(i => (i, i * 0.5)).toDF("row_key", "v"), url, "fact_k", "row_key",
+      keyReadPartitions = 3)
+    assert(again == 0)
+    val grown = JdbcWarehouse.appendIdempotent(
+      (0L until 120L).map(i => (i, i * 0.5)).toDF("row_key", "v"), url, "fact_k", "row_key",
+      keyReadPartitions = 3)
+    assert(grown == 20)
+    assert(readTable("fact_k").count() == 120)
+    // empty-table fallback: bounds are NULL, read degrades to one partition
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val st = conn2.createStatement()
+      st.executeUpdate("CREATE TABLE fact_empty (row_key BIGINT PRIMARY KEY, v DOUBLE)")
+      st.close()
+    } finally conn2.close()
+    assert(JdbcWarehouse.existingKeys(spark, url, "fact_empty", "row_key").count() == 0)
+  }
+
   test("transactional publish replaces every target's contents atomically") {
     val cats = Seq((1, "Groceries"), (2, "Dining")).toDF("category_key", "category_name")
     JdbcWarehouse.publishTransactional(url,
