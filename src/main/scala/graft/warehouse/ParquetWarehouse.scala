@@ -85,6 +85,12 @@ object ParquetWarehouse {
   def writeFactPartitioned(fact: DataFrame, dimDate: DataFrame, path: String): Unit =
     fact
       .join(broadcast(dimDate.select(col("date_key"), col("year"), col("month"))), Seq("date_key"))
+      // cluster rows by the partition key before the partitioned write:
+      // without this every upstream task writes a file into every month
+      // directory (tasks × months small files — at cluster scale, millions);
+      // with it each month is one task's contiguous write. A month too big
+      // for one task would add a within-month salt to split files.
+      .repartition(col("year"), col("month"))
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(path)
