@@ -126,14 +126,38 @@ object TxnPipeline {
     * SERIAL keys; deterministic ordering replaces the database sequence —
     * SURVEY §7.3).
     *
-    * Same range+zipWithIndex path as the unbounded dims: even for bounded
-    * domains (category=8, payment=4) the global-window formulation would
-    * emit runtime single-partition WindowExec plans, and routing everything
-    * through [[withDenseKey]] keeps ONE key-assignment code path with no
-    * scale caveats.
+    * Two paths, chosen by a DOMAIN bound, not a row-count guess:
+    * [[dimFromBounded]] when the value domain is capped by construction
+    * (the validation allowlist), [[dimFromScalable]] (range+zipWithIndex,
+    * no WindowExec) when cardinality grows with the data.
     */
   def dimFrom(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
     dimFromScalable(valid, natCol, keyName, nameCol)
+
+  /** Bounded-domain fast path (VERDICT r3 #9): when the dim's domain is
+    * capped BY CONSTRUCTION — validation restricts the column to a fixed
+    * allowlist — the distinct set is ≤ `cap` values, so it collects to the
+    * driver and ranks there: one partial-aggregated distinct job instead of
+    * the three jobs (range sample + offsets + emit) of the zipWithIndex
+    * path, and the resulting dim is a LocalTableScan that broadcasts for
+    * free into the fact build. The cap is enforced, not assumed: domain
+    * growth past it throws rather than silently funneling an unbounded
+    * column through the driver. ASCII natural keys sort identically under
+    * JVM string order, Spark UTF8String order, and DuckDB's binary
+    * collation, so the ranks match the oracle's ROW_NUMBER.
+    */
+  def dimFromBounded(valid: DataFrame, natCol: String, keyName: String,
+                     nameCol: String, cap: Int): DataFrame = {
+    val spark = valid.sparkSession
+    import spark.implicits._
+    val vals = valid.select(col(natCol).cast("string")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    require(vals.length <= cap,
+      s"dimFromBounded($natCol): domain exceeds cap=$cap — use dimFromScalable")
+    vals.sorted.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toSeq
+      .toDF(keyName, nameCol)
+  }
 
   /** Dense surrogate keys at scale: prepend `keyName` = the row's 1-based
     * global rank in `orderCol` order WITHOUT a global single-partition
@@ -189,14 +213,18 @@ object TxnPipeline {
   def dimFromScalable(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
     withDenseKey(valid.select(col(natCol).as(nameCol)).distinct(), keyName, nameCol)
 
+  /** Category/payment pass validation only if they are IN the allowlist —
+    * the domain bound the fast path's cap enforces. */
   def dimCategory(valid: DataFrame): DataFrame =
-    dimFrom(valid, "category", "category_key", "category_name")
+    dimFromBounded(valid, "category", "category_key", "category_name",
+      cap = AllowedCategories.size)
   /** Merchant cardinality grows linearly with data size (the reference's own
     * sample has 8.6k merchants per 10k rows) — scale path by default. */
   def dimMerchant(valid: DataFrame): DataFrame =
     dimFromScalable(valid, "merchant", "merchant_key", "merchant_name")
   def dimPayment(valid: DataFrame): DataFrame =
-    dimFrom(valid, "payment_method", "payment_method_key", "payment_method_name")
+    dimFromBounded(valid, "payment_method", "payment_method_key", "payment_method_name",
+      cap = AllowedPayments.size)
   /** User dim is unbounded for the same reason — scale path by default. */
   def dimUser(valid: DataFrame): DataFrame =
     dimFromScalable(valid, "user_id", "user_key", "user_id")
