@@ -104,6 +104,116 @@ object JdbcWarehouse {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Expected catalog shape of one table: column names in ordinal order,
+    * primary-key columns, and foreign keys as fkColumn → (refTable, refColumn).
+    */
+  final case class TableSpec(columns: Seq[String], pk: Seq[String] = Nil,
+                             fks: Map[String, (String, String)] = Map.empty)
+
+  /** Catalog verification result: `problems` is empty iff the observed
+    * catalog matches every expectation; `indexes` reports the observed
+    * index names per table (informational, like the reference's section 6).
+    */
+  final case class CatalogCheck(ok: Boolean, problems: Seq[String],
+                                indexes: Map[String, Seq[String]])
+
+  /** Catalog-level schema introspection — the reference's
+    * sql/verify_schema.sql:19-301 (table existence, column structure,
+    * primary keys, foreign keys, indexes) re-expressed over JDBC
+    * `DatabaseMetaData`, which is the portable form of those
+    * information_schema/pg_catalog queries: identical code verifies the
+    * embedded-Derby test target and a production PostgreSQL. Identifiers
+    * compare case-insensitively (Derby upper-cases, PostgreSQL lower-cases).
+    * Semantic constraint checks (orphan keys, uniqueness of the data
+    * itself) live in [[StarIntegrity]]; this checks the CATALOG.
+    */
+  def verifyCatalog(url: String, expected: Map[String, TableSpec]): CatalogCheck = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      def norm(s: String) = Option(s).map(_.toUpperCase).orNull
+      val problems = Seq.newBuilder[String]
+      val indexes = Map.newBuilder[String, Seq[String]]
+      expected.foreach { case (table, spec) =>
+        val t = norm(table)
+        val rsT = md.getTables(null, null, t, Array("TABLE"))
+        val exists = try rsT.next() finally rsT.close()
+        if (!exists) problems += s"missing table $table"
+        else {
+          // section 3 — column structure, in ordinal order
+          val rsC = md.getColumns(null, null, t, null)
+          val cols = try {
+            Iterator.continually(rsC)
+              .takeWhile(_.next())
+              .map(r => (r.getInt("ORDINAL_POSITION"), r.getString("COLUMN_NAME")))
+              .toSeq.sortBy(_._1).map(_._2)
+          } finally rsC.close()
+          if (cols.map(norm) != spec.columns.map(norm))
+            problems += s"$table columns ${cols.mkString(",")} != expected ${spec.columns.mkString(",")}"
+          // section 4 — primary key
+          val rsP = md.getPrimaryKeys(null, null, t)
+          val pk = try {
+            Iterator.continually(rsP).takeWhile(_.next())
+              .map(r => (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME")))
+              .toSeq.sortBy(_._1).map(_._2)
+          } finally rsP.close()
+          if (pk.map(norm) != spec.pk.map(norm))
+            problems += s"$table primary key ${pk.mkString(",")} != expected ${spec.pk.mkString(",")}"
+          // section 5 — foreign keys (fkColumn → referenced table.column)
+          val rsF = md.getImportedKeys(null, null, t)
+          val fks = try {
+            Iterator.continually(rsF).takeWhile(_.next())
+              .map(r => norm(r.getString("FKCOLUMN_NAME")) ->
+                (norm(r.getString("PKTABLE_NAME")), norm(r.getString("PKCOLUMN_NAME"))))
+              .toMap
+          } finally rsF.close()
+          spec.fks.foreach { case (fkCol, (refT, refC)) =>
+            fks.get(norm(fkCol)) match {
+              case Some((obsT, obsC)) if obsT == norm(refT) && obsC == norm(refC) => ()
+              case other =>
+                problems += s"$table.$fkCol foreign key $other != expected ($refT.$refC)"
+            }
+          }
+          // section 6 — indexes (observed; PK/FK backing indexes included)
+          val rsI = md.getIndexInfo(null, null, t, false, true)
+          val idx = try {
+            Iterator.continually(rsI).takeWhile(_.next())
+              .flatMap(r => Option(r.getString("INDEX_NAME"))).toSeq.distinct
+          } finally rsI.close()
+          indexes += table -> idx
+          if (spec.pk.nonEmpty && idx.isEmpty)
+            problems += s"$table has a primary key but no backing index"
+        }
+      }
+      val ps = problems.result()
+      CatalogCheck(ps.isEmpty, ps, indexes.result())
+    } finally conn.close()
+  }
+
+  /** The star schema's expected catalog (reference sql/schema.sql): 1 fact
+    * + 5 dims, surrogate PKs, all five fact FKs.
+    */
+  val StarCatalog: Map[String, TableSpec] = Map(
+    "dim_date" -> TableSpec(
+      Seq("date_key", "date", "year", "quarter", "month", "day", "month_name",
+        "day_name", "day_of_week", "week_of_year", "is_weekend"),
+      pk = Seq("date_key")),
+    "dim_category" -> TableSpec(Seq("category_key", "category_name"), pk = Seq("category_key")),
+    "dim_merchant" -> TableSpec(Seq("merchant_key", "merchant_name"), pk = Seq("merchant_key")),
+    "dim_payment_method" -> TableSpec(
+      Seq("payment_method_key", "payment_method_name"), pk = Seq("payment_method_key")),
+    "dim_user" -> TableSpec(Seq("user_key", "user_id"), pk = Seq("user_key")),
+    "fact_transactions" -> TableSpec(
+      Seq("transaction_key", "transaction_id", "date_key", "category_key",
+        "merchant_key", "payment_method_key", "user_key", "amount"),
+      pk = Seq("transaction_key"),
+      fks = Map(
+        "date_key" -> ("dim_date", "date_key"),
+        "category_key" -> ("dim_category", "category_key"),
+        "merchant_key" -> ("dim_merchant", "merchant_key"),
+        "payment_method_key" -> ("dim_payment_method", "payment_method_key"),
+        "user_key" -> ("dim_user", "user_key"))))
+
   private def stageName(table: String): String = table + "_STAGE"
 
   private def exec(conn: Connection, sql: String): Unit = {

@@ -98,6 +98,42 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(readTable("dim_cat").count() == 1)
   }
 
+  test("catalog verification: star DDL passes, drift is reported (verify_schema.sql twin)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE dim_date (date_key INT PRIMARY KEY, "DATE" DATE, "YEAR" INT,
+           "QUARTER" INT, "MONTH" INT, "DAY" INT, month_name VARCHAR(16), day_name VARCHAR(16),
+           day_of_week INT, week_of_year INT, is_weekend BOOLEAN)""")
+      st.executeUpdate("CREATE TABLE dim_category (category_key INT PRIMARY KEY, category_name VARCHAR(64))")
+      st.executeUpdate("CREATE TABLE dim_merchant (merchant_key INT PRIMARY KEY, merchant_name VARCHAR(128))")
+      st.executeUpdate("CREATE TABLE dim_payment_method (payment_method_key INT PRIMARY KEY, payment_method_name VARCHAR(64))")
+      st.executeUpdate("CREATE TABLE dim_user (user_key INT PRIMARY KEY, user_id BIGINT)")
+      st.executeUpdate(
+        """CREATE TABLE fact_transactions (
+           transaction_key INT PRIMARY KEY, transaction_id VARCHAR(64),
+           date_key INT REFERENCES dim_date(date_key),
+           category_key INT REFERENCES dim_category(category_key),
+           merchant_key INT REFERENCES dim_merchant(merchant_key),
+           payment_method_key INT REFERENCES dim_payment_method(payment_method_key),
+           user_key INT REFERENCES dim_user(user_key),
+           amount DOUBLE)""")
+      st.close()
+    } finally conn.close()
+    val check = JdbcWarehouse.verifyCatalog(url, JdbcWarehouse.StarCatalog)
+    assert(check.ok, s"catalog drift: ${check.problems.mkString("; ")}")
+    assert(check.indexes("fact_transactions").nonEmpty, "PK must have a backing index")
+    // drift detection: a wrong expectation must be reported, not ignored
+    val drift = JdbcWarehouse.verifyCatalog(url, Map(
+      "dim_user" -> JdbcWarehouse.TableSpec(Seq("user_key", "user_id", "ghost_col"),
+        pk = Seq("user_key")),
+      "dim_ghost" -> JdbcWarehouse.TableSpec(Seq("x"))))
+    assert(!drift.ok)
+    assert(drift.problems.exists(_.contains("dim_user")))
+    assert(drift.problems.exists(_.contains("missing table dim_ghost")))
+  }
+
   test("failed publish rolls back ALL targets to the previous snapshot") {
     // duplicate PKs in the staged txns make the INSERT..SELECT violate the
     // target's primary key inside the swap transaction
