@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.GraftSession
-import graft.etl.{CsvExtract, TxnPipeline}
+import graft.etl.{CsvExtract, EtlConfig, PhaseLog, TxnPipeline}
 import graft.warehouse.ParquetWarehouse
 
 /** EP1 — the batch pipeline CLI (reference src/etl_pipeline.py:475-658):
@@ -12,6 +12,12 @@ import graft.warehouse.ParquetWarehouse
   * Modes mirror the reference: full ETL, --dry-run (skip the load),
   * --validate-only (extract + transform validation report, no star build).
   * Exit codes: 0 success, 1 failure (130 on interrupt is JVM default).
+  *
+  * Operational surface from the environment ([[graft.etl.EtlConfig]]):
+  * LOG_LEVEL/LOG_FILE drive the per-phase structured log
+  * ([[graft.etl.PhaseLog]], stderr + optional file — stdout stays the
+  * machine-readable report lines); MAX_DB_RETRIES/RETRY_DELAY bound the
+  * publish retry loop.
   */
 object EtlPipeline {
 
@@ -35,42 +41,51 @@ object EtlPipeline {
   def main(argv: Array[String]): Unit = {
     val args = parse(argv)
     require(args.source.nonEmpty, "--source <csv> is required")
+    val cfg = EtlConfig.fromEnv()
+    val log = new PhaseLog("etl_pipeline",
+      if (args.verbose) "DEBUG" else cfg.logLevel, cfg.logFile)
     val spark = GraftSession.getOrCreate()
     val t0 = System.nanoTime()
     def elapsed = f"${(System.nanoTime() - t0) / 1e9}%.2f s"
     try {
-      // Extract
-      val raw = CsvExtract.extract(spark, args.source)
-      val structure = CsvExtract.validateStructure(raw)
-      println(s"[extract] ${structure.rowCount} rows, " +
-        s"extra=${structure.extraColumns.mkString(",")}, allNull=${structure.allNullRows} ($elapsed)")
-      if (args.verbose) CsvExtract.nullProfile(raw).show(20, truncate = false)
-
-      // Transform
-      val flags = TxnPipeline.withFlags(
-        TxnPipeline.standardize(TxnPipeline.dedupKeepFirst(raw)))
-      val valid = TxnPipeline.validTxns(flags)
-      val nValid = valid.count()
-      println(s"[transform] $nValid valid rows ($elapsed)")
-      if (args.validateOnly) {
-        println(s"[done] validate-only, exit 0 ($elapsed)"); return
+      val raw = log.phase("extract") {
+        val raw = CsvExtract.extract(spark, args.source)
+        val structure = CsvExtract.validateStructure(raw)
+        println(s"[extract] ${structure.rowCount} rows, " +
+          s"extra=${structure.extraColumns.mkString(",")}, allNull=${structure.allNullRows} ($elapsed)")
+        if (args.verbose) CsvExtract.nullProfile(raw).show(20, truncate = false)
+        raw
       }
 
-      // Star build
+      val proceed = log.phase("transform") {
+        val flags = TxnPipeline.withFlags(
+          TxnPipeline.standardize(TxnPipeline.dedupKeepFirst(raw)))
+        val valid = TxnPipeline.validTxns(flags)
+        val nValid = valid.count()
+        println(s"[transform] $nValid valid rows ($elapsed)")
+        !args.validateOnly
+      }
+      if (!proceed) { println(s"[done] validate-only, exit 0 ($elapsed)"); return }
+
       val star = TxnPipeline.buildStar(raw) - "valid"
       if (args.dryRun) {
         star.foreach { case (n, df) => println(s"[dry-run] $n: ${df.count()} rows") }
         println(s"[done] dry-run, no load ($elapsed)"); return
       }
       require(args.warehouse.nonEmpty, "--warehouse <dir> is required unless --dry-run")
-      val version = ParquetWarehouse.publishSnapshot(args.warehouse, star)
-      val pf = ParquetWarehouse.preFlight(spark, args.warehouse, star.keys.toSeq)
-      println(s"[load] published $version: ${pf.rowCounts.toSeq.sortBy(_._1)
-        .map { case (t, n) => s"$t=$n" }.mkString(", ")} ($elapsed)")
-      if (!pf.ok) { pf.problems.foreach(p => System.err.println(s"[load] $p")); sys.exit(1) }
+      log.phase("load") {
+        val version = EtlConfig.withRetries(cfg.maxDbRetries, cfg.retryDelaySec, log.warning) {
+          ParquetWarehouse.publishSnapshot(args.warehouse, star)
+        }
+        val pf = ParquetWarehouse.preFlight(spark, args.warehouse, star.keys.toSeq)
+        println(s"[load] published $version: ${pf.rowCounts.toSeq.sortBy(_._1)
+          .map { case (t, n) => s"$t=$n" }.mkString(", ")} ($elapsed)")
+        if (!pf.ok) { pf.problems.foreach(p => System.err.println(s"[load] $p")); sys.exit(1) }
+      }
       println(s"[done] exit 0 ($elapsed)")
     } catch {
       case e: Exception =>
+        log.error(s"pipeline failed: ${e.getMessage}")
         System.err.println(s"[failed] ${e.getMessage} ($elapsed)")
         sys.exit(1)
     } finally spark.stop()
