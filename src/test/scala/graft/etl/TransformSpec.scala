@@ -210,6 +210,21 @@ class TransformSpec extends SparkSpec {
     assert(window == scalable)
   }
 
+  test("bounded dim builder matches the scalable path and ENFORCES its cap") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val valid = TxnPipeline.cleanValid(DirtyTxns(orders))
+    val bounded = TxnPipeline.dimCategory(valid).orderBy("category_key").collect().toSeq
+    val scalable = TxnPipeline.dimFromScalable(valid, "category", "category_key", "category_name")
+      .orderBy("category_key").collect().toSeq
+    assert(bounded == scalable, "bounded and scalable key paths must agree row-for-row")
+    // the cap is a contract, not a hint: an unbounded column through the
+    // bounded path must throw, never silently collect the domain
+    val e = intercept[IllegalArgumentException] {
+      TxnPipeline.dimFromBounded(valid, "merchant", "merchant_key", "merchant_name", cap = 3)
+    }
+    assert(e.getMessage.contains("exceeds cap"))
+  }
+
   test("withDenseKey ranks multi-partition input 1..N in order-column order, off a single partition") {
     val df = spark.range(0, 1000).toDF("n")
       .select(concat(lit("T"), format_string("%04d", col("n"))).as("transaction_id"),

@@ -54,6 +54,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
   }
 
+  test("per-mille rates keep a nonzero fraction; out-of-range rates throw (ADVICE r3)") {
+    // 0.004 × 65536 buckets ≈ 262 — far from the 256-bucket floor that
+    // silently kept nothing below ~0.2%; 20k ids make expected≈80, and the
+    // md5 bucketing is deterministic so this is a fixed, not flaky, count
+    val ids = spark.range(0, 20000).toDF("doc_id")
+    val kept = Sampling.hashSample(ids, "doc_id", 0.004).count()
+    assert(kept > 0, "sub-percent rate must not quantize to zero")
+    assert(kept < 1000, s"rate 0.004 kept $kept of 20000")
+    assertThrows[IllegalArgumentException] { Sampling.hashSample(ids, "doc_id", -0.1).count() }
+    assertThrows[IllegalArgumentException] { Sampling.hashSample(ids, "doc_id", 1.5).count() }
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.9), 0.1)
     val byLang = sampled.groupBy("lang").count().collect()

@@ -66,4 +66,20 @@ class TopKPerGroupSpec extends SparkSpec {
     }
     assert(bad.isEmpty)
   }
+
+  test("reserved column collisions are rejected, and rankCol is configurable (ADVICE r3)") {
+    // an input that already carries the output rank name would be silently
+    // overwritten by withColumn — must throw instead
+    val withRank = spend.withColumn("rank", col("total"))
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup.topKPerGroup(withRank, Seq("o_orderpriority"), "o_custkey",
+        Seq(col("total").desc, col("o_custkey").asc), 3)
+    }
+    assert(e.getMessage.contains("rank"))
+    // same data ranks fine under a caller-chosen output column
+    val renamed = TopKPerGroup.topKPerGroup(withRank, Seq("o_orderpriority"), "o_custkey",
+      Seq(col("total").desc, col("o_custkey").asc), 3, rankCol = "topk_rank")
+    assert(renamed.columns.contains("topk_rank") && renamed.columns.count(_ == "rank") == 1)
+    assert(renamed.filter(col("topk_rank") <= 3).count() == renamed.count())
+  }
 }
