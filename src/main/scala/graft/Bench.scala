@@ -60,12 +60,23 @@ object Bench {
       }
       d.name -> (if (times.size == reps) Some(median(times)) else None)
     }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Key order matters operationally: the driver archives only the LAST 2 kB
+    // of stdout, and with 70+ queries the line exceeds that — so the headline
+    // metric/value/unit go LAST to survive the tail truncation (every
+    // BENCH_r{1..4}.json lost them at the front of the line).
+    val line =
+      f"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${qs.count(_ == ':')},"metric":"total","value":$total%.2f,"unit":"sec"}"""
+    println(line)
+    // Full, untruncated copy for the repo (the stdout tail is lossy).
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_last.json: ${e.getMessage}") }
     spark.stop()
   }
 }
