@@ -371,6 +371,27 @@ object EtlQueries {
       .orderBy("transaction_id")
   }
 
+  private val fixtureJsonl = "/root/repo/fixtures/documents_a.jsonl"
+
+  // c03 — JSONL document ingestion (the corpus interchange format) with an
+  // EXPLICIT schema (no inference scan), missing-field tolerance (lang →
+  // 'und', absent meta/url → null), extra-field tolerance (doc 9006 carries
+  // an unlisted "score"), nested-provenance flattening, and the derived
+  // length fields. Oracle reads the same file with DuckDB's read_json under
+  // an identical explicit column spec.
+  private val c03 = q("c03_jsonl_extract",
+    s"""SELECT doc_id, text, coalesce(lang, 'und') AS lang, source,
+          meta.url AS url, meta.crawl AS crawl,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
+        FROM read_json('$fixtureJsonl', format='newline_delimited',
+             columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+                      source: 'VARCHAR', meta: 'STRUCT(url VARCHAR, crawl VARCHAR)'})
+        ORDER BY doc_id""") { t =>
+    JsonlExtract.normalizeDocuments(JsonlExtract.readDocuments(t.spark, fixtureJsonl))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, c01, c02)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, c01, c02, c03)
 }

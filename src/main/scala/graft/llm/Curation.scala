@@ -39,6 +39,32 @@ object Curation {
       .select("doc_id", "text", "quality", "predicted_lang")
   }
 
+  /** Quantile-based quality filtering: keep documents whose quality score is
+    * at or above their language's q-th quantile — "drop the worst 25% per
+    * language" instead of a fixed global floor, so a language whose score
+    * distribution sits lower isn't wiped out by one absolute constant (the
+    * per-language-adaptive cousin of [[curate]]'s `minQuality`).
+    *
+    * Scale shape: scoring is the one fused narrow pass
+    * ([[TextAnalysis.scoreDocuments]]); the per-language thresholds are a
+    * groupBy over (lang, quality) pairs whose EXACT percentile buffer is
+    * bounded by distinct quality values per language (fine here — scores
+    * are small rationals; an unbounded-domain corpus would switch the
+    * aggregate to `approx_percentile`, same plan shape); the threshold
+    * frame is |languages| rows and BROADCASTS back onto the scored stream,
+    * so the corpus is scanned once and shuffled never (score partials
+    * excepted).
+    */
+  def quantileQualityFilter(docs: DataFrame, quantile: Double = 0.25): DataFrame = {
+    require(quantile >= 0.0 && quantile <= 1.0, s"quantile $quantile outside [0, 1]")
+    val scored = TextAnalysis.scoreDocuments(docs)
+    val thresholds = scored.groupBy("predicted_lang")
+      .agg(percentile(col("quality"), lit(quantile)).as("q_threshold"))
+    scored.join(broadcast(thresholds), Seq("predicted_lang"))
+      .filter(col("quality") >= col("q_threshold"))
+      .select("doc_id", "predicted_lang", "quality", "q_threshold")
+  }
+
   /** The full training-corpus build: benchmark decontamination → curation
     * (near-dup removal + quality floor + language filter) → deterministic
     * train/val/test assignment. One DataFrame program composing five

@@ -55,6 +55,21 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         graft.functions.MinhashFns.minhashSig(col("sh"), MinhashBands * MinhashRows).as("sig"))
 
+  /** (doc_id, band, band_hash) bucket rows for a signature frame — each
+    * document lands in [[MinhashBands]] buckets keyed by the hash of its
+    * band slice. Narrow map; shared by the same-corpus pair expansion and
+    * the cross-corpus bucket join.
+    */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bands = (0 until MinhashBands).map { b =>
+      val slice = (0 until MinhashRows).map(r => element_at(col("sig"), b * MinhashRows + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
   /** Banded LSH candidate pairs: explode each signature into (band,
     * band_hash) buckets, ONE shuffle groups ids per bucket, and pairs are
     * expanded inside each bucket (a self-join would evaluate the whole
@@ -63,14 +78,7 @@ object Dedup {
     * giant bucket) would show up here and is the place to salt or cap.
     */
   def candidatePairs(sigs: DataFrame): DataFrame = {
-    val bands = (0 until MinhashBands).map { b =>
-      val slice = (0 until MinhashRows).map(r => element_at(col("sig"), b * MinhashRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("band_hash"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-    buckets.groupBy("band", "band_hash")
+    bandBuckets(sigs).groupBy("band", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -128,6 +136,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), TextFns.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     (result, () => { cands.unpersist(); () })
+  }
+
+  /** Cross-corpus near-dup detection — the INCREMENTAL-INGEST dedup: find
+    * documents in a NEW batch that are near-duplicates (shingle Jaccard ≥
+    * `threshold`) of some document already in an EXISTING corpus, so each
+    * crawl/batch can be cleaned against everything ingested before it
+    * without re-deduplicating the corpus itself. Exact duplicates are the
+    * j = 1.0 special case, so one pass covers both tiers.
+    *
+    * Scale shape: signatures are narrow maps on both sides; the only wide
+    * operation is the equi-join of the two (band, band_hash) bucket frames
+    * (the corpus side can be a PRECOMPUTED, stored bucket table — at 100 TB
+    * you index the corpus once and join each incoming batch against it);
+    * verification joins shingle arrays only for candidate ids (semi-join
+    * restriction), and with a batch that is orders of magnitude smaller
+    * than the corpus, AQE broadcasts the batch's bucket side. Returns
+    * verified (new_id, corpus_id, jaccard) matches + a cache-release
+    * handle.
+    */
+  def crossNearDupPairsWithCleanup(newDocs: DataFrame, corpus: DataFrame,
+                                   threshold: Double = 0.8,
+                                   shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def shingled(docs: DataFrame) = docs
+      .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
+      .persist(mad)
+    val shNew = shingled(newDocs)
+    val shCorpus = shingled(corpus)
+    val cands = bandBuckets(signatureFromShingles(shNew))
+      .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
+      .join(
+        bandBuckets(signatureFromShingles(shCorpus))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("new_id", "corpus_id")
+      .distinct()
+      .persist(mad)
+    val shN = shNew.join(cands.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shC = shCorpus.join(cands.select(col("corpus_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val result = cands
+      .join(shN.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(shC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        TextFns.jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (result, () => { cands.unpersist(); shNew.unpersist(); shCorpus.unpersist(); () })
+  }
+
+  /** [[crossNearDupPairsWithCleanup]] convenience form. */
+  def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                        threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
+    crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)._1
+
+  /** Apply [[crossNearDupPairsWithCleanup]] as a filter: the new batch minus
+    * anything near-duplicating the existing corpus — what actually gets
+    * appended on each incremental ingest. Caches are released after the
+    * anti-join's matched-id side is materialized.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val (pairs, release) = crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)
+    val matched = pairs.select(col("new_id").as("doc_id")).distinct().localCheckpoint(true)
+    release()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
   }
 
   /** Near-dup CLUSTERS from the verified pair set: connected components by

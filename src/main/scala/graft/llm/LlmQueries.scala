@@ -711,8 +711,127 @@ object LlmQueries {
     }
   }
 
+  // d08 — INCREMENTAL-INGEST dedup: near-dup matches of a NEW batch
+  // (doc_id % 3 = 0) against the EXISTING corpus (doc_id % 3 ≠ 0) — the
+  // cross-corpus variant that cleans each incoming crawl against everything
+  // ingested before it without re-deduplicating the corpus. The oracle
+  // computes ALL qualifying cross pairs by sparse shingle equi-join, so a
+  // hash match proves the banded cross-LSH missed nothing.
+  private val d08 = q("d08_incremental_dedup", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        n AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
+        c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 <> 0),
+        cn AS (SELECT doc_id, COUNT(*) AS k FROM n GROUP BY doc_id),
+        cc AS (SELECT doc_id, COUNT(*) AS k FROM c GROUP BY doc_id),
+        inter AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS i
+          FROM n JOIN c ON n.shingle = c.shingle
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT new_id, corpus_id,
+                 CAST(i AS DOUBLE) / CAST(cn.k + cc.k - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN cn ON new_id = cn.doc_id
+          JOIN cc ON corpus_id = cc.doc_id)
+        SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.8
+        ORDER BY new_id, corpus_id""")) { t =>
+    val (pairs, release) = Dedup.crossNearDupPairsWithCleanup(
+      t.documents.filter(col("doc_id") % 3 === 0),
+      t.documents.filter(col("doc_id") % 3 =!= 0),
+      threshold = 0.8)
+    try pairs.orderBy("new_id", "corpus_id").localCheckpoint(true)
+    finally release()
+  }
+
+  // s04 — symmetric int8 quantization of the embedding column (the 4×
+  // storage compression a 100 TB vector corpus applies before scan). The
+  // quantized values THEMSELVES are emitted row-per-element and
+  // hash-checked — rounding is written as floor(x·scale + 0.5) so both
+  // engines evaluate the identical double expression.
+  private val s04 = q("s04_embedding_quantize", Some(
+    """WITH m AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+         FROM embeddings),
+       u AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+                unnest(embedding) AS x,
+                CASE WHEN mx <> 0 THEN 127.0 / mx END AS scale
+         FROM m)
+       SELECT vec_id, CAST(idx AS INT) AS idx,
+              CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS q
+       FROM u ORDER BY vec_id, idx""")) { t =>
+    Similarity.quantizeInt8(t.embeddings).orderBy("vec_id", "idx")
+  }
+
+  // x14 — SEQUENCE PACKING: lay documents end-to-end in deterministic
+  // (hash-bucket, doc_id) order and cut the token stream into 512-token
+  // bins — each document gets its training-sequence id and starting offset.
+  // The global prefix goes through the distributed PrefixSum operator; the
+  // oracle is the single-partition window formulation it replaces.
+  private val x14 = {
+    val b = Sampling.sqlHashBucket("doc_id", "pack")
+    q("x14_sequence_packing", Some(
+      s"""WITH s AS (SELECT doc_id, $b AS bucket,
+                 CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
+               FROM documents),
+          r AS (SELECT *, SUM(n_tokens) OVER (
+                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 12, '0')
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix FROM s)
+          SELECT doc_id, n_tokens,
+                 CAST(prefix // 512 AS BIGINT) AS bin_id,
+                 CAST(prefix % 512 AS BIGINT) AS bin_offset
+          FROM r ORDER BY doc_id""")) { t =>
+      Packing.packGreedy(t.documents, binTokens = 512L).orderBy("doc_id")
+    }
+  }
+
+  // x15 — QUANTILE-BASED quality filtering: keep documents at or above
+  // their language's 25th quality percentile ("drop the worst quarter per
+  // language") — the per-language-adaptive form of p01's fixed floor. The
+  // oracle recomputes quality + lang argmax and DuckDB's quantile_cont,
+  // which interpolates with the same lower+(upper−lower)·frac formula as
+  // Spark's exact percentile.
+  private val x15 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("x15_quality_quantile_filter", Some(
+      s"""WITH base AS (SELECT doc_id, len(text) AS n_chars,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+          m AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                   CAST(len(w) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                   CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                   CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles,
+                   $langHitsSql
+                FROM base),
+          scored AS (
+            SELECT doc_id,
+                   (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                    + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CASE WHEN n_tokens > 2
+                           THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                           ELSE 0.0 END) / 4.0 AS quality,
+                   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM m),
+          thresholds AS (
+            SELECT predicted_lang, quantile_cont(quality, 0.25) AS q_threshold
+            FROM scored GROUP BY predicted_lang)
+          SELECT s.doc_id, s.predicted_lang, s.quality, t.q_threshold
+          FROM scored s JOIN thresholds t USING (predicted_lang)
+          WHERE s.quality >= t.q_threshold
+          ORDER BY s.doc_id""")) { t =>
+      Curation.quantileQualityFilter(t.documents, quantile = 0.25).orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, p01, p02)
 }

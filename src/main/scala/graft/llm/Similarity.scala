@@ -124,6 +124,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage-compression step a 100 TB vector corpus applies before
+    * brute-force or IVF scan (int8 dot products are also the SIMD-friendly
+    * kernel). Per vector: `scale = 127 / max|v_i|`, `q_i = ⌊v_i·scale + 0.5⌋`
+    * (round-half-up written as floor so Spark and DuckDB evaluate the
+    * IDENTICAL double expression — their `round()` builtins disagree on
+    * tie-breaking). Emits one row per (vec_id, idx) so the quantized values
+    * themselves are hash-checkable; [[quantizeInt8Packed]] keeps the array
+    * shape for storage. Pure narrow map, zero shuffle.
+    */
+  /** Per-vector quantization scale; null for the all-zero vector (whose
+    * quantized form is then all-null, consistently in both engines, rather
+    * than an engine-dependent 0·∞ = NaN).
+    */
+  private def int8Scale: Column = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    when(mx =!= 0.0, lit(127.0) / mx)
+  }
+
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), int8Scale.as("scale"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx"),
+        floor(col("x").cast("double") * col("scale") + lit(0.5)).cast("int").as("q"))
+
+  /** Array-shaped [[quantizeInt8]]: (vec_id, scale, q[]) — what a parquet
+    * vector store would persist (q as tinyint-range ints + one float scale
+    * to dequantize: v_i ≈ q_i / scale).
+    */
+  def quantizeInt8Packed(embeddings: DataFrame): DataFrame = {
+    val scale = int8Scale
+    embeddings.select(col("vec_id"), scale.as("scale"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+  }
+
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.
   val IvfCells = 32
   val IvfProbes = 4
