@@ -377,16 +377,21 @@ object EtlQueries {
   // EXPLICIT schema (no inference scan), missing-field tolerance (lang →
   // 'und', absent meta/url → null), extra-field tolerance (doc 9006 carries
   // an unlisted "score"), nested-provenance flattening, and the derived
-  // length fields. Oracle reads the same file with DuckDB's read_json under
-  // an identical explicit column spec.
+  // length fields. The fixture also carries a malformed (truncated) line
+  // and a well-formed line missing doc_id: the clean side excludes both
+  // (they land in corruptLines / rejectedLines — totality is spec-asserted
+  // in JsonlExtractSpec). Oracle reads the same file with DuckDB's
+  // read_json under an identical explicit column spec; ignore_errors skips
+  // the malformed line and the doc_id filter mirrors the key requirement.
   private val c03 = q("c03_jsonl_extract",
     s"""SELECT doc_id, text, coalesce(lang, 'und') AS lang, source,
           meta.url AS url, meta.crawl AS crawl,
           CAST(length(text) AS INT) AS n_chars,
           CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
-        FROM read_json('$fixtureJsonl', format='newline_delimited',
+        FROM read_json('$fixtureJsonl', format='newline_delimited', ignore_errors=true,
              columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
                       source: 'VARCHAR', meta: 'STRUCT(url VARCHAR, crawl VARCHAR)'})
+        WHERE doc_id IS NOT NULL
         ORDER BY doc_id""") { t =>
     JsonlExtract.normalizeDocuments(JsonlExtract.readDocuments(t.spark, fixtureJsonl))
       .orderBy("doc_id")

@@ -48,10 +48,12 @@ object JsonlExtract {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Ingestion + normalization: drop corrupt lines (counted upstream via
-    * [[corruptLines]]), default a missing language to 'und' (BCP-47
-    * undetermined), flatten provenance, and derive the length fields the
-    * curation stages key on. One narrow pass.
+  /** Ingestion + normalization: keep only fully-parsed lines that carry the
+    * required key (corrupt lines go to [[corruptLines]]; well-formed lines
+    * missing `doc_id` go to [[rejectedLines]] — the three outputs partition
+    * the input), default a missing language to 'und' (BCP-47 undetermined),
+    * flatten provenance, and derive the length fields the curation stages
+    * key on. One narrow pass.
     */
   def normalizeDocuments(raw: DataFrame): DataFrame =
     raw
@@ -66,14 +68,34 @@ object JsonlExtract {
         length(col("text")).as("n_chars"),
         size(graft.llm.TextFns.tokens(col("text"))).as("n_tokens"))
 
-  /** The quarantine side: raw malformed lines for profiling. The filter
-    * deliberately references `doc_id` too — Spark refuses a raw-file query
-    * whose required schema is ONLY the internal corrupt-record column
-    * (SPARK-21610), and on a corrupt row every schema field is null anyway,
-    * so the predicate is equivalent and keeps the scan legal without
-    * caching the whole input.
+  /** The quarantine side: raw malformed lines for profiling. The EFFECTIVE
+    * predicate is `_corrupt_record IS NOT NULL` alone — Spark 4 parses
+    * PERMISSIVE JSON with partial results
+    * (spark.sql.json.enablePartialResults), so a malformed line can still
+    * yield non-null schema fields (e.g. a parsed `doc_id` prefix before the
+    * truncation point); requiring them null would silently drop such rows
+    * from BOTH sides. The `doc_id IS NULL OR doc_id IS NOT NULL` conjunct is
+    * a tautology whose only job is to keep `doc_id` in the scan's required
+    * schema even when downstream pruning (e.g. a bare `count()`) drops the
+    * projection — Spark refuses a raw-file query whose required schema is
+    * ONLY the internal corrupt-record column (SPARK-21610). `doc_id` also
+    * rides along in the output so the profiler sees which partially-parsed
+    * key the broken line claimed.
     */
   def corruptLines(raw: DataFrame): DataFrame =
-    raw.filter(col("doc_id").isNull && col("_corrupt_record").isNotNull)
-      .select("_corrupt_record")
+    raw.filter(col("_corrupt_record").isNotNull &&
+        (col("doc_id").isNull || col("doc_id").isNotNull))
+      .select(col("doc_id"), col("_corrupt_record"))
+
+  /** The third bucket: lines that parse as valid JSON but lack the required
+    * `doc_id` key, so they can enter neither the clean corpus (no dedup /
+    * join identity) nor the corrupt quarantine (nothing is malformed).
+    * Totality contract: for any input,
+    * normalizeDocuments ∪ corruptLines ∪ rejectedLines covers every line
+    * exactly once (the three predicates are pairwise disjoint and exhaustive
+    * over (_corrupt_record null?, doc_id null?)).
+    */
+  def rejectedLines(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt_record").isNull && col("doc_id").isNull)
+      .select(col("text"), col("lang"), col("source"), col("meta"))
 }

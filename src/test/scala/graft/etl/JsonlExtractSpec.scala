@@ -32,9 +32,29 @@ class JsonlExtractSpec extends SparkSpec {
         """{"doc_id": 3, "text": "also good", "source": "t"}""" + "\n")
         .getBytes("UTF-8"))
     val raw = JsonlExtract.readDocuments(spark, p)
+    // Spark 4 partial-results parsing gives the truncated line a non-null
+    // doc_id (2) AND a populated _corrupt_record — it must still quarantine.
     assert(JsonlExtract.corruptLines(raw).count() == 1)
     val clean = JsonlExtract.normalizeDocuments(raw)
     assert(clean.count() == 2)
     assert(clean.filter(col("lang") === "und").count() == 1) // doc 3
+  }
+
+  test("clean ∪ quarantine ∪ rejects partitions every input line exactly once") {
+    val raw = JsonlExtract.readDocuments(spark, fixture)
+    val total = raw.count()
+    val clean = JsonlExtract.normalizeDocuments(raw).count()
+    val quarantined = JsonlExtract.corruptLines(raw).count()
+    val rejected = JsonlExtract.rejectedLines(raw).count()
+    assert(total == 12) // 10 good + 1 truncated + 1 well-formed-null-key
+    assert(clean == 10)
+    assert(quarantined == 1)
+    assert(rejected == 1)
+    assert(clean + quarantined + rejected == total)
+    // the quarantine keeps the raw line for profiling (doc_id rides along;
+    // whether it parsed depends on how the line broke — truncation → null,
+    // type-mismatch → partial result)
+    val bad = JsonlExtract.corruptLines(raw).collect()
+    assert(bad.head.getAs[String]("_corrupt_record").contains("9011"))
   }
 }
