@@ -28,26 +28,52 @@ import org.apache.spark.sql.functions._
   */
 object TopKPerGroup {
 
+  /** Fanout adapts to the input size: `fanout` is a CAP, and the effective
+    * bucket count is ceil(estimatedRows / targetPartitionRows), clamped to
+    * [1, fanout]. The estimate comes from Catalyst's propagated plan
+    * statistics (rowCount under CBO, else sizeInBytes / schema row width) —
+    * free, no extra count job. Small inputs (the sf0.1 gate, a post-agg
+    * frame of thousands of rows) collapse to the plain single-window form,
+    * avoiding two back-to-back window shuffles whose fixed overhead
+    * dominates below ~targetPartitionRows; at warehouse scale the estimate
+    * saturates the cap and the salted two-phase plan kicks in. Either path
+    * produces row-identical output (TopKPerGroupSpec asserts equality across
+    * forced fanouts).
+    */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], tieBreakCol: String,
                    order: Seq[Column], k: Int, fanout: Int = 64,
-                   rankCol: String = "rank"): DataFrame = {
-    require(k > 0 && fanout > 0)
+                   rankCol: String = "rank",
+                   targetPartitionRows: Long = 4L << 20): DataFrame = {
+    require(k > 0 && fanout > 0 && targetPartitionRows > 0)
     // withColumn silently REPLACES a same-named input column, so the output
     // rank column must not collide (caller picks another name), and the
     // phase-1 scratch column gets a name no input can contain (ADVICE r3)
     require(!df.columns.contains(rankCol),
       s"topKPerGroup: input already has a '$rankCol' column — pass a different rankCol")
-    val localRk = Iterator.from(0).map(i => s"__topk_rk$i")
-      .find(n => !df.columns.contains(n)).get
-    val salt = pmod(xxhash64(col(tieBreakCol)), lit(fanout)).cast("int")
+    val stats = df.queryExecution.optimizedPlan.stats
+    val estRows: Long = stats.rowCount.map(_.toLong).getOrElse {
+      val rowWidth = math.max(1, df.schema.defaultSize)
+      (stats.sizeInBytes / rowWidth).min(BigInt(Long.MaxValue)).toLong
+    }
+    val effFanout =
+      math.min(fanout.toLong, (estRows - 1) / targetPartitionRows + 1).max(1L).toInt
     val g = groupCols.map(col)
-    val local = df
-      .withColumn(localRk, row_number().over(
-        Window.partitionBy(g :+ salt: _*).orderBy(order: _*)))
-      .filter(col(localRk) <= k)
-      .drop(localRk)
-    local
-      .withColumn(rankCol, row_number().over(Window.partitionBy(g: _*).orderBy(order: _*)))
-      .filter(col(rankCol) <= k)
+    val globalRank =
+      row_number().over(Window.partitionBy(g: _*).orderBy(order: _*))
+    if (effFanout <= 1) {
+      df.withColumn(rankCol, globalRank).filter(col(rankCol) <= k)
+    } else {
+      val localRk = Iterator.from(0).map(i => s"__topk_rk$i")
+        .find(n => !df.columns.contains(n)).get
+      val salt = pmod(xxhash64(col(tieBreakCol)), lit(effFanout)).cast("int")
+      val local = df
+        .withColumn(localRk, row_number().over(
+          Window.partitionBy(g :+ salt: _*).orderBy(order: _*)))
+        .filter(col(localRk) <= k)
+        .drop(localRk)
+      local
+        .withColumn(rankCol, globalRank)
+        .filter(col(rankCol) <= k)
+    }
   }
 }

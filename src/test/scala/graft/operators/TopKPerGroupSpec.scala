@@ -23,8 +23,12 @@ class TopKPerGroupSpec extends SparkSpec {
 
   private def twoPhase(k: Int, fanout: Int, repartitioned: Boolean = false) = {
     val in = if (repartitioned) spend.repartition(13) else spend
+    // targetPartitionRows = 1 forces the effective fanout to the cap, so the
+    // salted two-phase path (not the small-input single-window collapse) is
+    // what these equality tests exercise
     TopKPerGroup.topKPerGroup(in, Seq("o_orderpriority"), "o_custkey",
-      Seq(col("total").desc, col("o_custkey").asc), k, fanout)
+      Seq(col("total").desc, col("o_custkey").asc), k, fanout,
+      targetPartitionRows = 1L)
       .select("o_orderpriority", "rank", "o_custkey", "total")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
   }
@@ -51,16 +55,32 @@ class TopKPerGroupSpec extends SparkSpec {
         .select("g", "rank", "id", "v")
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       val two = TopKPerGroup.topKPerGroup(df, Seq("g"), "id",
-        Seq(col("v").desc, col("id").asc), 5, fanout = 16)
+        Seq(col("v").desc, col("id").asc), 5, fanout = 16, targetPartitionRows = 1L)
         .select("g", "rank", "id", "v")
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       assert(two == direct, s"seed=$seed")
     }
   }
 
+  test("fanout adapts to input size: small input → one window, forced → two") {
+    def windows(targetPartitionRows: Long) =
+      TopKPerGroup.topKPerGroup(spend, Seq("o_orderpriority"), "o_custkey",
+        Seq(col("total").desc, col("o_custkey").asc), 3,
+        targetPartitionRows = targetPartitionRows)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+    // sf0.001's post-agg frame is far below the default 4M-row target:
+    // the adaptive path must collapse to a single window (no salt shuffle)
+    assert(windows(4L << 20).size == 1)
+    // a 1-row target saturates the cap: the salted two-phase plan engages
+    assert(windows(1L).size == 2)
+  }
+
   test("every window in the two-phase plan is partitioned") {
     val plan = TopKPerGroup.topKPerGroup(spend, Seq("o_orderpriority"), "o_custkey",
-      Seq(col("total").desc, col("o_custkey").asc), 3).queryExecution.sparkPlan
+      Seq(col("total").desc, col("o_custkey").asc), 3,
+      targetPartitionRows = 1L).queryExecution.sparkPlan
     val bad = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
     }
