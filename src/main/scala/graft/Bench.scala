@@ -69,14 +69,18 @@ object Bench {
     // of stdout, and with 70+ queries the line exceeds that — so the headline
     // metric/value/unit go LAST to survive the tail truncation (every
     // BENCH_r{1..4}.json lost them at the front of the line).
+    val nQueries = results.count(_._2.isDefined)
     val line =
-      f"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${qs.count(_ == ':')},"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
-    // Full, untruncated copy for the repo (the stdout tail is lossy).
+    // Full, untruncated copy for the repo (the stdout tail is lossy). The
+    // path is anchored (env-overridable), not CWD-relative — a run launched
+    // outside the repo root must not strand the archived copy elsewhere.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try {
-      val w = new java.io.PrintWriter("bench_last.json")
+      val w = new java.io.PrintWriter(benchOut)
       try w.println(line) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] bench_last.json: ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] $benchOut: ${e.getMessage}") }
     spark.stop()
   }
 }

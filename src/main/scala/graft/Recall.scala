@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   *     near-dup" regime ANN dedup runs in production.
   *
   * The synthetic embeddings are near-uniform (exact top-10 cosines sit at
-  * ~60° angles), the adversarial case for sub-linear search — so the
-  * default scale-tuned configs trade recall for a tiny candidate fraction,
-  * and the `*_highrecall` configs show the same code hitting ≥0.9 recall by
-  * probing a larger fraction. Both points on the curve are measured, which
-  * is the honest grading for an approximate tier.
+  * ~60° angles), the adversarial case for sub-linear search. The bare
+  * s02/s03 entries grade the REGISTERED def configs (high-recall: ≥0.9 by
+  * probing a larger fraction); the `*_lowcost` entries keep the scale-tuned
+  * low-fraction point on the curve measured. s05 grades the int8-quantized
+  * ranking against the float one. Both curve points measured every round is
+  * the honest grading for an approximate tier.
   *
   * Usage: runMain graft.Recall <sfDir> [outFile]
   * Prints one JSON line; writes it to outFile when given.
@@ -88,11 +89,30 @@ object Recall {
       else base)
     }
 
+    // int8-quantized brute force (s05): a compression path, not a pruning
+    // one — candidate fraction is 1.0 by construction; the graded number is
+    // how much ranking quality the 4× compression costs vs s01's float
+    // ranking (and whether the planted twin still lands at rank 1).
+    val quantEntry = {
+      val recall = Similarity.recallAtK(exact,
+        Similarity.bruteForceTopKQuantized(embs, pred, 10))
+      "s05_knn_quantized" -> Seq(
+        "recall_at_10" -> recall, "candidate_fraction" -> 1.0,
+        "twin_recall_at_1" -> twinRecall(
+          Similarity.bruteForceTopKQuantized(corpus, twinPred, 10)))
+    }
+
+    // entry names ending in _lowcost are the scale-posture defaults (tiny
+    // candidate fraction, low recall on this adversarial near-uniform
+    // corpus); the bare s02/s03 entries measure the REGISTERED def configs.
     val out = Seq(
-      lshEntry("s02_knn_lsh", Similarity.LshTables, Similarity.LshBits, twins = true),
-      lshEntry("s02_knn_lsh_highrecall", 48, 6, twins = false),
-      ivfEntry("s03_knn_ivf", Similarity.IvfProbes, twins = true),
-      ivfEntry("s03_knn_ivf_highrecall", 24, twins = false))
+      lshEntry("s02_knn_lsh",
+        Similarity.LshTablesRegistered, Similarity.LshBitsRegistered, twins = true),
+      lshEntry("s02_knn_lsh_lowcost", Similarity.LshTables, Similarity.LshBits,
+        twins = false),
+      ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered, twins = true),
+      ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes, twins = false),
+      quantEntry)
     embs.unpersist()
     out
   }

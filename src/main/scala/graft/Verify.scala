@@ -40,11 +40,19 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ANN quality artifact (VERDICT r3 #2): measured recall/cost for the
-    // approximate tier rides along with every full correctness dump.
+    // approximate tier rides along with every full correctness dump — both
+    // into outDir and to a repo-anchored copy (SPARK_GRAFT_RECALL_OUT) so
+    // the per-round artifact regenerates even though the driver only
+    // collects outDir parquet (VERDICT r5 #4: RECALL_r5 was never emitted
+    // because the outDir copy is ephemeral).
     if (only.isEmpty)
-      try Files.writeString(Paths.get(s"$outDir/recall.json"),
-        Recall.toJson(Recall.measure(spark, sfDir)) + "\n")
-      catch { case e: Throwable =>
+      try {
+        val json = Recall.toJson(Recall.measure(spark, sfDir)) + "\n"
+        Files.writeString(Paths.get(s"$outDir/recall.json"), json)
+        val anchored = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT",
+          "/root/repo/RECALL_last.json")
+        Files.writeString(Paths.get(anchored), json)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] recall report failed: ${e.getMessage}")
       }
     spark.stop()

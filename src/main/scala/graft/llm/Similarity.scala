@@ -71,6 +71,18 @@ object Similarity {
   val LshBits = 8
   val Dim = 64
 
+  // Registered-def configs (the s02/s03 gate entries): the synthetic
+  // embeddings are near-uniform — exact top-10 cosines sit at ~60° angles,
+  // the adversarial regime for sub-linear search — so hitting recall ≥0.9
+  // requires probing a large candidate fraction. Both points on the
+  // recall/cost curve are measured every round in the RECALL artifact
+  // (graft.Recall): these high-recall configs ARE the registered defs, and
+  // the low-cost defaults above remain the scale posture for real corpora
+  // (clustered data collides near neighbors at far smaller fractions).
+  val LshTablesRegistered = 48
+  val LshBitsRegistered = 6
+  val IvfProbesRegistered = 24
+
   /** Deterministic pseudo-random hyperplane components (no RNG state — a
     * splitmix-style integer mix keyed by (plane, dim), uniform in [-0.5,0.5];
     * sign projections only need symmetry, not gaussianity).
@@ -158,6 +170,43 @@ object Similarity {
     embeddings.select(col("vec_id"), scale.as("scale"),
       transform(col("embedding"),
         x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+  }
+
+  /** Exact-over-quantized brute-force top-k: the consumer of
+    * [[quantizeInt8Packed]]'s output — ranks by the cosine of the int8
+    * vectors. Per-vector scales cancel inside cosine (v ≈ q/s ⇒
+    * cos(v_a,v_b) ≈ q_a·q_b / (|q_a||q_b|)), so no dequantization happens in
+    * the hot loop: the kernel is a dot product of small-integer values — the
+    * form a SIMD int8 kernel (VNNI / dp4a) executes natively at warehouse
+    * scale. Here the integers ride as exactly-representable doubles through
+    * the same codegen'd [[graft.functions.VecDot]] loop (|q_i| ≤ 127, 64
+    * dims ⇒ every product and partial sum is exact in double — bit-identical
+    * to true integer arithmetic, and to the DuckDB oracle). Search quality
+    * vs the float ranking is measured per-round in the RECALL artifact
+    * (recall@10 of s05 vs s01).
+    *
+    * The all-zero vector quantizes to all-null (null scale, see
+    * [[quantizeInt8]]); its cosine is null and it ranks last, exactly as a
+    * zero float vector does in [[bruteForceTopK]] (0/0 division).
+    */
+  def bruteForceTopKQuantized(embeddings: DataFrame, queryPred: Column,
+                              k: Int = 10): DataFrame = {
+    // floor(x·scale + 0.5) kept in DOUBLE (not cast to int): floor is exact,
+    // and double-typed ints dot through VecDot with zero rounding
+    val packed = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * int8Scale + lit(0.5)).cast("double")).as("q"))
+    val q = packed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"))
+    val c = packed.select(col("vec_id").as("neighbor_id"), col("q").as("q_c"))
+    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_q"), col("q_c")).as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qcos")
   }
 
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.

@@ -50,6 +50,17 @@ class LlmSpec extends SparkSpec {
     assert(avgRand > maxNear + 4, s"no separation: near max $maxNear vs random mean $avgRand")
   }
 
+  test("int8-quantized ranking matches the float ranking (recall@10 ≥ 0.95)") {
+    // s05's contract: 4× compression must not change who your neighbors
+    // are. recall@10 of the quantized brute force vs the exact float one —
+    // the number graft.Recall grades per round; asserted as a floor here.
+    val pred = col("vec_id") % 100 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+    val quant = Similarity.bruteForceTopKQuantized(embs, pred, 10)
+    val r = Similarity.recallAtK(exact, quant)
+    assert(r >= 0.95, s"quantized recall@10 $r < 0.95")
+  }
+
   test("LSH ANN recovers planted near neighbors (cos≈0.999 twins)") {
     // The testdata embeddings have NO true near neighbors (max pairwise cos
     // ≈0.51, i.e. ~60° angles), so recall@10 against "nearest of nothing" is
