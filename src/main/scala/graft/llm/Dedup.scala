@@ -164,18 +164,32 @@ object Dedup {
       .persist(mad)
     val shNew = shingled(newDocs)
     val shCorpus = shingled(corpus)
+    val (result, releaseCore) = crossPairsCore(
+      shNew, bandBuckets(signatureFromShingles(shCorpus)), shCorpus, threshold)
+    (result, () => { releaseCore(); shNew.unpersist(); shCorpus.unpersist(); () })
+  }
+
+  /** The shared cross-dedup tail: candidates from the bucket equi-join,
+    * verification restricted to candidate ids. `shNew` is the new batch's
+    * (doc_id, sh) frame (persisted by the caller); the corpus arrives as its
+    * two index projections — computed inline by
+    * [[crossNearDupPairsWithCleanup]], or read from parquet by
+    * [[crossNearDupPairsAgainstIndexWithCleanup]].
+    */
+  private def crossPairsCore(shNew: DataFrame, corpusBuckets: DataFrame,
+                             corpusShingles: DataFrame,
+                             threshold: Double): (DataFrame, () => Unit) = {
     val cands = bandBuckets(signatureFromShingles(shNew))
       .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
-      .join(
-        bandBuckets(signatureFromShingles(shCorpus))
+      .join(corpusBuckets
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .select("new_id", "corpus_id")
       .distinct()
-      .persist(mad)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shN = shNew.join(cands.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
-    val shC = shCorpus.join(cands.select(col("corpus_id").as("doc_id")).distinct(),
+    val shC = corpusShingles.join(cands.select(col("corpus_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val result = cands
       .join(shN.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
@@ -183,13 +197,90 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"),
         TextFns.jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (result, () => { cands.unpersist(); shNew.unpersist(); shCorpus.unpersist(); () })
+    (result, () => { cands.unpersist(); () })
   }
 
-  /** [[crossNearDupPairsWithCleanup]] convenience form. */
+  /** [[crossNearDupPairsWithCleanup]] convenience form — eager + leak-free:
+    * the verified pair set is small by contract (near-dups of one batch),
+    * so it is materialized (localCheckpoint) and the pipeline caches
+    * released before returning (ADVICE r5: the previous lazy form leaked
+    * three persists, including the re-shingled full corpus).
+    */
   def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
-                        threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
-    crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)._1
+                        threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val (pairs, release) = crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)
+    try pairs.localCheckpoint(true) finally release()
+  }
+
+  /** PERSISTED corpus dedup index — the 100 TB incremental-ingest shape the
+    * cross-dedup scaladoc promises: index the corpus ONCE, then join each
+    * incoming batch against the stored index instead of re-shingling and
+    * re-signing the (orders-of-magnitude larger) corpus per batch. Mirrors
+    * the reference's incremental pattern of reading existing warehouse keys
+    * rather than recomputing them (/root/reference/src/load.py:534-582).
+    *
+    * Layout under `path`: two parquet tables,
+    *   - `buckets`:  (doc_id, band, band_hash) — the LSH join side; at
+    *     warehouse scale this is the frame you'd additionally bucket/sort by
+    *     band_hash so the per-batch join shuffles only the batch side;
+    *   - `shingles`: (doc_id, sh) — the exact-verification side, read back
+    *     candidate-restricted (the semi-join keeps non-candidate shingle
+    *     arrays out of the join, though the column itself must be scanned).
+    *
+    * Append-safe by construction: both tables are keyed by doc_id and
+    * carry no global state, so `mode = "append"` with a new batch's rows
+    * extends the index — the ingest loop is dedupAgainstIndex(batch), then
+    * appendToCorpusIndex(survivors).
+    */
+  def writeCorpusIndex(corpus: DataFrame, path: String, shingleN: Int = 3,
+                       mode: String = "overwrite"): Unit = {
+    val sh = corpus
+      .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandBuckets(signatureFromShingles(sh))
+        .select("doc_id", "band", "band_hash")
+        .write.mode(mode).parquet(s"$path/buckets")
+      sh.write.mode(mode).parquet(s"$path/shingles")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Extend a persisted index with a new (already-deduplicated) batch. */
+  def appendToCorpusIndex(batch: DataFrame, path: String, shingleN: Int = 3): Unit =
+    writeCorpusIndex(batch, path, shingleN, mode = "append")
+
+  /** [[crossNearDupPairsWithCleanup]] with the corpus side read from a
+    * persisted index (see [[writeCorpusIndex]]) — hash-identical pairs, but
+    * the only per-batch work on the corpus side is the bucket equi-join and
+    * the candidate-restricted shingle lookup.
+    */
+  def crossNearDupPairsAgainstIndexWithCleanup(
+      newDocs: DataFrame, indexPath: String, threshold: Double = 0.8,
+      shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val spark = newDocs.sparkSession
+    val shNew = newDocs
+      .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (result, releaseCore) = crossPairsCore(
+      shNew,
+      spark.read.parquet(s"$indexPath/buckets"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      threshold)
+    (result, () => { releaseCore(); shNew.unpersist(); () })
+  }
+
+  /** Anti-join form over the persisted index: the batch minus anything
+    * near-duplicating the indexed corpus — one ingest step. Pair caches are
+    * released after the matched-id side materializes.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+                        threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val (pairs, release) =
+      crossNearDupPairsAgainstIndexWithCleanup(newDocs, indexPath, threshold, shingleN)
+    val matched = pairs.select(col("new_id").as("doc_id")).distinct().localCheckpoint(true)
+    release()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
 
   /** Apply [[crossNearDupPairsWithCleanup]] as a filter: the new batch minus
     * anything near-duplicating the existing corpus — what actually gets

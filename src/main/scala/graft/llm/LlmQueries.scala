@@ -726,7 +726,7 @@ object LlmQueries {
   // ingested before it without re-deduplicating the corpus. The oracle
   // computes ALL qualifying cross pairs by sparse shingle equi-join, so a
   // hash match proves the banded cross-LSH missed nothing.
-  private val d08 = q("d08_incremental_dedup", Some(
+  private val crossDedupOracle =
     s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
         n AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
         c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 <> 0),
@@ -743,11 +743,32 @@ object LlmQueries {
           JOIN cn ON new_id = cn.doc_id
           JOIN cc ON corpus_id = cc.doc_id)
         SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.8
-        ORDER BY new_id, corpus_id""")) { t =>
+        ORDER BY new_id, corpus_id"""
+
+  private val d08 = q("d08_incremental_dedup", Some(crossDedupOracle)) { t =>
     val (pairs, release) = Dedup.crossNearDupPairsWithCleanup(
       t.documents.filter(col("doc_id") % 3 === 0),
       t.documents.filter(col("doc_id") % 3 =!= 0),
       threshold = 0.8)
+    try pairs.orderBy("new_id", "corpus_id").localCheckpoint(true)
+    finally release()
+  }
+
+  // d09 — d08 through a PERSISTED corpus index: the corpus's band buckets
+  // and shingle sets are written to parquet once (Dedup.writeCorpusIndex —
+  // the "index the corpus once, join every batch against it" shape that
+  // real incremental ingest runs at 100 TB), and the batch joins the STORED
+  // index with no corpus re-shingling. Same oracle as d08: the pairs must
+  // be hash-identical to the recompute-everything form. The def rebuilds
+  // the index into a temp dir on each run, so the measured time INCLUDES
+  // the one-time index cost; the per-batch query alone is the
+  // read-index-and-join tail (asserted cheaper-in-plan by Round6OpsSpec:
+  // the indexed plan scans no `text` column on the corpus side).
+  private val d09 = q("d09_incremental_dedup_indexed", Some(crossDedupOracle)) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.writeCorpusIndex(t.documents.filter(col("doc_id") % 3 =!= 0), idx)
+    val (pairs, release) = Dedup.crossNearDupPairsAgainstIndexWithCleanup(
+      t.documents.filter(col("doc_id") % 3 === 0), idx, threshold = 0.8)
     try pairs.orderBy("new_id", "corpus_id").localCheckpoint(true)
     finally release()
   }
@@ -870,7 +891,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, p01, p02)
 }

@@ -1,0 +1,98 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the round-6 operators: the persisted cross-corpus
+  * dedup index (build once, join batches against the store, append
+  * survivors) and the eager leak-free crossNearDupPairs convenience form.
+  * (Cross-engine exactness of the indexed path is the d09 DuckDB oracle —
+  * same SQL as d08, so the store must change nothing about the answer.)
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+
+  test("indexed cross-dedup returns exactly the recompute-everything pairs") {
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "corpus_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val direct = {
+      val (p, release) = Dedup.crossNearDupPairsWithCleanup(batch, corpus, 0.8)
+      try collectPairs(p.localCheckpoint(true)) finally release()
+    }
+    val idx = tmpIndex()
+    Dedup.writeCorpusIndex(corpus, idx)
+    val indexed = {
+      val (p, release) = Dedup.crossNearDupPairsAgainstIndexWithCleanup(batch, idx, 0.8)
+      try collectPairs(p.localCheckpoint(true)) finally release()
+    }
+    assert(direct.nonEmpty, "testdata should contain cross-side near-dups")
+    assert(indexed == direct,
+      s"index missed ${direct -- indexed}, invented ${indexed -- direct}")
+  }
+
+  test("the indexed plan's corpus side reads the store, not the documents table") {
+    val idx = tmpIndex()
+    Dedup.writeCorpusIndex(docs.filter(col("doc_id") % 3 =!= 0), idx)
+    val (pairs, release) = Dedup.crossNearDupPairsAgainstIndexWithCleanup(
+      docs.filter(col("doc_id") % 3 === 0), idx, 0.8)
+    try {
+      val scans = pairs.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.exists(_.contains(idx)),
+        s"no scan reads the persisted index; scans: $scans")
+      // the corpus text column is paid ONCE at index-build time; the
+      // per-batch query shingles only the batch side
+      val corpusTextScans = scans.filter(p =>
+        p.contains("documents.parquet") && !p.contains(idx))
+      assert(corpusTextScans.size <= 2, // batch side: bucket stage + verify stage
+        s"too many documents scans for an indexed query: $scans")
+    } finally release()
+  }
+
+  test("append extends the index: second batch near-dups against appended survivors") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "one two three four five six seven eight nine ten"), // novel → survives
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")) // dup of 1
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "one two three four five six seven eight nine eleven"), // dup of 10 (appended)
+      (21L, "completely different words about spark partitioning and shuffles"))
+      .toDF("doc_id", "text")
+
+    val idx = tmpIndex()
+    Dedup.writeCorpusIndex(corpus, idx)
+    val survivors1 = Dedup.dedupAgainstIndex(batch1, idx, threshold = 0.5)
+    assert(survivors1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    Dedup.appendToCorpusIndex(survivors1, idx)
+    val survivors2 = Dedup.dedupAgainstIndex(batch2, idx, threshold = 0.5)
+    // 20 matches the APPENDED doc 10, not the original corpus — proves the
+    // append extended the join side; 21 is novel
+    assert(survivors2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+  }
+
+  test("eager crossNearDupPairs releases its caches (ADVICE r5 leak)") {
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val fresh = Seq((2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(fresh, corpus, threshold = 0.5)
+    assert(pairs.count() == 1)
+    assert((persisted -- before).size <= 1, // the localCheckpoint result itself
+      "crossNearDupPairs leaked pipeline caches")
+  }
+}
