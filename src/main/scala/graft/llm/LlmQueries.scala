@@ -527,7 +527,7 @@ object LlmQueries {
                  CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
                FROM documents),
           r AS (SELECT *, SUM(n_tokens) OVER (
-                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 12, '0')
+                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 20, '0')
                   ROWS UNBOUNDED PRECEDING) AS running_sum FROM s)
           SELECT doc_id, bucket, n_tokens, CAST(running_sum AS BIGINT) AS running_sum
           FROM r WHERE running_sum - n_tokens < 10000 ORDER BY doc_id""")) { t =>
@@ -536,7 +536,7 @@ object LlmQueries {
         Sampling.hashBucket(col("doc_id"), "budget").as("bucket"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
         .withColumn("sort_key",
-          concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 12, "0")))
+          concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 20, "0")))
       graft.operators.PrefixSum.withRunningSum(scored, "sort_key", "n_tokens")
         .filter(col("running_sum") - col("n_tokens") < 10000)
         .select("doc_id", "bucket", "n_tokens", "running_sum")
@@ -836,7 +836,7 @@ object LlmQueries {
                  CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
                FROM documents),
           r AS (SELECT *, SUM(n_tokens) OVER (
-                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 12, '0')
+                  ORDER BY bucket || '-' || lpad(doc_id::VARCHAR, 20, '0')
                   ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix FROM s)
           SELECT doc_id, n_tokens,
                  CAST(prefix // 512 AS BIGINT) AS bin_id,

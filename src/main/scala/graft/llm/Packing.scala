@@ -27,6 +27,13 @@ object Packing {
     * `bin_id = prefix ∕ binTokens`, `bin_offset = prefix mod binTokens`
     * where `prefix` is the total token count of all documents laid out
     * before this one (exact long arithmetic, no doubles).
+    *
+    * Contract: `doc_id` must be NON-NEGATIVE (corpus ids are unsigned in
+    * practice; a '-' sign would sort before digits and break the decimal
+    * padding's monotonicity). The pad width is 20 — the full unsigned
+    * 64-bit decimal width — so NO representable id truncates (lpad
+    * truncates oversized input, which would silently produce duplicate,
+    * placement-dependent sort keys; ADVICE r5).
     */
   def packGreedy(documents: DataFrame, binTokens: Long,
                  salt: String = "pack"): DataFrame = {
@@ -36,7 +43,7 @@ object Packing {
       Sampling.hashBucket(col("doc_id"), salt).as("bucket"),
       size(TextFns.tokens(col("text"))).as("n_tokens"))
       .withColumn("sort_key",
-        concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 12, "0")))
+        concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 20, "0")))
     PrefixSum.withRunningSum(scored, "sort_key", "n_tokens")
       .withColumn("prefix", col("running_sum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),

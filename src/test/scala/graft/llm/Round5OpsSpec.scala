@@ -78,7 +78,7 @@ class Round5OpsSpec extends SparkSpec {
         Sampling.hashBucket(col("doc_id"), "pack").as("bucket"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
         .withColumn("sort_key",
-          concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 12, "0")))
+          concat(col("bucket"), lit("-"), lpad(col("doc_id").cast("string"), 20, "0")))
       val w = Window.orderBy("sort_key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       scored.withColumn("prefix", sum("n_tokens").over(w) - col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"),
@@ -109,6 +109,26 @@ class Round5OpsSpec extends SparkSpec {
 
   test("packGreedy rejects a non-positive bin size") {
     intercept[IllegalArgumentException](Packing.packGreedy(docs, 0L))
+  }
+
+  test("packGreedy: ids wider than 12 digits keep unique, layout-stable sort keys (ADVICE r5)") {
+    // lpad TRUNCATES oversized input: at the old width 12, these 13-digit
+    // ids — identical except in their leading digits — collapsed to ONE key,
+    // violating PrefixSum's duplicate-free contract; width 20 holds any
+    // unsigned 64-bit id
+    val wide = Seq(
+      (1000000000001L, "one two three four five"),
+      (2000000000001L, "six seven eight nine ten"),
+      (9223372036854775807L, "max long id doc text here")) // Long.MaxValue: 19 digits
+      .toDF("doc_id", "text")
+    val packed = Packing.packGreedy(wide, 8L)
+      .select("doc_id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packed.size == 3)
+    val repart = Packing.packGreedy(wide.repartition(3), 8L)
+      .select("doc_id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(repart == packed, "wide-id packing must be partition-independent")
   }
 
   // ---------------------------------------------------- quantile filtering

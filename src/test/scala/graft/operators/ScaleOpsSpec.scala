@@ -24,12 +24,33 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("salted join spreads the hot key across salt sub-partitions") {
     val big = spark.range(1000).select(lit(0L).as("k"), col("id").as("p"))
-    val small = Seq((0L, "x")).toDF("k", "v")
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8)).cast("int"))
+      pmod(xxhash64(col("k"), col("p")), lit(8)).cast("int"))
     val spread = bigS.groupBy("__salt").count().collect()
     assert(spread.length == 8, "all 8 salt buckets populated")
     assert(spread.map(_.getLong(1)).max < 1000 * 0.3, "no bucket holds the whole hot key")
+  }
+
+  test("salt assignment is content-derived: stable across repartitioning") {
+    // same rows, three different physical layouts → identical (row, salt)
+    // assignment, because the salt hashes row content, not row position
+    val base = spark.range(2000)
+      .select((col("id") % 5).as("k"), col("id").as("payload"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("k", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SkewJoin.salted(df, small, "k", salt = 8)
+        .select("k", "payload", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val r1 = run(base)
+    val r2 = run(base.repartition(13))
+    val r3 = run(base.repartition(1))
+    assert(r1 == r2 && r2 == r3)
+    // and the assignment itself (not just the join result) is layout-stable
+    def salts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(salts(base) == salts(base.repartition(13)))
   }
 
   test("bucketed tables co-locate the join: zero exchange in the plan") {
