@@ -50,7 +50,7 @@ object RunQueries {
           SqlFileQueries.runAll(spark, path).foreach { case (q, df) =>
             val t0 = System.nanoTime()
             println(s"\n=== ${q.purpose}")
-            df.show(limit, truncate = 50)
+            Display.printTable(df, limit)
             println(f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
           }
         case None =>
@@ -60,7 +60,7 @@ object RunQueries {
             val t0 = System.nanoTime()
             val df = d.run(spark, sfDir)
             println(s"\n=== ${d.name}")
-            df.show(limit, truncate = 50)
+            Display.printTable(df, limit)
             println(f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
           }
       }
