@@ -102,6 +102,19 @@ object Recall {
           Similarity.bruteForceTopKQuantized(corpus, twinPred, 10)))
     }
 
+    // persisted IVF-int8 index (s06): coarse recall bounded by the probe
+    // fan-out (like s03) ON TOP of int8 fine ranking (like s05) — this
+    // entry grades the composition at the registered 24-probe config.
+    val ivfQuantEntry = {
+      val idx = java.nio.file.Files.createTempDirectory("graft-recall-ivfq").toString
+      Similarity.writeIvfIndex(embs, idx)
+      val approx = Similarity.ivfTopKQuantizedFromIndex(
+        embs.filter(pred), idx, 10, nProbe = Similarity.IvfProbesRegistered)
+      "s06_knn_ivf_quantized_indexed" -> Seq(
+        "n_probe" -> Similarity.IvfProbesRegistered.toDouble,
+        "recall_at_10" -> Similarity.recallAtK(exact, approx))
+    }
+
     // entry names ending in _lowcost are the scale-posture defaults (tiny
     // candidate fraction, low recall on this adversarial near-uniform
     // corpus); the bare s02/s03 entries measure the REGISTERED def configs.
@@ -112,7 +125,7 @@ object Recall {
         twins = false),
       ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered, twins = true),
       ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes, twins = false),
-      quantEntry)
+      quantEntry, ivfQuantEntry)
     embs.unpersist()
     out
   }

@@ -150,10 +150,12 @@ object Similarity {
     * quantized form is then all-null, consistently in both engines, rather
     * than an engine-dependent 0·∞ = NaN).
     */
-  private def int8Scale: Column = {
-    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+  private def int8ScaleOf(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
     when(mx =!= 0.0, lit(127.0) / mx)
   }
+
+  private def int8Scale: Column = int8ScaleOf(col("embedding"))
 
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     embeddings
@@ -326,6 +328,85 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
     (result, () => { centroids.unpersist(); () })
+  }
+
+  /** PERSISTED IVF index with int8-quantized storage — the production
+    * vector-search shape (a FAISS-style IVF flat-int8 layout expressed as
+    * parquet tables): build the index ONCE over the corpus, then serve
+    * every query batch from the store with no corpus re-scan, re-assign,
+    * or re-quantization. Mirrors the dedup tier's stored bucket index
+    * ([[graft.llm.Dedup.writeCorpusIndex]]).
+    *
+    * Layout under `path`:
+    *   - `centroids`: (cell, c_emb float[]) — tiny (≤ cells rows), broadcast
+    *     at query time for the probe stage;
+    *   - `vectors`:  (vec_id, cell, scale, q int[]) — one row per corpus
+    *     vector, its coarse cell plus the int8 code + dequantization scale
+    *     (4× smaller than float storage; the fine-ranking kernel is the
+    *     integer dot product, see [[bruteForceTopKQuantized]]). At warehouse
+    *     scale this table would additionally be partitioned/bucketed BY
+    *     `cell`, so a probe reads only the probed cells' files.
+    *
+    * The centroid set must stay FIXED for the index's lifetime (appending
+    * new vectors assigns against the stored centroids — that is what keeps
+    * append cheap and the cell geometry stable).
+    */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+                    cells: Int = IvfCells, seed: Long = 42L): Unit = {
+    val centroids = ivfCentroids(embeddings, seed, cells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      appendToIvfIndex(embeddings, path, overwrite = true)
+    } finally { centroids.unpersist(); () }
+  }
+
+  /** Assign + quantize a batch against the STORED centroids and add it to
+    * the index's vector table — the incremental-ingest step (overwrite mode
+    * is the initial build).
+    */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       overwrite: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    ivfAssign(batch, centroids).select("vec_id", "cell")
+      .join(quantizeInt8Packed(batch), Seq("vec_id"))
+      .select("vec_id", "cell", "scale", "q")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/vectors")
+  }
+
+  /** ANN top-k served from a persisted IVF index: float queries probe the
+    * stored centroids (broadcast — the only float math), then fine-rank
+    * against the probed cells' INT8 codes — the query vector is quantized
+    * on the fly and scales cancel inside cosine, so the per-candidate
+    * kernel is the integer dot product. One store scan joined by cell; the
+    * corpus's float embeddings are never read at query time.
+    */
+  def ivfTopKQuantizedFromIndex(queries: DataFrame, indexPath: String,
+                                k: Int = 10,
+                                nProbe: Int = IvfProbes): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val probes = ivfProbes(queries, centroids, lit(true), nProbe)
+    // quantize the probe frame's query vectors once (narrow map on ≤
+    // |queries|·nProbe rows), in the same double-typed integer form the
+    // store's codes dot against (see bruteForceTopKQuantized)
+    val qQuant = probes.select(col("query_id"), col("cell"),
+      transform(col("q_emb"),
+        x => floor(x.cast("double") * int8ScaleOf(col("q_emb")) + lit(0.5))
+          .cast("double")).as("q_q"))
+    val stored = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        transform(col("q"), x => x.cast("double")).as("q_c"))
+    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    broadcast(qQuant).join(stored, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_q"), col("q_c")).as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qcos")
   }
 
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over

@@ -85,6 +85,67 @@ class Round6OpsSpec extends SparkSpec {
     assert(survivors2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
   }
 
+  // ------------------------------------------------------ IVF-int8 index
+
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("persisted IVF-int8 index: planted twins recovered at rank 1 from the store") {
+    val twins = embs.filter(col("vec_id") % 50 === 0).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x * lit(1.05f)).otherwise(x)).as("embedding"),
+      col("label"))
+    val corpus = embs.unionByName(twins)
+    val idx = tmpIndex()
+    Similarity.writeIvfIndex(corpus, idx)
+    val queries = corpus.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+    val top1 = Similarity.ivfTopKQuantizedFromIndex(queries, idx, 10,
+      nProbe = Similarity.IvfProbesRegistered)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.nonEmpty)
+    val hits = top1.count { case (q, n) => n == q + 10000000L }
+    assert(hits >= (top1.length * 0.8).toInt,
+      s"only $hits/${top1.length} planted twins found at rank 1 through the index")
+  }
+
+  test("IVF index is reusable and appendable: second batch queries the extended store") {
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    val idx = tmpIndex()
+    Similarity.writeIvfIndex(half1, idx)
+    Similarity.appendToIvfIndex(half2, idx)
+    val full = spark.read.parquet(s"$idx/vectors")
+    assert(full.count() == embs.count(), "append must extend the vector store")
+    assert(full.select("vec_id").distinct().count() == embs.count())
+    // queries against the appended store can return odd-id neighbors
+    val res = Similarity.ivfTopKQuantizedFromIndex(
+      embs.filter(col("vec_id") % 100 === 0), idx, 10,
+      nProbe = Similarity.IvfProbesRegistered)
+    assert(res.filter(col("neighbor_id") % 2 =!= 0).count() > 0,
+      "appended vectors must be searchable")
+    // centroid geometry is FIXED across the append (same stored centroids)
+    assert(spark.read.parquet(s"$idx/centroids").count() <= Similarity.IvfCells)
+  }
+
+  test("querying the IVF index never reads the corpus float embeddings") {
+    val idx = tmpIndex()
+    Similarity.writeIvfIndex(embs, idx)
+    val plan = Similarity.ivfTopKQuantizedFromIndex(
+      embs.filter(col("vec_id") % 100 === 0), idx, 10).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.relation.location.rootPaths.mkString(","), s.requiredSchema.fieldNames.toSet)
+    }
+    // embeddings.parquet appears only for the QUERY side; the corpus side
+    // is the store's int8 codes
+    assert(scans.exists(_._1.contains(s"$idx/vectors")), s"no store scan in: $scans")
+    val corpusFloatScans = scans.filter { case (p, fields) =>
+      p.contains("embeddings.parquet") }
+    assert(corpusFloatScans.size <= 1, // the broadcast query side only
+      s"query path re-reads corpus floats: $scans")
+  }
+
   test("eager crossNearDupPairs releases its caches (ADVICE r5 leak)") {
     def persisted = spark.sparkContext.getPersistentRDDs.keySet
     val before = persisted
