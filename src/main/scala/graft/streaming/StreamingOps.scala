@@ -100,6 +100,28 @@ object StreamingOps {
       .filter(col("quality") >= minQuality)
       .filter(lang.map(l => col("predicted_lang") === l).getOrElse(lit(true)))
 
+  /** Streaming JSONL document ingestion: the file-watch form of
+    * [[graft.etl.JsonlExtract.readDocuments]] — `readStream` over a landing
+    * directory with the SAME explicit schema (no inference pass) and
+    * PERMISSIVE corrupt capture, so the three-way extract contract
+    * (`normalizeDocuments` ∪ `corruptLines` ∪ `rejectedLines` — all narrow
+    * filter/projections) composes onto the stream unchanged, as does
+    * [[curateStream]] downstream. Each new file in `dir` becomes
+    * micro-batch input; ingestion state is Spark's file-tracking log, no
+    * operator state. (A production multi-sink split runs the three outputs
+    * via `foreachBatch` on one pass; per-output queries re-read only the
+    * source listing.)
+    */
+  def jsonlDocumentStream(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(graft.etl.JsonlExtract.DocumentSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Custom keyed state: per-user running (count, decimal-safe total) via
     * mapGroupsWithState — the Structured Streaming escape hatch for
     * aggregations the built-in operators can't express. Emits the updated

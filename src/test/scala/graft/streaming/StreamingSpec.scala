@@ -186,4 +186,52 @@ class StreamingSpec extends SparkSpec {
       assert(w10(0).getAs[Long]("n_events") == 2) // late event 10 NOT counted
     } finally q.stop()
   }
+
+  test("streaming JSONL ingestion: file-watched micro-batches equal the batch extract") {
+    import graft.etl.JsonlExtract
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    def writeFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // first landing file: two good docs, one malformed line
+    writeFile("a.jsonl",
+      """{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "t"}""",
+      """{"doc_id": 2, "text": "truncated mid""",
+      """{"doc_id": 3, "text": "delta epsilon zeta", "source": "t"}""")
+    val stream = StreamingOps.jsonlDocumentStream(spark, dir)
+    val q = JsonlExtract.normalizeDocuments(stream)
+      .writeStream.format("memory").queryName("jl").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a second file lands → a new micro-batch picks it up incrementally
+      writeFile("b.jsonl",
+        """{"doc_id": 4, "text": "eta theta iota", "lang": "fr", "source": "t"}""")
+      q.processAllAvailable()
+      val streamed = spark.table("jl")
+        .select("doc_id", "lang", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = JsonlExtract.normalizeDocuments(JsonlExtract.readDocuments(spark, dir))
+        .select("doc_id", "lang", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(1L, 3L, 4L)) // corrupt line 2 excluded
+      assert(streamed.exists { case (id, lang, _) => id == 3L && lang == "und" })
+    } finally q.stop()
+  }
+
+  test("streaming JSONL quarantine: corrupt lines surface through the stream too") {
+    import graft.etl.JsonlExtract
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-quar").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.jsonl"),
+      ("""{"doc_id": 1, "text": "fine", "lang": "en", "source": "t"}""" + "\n" +
+        """{"doc_id": 2, "broken""" + "\n").getBytes("UTF-8"))
+    val q = JsonlExtract.corruptLines(StreamingOps.jsonlDocumentStream(spark, dir))
+      .writeStream.format("memory").queryName("jlq").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val quarantined = spark.table("jlq").collect()
+      assert(quarantined.length == 1)
+      assert(quarantined(0).getAs[String]("_corrupt_record").contains("broken"))
+    } finally q.stop()
+  }
 }
