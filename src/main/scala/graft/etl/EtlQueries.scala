@@ -326,6 +326,32 @@ object EtlQueries {
       .orderBy("category_key")
   }
 
+  // t14 — small-file COMPACTION through the correctness gate: write the
+  // valid transactions date-partitioned but deliberately FRAGMENTED (16
+  // writer tasks × every month — the incremental-append anti-pattern),
+  // compact the table (ParquetWarehouse.compactPartitioned: size-targeted
+  // rewrite + atomic per-directory swap), then aggregate the compacted
+  // table. The oracle computes the same rollup from the dirty CTE, so a row
+  // lost or duplicated anywhere in the fragment→compact→swap cycle
+  // hash-fails; CompactionSpec covers the file-count/no-touch mechanics.
+  private val t14 = q("t14_compacted_month_rollup",
+    s"""$withPrefix
+       SELECT CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_txns, ${sqlDsum("amount")} AS total_amount
+       FROM valid GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
+    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+      .withColumn("year", year(col("date")))
+      .withColumn("month", month(col("date")))
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-gate")
+      .toString + "/txns_by_month"
+    valid.repartition(16).write.partitionBy("year", "month").parquet(path)
+    ParquetWarehouse.compactPartitioned(t.spark, path, Seq("year", "month"))
+    t.spark.read.parquet(path)
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("n_txns"), dsum(col("amount")).as("total_amount"))
+      .orderBy("year", "month")
+  }
+
   private val fixtureA = "/root/repo/fixtures/transactions_dirty.csv"
   private val fixtureB = "/root/repo/fixtures/transactions_dirty_b.csv"
 
@@ -398,5 +424,6 @@ object EtlQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, c01, c02, c03)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+      c01, c02, c03)
 }

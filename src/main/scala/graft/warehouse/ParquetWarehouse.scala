@@ -110,6 +110,123 @@ object ParquetWarehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Scale layout #3 — small-file compaction for a partitioned table: the
+    * maintenance pass every high-ingest warehouse needs. Incremental
+    * appends (P17) and wide writers leave each partition directory littered
+    * with files far below the parquet sweet spot; at cluster scale the
+    * footer/open overhead and planner listing cost dominate scans.
+    *
+    * Mechanics:
+    *   1. one driver-side recursive listing finds partition directories
+    *      holding ≥ `minFiles` data files (metadata only — the same listing
+    *      the planner already performs);
+    *   2. ONLY those partitions are read back (`basePath` keeps the
+    *      partition columns), each assigned
+    *      `ceil(partitionBytes / targetFileBytes)` output files — rows
+    *      scatter across that count by a content hash, so layout is
+    *      deterministic and a partition bigger than one target file splits
+    *      instead of becoming a single giant file;
+    *   3. the rewrite lands in a staging directory, then each compacted
+    *      partition directory is swapped in with two atomic moves (old →
+    *      trash, staged → live). A crash mid-swap leaves every partition
+    *      either fully old or fully new — never missing or doubled. (Table
+    *      formats make step 3 a metadata commit; this is the path-based
+    *      equivalent.)
+    *
+    * Untouched partitions are never read or rewritten — compaction cost is
+    * proportional to the fragmented fraction, not the table size.
+    */
+  final case class CompactionStats(partitionsCompacted: Int, filesBefore: Long,
+                                   filesAfter: Long, bytesRewritten: Long)
+
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partitionCols: Seq[String],
+                         targetFileBytes: Long = 128L << 20,
+                         minFiles: Int = 2): CompactionStats = {
+    require(partitionCols.nonEmpty && targetFileBytes > 0 && minFiles >= 2)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    // fully qualify (scheme + authority) so URI relativization against the
+    // listing's qualified paths yields partition-relative dirs
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+
+    // 1. per-partition-directory (file count, bytes) from one recursive listing
+    val byDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = root.toUri.relativize(f.getPath.getParent.toUri).getPath
+        // a crashed prior run can leave .compact-* dirs — never treat them
+        // as partitions (their live twins are still intact, see step 3)
+        if (rel.nonEmpty && !rel.startsWith(".")) {
+          val (n, b) = byDir.getOrElse(rel, (0L, 0L))
+          byDir(rel) = (n + 1, b + f.getLen)
+        }
+      }
+    }
+    // rewrite only where it SHRINKS the file count: ≥ minFiles present and
+    // more than the size-derived target
+    val fragmented = byDir.filter { case (_, (n, bytes)) =>
+      n >= minFiles && n > (bytes - 1) / targetFileBytes + 1 }.toMap
+    if (fragmented.isEmpty) return CompactionStats(0, byDir.values.map(_._1).sum,
+      byDir.values.map(_._1).sum, 0L)
+
+    // 2. read only fragmented partitions; scatter each over its target count
+    val srcDirs = fragmented.keys.toSeq.sorted.map(rel => s"$path/$rel")
+    val src = spark.read.option("basePath", path).parquet(srcDirs: _*)
+    // (partition-dir string form, e.g. "year=1996/month=5") ← rebuilt from
+    // the partition COLUMNS, so it matches the listing's relative dirs
+    val dirExpr = concat_ws("/", partitionCols.map(c =>
+      concat(lit(c + "="), col(c).cast("string"))): _*)
+    val targets = fragmented.toSeq.map { case (rel, (_, bytes)) =>
+      (rel, math.max(1L, (bytes - 1) / targetFileBytes + 1)) }
+    val targetDf = spark.createDataFrame(targets).toDF("__dir", "__nfiles")
+    val dataCols = src.columns.filterNot(partitionCols.contains)
+    val salted = src.withColumn("__dir", dirExpr)
+      .join(broadcast(targetDf), Seq("__dir"))
+      .withColumn("__salt",
+        pmod(if (dataCols.isEmpty) lit(0L)
+             else xxhash64(dataCols.map(col).toIndexedSeq: _*),
+          col("__nfiles")).cast("int"))
+      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      .drop("__dir", "__nfiles", "__salt")
+
+    // 3. staging write + per-directory atomic swap
+    val staging = new org.apache.hadoop.fs.Path(path, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(path, ".compact-trash")
+    fs.delete(staging, true); fs.delete(trash, true)
+    salted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(staging.toString)
+    fs.mkdirs(trash)
+    fragmented.keys.toSeq.sorted.foreach { rel =>
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      val staged = new org.apache.hadoop.fs.Path(staging, rel)
+      val aside = new org.apache.hadoop.fs.Path(trash, rel.replace('/', '~'))
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"compaction: cannot move $live aside")
+      if (!fs.rename(staged, live)) {
+        fs.rename(aside, live) // restore — partition stays fully old
+        throw new java.io.IOException(s"compaction: cannot publish $staged")
+      }
+    }
+    fs.delete(staging, true); fs.delete(trash, true)
+
+    val after = {
+      var n = 0L
+      val it2 = fs.listFiles(root, true)
+      while (it2.hasNext) {
+        val f = it2.next()
+        if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    CompactionStats(fragmented.size, byDir.values.map(_._1).sum, after,
+      fragmented.values.map(_._2).sum)
+  }
+
   /** P25 — pre-flight: warehouse exists, pointer readable, all required
     * tables present and non-empty (reference src/etl_pipeline.py:65-183).
     */
