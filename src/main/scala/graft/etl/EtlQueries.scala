@@ -327,13 +327,15 @@ object EtlQueries {
   }
 
   // t14 — small-file COMPACTION through the correctness gate: write the
-  // valid transactions date-partitioned but deliberately FRAGMENTED (16
-  // writer tasks × every month — the incremental-append anti-pattern),
+  // valid transactions date-partitioned but deliberately FRAGMENTED (8
+  // writer tasks × every year — the incremental-append anti-pattern),
   // compact the table (ParquetWarehouse.compactPartitioned: size-targeted
   // rewrite + atomic per-directory swap), then aggregate the compacted
-  // table. The oracle computes the same rollup from the dirty CTE, so a row
-  // lost or duplicated anywhere in the fragment→compact→swap cycle
-  // hash-fails; CompactionSpec covers the file-count/no-touch mechanics.
+  // table at month grain. The oracle computes the same rollup from the
+  // dirty CTE, so a row lost or duplicated anywhere in the
+  // fragment→compact→swap cycle hash-fails; CompactionSpec covers the
+  // file-count/no-touch mechanics. (Year-grain partitioning keeps the gate
+  // def cheap — the month-grain directory layout is t13's subject.)
   private val t14 = q("t14_compacted_month_rollup",
     s"""$withPrefix
        SELECT CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
@@ -343,9 +345,9 @@ object EtlQueries {
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
     val path = java.nio.file.Files.createTempDirectory("graft-compact-gate")
-      .toString + "/txns_by_month"
-    valid.repartition(16).write.partitionBy("year", "month").parquet(path)
-    ParquetWarehouse.compactPartitioned(t.spark, path, Seq("year", "month"))
+      .toString + "/txns_by_year"
+    valid.repartition(8).write.partitionBy("year").parquet(path)
+    ParquetWarehouse.compactPartitioned(t.spark, path, Seq("year"))
     t.spark.read.parquet(path)
       .groupBy("year", "month")
       .agg(count(lit(1)).as("n_txns"), dsum(col("amount")).as("total_amount"))
