@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("IVF cell assignment is a narrow map: no Exchange in the plan (VERDICT r6 #1)") {
+    // the assignment scans the corpus ONCE and computes the argmax over the
+    // literal centroid set inside a single projection — any Exchange here
+    // would shuffle ~C× the corpus embedding bytes on the index-build path
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assigned = graft.llm.Similarity.ivfAssign(embs)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ivfAssign plans a shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"ivfAssign plans a window:\n$plan")
+  }
+
   test("exact dedup shuffles fingerprints, not text (d01 scan prunes to doc_id+text, agg on hash)") {
     val plan = planOf("d01_dedup_exact")
     // partial aggregation before the exchange = map-side combine
