@@ -34,6 +34,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Final per-query ranking of a scored candidate frame — every ANN path
+    * ends here. Routed through [[graft.operators.TopKPerGroup]] rather than
+    * a bare `row_number() OVER (PARTITION BY query_id)`: with a handful of
+    * queries against a 100 TB corpus, each query's FULL candidate set would
+    * serialize through one task (the partition key exists but its
+    * cardinality is tiny — VERDICT r6 #4). The salted two-phase plan bounds
+    * every task at ~|candidates|/(queries·fanout) rows and collapses to the
+    * plain single window when statistics say the input is small. The
+    * ordering (score desc, neighbor_id) is total, so ranks are identical in
+    * either form — s01/s05's DuckDB oracles stay byte-exact.
+    * `targetPartitionRows` is a test seam for forcing the salted plan.
+    */
+  private[llm] def rankTopK(scored: DataFrame, scoreCol: String, k: Int,
+                            targetPartitionRows: Long = 4L << 20): DataFrame =
+    graft.operators.TopKPerGroup.topKPerGroup(
+        scored, Seq("query_id"), "neighbor_id",
+        Seq(col(scoreCol).desc, col("neighbor_id")), k,
+        targetPartitionRows = targetPartitionRows)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col(scoreCol))
+
   /** Exact brute-force top-k cosine neighbors for a query subset.
     * `queryPred` selects the query vectors (broadcast side).
     */
@@ -41,14 +61,11 @@ object Similarity {
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   /** Recall@k of an approximate top-k result against the exact one: the
@@ -201,14 +218,11 @@ object Similarity {
     val q = packed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"))
     val c = packed.select(col("vec_id").as("neighbor_id"), col("q").as("q_c"))
-    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_q"), col("q_c")).as("qcos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qcos")
+    rankTopK(scored, "qcos", k)
   }
 
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.
@@ -345,14 +359,10 @@ object Similarity {
     val assigned = ivfAssign(embeddings, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_embv"), col("cell"))
     val probes = ivfProbes(embeddings, centroids, queryPred, nProbe)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val result = broadcast(probes).join(assigned, Seq("cell"))
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_embv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
-    (result, () => { centroids.unpersist(); () })
+    (rankTopK(scored, "cos", k), () => { centroids.unpersist(); () })
   }
 
   /** PERSISTED IVF index with int8-quantized storage — the production
@@ -442,14 +452,11 @@ object Similarity {
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
         transform(col("q"), x => x.cast("double")).as("q_c"))
-    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
-    broadcast(qQuant).join(stored, Seq("cell"))
+    val scored = broadcast(qQuant).join(stored, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_q"), col("q_c")).as("qcos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qcos")
+    rankTopK(scored, "qcos", k)
   }
 
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over
@@ -500,15 +507,11 @@ object Similarity {
     val (cands, release) = lshCandidatePairs(embeddings, queryPred, nTables, nBits)
     val qEmb = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val result = cands
+    val scored = cands
       .join(embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         Seq("neighbor_id"))
       .join(broadcast(qEmb), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
-    (result, release)
+    (rankTopK(scored, "cos", k), release)
   }
 }

@@ -53,7 +53,14 @@ object TopKPerGroup {
     val stats = df.queryExecution.optimizedPlan.stats
     val estRows: Long = stats.rowCount.map(_.toLong).getOrElse {
       val rowWidth = math.max(1, df.schema.defaultSize)
-      (stats.sizeInBytes / rowWidth).min(BigInt(Long.MaxValue)).toLong
+      // without CBO rowCount, sizeInBytes propagates from the COMPRESSED
+      // on-disk file size — parquet typically compresses 3-8×, so a
+      // bytes-derived row estimate can undercount by the compression ratio
+      // and silently reinstate the single-task straggler the salted plan
+      // exists to avoid (ADVICE r6). Inflate by 8× before deciding to
+      // collapse: the bias only ever picks the salted plan on a
+      // borderline-small input, and both plans are row-identical.
+      (stats.sizeInBytes * 8 / rowWidth).min(BigInt(Long.MaxValue)).toLong
     }
     val effFanout =
       math.min(fanout.toLong, (estRows - 1) / targetPartitionRows + 1).max(1L).toInt
