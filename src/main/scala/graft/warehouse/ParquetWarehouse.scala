@@ -126,12 +126,36 @@ object ParquetWarehouse {
     *      scatter across that count by a content hash, so layout is
     *      deterministic and a partition bigger than one target file splits
     *      instead of becoming a single giant file;
-    *   3. the rewrite lands in a staging directory, then each compacted
+    *   3. the rewrite lands in a staging directory; every fragmented
+    *      partition is validated to have a staged replacement BEFORE any
+    *      swap (a partition whose files hold zero rows stages nothing — it
+    *      is left fully old, never aborted mid-swap); then each compacted
     *      partition directory is swapped in with two atomic moves (old →
-    *      trash, staged → live). A crash mid-swap leaves every partition
-    *      either fully old or fully new — never missing or doubled. (Table
-    *      formats make step 3 a metadata commit; this is the path-based
-    *      equivalent.)
+    *      trash, staged → live). (Table formats make step 3 a metadata
+    *      commit; this is the path-based equivalent.)
+    *
+    * CRASH SAFETY: a crash mid-swap can leave a partition parked under
+    * `.compact-trash` with its live directory absent (the instant between
+    * the two renames). Every run begins by RESTORING any such parked
+    * partition before listing, so no crash outcome loses data or leaves a
+    * partition invisible beyond the crashed process's lifetime.
+    *
+    * READER ISOLATION (documented contract): compaction is a MAINTENANCE
+    * operation — a reader that lists the table concurrently with the swap
+    * can miss the in-flight partition for the duration of the two renames.
+    * Readers needing snapshot isolation during compaction should read
+    * through [[publishSnapshot]]/[[readTable]]'s versioned layout instead
+    * of raw partition paths; CompactionSpec pins this contract.
+    *
+    * Partition-dir names are derived from `input_file_name()` — the actual
+    * on-disk directory each row was read from — NOT re-rendered from the
+    * partition column values, so null partitions (__HIVE_DEFAULT_PARTITION__),
+    * percent-escaped values (':', '=', '%'), and type-inference drift
+    * (month=05 vs month=5) all round-trip byte-exactly. Partition values
+    * are read with type inference OFF for the same reason: the staged
+    * rewrite re-escapes the parsed string value into the identical dir
+    * name. The read also merges schemas across files, so a schema-evolved
+    * partition keeps columns present only in newer files (ADVICE r6).
     *
     * Untouched partitions are never read or rewritten — compaction cost is
     * proportional to the fragmented fraction, not the table size.
@@ -149,6 +173,26 @@ object ParquetWarehouse {
     // fully qualify (scheme + authority) so URI relativization against the
     // listing's qualified paths yields partition-relative dirs
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
+
+    // 0. recovery: a crash between the two swap renames leaves a partition's
+    // ONLY copy parked in trash (live dir absent). Restore any such parked
+    // partition before listing — trash entries are flat, URL-encoded rel
+    // dirs, so the mapping back is exact for every legal dir name.
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val rel = java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")
+        val live = new org.apache.hadoop.fs.Path(root, rel)
+        if (!fs.exists(live)) {
+          val parent = live.getParent
+          if (parent != null) fs.mkdirs(parent)
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"compaction recovery: cannot restore $rel")
+        }
+      }
+    }
+    fs.delete(staging, true); fs.delete(trash, true)
 
     // 1. per-partition-directory (file count, bytes) from one recursive listing
     val byDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
@@ -173,37 +217,59 @@ object ParquetWarehouse {
     if (fragmented.isEmpty) return CompactionStats(0, byDir.values.map(_._1).sum,
       byDir.values.map(_._1).sum, 0L)
 
-    // 2. read only fragmented partitions; scatter each over its target count
+    // 2. read only fragmented partitions; scatter each over its target count.
+    // Partition values are parsed WITHOUT type inference (strings round-trip
+    // through the staged write into byte-identical dir names); schemas merge
+    // across files so evolved columns survive the rewrite (ADVICE r6).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
     val srcDirs = fragmented.keys.toSeq.sorted.map(rel => s"$path/$rel")
-    val src = spark.read.option("basePath", path).parquet(srcDirs: _*)
-    // (partition-dir string form, e.g. "year=1996/month=5") ← rebuilt from
-    // the partition COLUMNS, so it matches the listing's relative dirs
-    val dirExpr = concat_ws("/", partitionCols.map(c =>
-      concat(lit(c + "="), col(c).cast("string"))): _*)
-    val targets = fragmented.toSeq.map { case (rel, (_, bytes)) =>
-      (rel, math.max(1L, (bytes - 1) / targetFileBytes + 1)) }
-    val targetDf = spark.createDataFrame(targets).toDF("__dir", "__nfiles")
-    val dataCols = src.columns.filterNot(partitionCols.contains)
-    val salted = src.withColumn("__dir", dirExpr)
-      .join(broadcast(targetDf), Seq("__dir"))
-      .withColumn("__salt",
-        pmod(if (dataCols.isEmpty) lit(0L)
-             else xxhash64(dataCols.map(col).toIndexedSeq: _*),
-          col("__nfiles")).cast("int"))
-      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
-      .drop("__dir", "__nfiles", "__salt")
+    val salted = try {
+      spark.conf.set(inferKey, "false")
+      val src = spark.read
+        .option("basePath", path).option("mergeSchema", "true")
+        .parquet(srcDirs: _*)
+      // partition-dir string form (e.g. "year=1996/month=5") ← the actual
+      // on-disk directory the row came from (the last |partitionCols| path
+      // components above the file name), NOT re-rendered from the column
+      // values — exact for nulls, escapes, and leading zeros (ADVICE r6).
+      // input_file_name() reports the URI form ('%' in on-disk names
+      // double-encodes to %25), so the join keys are the listing's rel
+      // dirs re-encoded the same way (Path.toUri).
+      val comps = split(input_file_name(), "/")
+      val dirExpr = concat_ws("/",
+        (partitionCols.length to 1 by -1).map(i => element_at(comps, -(i + 1))): _*)
+      def uriRel(rel: String): String =
+        root.toUri.relativize(new org.apache.hadoop.fs.Path(root, rel).toUri).toString
+      val targets = fragmented.toSeq.map { case (rel, (_, bytes)) =>
+        (uriRel(rel), math.max(1L, (bytes - 1) / targetFileBytes + 1)) }
+      val targetDf = spark.createDataFrame(targets).toDF("__dir", "__nfiles")
+      val dataCols = src.columns.filterNot(partitionCols.contains)
+      src.withColumn("__dir", dirExpr)
+        .join(broadcast(targetDf), Seq("__dir"))
+        .withColumn("__salt",
+          pmod(if (dataCols.isEmpty) lit(0L)
+               else xxhash64(dataCols.map(col).toIndexedSeq: _*),
+            col("__nfiles")).cast("int"))
+        .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+        .drop("__dir", "__nfiles", "__salt")
+    } finally spark.conf.set(inferKey, inferWas)
 
-    // 3. staging write + per-directory atomic swap
-    val staging = new org.apache.hadoop.fs.Path(path, ".compact-staging")
-    val trash = new org.apache.hadoop.fs.Path(path, ".compact-trash")
-    fs.delete(staging, true); fs.delete(trash, true)
+    // 3. staging write + validate + per-directory atomic swap
     salted.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(staging.toString)
+    // validate BEFORE any swap: every partition we're about to move aside
+    // must have a staged replacement. A partition whose files hold zero
+    // rows stages nothing — leave it fully old (skip), never abort after
+    // some partitions have already swapped.
+    val swappable = fragmented.keys.toSeq.sorted.filter { rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(staging, rel)) }
     fs.mkdirs(trash)
-    fragmented.keys.toSeq.sorted.foreach { rel =>
+    swappable.foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)
       val staged = new org.apache.hadoop.fs.Path(staging, rel)
-      val aside = new org.apache.hadoop.fs.Path(trash, rel.replace('/', '~'))
+      val aside = new org.apache.hadoop.fs.Path(trash,
+        java.net.URLEncoder.encode(rel, "UTF-8"))
       if (!fs.rename(live, aside))
         throw new java.io.IOException(s"compaction: cannot move $live aside")
       if (!fs.rename(staged, live)) {
@@ -212,6 +278,7 @@ object ParquetWarehouse {
       }
     }
     fs.delete(staging, true); fs.delete(trash, true)
+    val compacted = fragmented.view.filterKeys(swappable.contains).toMap
 
     val after = {
       var n = 0L
@@ -223,8 +290,8 @@ object ParquetWarehouse {
       }
       n
     }
-    CompactionStats(fragmented.size, byDir.values.map(_._1).sum, after,
-      fragmented.values.map(_._2).sum)
+    CompactionStats(compacted.size, byDir.values.map(_._1).sum, after,
+      compacted.values.map(_._2).sum)
   }
 
   /** P25 — pre-flight: warehouse exists, pointer readable, all required

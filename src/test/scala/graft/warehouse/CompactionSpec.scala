@@ -60,6 +60,87 @@ class CompactionSpec extends SparkSpec {
     assert(stats2.filesBefore == stats2.filesAfter)
   }
 
+  test("null and escape-worthy partition values round-trip byte-exactly (ADVICE r6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-esc").toString + "/t"
+    // values Spark percent-escapes (':', '=', '%'), a leading-zero string
+    // type inference would mangle (05 → 5), and SQL NULL
+    // (__HIVE_DEFAULT_PARTITION__) — each fragmented into multiple files
+    val rows = Seq(("a:b", 1L), ("x=y", 2L), ("p%q", 3L), ("05", 4L), (null, 5L))
+    rows.toDF("p", "k").repartition(4)
+      .write.partitionBy("p").parquet(dir)
+    // duplicate write as append → ≥2 files per partition
+    rows.map { case (p, k) => (p, k + 100) }.toDF("p", "k").repartition(4)
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val before = listDataFiles(dir)
+    assert(before.keys.exists(_.contains("%3A")), s"setup should escape ':': ${before.keys}")
+    assert(before.keys.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"setup should write a null partition: ${before.keys}")
+    val expected = spark.read.parquet(dir).select("p", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val stats = ParquetWarehouse.compactPartitioned(spark, dir, Seq("p"))
+    assert(stats.partitionsCompacted == 5,
+      s"every partition (incl. null + escaped) must compact: $stats")
+    val after = listDataFiles(dir)
+    assert(after.keySet == before.keySet,
+      s"partition dirs changed: ${before.keySet} -> ${after.keySet}")
+    assert(after.values.forall(_.size == 1), s"still fragmented: ${after.view.mapValues(_.size).toMap}")
+    val got = spark.read.parquet(dir).select("p", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, "compaction must not lose or mangle escaped/null partitions")
+  }
+
+  test("schema-evolved columns present only in newer files survive the rewrite (ADVICE r6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-schema").toString + "/t"
+    Seq((0L, 1L)).toDF("p", "k").write.partitionBy("p").parquet(dir)
+    Seq((0L, 2L, "new")).toDF("p", "k", "extra")
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val stats = ParquetWarehouse.compactPartitioned(spark, dir, Seq("p"))
+    assert(stats.partitionsCompacted == 1)
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(after.columns.contains("extra"), "evolved column dropped by the rewrite")
+    val vals = after.select("k", "extra").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(vals == Set((1L, None), (2L, Some("new"))))
+  }
+
+  test("crash recovery: a partition parked in trash with no live dir is restored on the next run") {
+    val dir = fragmentedTable()
+    // simulate the crash window: live → trash done, staged → live NOT done
+    val root = new java.io.File(dir)
+    val trash = new java.io.File(root, ".compact-trash")
+    trash.mkdirs()
+    val live = new java.io.File(root, "p=1")
+    val parked = new java.io.File(trash, java.net.URLEncoder.encode("p=1", "UTF-8"))
+    assert(live.renameTo(parked), "setup: park p=1 in trash")
+    assert(!live.exists())
+    val expected = 3000L // recovery must bring all rows back
+
+    val stats = ParquetWarehouse.compactPartitioned(spark, dir, Seq("p"))
+    assert(stats.partitionsCompacted == 3, "recovered partition compacts like the rest")
+    assert(spark.read.parquet(dir).count() == expected,
+      "rows parked by the crashed run must be restored")
+    assert(!new java.io.File(root, ".compact-trash").exists())
+  }
+
+  test("reader-isolation contract: snapshot readers are immune to the swap window (documented exclusion)") {
+    // compactPartitioned's contract: raw-path readers can miss a partition
+    // for the duration of the two renames; readers needing isolation go
+    // through publishSnapshot/readTable, whose CURRENT pointer flips
+    // atomically and never exposes a half-published version. Pin that the
+    // versioned layout serves the OLD snapshot until the pointer moves.
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-snap").toString
+    val v1 = ParquetWarehouse.publishSnapshot(root, Map("t" -> Seq((1L, "a")).toDF("k", "v")))
+    assert(ParquetWarehouse.readTable(spark, root, "t").count() == 1)
+    // a new version directory appearing (mid-publish) must NOT be visible
+    // until the pointer swap — write v2 data without moving the pointer
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(s"$root/v${v1.drop(1).toLong + 1}/t")
+    assert(ParquetWarehouse.currentVersion(root).contains(v1))
+    assert(ParquetWarehouse.readTable(spark, root, "t").count() == 1,
+      "readers must keep seeing the old snapshot until the atomic pointer flip")
+  }
+
   test("healthy partitions are not rewritten; a tiny target splits big partitions") {
     val dir = fragmentedTable()
     // first make everything 1 file
