@@ -14,12 +14,14 @@ final case class AssetFeatures(
 /** Multimodal-column plumbing: image/audio/video are opaque `binary` columns
   * with typed metadata, processed by per-partition batch functions.
   *
-  * The actual media DECODE is stubbed (no image/audio libraries in this
-  * container): `decodeStub` derives a deterministic 16-bin byte histogram in
-  * place of pixel/sample decoding. Everything around it — the schema, the
-  * typed Dataset boundary, the per-partition batching, the feature-vector
-  * shape feeding [[Similarity]] — is the real production plumbing; swapping
-  * `decodeStub` for a JNI/javacv decoder changes no other line.
+  * IMAGE payloads (`image/...` mimes) decode FOR REAL via `javax.imageio`
+  * (PNG/JPEG/BMP/GIF readers ship with the JDK — no external native libs),
+  * inside the same per-partition batch the stub always used: feature
+  * extraction reads pixels (dimensions, per-channel means, a 16-bin
+  * luminance histogram) and resize is a true bilinear downscale re-encoded
+  * as PNG. Non-image payloads (audio/video codecs are NOT in the JDK) keep
+  * the deterministic byte-histogram / block-average stand-ins — the slot a
+  * JNI/javacv decoder would fill, changing no schema or partitioning.
   */
 object Multimodal {
 
@@ -36,8 +38,43 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** STUB decoder — stands in for image decode / audio PCM extraction.
-    * Deterministic: 16-bin normalized byte-value histogram.
+  /** REAL image decode: `javax.imageio.ImageIO.read` over the payload
+    * bytes. None when no installed reader recognizes the format (or the
+    * bytes are corrupt) — callers fall back to the opaque-byte path, so a
+    * poisoned payload degrades instead of failing the task.
+    */
+  private[llm] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Pixel-level features of a decoded image: [width, height, mean_r,
+    * mean_g, mean_b] ++ 16-bin normalized luminance histogram (21 values).
+    * One pass over the raster, deterministic for a given image.
+    */
+  private[llm] def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var r = 0.0; var g = 0.0; var b = 0.0
+    val lum = new Array[Double](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val pr = (p >> 16) & 0xFF; val pg = (p >> 8) & 0xFF; val pb = p & 0xFF
+        r += pr; g += pg; b += pb
+        lum(((pr * 299 + pg * 587 + pb * 114) / 1000) >> 4) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1.0, w.toDouble * h)
+    Array(w.toDouble, h.toDouble, r / n, g / n, b / n) ++ lum.map(_ / n)
+  }
+
+  /** Opaque-byte stand-in for payloads the JDK cannot decode (audio PCM
+    * extraction, video containers): deterministic 16-bin normalized
+    * byte-value histogram.
     */
   private[llm] def decodeStub(payload: Array[Byte]): Array[Double] = {
     val bins = new Array[Double](16)
@@ -48,14 +85,21 @@ object Multimodal {
 
   /** Feature extraction: one pass per partition (the shape a vectorized /
     * batched decoder needs — amortized per-partition setup, no per-row
-    * driver involvement). Output features feed the ANN path unchanged.
+    * driver involvement). `image/...` payloads decode for real; everything
+    * else takes the byte-histogram path. Output features feed the ANN path
+    * unchanged.
     */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder setup would go here (codec contexts, buffers)
+      // per-partition decoder setup: ImageIO scans for plugin readers once
+      // per JVM; disk caching off keeps decode purely in-memory per batch
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val feats = decodeStub(a.payload)
+        val feats =
+          if (a.mime.startsWith("image/"))
+            decodeImage(a.payload).map(imageFeatures).getOrElse(decodeStub(a.payload))
+          else decodeStub(a.payload)
         val checksum = java.security.MessageDigest.getInstance("MD5")
           .digest(a.payload).map("%02x".format(_)).mkString
         AssetFeatures(a.asset_id, a.mime, a.n_bytes, checksum, feats)
@@ -63,22 +107,42 @@ object Multimodal {
     }
   }
 
-  /** Resize stand-in — the image-downscale/audio-resample slot: block-average
-    * the payload by `factor` (each output byte is the mean of `factor` input
-    * bytes), emitting a proportionally smaller payload with metadata updated
-    * to match. Deterministic, per-partition batched like [[extractFeatures]];
-    * a real image resize swaps the block-average for the codec call and
-    * changes no schema.
+  /** Resize: for `image/...` payloads a REAL bilinear downscale to
+    * (w/factor, h/factor), re-encoded as PNG (deterministic: PNG is
+    * lossless and the JDK encoder is stable for a given raster). For
+    * opaque payloads, the block-average byte stand-in (each output byte is
+    * the mean of `factor` input bytes) — the audio-resample slot.
+    * Per-partition batched like [[extractFeatures]].
     */
   def resize(assets: Dataset[Asset], factor: Int = 4): Dataset[Asset] = {
     require(factor > 0)
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val out = a.payload.grouped(factor)
-          .map(block => (block.map(_ & 0xFF).sum / block.length).toByte)
-          .toArray
-        Asset(a.asset_id, a.mime, out.length, out)
+        val imgOut: Option[Asset] =
+          if (a.mime.startsWith("image/")) decodeImage(a.payload).map { img =>
+            val w = math.max(1, img.getWidth / factor)
+            val h = math.max(1, img.getHeight / factor)
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = scaled.createGraphics()
+            try {
+              gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              gfx.drawImage(img, 0, 0, w, h, null)
+            } finally gfx.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", out)
+            val bytes = out.toByteArray
+            Asset(a.asset_id, "image/png", bytes.length, bytes)
+          } else None
+        imgOut.getOrElse {
+          val out = a.payload.grouped(factor)
+            .map(block => (block.map(_ & 0xFF).sum / block.length).toByte)
+            .toArray
+          Asset(a.asset_id, a.mime, out.length, out)
+        }
       }
     }
   }

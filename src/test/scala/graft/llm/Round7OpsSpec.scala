@@ -44,6 +44,54 @@ class Round7OpsSpec extends SparkSpec {
       s"no salted window in forced plan (partition widths: $windowPartitionWidths)")
   }
 
+  // ------------------------------------------------- real image decode (r6 #6)
+
+  import spark.implicits._
+
+  /** Deterministic synthetic PNG fixture: pixels from a pure (x, y) function,
+    * JDK-encoded — hermetic, no external image files.
+    */
+  private def pngAsset(id: Long, w: Int, h: Int)(rgb: (Int, Int) => Int): Asset = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val b = out.toByteArray
+    Asset(id, "image/png", b.length, b)
+  }
+
+  test("image decode is real: dimensions and per-channel means read from PNG pixels") {
+    val solid = pngAsset(1L, 40, 20)((_, _) => (10 << 16) | (200 << 8) | 30)
+    val f = Multimodal.extractFeatures(Seq(solid).toDS()).collect().head
+    assert(f.features.length == 21, s"image features are [w,h,r,g,b]++hist16: ${f.features.length}")
+    assert(f.features(0) == 40.0 && f.features(1) == 20.0, "decoded dimensions")
+    assert(f.features(2) == 10.0 && f.features(3) == 200.0 && f.features(4) == 30.0,
+      s"decoded channel means: ${f.features.slice(2, 5).mkString(",")}")
+    assert(math.abs(f.features.drop(5).sum - 1.0) < 1e-9, "luminance histogram normalized")
+  }
+
+  test("image resize is a real bilinear downscale: w/f x h/f PNG, color preserved") {
+    val solid = pngAsset(2L, 64, 32)((_, _) => (100 << 16) | (150 << 8) | 200)
+    val resized = Multimodal.resize(Seq(solid).toDS(), factor = 4).collect().head
+    assert(resized.mime == "image/png" && resized.n_bytes == resized.payload.length)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(img.getWidth == 16 && img.getHeight == 8,
+      s"got ${img.getWidth}x${img.getHeight}")
+    val p = img.getRGB(8, 4)
+    assert(((p >> 16) & 0xFF) == 100 && ((p >> 8) & 0xFF) == 150 && (p & 0xFF) == 200,
+      f"interior pixel drifted: 0x$p%06x")
+  }
+
+  test("corrupt image payloads degrade to the opaque-byte path instead of failing the task") {
+    val junk = Asset(3L, "image/png", 4, Array[Byte](1, 2, 3, 4))
+    val f = Multimodal.extractFeatures(Seq(junk).toDS()).collect().head
+    assert(f.features.length == 16, "byte-histogram fallback for undecodable bytes")
+    val r = Multimodal.resize(Seq(junk).toDS(), factor = 2).collect().head
+    assert(r.n_bytes == 2, "block-average fallback for undecodable bytes")
+  }
+
   test("bruteForceTopK output is unchanged by the TopKPerGroup routing (vs direct window SQL shape)") {
     // the s01 oracle covers cross-engine exactness; this guards the Spark
     // side against ranking drift at any fanout the stats estimator picks
