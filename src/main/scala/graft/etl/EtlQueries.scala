@@ -354,6 +354,39 @@ object EtlQueries {
       .orderBy("year", "month")
   }
 
+  // t15 — the salted skew join THROUGH the correctness gate (VERDICT r6
+  // #7): a deliberately skewed key (~60% of orders land on grp 0, integer
+  // arithmetic like DirtyTxns) joins a 5-row dim via SkewJoin.salted. The
+  // dim carries a shuffle-hash hint so the plan takes the shuffled path the
+  // operator exists for — the big side exchanges on (grp_id, __salt), i.e.
+  // the hot key spreads over `salt` sub-partitions (Round7OpsSpec asserts
+  // the salted scatter in the exchange; at a real 100 TB the dim side is
+  // the one too big to broadcast). The oracle recomputes the same join +
+  // rollup in DuckDB, so a row lost or doubled by the salt/replicate cycle
+  // hash-fails here.
+  private val t15 = q("t15_skew_salted_join",
+    s"""WITH dim AS (SELECT CAST(range AS BIGINT) AS grp_id,
+                            'grp_' || CAST(range AS VARCHAR) AS grp_name
+                     FROM range(5)),
+        o AS (SELECT CASE WHEN o_orderkey % 10 < 6 THEN 0
+                          ELSE o_orderkey % 10 - 5 END AS grp_id, o_totalprice
+              FROM orders)
+        SELECT grp_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ${sqlDsum("o_totalprice")} AS total_price
+        FROM o JOIN dim USING (grp_id)
+        GROUP BY grp_name ORDER BY grp_name""") { t =>
+    val big = t.orders.select(
+      when(col("o_orderkey") % 10 < 6, lit(0L))
+        .otherwise(col("o_orderkey") % 10 - 5).as("grp_id"),
+      col("o_totalprice"))
+    val dim = t.spark.range(5).select(col("id").as("grp_id"),
+      concat(lit("grp_"), col("id")).as("grp_name"))
+    graft.operators.SkewJoin.salted(big, dim.hint("shuffle_hash"), "grp_id", salt = 8)
+      .groupBy("grp_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("grp_name")
+  }
+
   private val fixtureA = "/root/repo/fixtures/transactions_dirty.csv"
   private val fixtureB = "/root/repo/fixtures/transactions_dirty_b.csv"
 
@@ -427,5 +460,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      c01, c02, c03)
+      t15, c01, c02, c03)
 }

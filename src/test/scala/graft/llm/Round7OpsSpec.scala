@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   */
 class Round7OpsSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
   private def scoredCandidates() = {
@@ -44,9 +46,41 @@ class Round7OpsSpec extends SparkSpec {
       s"no salted window in forced plan (partition widths: $windowPartitionWidths)")
   }
 
-  // ------------------------------------------------- real image decode (r6 #6)
+  // ------------------------------------------------ skew-join gate def (r6 #7)
 
-  import spark.implicits._
+  test("t15's plan shows the salted scatter: big side exchanges on (grp_id, __salt)") {
+    val df = graft.SparkEntry.defs.find(_.name == "t15_skew_salted_join").get
+      .run(spark, "/root/testdata/sf0.001")
+    // the join must key on (grp_id, __salt) — the hot key spread over the
+    // salt sub-keys — and the executed plan's exchange must scatter on both
+    val sparkPlan = df.queryExecution.sparkPlan.toString
+    assert(sparkPlan.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("grp_id") && l.contains("__salt")),
+      s"join not keyed on (grp_id, __salt):\n$sparkPlan")
+    val executed = df.queryExecution.executedPlan.toString
+    val exchangeLines = executed.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l => l.contains("grp_id") && l.contains("__salt")),
+      s"no (grp_id, __salt) exchange — the salted scatter is missing:\n$executed")
+    assert(df.count() == 5, "one row per dim group")
+  }
+
+  test("SkewJoin: saltCols restricts the hash inputs; MapType salt columns are rejected eagerly") {
+    val big = spark.range(100).select((col("id") % 3).as("k"), col("id").as("p"),
+      map(lit("a"), col("id")).as("m"))
+    val small = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    // default salts over ALL columns → MapType must be rejected with a clear error
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.salted(big, small, "k")
+    }
+    assert(err.getMessage.contains("MapType") && err.getMessage.contains("m"))
+    // naming hashable salt columns works and preserves the join result
+    val salted = graft.operators.SkewJoin.salted(big, small, "k", saltCols = Seq("k", "p"))
+      .select("k", "p", "v")
+    val plain = big.drop("m").join(small, "k").select("k", "p", "v")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  // ------------------------------------------------- real image decode (r6 #6)
 
   /** Deterministic synthetic PNG fixture: pixels from a pure (x, y) function,
     * JDK-encoded — hermetic, no external image files.
