@@ -34,16 +34,21 @@ object Display {
     case other                => other.toString
   }
 
-  /** Pure formatting core: (header names, rendered row cells) → table lines. */
-  def formatTable(headers: Seq[String], rows: Seq[Seq[String]]): Seq[String] = {
+  /** Pure formatting core: (header names, rendered row cells) → table lines.
+    * `cap` bounds both the width sample and the printed body — it must be
+    * the SAME cap the caller fetched with, else a `--limit` above the
+    * default prints fewer rows than the trailer claims (ADVICE r6).
+    */
+  def formatTable(headers: Seq[String], rows: Seq[Seq[String]],
+                  cap: Int = RowCap): Seq[String] = {
     val widths = headers.zipWithIndex.map { case (h, i) =>
-      val longest = (h.length +: rows.take(RowCap).map(_(i).length)).max
+      val longest = (h.length +: rows.take(cap).map(_(i).length)).max
       math.min(math.max(longest, MinWidth), MaxWidth)
     }
     def cell(s: String, w: Int): String =
       (if (s.length > w) s.take(w - 3) + "..." else s).padTo(w, ' ')
     val headerLine = headers.zip(widths).map { case (h, w) => cell(h, w) }.mkString(" | ")
-    val body = rows.take(RowCap).map(r =>
+    val body = rows.take(cap).map(r =>
       r.zip(widths).map { case (s, w) => cell(s, w) }.mkString(" | "))
     (headerLine +: ("-" * headerLine.length) +: body)
   }
@@ -59,7 +64,7 @@ object Display {
     val rendered = fetched.take(cap).toSeq.map(r =>
       headers.indices.map(i => render(r.get(i))))
     println()
-    formatTable(headers, rendered).foreach(println)
+    formatTable(headers, rendered, cap).foreach(println)
     if (fetched.length > cap) {
       val total = df.count() // only when truncated — see scaladoc
       println(s"\n... (showing first $cap of $total rows)")

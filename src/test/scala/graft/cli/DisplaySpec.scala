@@ -53,6 +53,24 @@ class DisplaySpec extends SparkSpec {
     assert(!lines(sep + 101).contains(" | "))
   }
 
+  test("a --limit above the default cap prints every fetched row (ADVICE r6)") {
+    val df = spark.range(150).selectExpr("id")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Display.printTable(df.orderBy("id"), cap = 120)
+    }
+    val s = out.toString("UTF-8")
+    assert(s.contains("... (showing first 120 of 150 rows)"))
+    val lines = s.split("\n")
+    val sep = lines.indexWhere(_.startsWith("---"))
+    // the body, trailer, and footer must agree: 120 data lines, not 100
+    val body = lines.slice(sep + 1, sep + 121)
+    assert(body.forall(l => l.trim.nonEmpty && l.trim.forall(_.isDigit)),
+      "rows 101..120 must print when the caller raised the cap")
+    assert(body.last.trim == "119", s"last printed row: '${body.last.trim}'")
+    assert(lines(sep + 121).trim.isEmpty, "exactly 120 body lines")
+  }
+
   test("printTable under the cap: no trailer, exact footer, no extra count job") {
     val df = spark.range(3).selectExpr("id")
     val out = new java.io.ByteArrayOutputStream()
