@@ -399,20 +399,35 @@ object Similarity {
     } finally { centroids.unpersist(); () }
   }
 
+  /** One index row per batch vector: (vec_id, cell, scale, q) — cell
+    * assignment AND int8 quantization fused into a single NARROW projection
+    * over one batch scan (both are per-row functions of the embedding; the
+    * previous formulation self-joined them by vec_id, shuffling the full
+    * quantized payload to reunite columns that never needed to separate).
+    * Exposed for the plan spec: the build path must stay exchange-free up
+    * to the final by-cell clustering.
+    */
+  private[graft] def ivfIndexRows(batch: DataFrame, centroids: DataFrame): DataFrame = {
+    val scale = int8Scale
+    ivfAssign(batch, centroids).select(col("vec_id"), col("cell"),
+      scale.as("scale"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+  }
+
   /** Assign + quantize a batch against the STORED centroids and add it to
     * the index's vector table — the incremental-ingest step (overwrite mode
-    * is the initial build).
+    * is the initial build). Plan shape: one narrow scan ([[ivfIndexRows]])
+    * then ONE exchange — the by-cell clustering before the partitioned
+    * write, so each cell directory gets one task's contiguous files instead
+    * of tasks×cells small files (the same rule as
+    * ParquetWarehouse.writeFactPartitioned).
     */
   def appendToIvfIndex(batch: DataFrame, path: String,
                        overwrite: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    ivfAssign(batch, centroids).select("vec_id", "cell")
-      .join(quantizeInt8Packed(batch), Seq("vec_id"))
-      .select("vec_id", "cell", "scale", "q")
-      // cluster by cell before the partitioned write so each cell directory
-      // gets one task's contiguous files, not tasks×cells small files (the
-      // same rule as ParquetWarehouse.writeFactPartitioned)
+    ivfIndexRows(batch, centroids)
       .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell")

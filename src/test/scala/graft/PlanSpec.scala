@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"ivfAssign plans a window:\n$plan")
   }
 
+  test("IVF index build rows (assign + quantize fused) stay narrow: no Exchange") {
+    // the build path scans the corpus once; assignment and int8 quantization
+    // are both per-row functions of the embedding, so everything up to the
+    // final by-cell clustering repartition must plan shuffle-free
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = graft.llm.Similarity.ivfIndexRows(
+      embs, graft.llm.Similarity.ivfCentroids(embs))
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"index build rows plan a shuffle:\n$plan")
+  }
+
   test("exact dedup shuffles fingerprints, not text (d01 scan prunes to doc_id+text, agg on hash)") {
     val plan = planOf("d01_dedup_exact")
     // partial aggregation before the exchange = map-side combine
