@@ -122,6 +122,65 @@ object StreamingOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Continuous corpus ingestion with INCREMENTAL NEAR-DUP DEDUP — the
+    * end-to-end production shape of a training-data pipeline: each
+    * micro-batch of documents (e.g. from [[jsonlDocumentStream]], or
+    * [[curateStream]]'s output) is
+    *   1. near-dup-filtered AGAINST the persisted corpus index
+    *      ([[graft.llm.Dedup.dedupAgainstIndex]] — bucket equi-join against
+    *      the store, zero corpus re-shingling per batch);
+    *   2. survivors appended to the corpus parquet AND to the index
+    *      ([[graft.llm.Dedup.appendToCorpusIndex]]), so batch N+1 dedups
+    *      against everything batch N added.
+    * Initialize the index once with `Dedup.writeCorpusIndex` (an empty
+    * corpus is fine). ALL cross-batch state lives in the persisted index —
+    * restart-safe by construction; Spark-side state is only the source's
+    * file-tracking log. Within-batch near-dups follow the cross-corpus
+    * contract (d08/d09): the batch is assumed pre-deduplicated within
+    * itself (compose `Dedup.exact`/`nearDupClusters` upstream if not).
+    * Streamed results are row-identical to running the same batches through
+    * the batch ops sequentially (StreamingSpec asserts it).
+    */
+  def ingestDedupedStream(docs: DataFrame, indexPath: String, corpusPath: String,
+                          checkpoint: String, threshold: Double = 0.8,
+                          shingleN: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      val survivors = graft.llm.Dedup
+        .dedupAgainstIndex(batch, indexPath, threshold, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (survivors.count() > 0) {
+          survivors.write.mode("append").parquet(corpusPath)
+          graft.llm.Dedup.appendToCorpusIndex(survivors, indexPath, shingleN)
+        }
+      } finally { survivors.unpersist(); () }
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** Continuous vector-index maintenance: each micro-batch of embeddings is
+    * assigned + int8-quantized against the STORED centroids and appended to
+    * the cell-partitioned vectors table
+    * ([[graft.llm.Similarity.appendToIvfIndex]]) — queries served from the
+    * index see new vectors as soon as their batch commits, with the
+    * centroid geometry fixed at [[graft.llm.Similarity.writeIvfIndex]]
+    * time (initialize the index with a representative first corpus). The
+    * per-batch work is the narrow fused build scan plus one by-cell
+    * clustering exchange — no corpus re-scan, ever.
+    */
+  def ingestVectorsStream(embeddings: DataFrame, indexPath: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) graft.llm.Similarity.appendToIvfIndex(batch, indexPath)
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Custom keyed state: per-user running (count, decimal-safe total) via
     * mapGroupsWithState — the Structured Streaming escape hatch for
     * aggregations the built-in operators can't express. Emits the updated

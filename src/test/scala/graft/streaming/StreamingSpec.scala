@@ -164,6 +164,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous deduped ingest: streamed micro-batches equal sequential batch ingestion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def part(r: Long) = docs.filter(col("doc_id") % 3 === r)
+    val initial = part(0)
+    val b1 = part(1).as[(Long, String)].collect().toSeq
+    val b2 = part(2).as[(Long, String)].collect().toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // streamed path: index seeded with the initial corpus, two micro-batches
+    graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx_s")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.ingestDedupedStream(
+      stream.toDF().toDF("doc_id", "text"),
+      s"$root/idx_s", s"$root/corpus_s", s"$root/ckpt")
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin: same batches through the batch ops sequentially
+    graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx_b")
+    Seq(b1, b2).foreach { b =>
+      val survivors = graft.llm.Dedup
+        .dedupAgainstIndex(b.toDF("doc_id", "text"), s"$root/idx_b")
+        .localCheckpoint(true)
+      if (survivors.count() > 0) {
+        survivors.write.mode("append").parquet(s"$root/corpus_b")
+        graft.llm.Dedup.appendToCorpusIndex(survivors, s"$root/idx_b")
+      }
+    }
+
+    def corpus(p: String) = spark.read.parquet(p).as[(Long, String)].collect().toSet
+    val streamed = corpus(s"$root/corpus_s")
+    val batch = corpus(s"$root/corpus_b")
+    assert(streamed.nonEmpty && streamed.size < (b1.size + b2.size),
+      "ingest must admit survivors AND drop near-dups of the indexed corpus")
+    assert(streamed == batch, s"stream/batch ingest diverged: " +
+      s"only-stream=${(streamed -- batch).map(_._1)}, only-batch=${(batch -- streamed).map(_._1)}")
+    // the index extended identically too: batch 2's dups of batch-1
+    // SURVIVORS are dropped (cross-batch state lives in the store)
+    def indexedIds(p: String) = spark.read.parquet(p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexedIds(s"$root/idx_s/shingles") == indexedIds(s"$root/idx_b/shingles"))
+  }
+
+  test("continuous vector ingest: streamed index contents equal the batch-built index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2rows = embs.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-ingest").toString
+    graft.llm.Similarity.writeIvfIndex(half1, s"$root/idx_s")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.ingestVectorsStream(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/idx_s", s"$root/ckpt")
+    try {
+      stream.addData(half2rows.take(half2rows.size / 2)); q.processAllAvailable()
+      stream.addData(half2rows.drop(half2rows.size / 2)); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin with the same initial centroids (same corpus + seed)
+    graft.llm.Similarity.writeIvfIndex(half1, s"$root/idx_b")
+    graft.llm.Similarity.appendToIvfIndex(
+      half2rows.toDF("vec_id", "embedding"), s"$root/idx_b")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"), col("scale"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toString,
+        r.getSeq[Int](3).mkString(","))).toSet
+    val streamed = rows(s"$root/idx_s/vectors")
+    assert(streamed.size == embs.count(), "every vector lands in the streamed index exactly once")
+    assert(streamed == rows(s"$root/idx_b/vectors"),
+      "streamed index contents must equal the batch-built index")
+  }
+
   test("late events beyond the watermark are dropped from finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
