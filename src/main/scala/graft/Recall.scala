@@ -154,22 +154,31 @@ object Recall {
     // probe config reports recall AND the measured candidate fraction —
     // the number the partition-pruned layout exists to minimize.
     def ivfIndexEntries(configs: Seq[(String, Int)]) = {
-      val idx = java.nio.file.Files.createTempDirectory("graft-recall-ivfq").toString
-      Similarity.writeIvfIndex(embs, idx)
-      val storedIds = spark.read.parquet(s"$idx/vectors")
-        .select(col("vec_id"), col("cell").cast("long").as("cell"))
-        .localCheckpoint(true)
-      val centroids = spark.read.parquet(s"$idx/centroids")
-      configs.map { case (name, nProbe) =>
-        val probes = Similarity.ivfProbes(embs, centroids, pred, nProbe)
-          .select("query_id", "cell")
-        val nCand = probes.join(storedIds, Seq("cell"))
-          .filter(col("query_id") =!= col("vec_id")).count()
-        val approx = Similarity.ivfTopKQuantizedFromIndex(
-          embs.filter(pred), idx, 10, nProbe)
-        (name + suffix) -> Seq("n_probe" -> nProbe.toDouble,
-          "recall_at_10" -> Similarity.recallAtK(exact, approx),
-          "candidate_fraction" -> nCand / allPairs)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-recall-ivfq")
+      val idx = idxDir.toString
+      try {
+        Similarity.writeIvfIndex(embs, idx)
+        val storedIds = spark.read.parquet(s"$idx/vectors")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .localCheckpoint(true)
+        val centroids = spark.read.parquet(s"$idx/centroids")
+        configs.map { case (name, nProbe) =>
+          val probes = Similarity.ivfProbes(embs, centroids, pred, nProbe)
+            .select("query_id", "cell")
+          val nCand = probes.join(storedIds, Seq("cell"))
+            .filter(col("query_id") =!= col("vec_id")).count()
+          val approx = Similarity.ivfTopKQuantizedFromIndex(
+            embs.filter(pred), idx, 10, nProbe)
+          (name + suffix) -> Seq("n_probe" -> nProbe.toDouble,
+            "recall_at_10" -> Similarity.recallAtK(exact, approx),
+            "candidate_fraction" -> nCand / allPairs)
+        }
+      } finally {
+        // the index is a full quantized copy of the corpus — don't leave
+        // one under /tmp per geometry per round (ADVICE r7)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(idxDir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
 

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** A multimodal asset row: opaque payload + typed metadata. */
 final case class Asset(asset_id: Long, mime: String, n_bytes: Int, payload: Array[Byte])
 
-/** Extracted features for one asset. */
+/** Extracted features for one asset. `width`/`height` are decoded image
+  * dimensions (0 when the payload is not a decodable image) — kept as
+  * METADATA, not feature components, so the feature vector stays
+  * scale-homogeneous (every component in [0, 1]).
+  */
 final case class AssetFeatures(
-    asset_id: Long, mime: String, n_bytes: Int,
-    checksum: String, features: Array[Double])
+    asset_id: Long, mime: String, n_bytes: Int, checksum: String,
+    width: Int, height: Int, features: Array[Double])
 
 /** Multimodal-column plumbing: image/audio/video are opaque `binary` columns
   * with typed metadata, processed by per-partition batch functions.
@@ -47,11 +51,15 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: java.io.IOException | _: RuntimeException => None }
 
-  /** Pixel-level features of a decoded image: [width, height, mean_r,
-    * mean_g, mean_b] ++ 16-bin normalized luminance histogram (21 values).
-    * One pass over the raster, deterministic for a given image.
+  /** Pixel-level features of a decoded image: (width, height,
+    * [mean_r, mean_g, mean_b] / 255 ++ 16-bin normalized luminance
+    * histogram) — 19 feature values, ALL in [0, 1], so cosine between two
+    * image rows is not dominated by raw pixel-count magnitudes; dimensions
+    * travel as metadata fields instead (ADVICE r7). One pass over the
+    * raster, deterministic for a given image.
     */
-  private[llm] def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+  private[llm] def imageFeatures(
+      img: java.awt.image.BufferedImage): (Int, Int, Array[Double]) = {
     val w = img.getWidth
     val h = img.getHeight
     var r = 0.0; var g = 0.0; var b = 0.0
@@ -69,7 +77,7 @@ object Multimodal {
       y += 1
     }
     val n = math.max(1.0, w.toDouble * h)
-    Array(w.toDouble, h.toDouble, r / n, g / n, b / n) ++ lum.map(_ / n)
+    (w, h, Array(r / n / 255.0, g / n / 255.0, b / n / 255.0) ++ lum.map(_ / n))
   }
 
   /** Opaque-byte stand-in for payloads the JDK cannot decode (audio PCM
@@ -85,9 +93,12 @@ object Multimodal {
 
   /** Feature extraction: one pass per partition (the shape a vectorized /
     * batched decoder needs — amortized per-partition setup, no per-row
-    * driver involvement). `image/...` payloads decode for real; everything
-    * else takes the byte-histogram path. Output features feed the ANN path
-    * unchanged.
+    * driver involvement). `image/...` payloads decode for real (19 pixel
+    * features, all in [0, 1]); everything else takes the 16-bin
+    * byte-histogram path. Features feed the ANN path WITHIN a modality —
+    * the per-modality vector widths differ by design, and `vec_dot`'s
+    * length contract returns null for a cross-modality pair rather than a
+    * meaningless score (compare images to images, audio to audio).
     */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
@@ -96,13 +107,14 @@ object Multimodal {
       // per JVM; disk caching off keeps decode purely in-memory per batch
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val feats =
+        val (w, h, feats) =
           if (a.mime.startsWith("image/"))
-            decodeImage(a.payload).map(imageFeatures).getOrElse(decodeStub(a.payload))
-          else decodeStub(a.payload)
+            decodeImage(a.payload).map(imageFeatures)
+              .getOrElse((0, 0, decodeStub(a.payload)))
+          else (0, 0, decodeStub(a.payload))
         val checksum = java.security.MessageDigest.getInstance("MD5")
           .digest(a.payload).map("%02x".format(_)).mkString
-        AssetFeatures(a.asset_id, a.mime, a.n_bytes, checksum, feats)
+        AssetFeatures(a.asset_id, a.mime, a.n_bytes, checksum, w, h, feats)
       }
     }
   }

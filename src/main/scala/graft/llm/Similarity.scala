@@ -450,7 +450,10 @@ object Similarity {
                                 nProbe: Int = IvfProbes): DataFrame = {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/centroids")
+    // materialize the probe stage once: the collect below AND the scored
+    // join both consume it (uncached it would recompute per consumer)
     val probes = ivfProbes(queries, centroids, lit(true), nProbe)
+      .localCheckpoint(true)
     // one tiny driver-side job over the ≤ |queries|·nProbe probe rows —
     // the literal cell list is what lets the planner prune partitions
     // (a join-derived predicate would read every cell's files)

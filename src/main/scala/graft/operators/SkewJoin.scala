@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew mitigation for equi-joins: AQE's skew-join splitting handles most
   * cases at runtime (enabled in GraftSession), but a join against a
@@ -42,8 +42,17 @@ object SkewJoin {
     val cols = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
     val missing = cols.filterNot(big.columns.contains)
     require(missing.isEmpty, s"skewJoin: salt columns not in the big side: ${missing.mkString(", ")}")
+    // xxhash64 rejects MapType anywhere in the column's type tree — check
+    // recursively so nested maps (array<map<...>>, struct fields) are also
+    // caught here with the saltCols hint, not deep in join analysis
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType       => true
+      case ArrayType(et, _) => containsMap(et)
+      case st: StructType   => st.fields.exists(f => containsMap(f.dataType))
+      case _                => false
+    }
     val unhashable = big.schema.fields
-      .filter(f => cols.contains(f.name) && f.dataType.isInstanceOf[MapType])
+      .filter(f => cols.contains(f.name) && containsMap(f.dataType))
       .map(_.name)
     require(unhashable.isEmpty,
       s"skewJoin: MapType columns are not hashable — pass saltCols excluding: ${unhashable.mkString(", ")}")

@@ -50,17 +50,26 @@ object TopKPerGroup {
     // phase-1 scratch column gets a name no input can contain (ADVICE r3)
     require(!df.columns.contains(rankCol),
       s"topKPerGroup: input already has a '$rankCol' column — pass a different rankCol")
-    val stats = df.queryExecution.optimizedPlan.stats
+    val optimized = df.queryExecution.optimizedPlan
+    val stats = optimized.stats
     val estRows: Long = stats.rowCount.map(_.toLong).getOrElse {
       val rowWidth = math.max(1, df.schema.defaultSize)
       // without CBO rowCount, sizeInBytes propagates from the COMPRESSED
-      // on-disk file size — parquet typically compresses 3-8×, so a
-      // bytes-derived row estimate can undercount by the compression ratio
-      // and silently reinstate the single-task straggler the salted plan
-      // exists to avoid (ADVICE r6). Inflate by 8× before deciding to
-      // collapse: the bias only ever picks the salted plan on a
-      // borderline-small input, and both plans are row-identical.
-      (stats.sizeInBytes * 8 / rowWidth).min(BigInt(Long.MaxValue)).toLong
+      // on-disk file size when the lineage reads files — parquet typically
+      // compresses 3-8×, so a bytes-derived row estimate can undercount by
+      // the compression ratio and silently reinstate the single-task
+      // straggler the salted plan exists to avoid (ADVICE r6). Inflate by
+      // 8× before deciding to collapse — but ONLY when a file scan feeds
+      // the estimate; local/in-memory frames carry width-exact sizes and
+      // inflating them would force the two-window plan on genuinely small
+      // inputs (ADVICE r7). The bias only ever picks the salted plan, and
+      // both plans are row-identical.
+      val fromFiles = optimized.collectLeaves().exists {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _ => false
+      }
+      val inflate = if (fromFiles) 8 else 1
+      (stats.sizeInBytes * inflate / rowWidth).min(BigInt(Long.MaxValue)).toLong
     }
     val effFanout =
       math.min(fanout.toLong, (estRows - 1) / targetPartitionRows + 1).max(1L).toInt

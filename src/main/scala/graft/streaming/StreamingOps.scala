@@ -133,13 +133,25 @@ object StreamingOps {
     *      ([[graft.llm.Dedup.appendToCorpusIndex]]), so batch N+1 dedups
     *      against everything batch N added.
     * Initialize the index once with `Dedup.writeCorpusIndex` (an empty
-    * corpus is fine). ALL cross-batch state lives in the persisted index —
-    * restart-safe by construction; Spark-side state is only the source's
-    * file-tracking log. Within-batch near-dups follow the cross-corpus
-    * contract (d08/d09): the batch is assumed pre-deduplicated within
-    * itself (compose `Dedup.exact`/`nearDupClusters` upstream if not).
-    * Streamed results are row-identical to running the same batches through
-    * the batch ops sequentially (StreamingSpec asserts it).
+    * corpus is fine). ALL cross-batch state lives in the persisted index;
+    * Spark-side state is only the source's file-tracking log.
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): the corpus append is
+    * idempotent by doc_id ([[graft.warehouse.ParquetWarehouse
+    * .appendIdempotent]]), so a batch replayed after a crash between the
+    * corpus and index appends adds nothing twice; a replay after the index
+    * append finds its survivors already indexed and becomes a no-op
+    * (dedupAgainstIndex drops them). Residual caveat, stated rather than
+    * hidden: the index's two tables (buckets, shingles) commit
+    * independently — a crash BETWEEN those two commits can leave a batch
+    * half-indexed; a table format's transactional commit closes that gap
+    * at production scale.
+    *
+    * Within-batch near-dups follow the cross-corpus contract (d08/d09):
+    * the batch is assumed pre-deduplicated within itself (compose
+    * `Dedup.exact`/`nearDupClusters` upstream if not). Streamed results
+    * are row-identical to running the same batches through the batch ops
+    * sequentially (StreamingSpec asserts it, including the replay window).
     */
   def ingestDedupedStream(docs: DataFrame, indexPath: String, corpusPath: String,
                           checkpoint: String, threshold: Double = 0.8,
@@ -150,7 +162,8 @@ object StreamingOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (survivors.count() > 0) {
-          survivors.write.mode("append").parquet(corpusPath)
+          graft.warehouse.ParquetWarehouse
+            .appendIdempotent(survivors, corpusPath, "doc_id")
           graft.llm.Dedup.appendToCorpusIndex(survivors, indexPath, shingleN)
         }
       } finally { survivors.unpersist(); () }
@@ -170,11 +183,23 @@ object StreamingOps {
     * time (initialize the index with a representative first corpus). The
     * per-batch work is the narrow fused build scan plus one by-cell
     * clustering exchange — no corpus re-scan, ever.
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): the batch anti-joins
+    * the store's vec_id column (pruned scan of one column) before
+    * appending, so a micro-batch replayed after a crash cannot land a
+    * vector twice — a duplicated neighbor would silently occupy two of
+    * the k ranks at query time. Requires corpus-unique vec_ids, the same
+    * key contract every dedup-by-id operator in the engine relies on.
     */
   def ingestVectorsStream(embeddings: DataFrame, indexPath: String,
                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val step: (DataFrame, Long) => Unit = (batch, _) =>
-      if (!batch.isEmpty) graft.llm.Similarity.appendToIvfIndex(batch, indexPath)
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val fresh = batch.join(
+        spark.read.parquet(s"$indexPath/vectors").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) graft.llm.Similarity.appendToIvfIndex(fresh, indexPath)
+    }
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(step)

@@ -219,14 +219,16 @@ object ParquetWarehouse {
 
     // 2. read only fragmented partitions; scatter each over its target count.
     // Partition values are parsed WITHOUT type inference (strings round-trip
-    // through the staged write into byte-identical dir names); schemas merge
-    // across files so evolved columns survive the rewrite (ADVICE r6).
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferWas = spark.conf.get(inferKey)
+    // through the staged write into byte-identical dir names) — scoped to a
+    // CLONED session so concurrent readers of this SparkSession keep their
+    // typed partition columns (ADVICE r7); schemas merge across files so
+    // evolved columns survive the rewrite (ADVICE r6).
+    val readSession = spark.newSession()
+    readSession.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val srcDirs = fragmented.keys.toSeq.sorted.map(rel => s"$path/$rel")
-    val salted = try {
-      spark.conf.set(inferKey, "false")
-      val src = spark.read
+    val salted = {
+      val src = readSession.read
         .option("basePath", path).option("mergeSchema", "true")
         .parquet(srcDirs: _*)
       // partition-dir string form (e.g. "year=1996/month=5") ← the actual
@@ -243,7 +245,7 @@ object ParquetWarehouse {
         root.toUri.relativize(new org.apache.hadoop.fs.Path(root, rel).toUri).toString
       val targets = fragmented.toSeq.map { case (rel, (_, bytes)) =>
         (uriRel(rel), math.max(1L, (bytes - 1) / targetFileBytes + 1)) }
-      val targetDf = spark.createDataFrame(targets).toDF("__dir", "__nfiles")
+      val targetDf = readSession.createDataFrame(targets).toDF("__dir", "__nfiles")
       val dataCols = src.columns.filterNot(partitionCols.contains)
       src.withColumn("__dir", dirExpr)
         .join(broadcast(targetDf), Seq("__dir"))
@@ -253,18 +255,30 @@ object ParquetWarehouse {
             col("__nfiles")).cast("int"))
         .repartition(partitionCols.map(col) :+ col("__salt"): _*)
         .drop("__dir", "__nfiles", "__salt")
-    } finally spark.conf.set(inferKey, inferWas)
+    }
 
     // 3. staging write + validate + per-directory atomic swap
     salted.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(staging.toString)
     // validate BEFORE any swap: every partition we're about to move aside
-    // must have a staged replacement. A partition whose files hold zero
-    // rows stages nothing — leave it fully old (skip), never abort after
-    // some partitions have already swapped.
-    val swappable = fragmented.keys.toSeq.sorted.filter { rel =>
+    // must have a staged replacement — never abort after some partitions
+    // have already swapped. A fragmented partition that staged NOTHING is
+    // either all zero-row files (compact it by removing the dir: zero rows
+    // is semantically identical, and otherwise every future run re-reads
+    // and re-stages it forever — ADVICE r7) or evidence the rewrite lost
+    // rows (verified by re-counting: a non-empty skipped partition stays
+    // fully old, the originals are never deleted).
+    val (swappable, skipped) = fragmented.keys.toSeq.sorted.partition { rel =>
       fs.exists(new org.apache.hadoop.fs.Path(staging, rel)) }
+    val emptied = skipped.filter { rel =>
+      readSession.read.option("basePath", path).parquet(s"$path/$rel").isEmpty }
     fs.mkdirs(trash)
+    emptied.foreach { rel =>
+      val aside = new org.apache.hadoop.fs.Path(trash,
+        java.net.URLEncoder.encode(rel, "UTF-8"))
+      if (!fs.rename(new org.apache.hadoop.fs.Path(root, rel), aside))
+        throw new java.io.IOException(s"compaction: cannot remove empty $rel")
+    }
     swappable.foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)
       val staged = new org.apache.hadoop.fs.Path(staging, rel)
@@ -278,7 +292,8 @@ object ParquetWarehouse {
       }
     }
     fs.delete(staging, true); fs.delete(trash, true)
-    val compacted = fragmented.view.filterKeys(swappable.contains).toMap
+    val compacted = fragmented.view
+      .filterKeys(rel => swappable.contains(rel) || emptied.contains(rel)).toMap
 
     val after = {
       var n = 0L

@@ -73,6 +73,13 @@ class Round7OpsSpec extends SparkSpec {
       graft.operators.SkewJoin.salted(big, small, "k")
     }
     assert(err.getMessage.contains("MapType") && err.getMessage.contains("m"))
+    // nested maps (array<map>, struct fields) are caught too (ADVICE r7)
+    val nested = spark.range(10).select((col("id") % 3).as("k"),
+      array(map(lit("a"), col("id"))).as("am"))
+    val errNested = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.salted(nested, small, "k")
+    }
+    assert(errNested.getMessage.contains("am"))
     // naming hashable salt columns works and preserves the join result
     val salted = graft.operators.SkewJoin.salted(big, small, "k", saltCols = Seq("k", "p"))
       .select("k", "p", "v")
@@ -98,11 +105,12 @@ class Round7OpsSpec extends SparkSpec {
   test("image decode is real: dimensions and per-channel means read from PNG pixels") {
     val solid = pngAsset(1L, 40, 20)((_, _) => (10 << 16) | (200 << 8) | 30)
     val f = Multimodal.extractFeatures(Seq(solid).toDS()).collect().head
-    assert(f.features.length == 21, s"image features are [w,h,r,g,b]++hist16: ${f.features.length}")
-    assert(f.features(0) == 40.0 && f.features(1) == 20.0, "decoded dimensions")
-    assert(f.features(2) == 10.0 && f.features(3) == 200.0 && f.features(4) == 30.0,
-      s"decoded channel means: ${f.features.slice(2, 5).mkString(",")}")
-    assert(math.abs(f.features.drop(5).sum - 1.0) < 1e-9, "luminance histogram normalized")
+    assert(f.width == 40 && f.height == 20, "decoded dimensions travel as metadata")
+    assert(f.features.length == 19, s"image features are [r,g,b]/255 ++ hist16: ${f.features.length}")
+    assert(f.features(0) == 10.0 / 255 && f.features(1) == 200.0 / 255 && f.features(2) == 30.0 / 255,
+      s"decoded channel means: ${f.features.take(3).mkString(",")}")
+    assert(f.features.forall(v => v >= 0.0 && v <= 1.0), "every feature component in [0,1]")
+    assert(math.abs(f.features.drop(3).sum - 1.0) < 1e-9, "luminance histogram normalized")
   }
 
   test("image resize is a real bilinear downscale: w/f x h/f PNG, color preserved") {
@@ -122,6 +130,7 @@ class Round7OpsSpec extends SparkSpec {
     val junk = Asset(3L, "image/png", 4, Array[Byte](1, 2, 3, 4))
     val f = Multimodal.extractFeatures(Seq(junk).toDS()).collect().head
     assert(f.features.length == 16, "byte-histogram fallback for undecodable bytes")
+    assert(f.width == 0 && f.height == 0, "no decoded dimensions for undecodable bytes")
     val r = Multimodal.resize(Seq(junk).toDS(), factor = 2).collect().head
     assert(r.n_bytes == 2, "block-average fallback for undecodable bytes")
   }

@@ -212,6 +212,59 @@ class StreamingSpec extends SparkSpec {
     assert(indexedIds(s"$root/idx_s/shingles") == indexedIds(s"$root/idx_b/shingles"))
   }
 
+  test("deduped ingest replay window: a batch re-delivered after a crash duplicates nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val initial = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1).as[(Long, String)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx")
+    // simulate the crash window: first delivery appended to the corpus but
+    // died BEFORE the index append
+    val survivors = graft.llm.Dedup
+      .dedupAgainstIndex(b1.toDF("doc_id", "text"), s"$root/idx")
+      .localCheckpoint(true)
+    val nSurvivors = survivors.count()
+    assert(nSurvivors > 0)
+    survivors.write.mode("append").parquet(s"$root/corpus")
+    // the replayed delivery arrives through the stream
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.ingestDedupedStream(
+      stream.toDF().toDF("doc_id", "text"), s"$root/idx", s"$root/corpus", s"$root/ckpt")
+    try { stream.addData(b1); q.processAllAvailable() } finally q.stop()
+
+    val corpus = spark.read.parquet(s"$root/corpus")
+    assert(corpus.count() == nSurvivors, "replay must not duplicate corpus rows")
+    assert(corpus.select("doc_id").distinct().count() == nSurvivors)
+    // and the index caught up on the replay
+    val indexed = spark.read.parquet(s"$root/idx/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.select("doc_id").as[Long].collect().forall(indexed.contains),
+      "replay must complete the interrupted index append")
+  }
+
+  test("vector ingest replay: re-delivered rows do not duplicate index contents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half2rows = embs.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-replay").toString
+    graft.llm.Similarity.writeIvfIndex(embs.filter(col("vec_id") % 2 === 0), s"$root/idx")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.ingestVectorsStream(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/idx", s"$root/ckpt")
+    try {
+      stream.addData(half2rows); q.processAllAvailable()
+      stream.addData(half2rows); q.processAllAvailable() // at-least-once replay
+    } finally q.stop()
+    val vectors = spark.read.parquet(s"$root/idx/vectors")
+    assert(vectors.count() == embs.count(), "replayed vectors must not land twice")
+    assert(vectors.select("vec_id").distinct().count() == embs.count())
+  }
+
   test("continuous vector ingest: streamed index contents equal the batch-built index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -104,6 +104,25 @@ class CompactionSpec extends SparkSpec {
     assert(vals == Set((1L, None), (2L, Some("new"))))
   }
 
+  test("all-empty-file partitions are compacted away instead of re-staged forever (ADVICE r7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString + "/t"
+    Seq((0L, 1L), (0L, 2L)).toDF("p", "k").coalesce(1).write.partitionBy("p").parquet(dir)
+    // a partition holding only zero-row files — filtered/aborted-write residue
+    val emptyDf = Seq(1L).toDF("k").filter(col("k") < 0)
+    emptyDf.write.parquet(s"$dir/p=9")
+    emptyDf.write.mode("append").parquet(s"$dir/p=9")
+    val before = listDataFiles(dir)
+    assert(before.get("p=9").exists(_.size >= 2), s"setup needs ≥2 empty files: ${before.view.mapValues(_.size).toMap}")
+
+    val stats = ParquetWarehouse.compactPartitioned(spark, dir, Seq("p"))
+    assert(stats.partitionsCompacted == 1, s"the empty partition counts as compacted: $stats")
+    assert(!new java.io.File(dir, "p=9").exists(), "zero-row partition removed")
+    assert(spark.read.parquet(dir).count() == 2, "healthy partition untouched")
+    // and the next run has nothing left to chew on
+    val again = ParquetWarehouse.compactPartitioned(spark, dir, Seq("p"))
+    assert(again.partitionsCompacted == 0)
+  }
+
   test("crash recovery: a partition parked in trash with no live dir is restored on the next run") {
     val dir = fragmentedTable()
     // simulate the crash window: live → trash done, staged → live NOT done
