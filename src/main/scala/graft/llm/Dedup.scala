@@ -219,35 +219,97 @@ object Dedup {
     * the reference's incremental pattern of reading existing warehouse keys
     * rather than recomputing them (/root/reference/src/load.py:534-582).
     *
-    * Layout under `path`: two parquet tables,
-    *   - `buckets`:  (doc_id, band, band_hash) — the LSH join side; at
+    * Layout under `path`: versioned per-batch deltas, each holding two
+    * parquet tables,
+    *   - `v<N>/buckets`:  (doc_id, band, band_hash) — the LSH join side; at
     *     warehouse scale this is the frame you'd additionally bucket/sort by
     *     band_hash so the per-batch join shuffles only the batch side;
-    *   - `shingles`: (doc_id, sh) — the exact-verification side, read back
-    *     candidate-restricted (the semi-join keeps non-candidate shingle
-    *     arrays out of the join, though the column itself must be scanned).
-    *
-    * Append-safe by construction: both tables are keyed by doc_id and
-    * carry no global state, so `mode = "append"` with a new batch's rows
-    * extends the index — the ingest loop is dedupAgainstIndex(batch), then
-    * appendToCorpusIndex(survivors).
+    *   - `v<N>/shingles`: (doc_id, sh) — the exact-verification side, read
+    *     back candidate-restricted (the semi-join keeps non-candidate
+    *     shingle arrays out of the join, though the column itself must be
+    *     scanned);
+    * plus a `CURRENT` pointer file listing the COMMITTED version dirs. Both
+    * tables of a batch land under one uncommitted `v<N>` and become visible
+    * together when the pointer swaps (one atomic file move — the same
+    * mechanism as [[graft.warehouse.ParquetWarehouse.publishSnapshot]]), so
+    * the half-indexed-batch crash window the r7 build disclosed is closed:
+    * a crash anywhere before the swap leaves readers on the old pointer,
+    * and the replayed batch clobbers the orphaned version dir (its number
+    * derives from the POINTER, not the directory listing). Readers resolve
+    * the committed dirs via [[indexBuckets]]/[[indexShingles]] (a flat
+    * pre-versioning layout is still recognized). Unreferenced version dirs
+    * left by a replaced index or a crashed append are garbage, invisible to
+    * readers; a maintenance pass may delete them. Per-batch deltas also
+    * mean a long-lived streamed index accrues one small dir per
+    * micro-batch — the small-file story is the same as any append-heavy
+    * table and the fix is the same compaction pass (fold committed versions
+    * into one and swap the pointer).
     */
-  def writeCorpusIndex(corpus: DataFrame, path: String, shingleN: Int = 3,
-                       mode: String = "overwrite"): Unit = {
-    val sh = corpus
+  def writeCorpusIndex(corpus: DataFrame, path: String, shingleN: Int = 3): Unit =
+    commitIndexVersion(corpus, path, shingleN, replace = true)
+
+  /** Extend a persisted index with a new (already-deduplicated) batch —
+    * one new version dir, one atomic pointer swap.
+    */
+  def appendToCorpusIndex(batch: DataFrame, path: String, shingleN: Int = 3): Unit =
+    commitIndexVersion(batch, path, shingleN, replace = false)
+
+  private val IndexPointer = "CURRENT"
+
+  /** Committed version dirs, oldest first; empty for a flat legacy index. */
+  private def committedVersions(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path, IndexPointer)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String, table: String): DataFrame = {
+    val vs = committedVersions(path)
+    // no pointer → flat pre-versioning layout (or a bare path, which fails
+    // with the same path-not-found error as before)
+    val dirs = if (vs.nonEmpty) vs.map(v => s"$path/$v/$table") else Seq(s"$path/$table")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** The committed bucket table of a persisted index (all versions). */
+  def indexBuckets(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readIndexTable(spark, path, "buckets")
+
+  /** The committed shingle table of a persisted index (all versions). */
+  def indexShingles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readIndexTable(spark, path, "shingles")
+
+  /** Stage both tables for one batch under the next version dir, then swap
+    * the pointer. `replace = true` publishes a pointer listing ONLY the new
+    * version (the overwrite form); otherwise the new version is appended to
+    * the committed list. Version numbers derive from the pointer — a
+    * replayed crashed append re-stages the SAME dir in overwrite mode, so
+    * a half-written orphan can never leak into a commit.
+    */
+  private def commitIndexVersion(docs: DataFrame, path: String, shingleN: Int,
+                                 replace: Boolean): Unit = {
+    val committed = committedVersions(path)
+    val next = "v" + (committed.lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val sh = docs
       .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bandBuckets(signatureFromShingles(sh))
         .select("doc_id", "band", "band_hash")
-        .write.mode(mode).parquet(s"$path/buckets")
-      sh.write.mode(mode).parquet(s"$path/shingles")
+        .write.mode("overwrite").parquet(s"$path/$next/buckets")
+      sh.write.mode("overwrite").parquet(s"$path/$next/shingles")
     } finally { sh.unpersist(); () }
+    val root = java.nio.file.Paths.get(path)
+    val tmp = root.resolve(s".$IndexPointer.tmp")
+    java.nio.file.Files.writeString(tmp,
+      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, root.resolve(IndexPointer),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
-
-  /** Extend a persisted index with a new (already-deduplicated) batch. */
-  def appendToCorpusIndex(batch: DataFrame, path: String, shingleN: Int = 3): Unit =
-    writeCorpusIndex(batch, path, shingleN, mode = "append")
 
   /** [[crossNearDupPairsWithCleanup]] with the corpus side read from a
     * persisted index (see [[writeCorpusIndex]]) — hash-identical pairs, but
@@ -263,8 +325,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (result, releaseCore) = crossPairsCore(
       shNew,
-      spark.read.parquet(s"$indexPath/buckets"),
-      spark.read.parquet(s"$indexPath/shingles"),
+      indexBuckets(spark, indexPath),
+      indexShingles(spark, indexPath),
       threshold)
     (result, () => { releaseCore(); shNew.unpersist(); () })
   }

@@ -207,9 +207,9 @@ class StreamingSpec extends SparkSpec {
       s"only-stream=${(streamed -- batch).map(_._1)}, only-batch=${(batch -- streamed).map(_._1)}")
     // the index extended identically too: batch 2's dups of batch-1
     // SURVIVORS are dropped (cross-batch state lives in the store)
-    def indexedIds(p: String) = spark.read.parquet(p)
+    def indexedIds(p: String) = graft.llm.Dedup.indexShingles(spark, p)
       .select("doc_id").as[Long].collect().toSet
-    assert(indexedIds(s"$root/idx_s/shingles") == indexedIds(s"$root/idx_b/shingles"))
+    assert(indexedIds(s"$root/idx_s") == indexedIds(s"$root/idx_b"))
   }
 
   test("deduped ingest replay window: a batch re-delivered after a crash duplicates nothing") {
@@ -239,13 +239,13 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.count() == nSurvivors, "replay must not duplicate corpus rows")
     assert(corpus.select("doc_id").distinct().count() == nSurvivors)
     // and the index caught up on the replay
-    val indexed = spark.read.parquet(s"$root/idx/shingles")
+    val indexed = graft.llm.Dedup.indexShingles(spark, s"$root/idx")
       .select("doc_id").as[Long].collect().toSet
     assert(survivors.select("doc_id").as[Long].collect().forall(indexed.contains),
       "replay must complete the interrupted index append")
   }
 
-  test("vector ingest replay: re-delivered rows do not duplicate index contents") {
+  test("vector ingest replay: a crash-replayed micro-batch does not duplicate index contents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -254,15 +254,126 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-vec-replay").toString
     graft.llm.Similarity.writeIvfIndex(embs.filter(col("vec_id") % 2 === 0), s"$root/idx")
     val stream = MemoryStream[(Long, Array[Float])]
-    val q = StreamingOps.ingestVectorsStream(
-      stream.toDF().toDF("vec_id", "embedding"), s"$root/idx", s"$root/ckpt")
-    try {
-      stream.addData(half2rows); q.processAllAvailable()
-      stream.addData(half2rows); q.processAllAvailable() // at-least-once replay
-    } finally q.stop()
+    def run(): Unit = {
+      val q = StreamingOps.ingestVectorsStream(
+        stream.toDF().toDF("vec_id", "embedding"), s"$root/idx", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommitBatch0(): Unit = Seq("0", ".0.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    stream.addData(half2rows)
+    run()
+    // crash window A: appends + high-water mark committed, but the process
+    // died before Spark recorded the batch — erase the checkpoint commit so
+    // the restart re-delivers batchId 0; the guard skips it outright.
+    uncommitBatch0()
+    run()
+    // crash window B: appends landed but the process died BEFORE the mark
+    // write — erase commit AND mark; the restart's first delivery takes the
+    // defensive anti-join path and lands nothing twice.
+    uncommitBatch0()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/idx/_streaming_hwm"))
+    run()
     val vectors = spark.read.parquet(s"$root/idx/vectors")
     assert(vectors.count() == embs.count(), "replayed vectors must not land twice")
     assert(vectors.select("vec_id").distinct().count() == embs.count())
+  }
+
+  test("steady-state vector ingest plans no scan over the stored vectors table") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-steady").toString
+    graft.llm.Similarity.writeIvfIndex(embs, s"$root/idx")
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val batch = embs.select("vec_id", "embedding")
+    // steady state: the appended rows are a pure function of the batch
+    val fresh = StreamingOps.ingestVectorRows(batch, s"$root/idx", recover = false)
+    assert(!scans(fresh).exists(_.contains("/idx/vectors")),
+      "steady-state micro-batch must not scan the store's key column")
+    // the full append frame reads only the (≤cells-row) centroids table
+    val appended = graft.llm.Similarity.ivfIndexRows(
+      fresh, spark.read.parquet(s"$root/idx/centroids"))
+    assert(!scans(appended).exists(_.contains("/idx/vectors")))
+    // the crash-recovery delivery is the ONLY one that pays the key scan
+    val recover = StreamingOps.ingestVectorRows(batch, s"$root/idx", recover = true)
+    assert(scans(recover).exists(_.contains("/idx/vectors")))
+  }
+
+  test("steady-state deduped ingest executes no scan over the corpus store") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val initial = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1).as[(Long, String)].collect().toSeq
+    val b2 = docs.filter(col("doc_id") % 3 === 2).as[(Long, String)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-steady").toString
+    graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx")
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.foreach(p => scanned.add(p.toString))
+              case _ => ()
+            }
+          case _ => ()
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.ingestDedupedStream(
+        stream.toDF().toDF("doc_id", "text"), s"$root/idx", s"$root/corpus", s"$root/ckpt")
+      try {
+        stream.addData(b1); q.processAllAvailable() // batch 0: Recover posture
+        scanned.clear()
+        stream.addData(b2); q.processAllAvailable() // batch 1: steady state
+      } finally q.stop()
+      // listener events post asynchronously — wait for batch 1's evidence
+      // (the semantic dedup's index scan) before asserting an absence
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def sawIndexScan = scanned.asScala.exists(p => p.contains("/idx/") && p.contains("buckets"))
+      while (!sawIndexScan && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sawIndexScan, "expected the index bucket scan to be captured")
+      assert(!scanned.asScala.exists(_.contains(s"$root/corpus")),
+        "steady-state micro-batch must not scan the corpus store's key column")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("ReplayGuard: skip at-or-below the mark, anti-join only on the first delivery after restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    val g1 = new StreamingOps.ReplayGuard(dir)
+    assert(g1.posture(0L) == StreamingOps.Recover, "first-ever delivery is defensively idempotent")
+    g1.commit(0L)
+    assert(g1.posture(1L) == StreamingOps.Fresh, "later in-run deliveries are guaranteed unseen")
+    g1.commit(1L)
+    // restart after a crash between the mark write and the checkpoint
+    // commit: batch 1 replays and is skipped; batch 2 is then fresh
+    val g2 = new StreamingOps.ReplayGuard(dir)
+    assert(g2.posture(1L) == StreamingOps.Skip)
+    assert(g2.posture(2L) == StreamingOps.Fresh)
+    g2.commit(2L)
+    // restart after a crash before the mark write: batch 3 recovers
+    val g3 = new StreamingOps.ReplayGuard(dir)
+    assert(g3.posture(3L) == StreamingOps.Recover)
   }
 
   test("continuous vector ingest: streamed index contents equal the batch-built index") {
