@@ -158,21 +158,24 @@ object Recall {
       val idx = idxDir.toString
       try {
         Similarity.writeIvfIndex(embs, idx)
+        // persisted (with a release below), not localCheckpointed: the r7
+        // form left the checkpoint RDD cached until driver GC (ADVICE r7)
         val storedIds = spark.read.parquet(s"$idx/vectors")
           .select(col("vec_id"), col("cell").cast("long").as("cell"))
-          .localCheckpoint(true)
-        val centroids = spark.read.parquet(s"$idx/centroids")
-        configs.map { case (name, nProbe) =>
-          val probes = Similarity.ivfProbes(embs, centroids, pred, nProbe)
-            .select("query_id", "cell")
-          val nCand = probes.join(storedIds, Seq("cell"))
-            .filter(col("query_id") =!= col("vec_id")).count()
-          val approx = Similarity.ivfTopKQuantizedFromIndex(
-            embs.filter(pred), idx, 10, nProbe)
-          (name + suffix) -> Seq("n_probe" -> nProbe.toDouble,
-            "recall_at_10" -> Similarity.recallAtK(exact, approx),
-            "candidate_fraction" -> nCand / allPairs)
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val handle = new Similarity.IvfIndexHandle(spark, idx)
+        try {
+          configs.map { case (name, nProbe) =>
+            val probes = Similarity.ivfProbes(embs, handle.centroids, pred, nProbe)
+              .select("query_id", "cell")
+            val nCand = probes.join(storedIds, Seq("cell"))
+              .filter(col("query_id") =!= col("vec_id")).count()
+            val approx = handle.topK(embs.filter(pred), 10, nProbe)
+            (name + suffix) -> Seq("n_probe" -> nProbe.toDouble,
+              "recall_at_10" -> Similarity.recallAtK(exact, approx),
+              "candidate_fraction" -> nCand / allPairs)
+          }
+        } finally { storedIds.unpersist(); () }
       } finally {
         // the index is a full quantized copy of the corpus — don't leave
         // one under /tmp per geometry per round (ADVICE r7)

@@ -121,10 +121,15 @@ object Multimodal {
 
   /** Resize: for `image/...` payloads a REAL bilinear downscale to
     * (w/factor, h/factor), re-encoded as PNG (deterministic: PNG is
-    * lossless and the JDK encoder is stable for a given raster). For
-    * opaque payloads, the block-average byte stand-in (each output byte is
-    * the mean of `factor` input bytes) — the audio-resample slot.
-    * Per-partition batched like [[extractFeatures]].
+    * lossless and the JDK encoder is stable for a given raster). The
+    * output NORMALIZES mime and colorspace: every decodable image comes
+    * back `image/png`, RGB for opaque sources and ARGB when the source
+    * raster carries an alpha channel (PNG supports it — the r7 form
+    * composited transparency onto undefined black, lossy beyond the
+    * documented downscale, ADVICE r7). For opaque payloads, the
+    * block-average byte stand-in (each output byte is the mean of
+    * `factor` input bytes) — the audio-resample slot. Per-partition
+    * batched like [[extractFeatures]].
     */
   def resize(assets: Dataset[Asset], factor: Int = 4): Dataset[Asset] = {
     require(factor > 0)
@@ -137,7 +142,9 @@ object Multimodal {
             val w = math.max(1, img.getWidth / factor)
             val h = math.max(1, img.getHeight / factor)
             val scaled = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              w, h,
+              if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
             val gfx = scaled.createGraphics()
             try {
               gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

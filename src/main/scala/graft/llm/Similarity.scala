@@ -434,47 +434,74 @@ object Similarity {
       .parquet(s"$path/vectors")
   }
 
-  /** ANN top-k served from a persisted IVF index: float queries probe the
-    * stored centroids (broadcast — the only float math), then fine-rank
-    * against the probed cells' INT8 codes — the query vector is quantized
-    * on the fly and scales cancel inside cosine, so the per-candidate
-    * kernel is the integer dot product. The probed cell set (≤ `cells`
-    * distinct values) is collected once and pushed as a LITERAL predicate
+  /** ANN top-k served from a persisted IVF index — one-shot form: loads the
+    * centroids for this call. A serving loop should hold an
+    * [[IvfIndexHandle]] instead, which reads the (≤ cells row) centroid
+    * table ONCE for its lifetime (VERDICT r7 #7).
+    */
+  def ivfTopKQuantizedFromIndex(queries: DataFrame, indexPath: String,
+                                k: Int = 10,
+                                nProbe: Int = IvfProbes): DataFrame =
+    new IvfIndexHandle(queries.sparkSession, indexPath).topK(queries, k, nProbe)
+
+  /** Serving handle over a persisted IVF index (see [[writeIvfIndex]]):
+    * float queries probe the stored centroids (broadcast — the only float
+    * math), then fine-rank against the probed cells' INT8 codes — the
+    * query vector is quantized on the fly and scales cancel inside cosine,
+    * so the per-candidate kernel is the integer dot product. The probed
+    * cell set (≤ `cells` distinct values) is pushed as a LITERAL predicate
     * on the store's partition column, so the scan reads only the probed
     * cells' directories — planning-time partition pruning, the reason the
     * index is laid out by cell (spec-asserted via PartitionFilters). The
     * corpus's float embeddings are never read at query time.
+    *
+    * The centroid table is read and DRIVER-LOCALIZED once at construction
+    * (k vectors, not data — the same posture as [[ivfAssign]]'s collect),
+    * so a query loop plans NO centroids scan per call; and the probe stage
+    * (≤ |queries|·nProbe rows — the query set is the broadcast side by
+    * contract) is collected rather than localCheckpointed, so serving
+    * accrues no persisted RDDs (ADVICE r7: the r7 path leaked one
+    * checkpoint per query call).
     */
-  def ivfTopKQuantizedFromIndex(queries: DataFrame, indexPath: String,
-                                k: Int = 10,
-                                nProbe: Int = IvfProbes): DataFrame = {
-    val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-    // materialize the probe stage once: the collect below AND the scored
-    // join both consume it (uncached it would recompute per consumer)
-    val probes = ivfProbes(queries, centroids, lit(true), nProbe)
-      .localCheckpoint(true)
-    // one tiny driver-side job over the ≤ |queries|·nProbe probe rows —
-    // the literal cell list is what lets the planner prune partitions
-    // (a join-derived predicate would read every cell's files)
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    // quantize the probe frame's query vectors once (narrow map on ≤
-    // |queries|·nProbe rows), in the same double-typed integer form the
-    // store's codes dot against (see bruteForceTopKQuantized)
-    val qQuant = probes.select(col("query_id"), col("cell"),
-      transform(col("q_emb"),
-        x => floor(x.cast("double") * int8ScaleOf(col("q_emb")) + lit(0.5))
-          .cast("double")).as("q_q"))
-    val stored = spark.read.parquet(s"$indexPath/vectors")
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
-        transform(col("q"), x => x.cast("double")).as("q_c"))
-    val scored = broadcast(qQuant).join(stored, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_q"), col("q_c")).as("qcos"))
-    rankTopK(scored, "qcos", k)
+  final class IvfIndexHandle(spark: org.apache.spark.sql.SparkSession,
+                             val indexPath: String) {
+    private val centroidRows: Seq[(Long, Seq[Float])] =
+      spark.read.parquet(s"$indexPath/centroids")
+        .select(col("cell").cast("long"), col("c_emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+
+    /** The localized centroid frame (a LocalRelation — no file scan). */
+    def centroids: DataFrame = {
+      import spark.implicits._
+      centroidRows.toDF("cell", "c_emb")
+    }
+
+    def topK(queries: DataFrame, k: Int = 10, nProbe: Int = IvfProbes): DataFrame = {
+      import spark.implicits._
+      // the probe stage feeds the literal cell list AND the scored join —
+      // one driver-side collect serves both (metadata-sized by the
+      // broadcast-small query contract)
+      val probeRows = ivfProbes(queries, centroids, lit(true), nProbe)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2))).toSeq
+      val probedCells = probeRows.map(_._3).distinct.sorted
+      val probes = probeRows.toDF("query_id", "q_emb", "cell")
+      // quantize the probe frame's query vectors once (narrow map on ≤
+      // |queries|·nProbe rows), in the same double-typed integer form the
+      // store's codes dot against (see bruteForceTopKQuantized)
+      val qQuant = probes.select(col("query_id"), col("cell"),
+        transform(col("q_emb"),
+          x => floor(x.cast("double") * int8ScaleOf(col("q_emb")) + lit(0.5))
+            .cast("double")).as("q_q"))
+      val stored = spark.read.parquet(s"$indexPath/vectors")
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
+          transform(col("q"), x => x.cast("double")).as("q_c"))
+      val scored = broadcast(qQuant).join(stored, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_q"), col("q_c")).as("qcos"))
+      rankTopK(scored, "qcos", k)
+    }
   }
 
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over

@@ -81,16 +81,28 @@ object ParquetWarehouse {
     * Partition pruning happens at PLANNING time from the directory listing —
     * at 100 TB a one-month query reads ~1/84th of the table without a
     * filter ever reaching row level (WarehouseSpec asserts the pruned scan).
+    *
+    * Rows are clustered by the partition key before the partitioned write —
+    * without this every upstream task writes a file into every month
+    * directory (tasks × months small files; at cluster scale, millions).
+    * The clustering is a REBALANCE, not a plain repartition, so AQE sizes
+    * the write tasks from the shuffle's runtime statistics (VERDICT r7 #4,
+    * the split compaction already does post-hoc, applied at write time for
+    * free — no extra sizing pass over the fact):
+    *   - a month too big for one task is SPLIT across several writers by
+    *     byte size (`spark.sql.adaptive.advisoryPartitionSizeInBytes`), so
+    *     one hot month can't serialize the write or produce a single
+    *     oversized file (WarehouseSpec pins the ≥2-files-for-the-big-month
+    *     behavior);
+    *   - months far smaller than the advisory size COALESCE into one
+    *     writer, still one contiguous file per month directory.
+    * With AQE off the hint degrades to exactly the previous
+    * repartition-by-key clustering.
     */
   def writeFactPartitioned(fact: DataFrame, dimDate: DataFrame, path: String): Unit =
     fact
       .join(broadcast(dimDate.select(col("date_key"), col("year"), col("month"))), Seq("date_key"))
-      // cluster rows by the partition key before the partitioned write:
-      // without this every upstream task writes a file into every month
-      // directory (tasks × months small files — at cluster scale, millions);
-      // with it each month is one task's contiguous write. A month too big
-      // for one task would add a within-month salt to split files.
-      .repartition(col("year"), col("month"))
+      .hint("rebalance", col("year"), col("month"))
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(path)
@@ -160,8 +172,16 @@ object ParquetWarehouse {
     * Untouched partitions are never read or rewritten — compaction cost is
     * proportional to the fragmented fraction, not the table size.
     */
+  /** `partitionsSkipped` surfaces the anomaly case (ADVICE r7): a NON-EMPTY
+    * fragmented partition whose staged rewrite produced no replacement is
+    * left fully old — defensively correct, but a real rewrite bug (e.g. a
+    * __dir join-key mismatch) would otherwise masquerade as a clean run
+    * that simply never converges. Operators should treat a non-empty value
+    * as a defect to investigate, not a steady state.
+    */
   final case class CompactionStats(partitionsCompacted: Int, filesBefore: Long,
-                                   filesAfter: Long, bytesRewritten: Long)
+                                   filesAfter: Long, bytesRewritten: Long,
+                                   partitionsSkipped: Seq[String] = Seq.empty)
 
   def compactPartitioned(spark: SparkSession, path: String,
                          partitionCols: Seq[String],
@@ -179,10 +199,19 @@ object ParquetWarehouse {
     // 0. recovery: a crash between the two swap renames leaves a partition's
     // ONLY copy parked in trash (live dir absent). Restore any such parked
     // partition before listing — trash entries are flat, URL-encoded rel
-    // dirs, so the mapping back is exact for every legal dir name.
+    // dirs, so the mapping back is exact for every legal dir name. A
+    // pre-URL-encoding release parked partitions as rel.replace('/', '~');
+    // URLEncoder never EMITS a literal '~' ('~' encodes to %7E), so a trash
+    // name containing one is unambiguously legacy and decodes by the old
+    // rule — without this, recovering a legacy crash would restore
+    // 'year=1996~month=5' as a bogus top-level dir and break partition
+    // discovery for the whole table (ADVICE r7).
     if (fs.exists(trash)) {
       fs.listStatus(trash).foreach { st =>
-        val rel = java.net.URLDecoder.decode(st.getPath.getName, "UTF-8")
+        val name = st.getPath.getName
+        val rel =
+          if (name.contains("~")) name.replace('~', '/')
+          else java.net.URLDecoder.decode(name, "UTF-8")
         val live = new org.apache.hadoop.fs.Path(root, rel)
         if (!fs.exists(live)) {
           val parent = live.getParent
@@ -306,7 +335,8 @@ object ParquetWarehouse {
       n
     }
     CompactionStats(compacted.size, byDir.values.map(_._1).sum, after,
-      compacted.values.map(_._2).sum)
+      compacted.values.map(_._2).sum,
+      partitionsSkipped = skipped.filterNot(emptied.contains))
   }
 
   /** P25 — pre-flight: warehouse exists, pointer readable, all required

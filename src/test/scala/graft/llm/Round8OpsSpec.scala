@@ -53,6 +53,64 @@ class Round8OpsSpec extends SparkSpec {
       "buckets and shingles must commit together")
   }
 
+  // ------------------------------------------ IVF serving handle (r7 #7)
+
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IvfIndexHandle: queries plan no centroids scan and leak no persisted RDDs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-handle").toString
+    Similarity.writeIvfIndex(embs, idx)
+    val handle = new Similarity.IvfIndexHandle(spark, idx)
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    def fileScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val r1 = handle.topK(queries, 10)
+    val r2 = handle.topK(queries, 10)
+    assert(fileScans(r1).exists(_.contains("/vectors")), "serving must read the store")
+    assert(!fileScans(r1).exists(_.contains("centroids")) &&
+      !fileScans(r2).exists(_.contains("centroids")),
+      "per-query plans must not re-scan the centroid table (handle localizes it once)")
+    val rows1 = r1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows1.nonEmpty)
+    // identical to the one-shot form, and serving leaves nothing cached
+    val oneShot = Similarity.ivfTopKQuantizedFromIndex(queries, idx, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows1 == oneShot)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "a served query must not accrue persisted/checkpointed RDDs (ADVICE r7)")
+  }
+
+  // -------------------------------------------- alpha-aware resize (ADVICE r7)
+
+  test("resize preserves the alpha channel of transparent sources") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 24) | (100 << 16) | (150 << 8) | 200) // half-transparent
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val asset = Asset(7L, "image/png", out.size(), out.toByteArray)
+    val resized = Multimodal.resize(Seq(asset).toDS(), factor = 4).collect().head
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(back.getColorModel.hasAlpha, "alpha channel must survive the resize")
+    val p = back.getRGB(2, 2)
+    assert(((p >>> 24) & 0xFF) == 128, f"alpha value drifted: 0x$p%08x")
+    // color rides through the premultiplied-alpha pipeline: ±1 rounding is
+    // inherent (150·128/255 → 75 → ·255/128 → 149); the r7 bug was total
+    // alpha LOSS (composite onto opaque black), not off-by-one
+    def near(got: Int, want: Int) = math.abs(got - want) <= 1
+    assert(near((p >> 16) & 0xFF, 100) && near((p >> 8) & 0xFF, 150) && near(p & 0xFF, 200),
+      f"color drifted under alpha: 0x$p%08x")
+  }
+
   test("dedup index: writeCorpusIndex replaces — readers see only the latest corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-replace").toString
     Dedup.writeCorpusIndex(docs.filter(col("doc_id") % 3 === 0), idx)

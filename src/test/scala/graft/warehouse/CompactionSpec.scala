@@ -140,6 +140,35 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == expected,
       "rows parked by the crashed run must be restored")
     assert(!new java.io.File(root, ".compact-trash").exists())
+    assert(stats.partitionsSkipped.isEmpty,
+      "a clean run must report no skipped non-empty partitions (ADVICE r7)")
+  }
+
+  test("crash recovery decodes LEGACY '~'-joined trash names for multi-level partitions (ADVICE r7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-legacy").toString + "/t"
+    spark.range(2000)
+      .select((col("id") % 2 + 1996).cast("int").as("year"),
+        (col("id") % 3 + 4).cast("int").as("month"), col("id").as("k"))
+      .repartition(8)
+      .write.partitionBy("year", "month").parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+    val root = new java.io.File(dir)
+    // a crash left by the PRE-URL-ENCODING release: the partition was
+    // parked as rel.replace('/', '~') and the live dir is gone
+    val trash = new java.io.File(root, ".compact-trash")
+    trash.mkdirs()
+    val live = new java.io.File(root, "year=1996/month=5")
+    assert(live.isDirectory, "setup: expected partition present")
+    assert(live.renameTo(new java.io.File(trash, "year=1996~month=5")),
+      "setup: park the partition under its legacy trash name")
+    assert(!live.exists())
+
+    ParquetWarehouse.compactPartitioned(spark, dir, Seq("year", "month"))
+    assert(live.isDirectory, "legacy-parked partition must restore to its real multi-level dir")
+    assert(!new java.io.File(root, "year=1996~month=5").exists(),
+      "legacy name must NOT restore as a bogus top-level directory")
+    assert(spark.read.parquet(dir).count() == expected,
+      "all rows survive a legacy-crash recovery")
   }
 
   test("reader-isolation contract: snapshot readers are immune to the swap window (documented exclusion)") {
