@@ -45,7 +45,7 @@ object Bench {
       try exec(d.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench warmup] ${d.name}: ${e.getMessage}") }
     }
-    val results: Seq[(String, Option[Double])] = defs.map { d =>
+    val results: Seq[(String, Option[(Double, Double)])] = defs.map { d =>
       val times = (1 to reps).flatMap { _ =>
         // drop any persisted cut-points a previous run registered, so each
         // measurement pays its query's full cost (warm JVM, cold data)
@@ -58,20 +58,27 @@ object Bench {
             None
         }
       }
-      d.name -> (if (times.size == reps) Some(median(times)) else None)
+      // median AND spread (max-min over the reps): the spread separates a
+      // real plan regression from the documented ±30% box noise when
+      // reading round-over-round deltas (VERDICT r7 #2)
+      d.name -> (if (times.size == reps) Some((median(times), times.max - times.min)) else None)
     }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.2f" }
+    val spreads = results.collect { case (k, Some((_, s))) => "\"" + k + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    val qs = results.collect { case (k, Some((v, _))) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     // Key order matters operationally: the driver archives only the LAST 2 kB
     // of stdout, and with 70+ queries the line exceeds that — so the headline
     // metric/value/unit go LAST to survive the tail truncation (every
-    // BENCH_r{1..4}.json lost them at the front of the line).
+    // BENCH_r{1..4}.json lost them at the front of the line); per-def spreads
+    // are the most expendable and go first (the full line always lands in
+    // bench_last.json regardless).
     val nQueries = results.count(_._2.isDefined)
     val line =
-      f"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"spread":$spreads,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for the repo (the stdout tail is lossy). The
     // path is anchored (env-overridable), not CWD-relative — a run launched

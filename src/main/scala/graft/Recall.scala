@@ -104,34 +104,41 @@ object Recall {
       if (total == 0) 0.0 else hits.toDouble / total
     }
 
-    def lshEntry(name: String, tables: Int, bits: Int) = {
-      val (cands, release) = Similarity.lshCandidatePairs(embs, pred, tables, bits)
+    def lshEntry(name: String, tables: Int, bits: Int, probeBits: Int = 0) = {
+      val (cands, release) = Similarity.lshCandidatePairs(embs, pred, tables, bits, probeBits)
       val frac = try cands.count() / allPairs finally release()
-      val recall = Similarity.recallAtK(exact, Similarity.lshTopK(embs, pred, 10, tables, bits))
+      val recall = Similarity.recallAtK(exact,
+        Similarity.lshTopK(embs, pred, 10, tables, bits, probeBits))
       val base = Seq("tables" -> tables.toDouble, "bits" -> bits.toDouble,
+        "probe_bits" -> probeBits.toDouble,
         "recall_at_10" -> recall, "candidate_fraction" -> frac)
       (name + suffix) -> (if (twins)
         base :+ ("twin_recall_at_1" -> twinRecall(
-          Similarity.lshTopK(corpus, twinPred, 10, tables, bits)))
+          Similarity.lshTopK(corpus, twinPred, 10, tables, bits, probeBits)))
       else base)
     }
 
-    def ivfEntry(name: String, nProbe: Int) = {
-      val centroids = Similarity.ivfCentroids(embs)
+    // `centroidsOf` picks the quantizer: seeded-hash sample (the default)
+    // or the trained k-means fit (s03_kmeans entries, VERDICT r7 #5)
+    def ivfEntry(name: String, nProbe: Int,
+                 centroidsOf: DataFrame => DataFrame = Similarity.ivfCentroids(_)) = {
+      val centroids = centroidsOf(embs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assignedIds = Similarity.ivfAssign(embs, centroids).select("vec_id", "cell")
       val probes = Similarity.ivfProbes(embs, centroids, pred, nProbe)
         .select("query_id", "cell")
       val nCand = probes.join(assignedIds, Seq("cell"))
         .filter(col("query_id") =!= col("vec_id")).count()
-      centroids.unpersist()
-      val recall = Similarity.recallAtK(exact, Similarity.ivfTopK(embs, pred, 10, nProbe))
+      val recall = Similarity.recallAtK(exact,
+        Similarity.ivfTopKWith(embs, centroids, pred, 10, nProbe))
       val base = Seq("n_probe" -> nProbe.toDouble,
         "recall_at_10" -> recall, "candidate_fraction" -> nCand / allPairs)
-      (name + suffix) -> (if (twins)
+      val entry = (name + suffix) -> (if (twins)
         base :+ ("twin_recall_at_1" -> twinRecall(
-          Similarity.ivfTopK(corpus, twinPred, 10, nProbe)))
+          Similarity.ivfTopKWith(corpus, centroidsOf(corpus), twinPred, 10, nProbe)))
       else base)
+      centroids.unpersist()
+      entry
     }
 
     // int8-quantized brute force (s05): a compression path, not a pruning
@@ -192,8 +199,25 @@ object Recall {
       lshEntry("s02_knn_lsh",
         Similarity.LshTablesRegistered, Similarity.LshBitsRegistered),
       lshEntry("s02_knn_lsh_lowcost", Similarity.LshTables, Similarity.LshBits),
+      // multi-probe (VERDICT r7 #6): 1-bit-flip probing over wider codes.
+      // The first entry is the uniform-regime frontier point (matches the
+      // registered 48-table config's recall at ~30% less candidate volume
+      // and fewer tables); the _lowcost entry is the scale posture — on the
+      // clustered geometry it holds recall ≥0.9 at 1/4 the lowcost exact
+      // config's TABLES and a lower fraction (2 tables vs 8). The full
+      // measured frontier (incl. why 0.9 at ≤0.3 is not attainable on the
+      // uniform geometry at sane table counts) is in SURVEY §8.
+      lshEntry("s02_knn_lsh_multiprobe", 40, 10, probeBits = 10),
+      lshEntry("s02_knn_lsh_multiprobe_lowcost", 2, 12, probeBits = 12),
       ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered),
       ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes),
+      // trained quantizer (VERDICT r7 #5): k-means cells tile the data, so
+      // equal recall should cost a smaller candidate fraction where the
+      // sampled quantizer inherits the corpus's skew
+      ivfEntry("s03_knn_ivf_kmeans", Similarity.IvfProbesRegistered,
+        Similarity.ivfCentroidsKMeans(_)),
+      ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
+        Similarity.ivfCentroidsKMeans(_)),
       quantEntry) ++
       ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,

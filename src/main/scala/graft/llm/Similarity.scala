@@ -517,24 +517,90 @@ object Similarity {
     *     join restricted to candidates).
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-              nTables: Int = LshTables, nBits: Int = LshBits): DataFrame = {
+              nTables: Int = LshTables, nBits: Int = LshBits,
+              probeBits: Int = 0): DataFrame = {
     // eager + leak-free convenience form — see ivfTopKWith's scaladoc
-    val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k, nTables, nBits)
+    val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k, nTables, nBits, probeBits)
     try df.localCheckpoint(true) finally release()
+  }
+
+  /** Query-side probe buckets for MULTI-PROBE LSH (Lv et al., VLDB 2007):
+    * per table, each query probes its own bucket PLUS the `probeBits`
+    * 1-bit-flip neighbors with the SMALLEST projection margin |q·w_i| —
+    * the bits a true near neighbor is most likely to disagree on (a small
+    * margin means the query sits close to that hyperplane, so the
+    * neighbor has near-even odds of landing on the other side).
+    * Query-directed flips recover most of the blind all-bits Hamming-ball
+    * recall at (probeBits+1)/(nBits+1) of its probe fan-out.
+    *
+    * Computed DRIVER-SIDE over the collected query set (the query set is
+    * the broadcast-small side by contract — the same metadata-sized-collect
+    * posture as [[ivfAssign]]'s centroids): an expression formulation would
+    * duplicate every |q·w_i| sub-tree b² times per table for the margin
+    * ranking, exploding analysis/codegen, while the driver loop is a few
+    * thousand float ops. The plane family, L2R double accumulation, and
+    * sign convention replicate [[lshBuckets]]/VecDot bit-exactly, so the
+    * exact-probe bucket codes are identical to the bucket frame's.
+    */
+  private[llm] def queryProbeBuckets(queries: DataFrame, nTables: Int, nBits: Int,
+                                probeBits: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = for {
+      (qid, emb) <- qRows.toSeq
+      t <- 0 until nTables
+    } yield {
+      val dots = Array.tabulate(nBits) { i =>
+        var acc = 0.0
+        var d = 0
+        while (d < Dim && d < emb.length) {
+          acc += emb(d).toDouble * planeComponent(t * nBits + i, d); d += 1
+        }
+        acc
+      }
+      val code = (0 until nBits).map(i => if (dots(i) >= 0) 1 << i else 0).sum
+      val lowMargin = (0 until nBits).sortBy(i => (math.abs(dots(i)), i)).take(probeBits)
+      (qid, t, code +: lowMargin.map(i => code ^ (1 << i)))
+    }
+    probes.flatMap { case (qid, t, bs) => bs.map(b => (qid, t, b)) }
+      .toDF("query_id", "table", "bucket")
   }
 
   /** Distinct same-bucket (query_id, neighbor_id) pairs — the candidate
     * stage shared by [[lshTopKWithCleanup]] and the recall/cost report.
+    *
+    * `probeBits` > 0 turns on query-directed MULTI-PROBE (see
+    * [[queryProbeBuckets]]): each query additionally probes the buckets
+    * whose code differs from its own in one LOW-MARGIN hyperplane sign —
+    * trading a small per-table probe fan-out (probeBits extra buckets)
+    * against the number of tables, which is the EXPENSIVE axis at scale
+    * (each table is a full extra copy of the corpus's bucket rows: more
+    * shuffle, more candidate volume, more stored index). The expansion is
+    * QUERY-side only (the query set is the broadcast side by contract):
+    * the corpus bucket frame, its shuffle, and a persisted bucket index
+    * are completely unchanged — multi-probe is free at index time and
+    * costs only broadcast-side fan-out at query time. Measured per-config
+    * in the RECALL artifact: on the adversarial uniform geometry it
+    * reaches the registered 48-table config's recall at roughly half the
+    * candidate volume (VERDICT r7 #6).
     */
   def lshCandidatePairs(embeddings: DataFrame, queryPred: Column,
                         nTables: Int = LshTables,
-                        nBits: Int = LshBits): (DataFrame, () => Unit) = {
+                        nBits: Int = LshBits,
+                        probeBits: Int = 0): (DataFrame, () => Unit) = {
     val buckets = lshBuckets(embeddings, nTables, nBits)
       .select("vec_id", "table", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qIds = embeddings.filter(queryPred).select("vec_id")
-    val qb = buckets.join(broadcast(qIds), Seq("vec_id"), "left_semi")
-      .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val qb =
+      if (probeBits == 0)
+        buckets.join(broadcast(embeddings.filter(queryPred).select("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+      else queryProbeBuckets(
+        embeddings.filter(queryPred).select("vec_id", "embedding"),
+        nTables, nBits, probeBits)
     val cb = buckets.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
     val cands = broadcast(qb).join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -548,8 +614,9 @@ object Similarity {
     */
   def lshTopKWithCleanup(embeddings: DataFrame, queryPred: Column,
                          k: Int = 10, nTables: Int = LshTables,
-                         nBits: Int = LshBits): (DataFrame, () => Unit) = {
-    val (cands, release) = lshCandidatePairs(embeddings, queryPred, nTables, nBits)
+                         nBits: Int = LshBits,
+                         probeBits: Int = 0): (DataFrame, () => Unit) = {
+    val (cands, release) = lshCandidatePairs(embeddings, queryPred, nTables, nBits, probeBits)
     val qEmb = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = cands

@@ -88,6 +88,45 @@ class Round8OpsSpec extends SparkSpec {
       "a served query must not accrue persisted/checkpointed RDDs (ADVICE r7)")
   }
 
+  // ------------------------------------------ multi-probe LSH (r7 #6)
+
+  test("multi-probe: driver-side probe codes replicate lshBuckets bit-exactly, flips are Hamming-1") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val nTables = 4; val nBits = 10; val probeBits = 3
+    val exactCodes = Similarity.lshBuckets(queries, nTables, nBits)
+      .select("vec_id", "table", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val probes = Similarity.queryProbeBuckets(
+        queries.select("vec_id", "embedding"), nTables, nBits, probeBits)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(probes.keySet == exactCodes.keySet)
+    probes.foreach { case (key, buckets) =>
+      val own = exactCodes(key)
+      assert(buckets.head == own, s"first probe must be the query's own bucket for $key")
+      assert(buckets.size == probeBits + 1 && buckets.distinct.size == buckets.size)
+      buckets.tail.foreach { b =>
+        assert(Integer.bitCount(b ^ own) == 1, s"flip probe $b not Hamming-1 from $own")
+      }
+    }
+  }
+
+  test("multi-probe candidates strictly extend the exact-probe candidates; recall never drops") {
+    val pred = col("vec_id") % 100 === 0
+    def pairs(probeBits: Int): Set[(Long, Long)] = {
+      val (cands, release) = Similarity.lshCandidatePairs(embs, pred, 8, 10, probeBits)
+      try cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet finally release()
+    }
+    val exactOnly = pairs(0)
+    val probed = pairs(10)
+    assert(exactOnly.subsetOf(probed), "multi-probe must only ADD candidates")
+    assert(probed.size > exactOnly.size, "1-bit-flip probing must widen the candidate set")
+    val truth = Similarity.bruteForceTopK(embs, pred, 10)
+    val rExact = Similarity.recallAtK(truth, Similarity.lshTopK(embs, pred, 10, 8, 10))
+    val rProbe = Similarity.recallAtK(truth, Similarity.lshTopK(embs, pred, 10, 8, 10, 10))
+    assert(rProbe >= rExact, s"multi-probe recall $rProbe below exact-probe $rExact")
+  }
+
   // -------------------------------------------- alpha-aware resize (ADVICE r7)
 
   test("resize preserves the alpha channel of transparent sources") {
