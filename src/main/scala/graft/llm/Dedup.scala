@@ -242,8 +242,8 @@ object Dedup {
     * readers; a maintenance pass may delete them. Per-batch deltas also
     * mean a long-lived streamed index accrues one small dir per
     * micro-batch — the small-file story is the same as any append-heavy
-    * table and the fix is the same compaction pass (fold committed versions
-    * into one and swap the pointer).
+    * table, and [[compactCorpusIndex]] is the compaction pass (fold
+    * committed versions into one, swap the pointer).
     */
   def writeCorpusIndex(corpus: DataFrame, path: String, shingleN: Int = 3): Unit =
     commitIndexVersion(corpus, path, shingleN, replace = true)
@@ -282,6 +282,30 @@ object Dedup {
   def indexShingles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readIndexTable(spark, path, "shingles")
 
+  /** Fold all committed versions into one and swap the pointer — the
+    * maintenance pass for a long-lived streamed index, which accrues one
+    * small version dir per micro-batch (the same small-file story as any
+    * append-heavy table). One read of the committed tables, one folded
+    * version dir, one atomic pointer swap; readers concurrent with the
+    * swap see either the old version list or the folded one, never a
+    * mixture, and dedup answers are identical (both tables are unordered
+    * keyed rows — spec-asserted). Old version dirs become unreferenced
+    * garbage, deletable once no reader can hold the old pointer. Returns
+    * the number of versions folded (0 = nothing to do).
+    */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int = {
+    val committed = committedVersions(path)
+    if (committed.size <= 1) return 0
+    val next = "v" + (committed.last.drop(1).toLong + 1)
+    indexBuckets(spark, path)
+      .write.mode("overwrite").parquet(s"$path/$next/buckets")
+    indexShingles(spark, path)
+      .write.mode("overwrite").parquet(s"$path/$next/shingles")
+    swapIndexPointer(path, Seq(next))
+    committed.size
+  }
+
   /** Stage both tables for one batch under the next version dir, then swap
     * the pointer. `replace = true` publishes a pointer listing ONLY the new
     * version (the overwrite form); otherwise the new version is appended to
@@ -302,10 +326,13 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$path/$next/buckets")
       sh.write.mode("overwrite").parquet(s"$path/$next/shingles")
     } finally { sh.unpersist(); () }
+    swapIndexPointer(path, (if (replace) Seq.empty else committed) :+ next)
+  }
+
+  private def swapIndexPointer(path: String, versions: Seq[String]): Unit = {
     val root = java.nio.file.Paths.get(path)
     val tmp = root.resolve(s".$IndexPointer.tmp")
-    java.nio.file.Files.writeString(tmp,
-      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(tmp, versions.mkString("", "\n", "\n"))
     java.nio.file.Files.move(tmp, root.resolve(IndexPointer),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -150,6 +150,28 @@ class Round8OpsSpec extends SparkSpec {
       f"color drifted under alpha: 0x$p%08x")
   }
 
+  test("dedup index compaction folds per-batch versions without changing answers") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
+    Dedup.writeCorpusIndex(docs.filter(col("doc_id") % 4 === 0), idx)
+    Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 4 === 1), idx)
+    Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+    val before = ids(Dedup.dedupAgainstIndex(batch, idx, threshold = 0.5))
+    val shinglesBefore = ids(Dedup.indexShingles(spark, idx))
+
+    assert(Dedup.compactCorpusIndex(spark, idx) == 3, "three committed versions fold")
+    val pointer = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idx, "CURRENT")).trim
+    assert(!pointer.contains("\n"), s"folded pointer must list ONE version, got: $pointer")
+    assert(ids(Dedup.indexShingles(spark, idx)) == shinglesBefore)
+    assert(ids(Dedup.dedupAgainstIndex(batch, idx, threshold = 0.5)) == before,
+      "compaction must not change dedup answers")
+    assert(Dedup.compactCorpusIndex(spark, idx) == 0, "re-running is a no-op")
+    // the folded index stays appendable
+    Dedup.appendToCorpusIndex(batch, idx)
+    assert(ids(Dedup.indexShingles(spark, idx)) == shinglesBefore ++ ids(batch))
+  }
+
   test("dedup index: writeCorpusIndex replaces — readers see only the latest corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-replace").toString
     Dedup.writeCorpusIndex(docs.filter(col("doc_id") % 3 === 0), idx)
