@@ -306,6 +306,27 @@ object Dedup {
     committed.size
   }
 
+  /** Delete version dirs the CURRENT pointer no longer references — the
+    * garbage left by [[writeCorpusIndex]] replaces, crashed appends, and
+    * [[compactCorpusIndex]] folds. Call only when no reader can still hold
+    * an OLD pointer (e.g. after a maintenance window) — the same reader
+    * contract as warehouse compaction's documented exclusion. Returns the
+    * number of directories removed.
+    */
+  def vacuumCorpusIndex(path: String): Int = {
+    val committed = committedVersions(path).toSet
+    val root = new java.io.File(path)
+    val junk = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        !committed.contains(f.getName))
+    junk.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    junk.length
+  }
+
   /** Stage both tables for one batch under the next version dir, then swap
     * the pointer. `replace = true` publishes a pointer listing ONLY the new
     * version (the overwrite form); otherwise the new version is appended to

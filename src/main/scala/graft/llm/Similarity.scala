@@ -387,17 +387,30 @@ object Similarity {
     *
     * The centroid set must stay FIXED for the index's lifetime (appending
     * new vectors assigns against the stored centroids — that is what keeps
-    * append cheap and the cell geometry stable).
+    * append cheap and the cell geometry stable). `quantizer` picks how the
+    * centroids are derived from the build corpus: the seeded-hash sample
+    * (default — zero extra passes) or the trained k-means fit
+    * ([[ivfCentroidsKMeans]], the production path: fitted centers tile the
+    * data distribution; graded against the sampled quantizer per-round in
+    * the RECALL artifact). Either way the stored layout and every
+    * query/append path are identical — the quantizer only decides the
+    * (≤ cells row) centroid table written at build time.
     */
   def writeIvfIndex(embeddings: DataFrame, path: String,
-                    cells: Int = IvfCells, seed: Long = 42L): Unit = {
-    val centroids = ivfCentroids(embeddings, seed, cells)
+                    cells: Int = IvfCells, seed: Long = 42L,
+                    quantizer: (DataFrame, Int, Long) => DataFrame =
+                      (e, c, s) => ivfCentroids(e, s, c)): Unit = {
+    val centroids = quantizer(embeddings, cells, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       appendToIvfIndex(embeddings, path, overwrite = true)
     } finally { centroids.unpersist(); () }
   }
+
+  /** [[writeIvfIndex]]'s k-means quantizer, signature-adapted. */
+  val KMeansQuantizer: (DataFrame, Int, Long) => DataFrame =
+    (embs, cells, seed) => ivfCentroidsKMeans(embs, cells, seed)
 
   /** One index row per batch vector: (vec_id, cell, scale, q) — cell
     * assignment AND int8 quantization fused into a single NARROW projection

@@ -214,10 +214,19 @@ object StreamingOps {
     * `Dedup.exact`/`nearDupClusters` upstream if not). Streamed results
     * are row-identical to running the same batches through the batch ops
     * sequentially (StreamingSpec asserts it, including the replay window).
+    *
+    * `compactEvery` > 0 folds the index's accumulated per-batch version
+    * dirs ([[graft.llm.Dedup.compactCorpusIndex]]) every that-many
+    * micro-batches — the versioned commit otherwise accrues one small dir
+    * per batch forever. Compaction is itself an atomic pointer swap and
+    * runs AFTER the batch's high-water mark commits, so a crash mid-fold
+    * loses only the fold (retried at the next trigger), never ingest
+    * progress or answers.
     */
   def ingestDedupedStream(docs: DataFrame, indexPath: String, corpusPath: String,
                           checkpoint: String, threshold: Double = 0.8,
-                          shingleN: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+                          shingleN: Int = 3,
+                          compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val guard = new ReplayGuard(indexPath)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => guard.posture(batchId) match {
       case Skip => ()
@@ -234,6 +243,8 @@ object StreamingOps {
             graft.llm.Dedup.appendToCorpusIndex(survivors, indexPath, shingleN)
           }
           guard.commit(batchId)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.llm.Dedup.compactCorpusIndex(batch.sparkSession, indexPath)
         } finally { survivors.unpersist(); () }
     }
     docs.writeStream

@@ -179,5 +179,28 @@ class Round8OpsSpec extends SparkSpec {
     Dedup.writeCorpusIndex(second, idx)
     assert(ids(Dedup.indexShingles(spark, idx)) == ids(second),
       "replace must supersede the previous index version")
+    // vacuum removes exactly the superseded version and answers survive
+    assert(Dedup.vacuumCorpusIndex(idx) == 1, "one unreferenced version dir removed")
+    assert(ids(Dedup.indexShingles(spark, idx)) == ids(second))
+    assert(Dedup.vacuumCorpusIndex(idx) == 0, "vacuum re-run is a no-op")
+  }
+
+  test("IVF index built with the k-means quantizer serves identically-shaped queries") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-kmeans").toString
+    Similarity.writeIvfIndex(embs, idx, quantizer = Similarity.KMeansQuantizer)
+    val stored = spark.read.parquet(s"$idx/centroids")
+    assert(stored.count() == Similarity.IvfCells)
+    assert(stored.select("cell").distinct().count() == Similarity.IvfCells,
+      "k-means cells must be distinct ids")
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val res = Similarity.ivfTopKQuantizedFromIndex(queries, idx, 10,
+      Similarity.IvfProbesRegistered)
+    val exact = Similarity.bruteForceTopK(embs, col("vec_id") % 100 === 0, 10)
+    val recall = Similarity.recallAtK(exact, res)
+    assert(recall >= 0.8, s"k-means-quantized index recall collapsed: $recall")
+    // every query returns a full top-10
+    val counts = res.groupBy("query_id").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(counts.nonEmpty && counts.forall(_ == 10L))
   }
 }

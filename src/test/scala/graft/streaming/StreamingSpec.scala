@@ -177,14 +177,21 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     // streamed path: index seeded with the initial corpus, two micro-batches
     graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx_s")
+    // compactEvery = 1: every batch folds the index's version dirs — the
+    // equality below simultaneously proves compaction changes no answers
+    // (the batch twin never compacts)
     val stream = MemoryStream[(Long, String)]
     val q = StreamingOps.ingestDedupedStream(
       stream.toDF().toDF("doc_id", "text"),
-      s"$root/idx_s", s"$root/corpus_s", s"$root/ckpt")
+      s"$root/idx_s", s"$root/corpus_s", s"$root/ckpt", compactEvery = 1)
     try {
       stream.addData(b1); q.processAllAvailable()
       stream.addData(b2); q.processAllAvailable()
     } finally q.stop()
+    val pointer = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/idx_s", "CURRENT")).trim
+    assert(!pointer.contains("\n"),
+      s"compactEvery=1 must leave a single folded version, got: $pointer")
 
     // batch twin: same batches through the batch ops sequentially
     graft.llm.Dedup.writeCorpusIndex(initial, s"$root/idx_b")
