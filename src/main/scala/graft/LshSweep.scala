@@ -21,8 +21,7 @@ object LshSweep {
     val allPairs = (nQ * (n - 1)).toDouble
     val exact = Similarity.bruteForceTopK(embs, pred, 10).localCheckpoint(true)
     val configs = Seq(
-      (2, 10, 10), (3, 10, 10), (4, 10, 10), (6, 10, 10), (8, 10, 10),
-      (4, 12, 12), (6, 12, 12), (8, 12, 12), (4, 8, 8), (2, 12, 12))
+      (88, 12, 12), (96, 12, 12), (104, 12, 12), (112, 12, 12), (128, 12, 12))
     configs.foreach { case (l, b, f) =>
       val (cands, release) = Similarity.lshCandidatePairs(embs, pred, l, b, f)
       val frac = try cands.count() / allPairs finally release()

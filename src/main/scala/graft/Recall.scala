@@ -200,14 +200,15 @@ object Recall {
         Similarity.LshTablesRegistered, Similarity.LshBitsRegistered),
       lshEntry("s02_knn_lsh_lowcost", Similarity.LshTables, Similarity.LshBits),
       // multi-probe (VERDICT r7 #6): 1-bit-flip probing over wider codes.
-      // The first entry is the uniform-regime frontier point (matches the
-      // registered 48-table config's recall at ~30% less candidate volume
-      // and fewer tables); the _lowcost entry is the scale posture — on the
-      // clustered geometry it holds recall ≥0.9 at 1/4 the lowcost exact
-      // config's TABLES and a lower fraction (2 tables vs 8). The full
-      // measured frontier (incl. why 0.9 at ≤0.3 is not attainable on the
-      // uniform geometry at sane table counts) is in SURVEY §8.
-      lshEntry("s02_knn_lsh_multiprobe", 40, 10, probeBits = 10),
+      // The first entry is the uniform-regime point hitting recall ≥0.9 at
+      // candidate fraction ≤0.3 (the registered exact-probe config pays
+      // 0.545 for 0.94; the probe trades 4× more — narrow, codegen'd —
+      // bucket projections for ~45% less candidate volume, the axis that
+      // is the actual scan/shuffle cost at scale). The _lowcost entry is
+      // the scale posture — on the clustered geometry it holds recall
+      // ≥0.9 at 1/4 the lowcost exact config's TABLES and a lower
+      // fraction (2 tables vs 8). Full measured frontier: SURVEY §8.
+      lshEntry("s02_knn_lsh_multiprobe", 96, 12, probeBits = 12),
       lshEntry("s02_knn_lsh_multiprobe_lowcost", 2, 12, probeBits = 12),
       ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered),
       ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes),
