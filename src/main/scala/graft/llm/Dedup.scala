@@ -237,7 +237,9 @@ object Dedup {
     * and the replayed batch clobbers the orphaned version dir (its number
     * derives from the POINTER, not the directory listing). Readers resolve
     * the committed dirs via [[indexBuckets]]/[[indexShingles]] (a flat
-    * pre-versioning layout is still recognized). Unreferenced version dirs
+    * pre-versioning layout is still recognized, and the first append onto
+    * one ADOPTS its tables as the implicit version `.` so the flat corpus
+    * stays visible under the new pointer). Unreferenced version dirs
     * left by a replaced index or a crashed append are garbage, invisible to
     * readers; a maintenance pass may delete them. Per-batch deltas also
     * mean a long-lived streamed index accrues one small dir per
@@ -297,7 +299,8 @@ object Dedup {
                          path: String): Int = {
     val committed = committedVersions(path)
     if (committed.size <= 1) return 0
-    val next = "v" + (committed.last.drop(1).toLong + 1)
+    val next = "v" + (committed.filter(_.matches("v\\d+"))
+      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
     indexBuckets(spark, path)
       .write.mode("overwrite").parquet(s"$path/$next/buckets")
     indexShingles(spark, path)
@@ -336,8 +339,16 @@ object Dedup {
     */
   private def commitIndexVersion(docs: DataFrame, path: String, shingleN: Int,
                                  replace: Boolean): Unit = {
-    val committed = committedVersions(path)
-    val next = "v" + (committed.lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    // appending onto a PRE-VERSIONING flat index adopts its tables as the
+    // implicit version "." — without this, the first versioned append
+    // would publish a pointer that hides the flat corpus (silent loss)
+    val committed = committedVersions(path) match {
+      case Seq() if !replace &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "buckets")) => Seq(".")
+      case vs => vs
+    }
+    val next = "v" + (committed.filter(_.matches("v\\d+"))
+      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
     val sh = docs
       .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -185,6 +185,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(Dedup.vacuumCorpusIndex(idx) == 0, "vacuum re-run is a no-op")
   }
 
+  test("appending onto a legacy FLAT index adopts its tables instead of hiding them") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-legacy").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    // build the pre-versioning layout by hand: bare buckets/shingles dirs,
+    // no CURRENT pointer — what an r7-era writeCorpusIndex left on disk
+    val sh = corpus.select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+    Dedup.bandBuckets(Dedup.signatureFromShingles(sh))
+      .select("doc_id", "band", "band_hash").write.parquet(s"$idx/buckets")
+    sh.write.parquet(s"$idx/shingles")
+    val legacyIds = ids(Dedup.indexShingles(spark, idx))
+    assert(legacyIds.nonEmpty, "setup: flat index readable")
+
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    val survivors = Dedup.dedupAgainstIndex(batch, idx, threshold = 0.5).localCheckpoint(true)
+    Dedup.appendToCorpusIndex(survivors, idx)
+    assert(ids(Dedup.indexShingles(spark, idx)) == legacyIds ++ ids(survivors),
+      "the flat corpus must stay visible after the first versioned append")
+    // and the adopted index folds like any other
+    assert(Dedup.compactCorpusIndex(spark, idx) == 2, "legacy '.' + v1 fold into one")
+    assert(ids(Dedup.indexShingles(spark, idx)) == legacyIds ++ ids(survivors))
+  }
+
   test("IVF index built with the k-means quantizer serves identically-shaped queries") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-kmeans").toString
     Similarity.writeIvfIndex(embs, idx, quantizer = Similarity.KMeansQuantizer)
