@@ -118,12 +118,22 @@ object Recall {
       else base)
     }
 
-    // `centroidsOf` picks the quantizer: seeded-hash sample (the default)
-    // or the trained k-means fit (s03_kmeans entries, VERDICT r7 #5)
-    def ivfEntry(name: String, nProbe: Int,
-                 centroidsOf: DataFrame => DataFrame = Similarity.ivfCentroids(_)) = {
-      val centroids = centroidsOf(embs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One centroid frame per (corpus, quantizer), shared by the registered
+    // and lowcost entries and the twin probe — the k-means fit in
+    // particular is an MLlib training job and must not re-run per entry
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    def memo(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += df; df
+    }
+    lazy val sampledCents = memo(Similarity.ivfCentroids(embs))
+    lazy val kmeansCents = memo(Similarity.ivfCentroidsKMeans(embs))
+    lazy val sampledTwinCents = memo(Similarity.ivfCentroids(corpus))
+    lazy val kmeansTwinCents = memo(Similarity.ivfCentroidsKMeans(corpus))
+
+    def ivfEntry(name: String, nProbe: Int, cents: => DataFrame,
+                 centsTwin: => DataFrame) = {
+      val centroids = cents
       val assignedIds = Similarity.ivfAssign(embs, centroids).select("vec_id", "cell")
       val probes = Similarity.ivfProbes(embs, centroids, pred, nProbe)
         .select("query_id", "cell")
@@ -133,12 +143,10 @@ object Recall {
         Similarity.ivfTopKWith(embs, centroids, pred, 10, nProbe))
       val base = Seq("n_probe" -> nProbe.toDouble,
         "recall_at_10" -> recall, "candidate_fraction" -> nCand / allPairs)
-      val entry = (name + suffix) -> (if (twins)
+      (name + suffix) -> (if (twins)
         base :+ ("twin_recall_at_1" -> twinRecall(
-          Similarity.ivfTopKWith(corpus, centroidsOf(corpus), twinPred, 10, nProbe)))
+          Similarity.ivfTopKWith(corpus, centsTwin, twinPred, 10, nProbe)))
       else base)
-      centroids.unpersist()
-      entry
     }
 
     // int8-quantized brute force (s05): a compression path, not a pruning
@@ -210,19 +218,24 @@ object Recall {
       // fraction (2 tables vs 8). Full measured frontier: SURVEY §8.
       lshEntry("s02_knn_lsh_multiprobe", 96, 12, probeBits = 12),
       lshEntry("s02_knn_lsh_multiprobe_lowcost", 2, 12, probeBits = 12),
-      ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered),
-      ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes),
+      ivfEntry("s03_knn_ivf", Similarity.IvfProbesRegistered,
+        sampledCents, sampledTwinCents),
+      ivfEntry("s03_knn_ivf_lowcost", Similarity.IvfProbes,
+        sampledCents, sampledTwinCents),
       // trained quantizer (VERDICT r7 #5): k-means cells tile the data, so
       // equal recall should cost a smaller candidate fraction where the
       // sampled quantizer inherits the corpus's skew
       ivfEntry("s03_knn_ivf_kmeans", Similarity.IvfProbesRegistered,
-        Similarity.ivfCentroidsKMeans(_)),
+        kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
-        Similarity.ivfCentroidsKMeans(_)),
-      quantEntry) ++
-      ivfIndexEntries(Seq(
+        kmeansCents, kmeansTwinCents),
+      quantEntry) ++ {
+      val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))
+      cached.foreach(_.unpersist())
+      entries
+    }
   }
 
   def measure(spark: SparkSession, sfDir: String): Seq[(String, Seq[(String, Double)])] = {

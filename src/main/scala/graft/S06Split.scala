@@ -16,19 +16,32 @@ object S06Split {
       val t0 = System.nanoTime(); val r = f
       println(f"S06 $what%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // each index is a full quantized copy of the corpus — delete after use
+    // (the same hygiene Recall.ivfIndexEntries applies, ADVICE r7)
+    def withIndex(body: String => Unit): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s06")
+      try body(dir.toString)
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     // warm-up pass
-    val w = java.nio.file.Files.createTempDirectory("graft-s06w").toString
-    Similarity.writeIvfIndex(embs, w)
-    Similarity.ivfTopKQuantizedFromIndex(embs.filter(col("vec_id") % 100 === 0), w,
-      10, Similarity.IvfProbesRegistered).write.format("noop").mode("overwrite").save()
+    withIndex { w =>
+      Similarity.writeIvfIndex(embs, w)
+      Similarity.ivfTopKQuantizedFromIndex(embs.filter(col("vec_id") % 100 === 0), w,
+        10, Similarity.IvfProbesRegistered).write.format("noop").mode("overwrite").save()
+    }
     (1 to 3).foreach { _ =>
       spark.catalog.clearCache()
-      val idx = java.nio.file.Files.createTempDirectory("graft-s06").toString
-      time("build") { Similarity.writeIvfIndex(embs, idx) }
-      time("serve") {
-        Similarity.ivfTopKQuantizedFromIndex(
-          embs.filter(col("vec_id") % 100 === 0), idx, 10, Similarity.IvfProbesRegistered)
-          .write.format("noop").mode("overwrite").save()
+      withIndex { idx =>
+        time("build") { Similarity.writeIvfIndex(embs, idx) }
+        time("serve") {
+          Similarity.ivfTopKQuantizedFromIndex(
+            embs.filter(col("vec_id") % 100 === 0), idx, 10, Similarity.IvfProbesRegistered)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     spark.stop()

@@ -301,20 +301,34 @@ object Dedup {
     if (committed.size <= 1) return 0
     val next = "v" + (committed.filter(_.matches("v\\d+"))
       .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val stagingName = s".staging-$next" // invisible to vacuum until renamed
     indexBuckets(spark, path)
-      .write.mode("overwrite").parquet(s"$path/$next/buckets")
+      .write.mode("overwrite").parquet(s"$path/$stagingName/buckets")
     indexShingles(spark, path)
-      .write.mode("overwrite").parquet(s"$path/$next/shingles")
+      .write.mode("overwrite").parquet(s"$path/$stagingName/shingles")
+    val target = java.nio.file.Paths.get(path, next)
+    if (java.nio.file.Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(path, stagingName), target)
     swapIndexPointer(path, Seq(next))
     committed.size
   }
 
   /** Delete version dirs the CURRENT pointer no longer references — the
     * garbage left by [[writeCorpusIndex]] replaces, crashed appends, and
-    * [[compactCorpusIndex]] folds. Call only when no reader can still hold
-    * an OLD pointer (e.g. after a maintenance window) — the same reader
-    * contract as warehouse compaction's documented exclusion. Returns the
-    * number of directories removed.
+    * [[compactCorpusIndex]] folds. SAFE against a concurrent writer: an
+    * in-flight append/fold stages under a dot-prefixed name and renames
+    * into its `v<N>` dir only just before the pointer swap, so vacuum's
+    * `v<N>` filter cannot see (and delete) a version that is still being
+    * written. The remaining contract is readers-only: call when no reader
+    * can still hold an OLD pointer (e.g. after a maintenance window) —
+    * the same exclusion warehouse compaction documents. Dot-prefixed
+    * `.staging-*` leftovers of crashed appends are reader-invisible and
+    * reclaimed by the replayed append itself. Returns the number of
+    * directories removed.
     */
   def vacuumCorpusIndex(path: String): Int = {
     val committed = committedVersions(path).toSet
@@ -349,16 +363,35 @@ object Dedup {
     }
     val next = "v" + (committed.filter(_.matches("v\\d+"))
       .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    // stage under a dot-prefixed name and rename into place before the
+    // pointer swap: an in-flight write is thus INVISIBLE to
+    // [[vacuumCorpusIndex]]'s v<N> filter (vacuum racing a live append
+    // would otherwise delete the dir it is about to publish) and to any
+    // directory-listing tooling
+    val stagingName = s".staging-$next"
     val sh = docs
       .select(col("doc_id"), TextFns.shingles(col("text"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bandBuckets(signatureFromShingles(sh))
         .select("doc_id", "band", "band_hash")
-        .write.mode("overwrite").parquet(s"$path/$next/buckets")
-      sh.write.mode("overwrite").parquet(s"$path/$next/shingles")
+        .write.mode("overwrite").parquet(s"$path/$stagingName/buckets")
+      sh.write.mode("overwrite").parquet(s"$path/$stagingName/shingles")
     } finally { sh.unpersist(); () }
+    val target = java.nio.file.Paths.get(path, next)
+    if (java.nio.file.Files.exists(target)) { // orphan of a crashed append
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(path, stagingName), target)
     swapIndexPointer(path, (if (replace) Seq.empty else committed) :+ next)
+    // a rebuild voids any prior ingest lineage: drop a streaming
+    // high-water mark left beside the store (defense in depth — the mark
+    // is also checkpoint-scoped, see StreamingOps.ReplayGuard)
+    if (replace)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, "_streaming_hwm"))
   }
 
   private def swapIndexPointer(path: String, versions: Seq[String]): Unit = {

@@ -406,6 +406,11 @@ object Similarity {
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       appendToIvfIndex(embeddings, path, overwrite = true)
     } finally { centroids.unpersist(); () }
+    // a rebuild voids any prior ingest lineage: drop a streaming
+    // high-water mark left beside the store (defense in depth — the mark
+    // is also checkpoint-scoped, see StreamingOps.ReplayGuard)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, "_streaming_hwm"))
   }
 
   /** [[writeIvfIndex]]'s k-means quantizer, signature-adapted. */
@@ -565,17 +570,26 @@ object Similarity {
       (qid, emb) <- qRows.toSeq
       t <- 0 until nTables
     } yield {
-      val dots = Array.tabulate(nBits) { i =>
-        var acc = 0.0
-        var d = 0
-        while (d < Dim && d < emb.length) {
-          acc += emb(d).toDouble * planeComponent(t * nBits + i, d); d += 1
+      // VecDot parity, including the degenerate case: on a length mismatch
+      // VecDot returns null, `when(null >= 0)` is false, and every
+      // lshBuckets bit is 0 — so a non-Dim embedding's bucket code is 0 in
+      // the corpus frame, and the probe set must anchor there too (real
+      // partial-dot codes would probe buckets the corpus never occupies)
+      if (emb.length != Dim) {
+        (qid, t, 0 +: (0 until probeBits).map(i => 1 << i))
+      } else {
+        val dots = Array.tabulate(nBits) { i =>
+          var acc = 0.0
+          var d = 0
+          while (d < Dim) {
+            acc += emb(d).toDouble * planeComponent(t * nBits + i, d); d += 1
+          }
+          acc
         }
-        acc
+        val code = (0 until nBits).map(i => if (dots(i) >= 0) 1 << i else 0).sum
+        val lowMargin = (0 until nBits).sortBy(i => (math.abs(dots(i)), i)).take(probeBits)
+        (qid, t, code +: lowMargin.map(i => code ^ (1 << i)))
       }
-      val code = (0 until nBits).map(i => if (dots(i) >= 0) 1 << i else 0).sum
-      val lowMargin = (0 until nBits).sortBy(i => (math.abs(dots(i)), i)).take(probeBits)
-      (qid, t, code +: lowMargin.map(i => code ^ (1 << i)))
     }
     probes.flatMap { case (qid, t, bs) => bs.map(b => (qid, t, b)) }
       .toDF("query_id", "table", "bucket")

@@ -152,15 +152,36 @@ object StreamingOps {
     *     after a restart, above the mark) pays the defensive anti-join.
     * One writer per sink, which foreachBatch already requires — the mark
     * file is that single writer's private state.
+    *
+    * The mark is SCOPED to the stream's stable query id (the `id` Spark
+    * persists in the checkpoint's `metadata` file — constant across
+    * restarts of the same checkpoint, fresh for a new or wiped one).
+    * BatchIds only mean anything within one checkpoint lineage: a new
+    * checkpoint renumbers from 0, and an unscoped mark would Skip — i.e.
+    * silently DROP — every batch up to the old mark. A mark whose query
+    * id doesn't match the current checkpoint is treated as absent, so the
+    * stream falls back to the defensive Recover posture.
     */
-  private[graft] final class ReplayGuard(dir: String, name: String = "_streaming_hwm") {
+  private[graft] final class ReplayGuard(dir: String, checkpoint: String,
+                                         name: String = "_streaming_hwm") {
     private val file = java.nio.file.Paths.get(dir, name)
     private var firstSinceStart = true
 
+    /** The checkpoint's persisted query id; present by the time the first
+      * micro-batch fires (Spark writes it at query start). */
+    private def queryId: Option[String] = {
+      val meta = java.nio.file.Paths.get(checkpoint, "metadata")
+      if (!java.nio.file.Files.exists(meta)) None
+      else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(java.nio.file.Files.readString(meta)).map(_.group(1))
+    }
+
     private def committed: Long =
-      if (java.nio.file.Files.exists(file))
-        java.nio.file.Files.readString(file).trim.toLong
-      else -1L
+      if (!java.nio.file.Files.exists(file)) -1L
+      else java.nio.file.Files.readString(file).trim.split("\\s+") match {
+        case Array(qid, b) if queryId.contains(qid) => b.toLong
+        case _ => -1L // other lineage (or unreadable) — never suppress
+      }
 
     def posture(batchId: Long): Posture = {
       val p =
@@ -175,7 +196,8 @@ object StreamingOps {
     def commit(batchId: Long): Unit = {
       java.nio.file.Files.createDirectories(file.getParent)
       val tmp = file.resolveSibling(s".$name.tmp")
-      java.nio.file.Files.writeString(tmp, batchId.toString)
+      java.nio.file.Files.writeString(tmp,
+        s"${queryId.getOrElse("unknown")} $batchId")
       java.nio.file.Files.move(tmp, file,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -227,7 +249,7 @@ object StreamingOps {
                           checkpoint: String, threshold: Double = 0.8,
                           shingleN: Int = 3,
                           compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val guard = new ReplayGuard(indexPath)
+    val guard = new ReplayGuard(indexPath, checkpoint)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => guard.posture(batchId) match {
       case Skip => ()
       case p =>
@@ -277,7 +299,7 @@ object StreamingOps {
     */
   def ingestVectorsStream(embeddings: DataFrame, indexPath: String,
                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val guard = new ReplayGuard(indexPath)
+    val guard = new ReplayGuard(indexPath, checkpoint)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => guard.posture(batchId) match {
       case Skip => ()
       case p =>

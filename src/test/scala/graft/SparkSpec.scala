@@ -38,4 +38,23 @@ abstract class SparkSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Root paths of every file scan in a logical plan — the ONE extraction
+    * the no-store-scan assertions share (Round8OpsSpec, StreamingSpec plan
+    * + listener variants), so scan-detection drift can't silently weaken
+    * one of them.
+    */
+  def fileScanPaths(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  def fileScanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    fileScanPaths(df.queryExecution.optimizedPlan)
 }

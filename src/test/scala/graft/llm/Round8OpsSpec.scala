@@ -62,21 +62,12 @@ class Round8OpsSpec extends SparkSpec {
     Similarity.writeIvfIndex(embs, idx)
     val handle = new Similarity.IvfIndexHandle(spark, idx)
     val queries = embs.filter(col("vec_id") % 100 === 0)
-    def fileScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Seq.empty[String]
-          }
-      }.flatten
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r1 = handle.topK(queries, 10)
     val r2 = handle.topK(queries, 10)
-    assert(fileScans(r1).exists(_.contains("/vectors")), "serving must read the store")
-    assert(!fileScans(r1).exists(_.contains("centroids")) &&
-      !fileScans(r2).exists(_.contains("centroids")),
+    assert(fileScanPaths(r1).exists(_.contains("/vectors")), "serving must read the store")
+    assert(!fileScanPaths(r1).exists(_.contains("centroids")) &&
+      !fileScanPaths(r2).exists(_.contains("centroids")),
       "per-query plans must not re-scan the centroid table (handle localizes it once)")
     val rows1 = r1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(rows1.nonEmpty)

@@ -292,27 +292,18 @@ class StreamingSpec extends SparkSpec {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("graft-vec-steady").toString
     graft.llm.Similarity.writeIvfIndex(embs, s"$root/idx")
-    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Seq.empty[String]
-          }
-      }.flatten
     val batch = embs.select("vec_id", "embedding")
     // steady state: the appended rows are a pure function of the batch
     val fresh = StreamingOps.ingestVectorRows(batch, s"$root/idx", recover = false)
-    assert(!scans(fresh).exists(_.contains("/idx/vectors")),
+    assert(!fileScanPaths(fresh).exists(_.contains("/idx/vectors")),
       "steady-state micro-batch must not scan the store's key column")
     // the full append frame reads only the (≤cells-row) centroids table
     val appended = graft.llm.Similarity.ivfIndexRows(
       fresh, spark.read.parquet(s"$root/idx/centroids"))
-    assert(!scans(appended).exists(_.contains("/idx/vectors")))
+    assert(!fileScanPaths(appended).exists(_.contains("/idx/vectors")))
     // the crash-recovery delivery is the ONLY one that pays the key scan
     val recover = StreamingOps.ingestVectorRows(batch, s"$root/idx", recover = true)
-    assert(scans(recover).exists(_.contains("/idx/vectors")))
+    assert(fileScanPaths(recover).exists(_.contains("/idx/vectors")))
   }
 
   test("steady-state deduped ingest executes no scan over the corpus store") {
@@ -331,15 +322,7 @@ class StreamingSpec extends SparkSpec {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit =
-        qe.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                h.location.rootPaths.foreach(p => scanned.add(p.toString))
-              case _ => ()
-            }
-          case _ => ()
-        }
+        fileScanPaths(qe.analyzed).foreach(p => scanned.add(p))
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
@@ -367,20 +350,69 @@ class StreamingSpec extends SparkSpec {
 
   test("ReplayGuard: skip at-or-below the mark, anti-join only on the first delivery after restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
-    val g1 = new StreamingOps.ReplayGuard(dir)
+    def checkpoint(id: String): String = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-guard-ckpt-$id")
+      java.nio.file.Files.writeString(ckpt.resolve("metadata"), s"""{"id":"$id"}""")
+      ckpt.toString
+    }
+    val ckptA = checkpoint("query-a")
+    val g1 = new StreamingOps.ReplayGuard(dir, ckptA)
     assert(g1.posture(0L) == StreamingOps.Recover, "first-ever delivery is defensively idempotent")
     g1.commit(0L)
     assert(g1.posture(1L) == StreamingOps.Fresh, "later in-run deliveries are guaranteed unseen")
     g1.commit(1L)
     // restart after a crash between the mark write and the checkpoint
     // commit: batch 1 replays and is skipped; batch 2 is then fresh
-    val g2 = new StreamingOps.ReplayGuard(dir)
+    val g2 = new StreamingOps.ReplayGuard(dir, ckptA)
     assert(g2.posture(1L) == StreamingOps.Skip)
     assert(g2.posture(2L) == StreamingOps.Fresh)
     g2.commit(2L)
     // restart after a crash before the mark write: batch 3 recovers
-    val g3 = new StreamingOps.ReplayGuard(dir)
+    val g3 = new StreamingOps.ReplayGuard(dir, ckptA)
     assert(g3.posture(3L) == StreamingOps.Recover)
+    // a NEW checkpoint lineage renumbers batches from 0: the old mark must
+    // NOT suppress them (an unscoped mark would silently drop every batch
+    // up to the old high-water — data loss)
+    val g4 = new StreamingOps.ReplayGuard(dir, checkpoint("query-b"))
+    assert(g4.posture(0L) == StreamingOps.Recover,
+      "a mark from another checkpoint lineage must never Skip")
+    assert(g4.posture(1L) == StreamingOps.Fresh)
+  }
+
+  test("vector ingest after a checkpoint reset lands new data instead of skipping it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val part1 = embs.filter(col("vec_id") % 4 === 1)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val part2 = embs.filter(col("vec_id") % 4 === 2)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-vec-reset").toString
+    graft.llm.Similarity.writeIvfIndex(embs.filter(col("vec_id") % 4 === 0), s"$root/idx")
+    def ingest(rows: Seq[(Long, Array[Float])]): Unit = {
+      val stream = MemoryStream[(Long, Array[Float])]
+      stream.addData(rows)
+      val q = StreamingOps.ingestVectorsStream(
+        stream.toDF().toDF("vec_id", "embedding"), s"$root/idx", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    ingest(part1)
+    // operational reset: the checkpoint is lost; a NEW stream (same path)
+    // renumbers micro-batches from 0 — the high-water mark left by the old
+    // lineage must not suppress the new batch 0
+    def rmdir(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmdir(s"$root/ckpt")
+    ingest(part2)
+    val stored = spark.read.parquet(s"$root/idx/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(part2.map(_._1).forall(stored.contains),
+      "post-reset batches must land (stale mark would silently drop them)")
+    assert(stored.size == embs.filter(col("vec_id") % 4 =!= 3).count(),
+      "no duplicates either — the reset lineage recovers idempotently")
   }
 
   test("continuous vector ingest: streamed index contents equal the batch-built index") {
