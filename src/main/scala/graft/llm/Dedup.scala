@@ -258,14 +258,16 @@ object Dedup {
 
   private val IndexPointer = "CURRENT"
 
-  /** Committed version dirs, oldest first; empty for a flat legacy index. */
-  private def committedVersions(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path, IndexPointer)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).split("\n").iterator
-        .map(_.trim).filter(_.nonEmpty).toSeq
-    else Seq.empty
-  }
+  /** Committed version dirs, oldest first; empty for a flat legacy index.
+    * Pointer IO goes through [[graft.warehouse.AtomicPointer]] (Hadoop
+    * FileContext), so a versioned index on `hdfs://` reads correctly — the
+    * earlier `java.nio` form saw no CURRENT file on non-local URIs and
+    * silently misread a versioned index as flat legacy (ADVICE r8).
+    */
+  private def committedVersions(path: String): Seq[String] =
+    graft.warehouse.AtomicPointer.read(s"$path/$IndexPointer")
+      .map(_.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
                              path: String, table: String): DataFrame = {
@@ -306,42 +308,50 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/$stagingName/buckets")
     indexShingles(spark, path)
       .write.mode("overwrite").parquet(s"$path/$stagingName/shingles")
-    val target = java.nio.file.Paths.get(path, next)
-    if (java.nio.file.Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(path, stagingName), target)
+    graft.warehouse.AtomicPointer.publishDir(s"$path/$stagingName", s"$path/$next")
     swapIndexPointer(path, Seq(next))
     committed.size
   }
 
   /** Delete version dirs the CURRENT pointer no longer references — the
     * garbage left by [[writeCorpusIndex]] replaces, crashed appends, and
-    * [[compactCorpusIndex]] folds. SAFE against a concurrent writer: an
-    * in-flight append/fold stages under a dot-prefixed name and renames
-    * into its `v<N>` dir only just before the pointer swap, so vacuum's
-    * `v<N>` filter cannot see (and delete) a version that is still being
-    * written. The remaining contract is readers-only: call when no reader
-    * can still hold an OLD pointer (e.g. after a maintenance window) —
-    * the same exclusion warehouse compaction documents. Dot-prefixed
-    * `.staging-*` leftovers of crashed appends are reader-invisible and
-    * reclaimed by the replayed append itself. Returns the number of
-    * directories removed.
+    * [[compactCorpusIndex]] folds. SAFE against a concurrent writer, by two
+    * complementary guards:
+    *   - an in-flight append/fold stages under a dot-prefixed name and
+    *     renames into its `v<N>` dir only just before the pointer swap, so
+    *     vacuum's `v<N>` filter cannot see a version still being WRITTEN;
+    *   - the rename→swap gap itself (a fully-renamed `v<N>` whose pointer
+    *     swap hasn't landed yet — ADVICE r8) is covered by never deleting a
+    *     version numbered ABOVE the max committed one: version numbers
+    *     derive from the pointer and writers are serial (one writer per
+    *     index), so an in-flight commit occupies exactly max+1 — anything
+    *     at or below max is provably garbage. The pointer is also re-read
+    *     immediately before each delete, so a dir that became referenced
+    *     since candidate selection is spared.
+    * The remaining contract is readers-only: call when no reader can still
+    * hold an OLD pointer (e.g. after a maintenance window) — the same
+    * exclusion warehouse compaction documents. Dot-prefixed `.staging-*`
+    * leftovers of crashed appends are reader-invisible and reclaimed by the
+    * replayed append itself. Returns the number of directories removed.
     */
   def vacuumCorpusIndex(path: String): Int = {
     val committed = committedVersions(path).toSet
-    val root = new java.io.File(path)
-    val junk = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        !committed.contains(f.getName))
-    junk.foreach { dir =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val maxCommitted = committed.filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong).maxOption.getOrElse(0L)
+    // versions above the max committed number may be a commit inside its
+    // rename→pointer-swap window (writers are serial, so an in-flight
+    // commit occupies exactly max+1) — spare them; a crashed append's
+    // orphan up there is reclaimed by the replayed append's clobber or by
+    // a vacuum after later commits advance the pointer past it
+    val junk = graft.warehouse.AtomicPointer.listDirNames(path)
+      .filter(n => n.matches("v\\d+") && !committed.contains(n) &&
+        n.drop(1).toLong <= maxCommitted)
+    junk.count { name =>
+      // re-read the pointer at the last instant: a commit that landed since
+      // candidate selection has made this dir live — never delete it
+      !committedVersions(path).contains(name) &&
+        graft.warehouse.AtomicPointer.deleteDir(s"$path/$name")
     }
-    junk.length
   }
 
   /** Stage both tables for one batch under the next version dir, then swap
@@ -358,7 +368,7 @@ object Dedup {
     // would publish a pointer that hides the flat corpus (silent loss)
     val committed = committedVersions(path) match {
       case Seq() if !replace &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "buckets")) => Seq(".")
+        graft.warehouse.AtomicPointer.exists(s"$path/buckets") => Seq(".")
       case vs => vs
     }
     val next = "v" + (committed.filter(_.matches("v\\d+"))
@@ -378,30 +388,19 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$path/$stagingName/buckets")
       sh.write.mode("overwrite").parquet(s"$path/$stagingName/shingles")
     } finally { sh.unpersist(); () }
-    val target = java.nio.file.Paths.get(path, next)
-    if (java.nio.file.Files.exists(target)) { // orphan of a crashed append
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(path, stagingName), target)
+    // publishDir clobbers the orphan of a crashed earlier attempt
+    graft.warehouse.AtomicPointer.publishDir(s"$path/$stagingName", s"$path/$next")
     swapIndexPointer(path, (if (replace) Seq.empty else committed) :+ next)
     // a rebuild voids any prior ingest lineage: drop a streaming
     // high-water mark left beside the store (defense in depth — the mark
     // is also checkpoint-scoped, see StreamingOps.ReplayGuard)
     if (replace)
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(path, "_streaming_hwm"))
+      graft.warehouse.AtomicPointer.delete(s"$path/_streaming_hwm")
   }
 
-  private def swapIndexPointer(path: String, versions: Seq[String]): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    val tmp = root.resolve(s".$IndexPointer.tmp")
-    java.nio.file.Files.writeString(tmp, versions.mkString("", "\n", "\n"))
-    java.nio.file.Files.move(tmp, root.resolve(IndexPointer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def swapIndexPointer(path: String, versions: Seq[String]): Unit =
+    graft.warehouse.AtomicPointer.write(s"$path/$IndexPointer",
+      versions.mkString("", "\n", "\n"))
 
   /** [[crossNearDupPairsWithCleanup]] with the corpus side read from a
     * persisted index (see [[writeCorpusIndex]]) — hash-identical pairs, but
@@ -508,20 +507,25 @@ object Dedup {
     // logical lineage each round, not just persist it — nested-IMR plans
     // re-canonicalize the whole upstream LSH pipeline's expression tree on
     // EVERY action (measured ~2 s of pure driver planning per action here).
-    // Eager localCheckpoint truncates edges and each round's labels to a
-    // LogicalRDD, making per-iteration plans O(1)-sized. Single-JVM local
-    // checkpoints are right for the harness; a multi-node deployment would
-    // use reliable `checkpoint()` (same call shape) so lineage-free blocks
-    // survive executor loss. The pair pipeline's caches are released as soon
-    // as the edge list is materialized.
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+    // Eager checkpoints truncate edges and each round's labels to a
+    // LogicalRDD, making per-iteration plans O(1)-sized. The cut is
+    // RELIABLE `checkpoint()` when the SparkContext has a checkpoint dir
+    // configured (`sc.setCheckpointDir` — the multi-node posture:
+    // lineage-free blocks survive executor loss, where a localCheckpoint'd
+    // block dies with its executor and kills the whole converged loop —
+    // VERDICT r8 #7), else localCheckpoint (the single-JVM harness
+    // posture, no HDFS round-trip). The pair pipeline's caches are
+    // released as soon as the edge list is materialized.
+    def cut(df: DataFrame): DataFrame =
+      if (pairDf.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = cut(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     pairs.unpersist()
     releasePairPipeline()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
-      .localCheckpoint(true)
+    var labels = cut(edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < MaxCcIterations) {
@@ -535,11 +539,10 @@ object Dedup {
       // first changed row, instead of a full count() job per round
       // (VERDICT r3 #7); superseded rounds' blocks are reclaimed by the
       // context cleaner once unreferenced
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val next = cut(labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          (col("nrep") < col("rep")).as("chg"))
-        .localCheckpoint(true)
+          (col("nrep") < col("rep")).as("chg")))
       converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       iter += 1
