@@ -497,12 +497,72 @@ object Dedup {
     finally release()
   }
 
+  /** Edge-count ceiling for the driver-side union-find fast path in
+    * [[clustersFromPairSource]] (session-tunable:
+    * `spark.graft.cc.maxDriverEdges`; 0 disables the fast path). 1M
+    * (doc_a, doc_b) Long pairs ≈ 16 MB raw / low-hundreds MB with DSU
+    * bookkeeping — metadata-sized next to any sane driver heap, and far
+    * above the near-dup edge yield of any corpus this engine's small-SF
+    * gates see.
+    */
+  val DefaultCcMaxDriverEdges = 1000000
+
+  /** Driver union-find with min-id representatives — byte-identical output
+    * to the distributed propagation loop: one row per node appearing in an
+    * edge, labeled with its component's min doc_id.
+    */
+  private def driverComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min keeps roots = component minima with no second pass
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(id => (id, find(id)))
+  }
+
   private def clustersFromPairSource(src: (DataFrame, () => Unit)): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (pairDf, releasePairPipeline) = src
+    val spark = pairDf.sparkSession
     val pairs = pairDf
       .select(col("doc_a"), col("doc_b"))
       .persist(mad)
+    // ADAPTIVE SCALE SWITCH (the TopKPerGroup pattern): near-dup edges are
+    // SPARSE relative to the corpus — LSH + Jaccard-verify yields far fewer
+    // pairs than documents — so the common case fits the driver, where
+    // union-find labels the components in one pass over one capped-collect
+    // job, skipping the edge/labels checkpoints and the 2-3 join+agg rounds
+    // of the propagation loop (~5 Spark jobs for tiny graphs). The capped
+    // `limit(T+1)` probe (the TxnPipeline bounded-dim pattern) never ships
+    // more than T+1 rows: a corpus whose edge yield exceeds the ceiling
+    // falls through to the distributed loop — the 100 TB path — with the
+    // pair pipeline still persisted. Long-keyed frames only; other key
+    // types keep the loop (clustersFromPairs accepts arbitrary frames).
+    val maxDriverEdges = spark.conf.getOption("spark.graft.cc.maxDriverEdges")
+      .map(_.toInt).getOrElse(DefaultCcMaxDriverEdges)
+    val longKeys = pairs.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longKeys && maxDriverEdges > 0) {
+      val probe = pairs.limit(maxDriverEdges + 1).collect()
+      if (probe.length <= maxDriverEdges) {
+        pairs.unpersist()
+        releasePairPipeline()
+        val labels = driverComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        return labels.toDF("doc_id", "rep").orderBy("doc_id")
+      }
+      // over the ceiling: fall through (probe rows are discarded; the
+      // persisted pair pipeline re-serves the loop below)
+    }
     // Loop hygiene (VERDICT r2 #3): an iterative DataFrame loop must CUT the
     // logical lineage each round, not just persist it — nested-IMR plans
     // re-canonicalize the whole upstream LSH pipeline's expression tree on

@@ -1,7 +1,5 @@
 package graft.warehouse
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +29,7 @@ object ParquetWarehouse {
   def appendIdempotent(df: DataFrame, path: String, keyCol: String): Long = {
     val spark = df.sparkSession
     val fresh =
-      if (Files.exists(Paths.get(path))) {
+      if (AtomicPointer.exists(path)) {
         val existingKeys = spark.read.parquet(path).select(keyCol)
         df.join(existingKeys, Seq(keyCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -47,26 +45,21 @@ object ParquetWarehouse {
 
   /** P23 — atomic multi-table publish: write every table under
     * `root/v<next>/<table>/`, then swap the CURRENT pointer with an atomic
-    * file move. A crash mid-write leaves the previous version live.
+    * file move ([[AtomicPointer]], so the same snapshot machinery serves
+    * `file:` and `hdfs:` roots). A crash mid-write leaves the previous
+    * version live.
     */
   def publishSnapshot(root: String, tables: Map[String, DataFrame]): String = {
-    val rootPath = Paths.get(root)
-    Files.createDirectories(rootPath)
     val next = "v" + (currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$next/$name")
     }
-    val tmp = rootPath.resolve(s".$Pointer.tmp")
-    Files.writeString(tmp, next)
-    Files.move(tmp, rootPath.resolve(Pointer),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    AtomicPointer.write(s"$root/$Pointer", next)
     next
   }
 
-  def currentVersion(root: String): Option[String] = {
-    val p = Paths.get(root, Pointer)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
+  def currentVersion(root: String): Option[String] =
+    AtomicPointer.read(s"$root/$Pointer").map(_.trim)
 
   /** Read a table from the currently-published snapshot. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
@@ -350,10 +343,10 @@ object ParquetWarehouse {
       case Some(v) =>
         val (problems, counts) = required.foldLeft((Seq.empty[String], Map.empty[String, Long])) {
           case ((ps, cs), t) =>
-            val dir = Paths.get(root, v, t)
-            if (!Files.exists(dir)) (ps :+ s"missing table $t in $v", cs)
+            val dir = s"$root/$v/$t"
+            if (!AtomicPointer.exists(dir)) (ps :+ s"missing table $t in $v", cs)
             else {
-              val n = spark.read.parquet(dir.toString).count()
+              val n = spark.read.parquet(dir).count()
               (if (n == 0) ps :+ s"table $t is empty" else ps, cs + (t -> n))
             }
         }

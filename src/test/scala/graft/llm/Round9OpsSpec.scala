@@ -247,17 +247,53 @@ class Round9OpsSpec extends SparkSpec {
   test("the CC loop converges identically under reliable checkpointing") {
     val sc = spark.sparkContext
     val prior = sc.getCheckpointDir.orNull
-    val expected = Dedup.nearDupClusters(docs, 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable").toString
-    sc.setCheckpointDir(dir)
+    // pin the DISTRIBUTED loop (the machinery under test) — the adaptive
+    // driver fast path would otherwise satisfy this fixture without ever
+    // checkpointing
+    spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
     try {
-      val reliable = Dedup.nearDupClusters(docs, 0.8)
+      val expected = Dedup.nearDupClusters(docs, 0.8)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(reliable == expected,
-        "reliable-checkpoint clusters must equal the localCheckpoint ones")
-      assert(new java.io.File(dir).listFiles().nonEmpty,
-        "the loop must actually write reliable checkpoints when a dir is set")
-    } finally sc.setCheckpointDir(prior)
+      val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable").toString
+      sc.setCheckpointDir(dir)
+      try {
+        val reliable = Dedup.nearDupClusters(docs, 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(reliable == expected,
+          "reliable-checkpoint clusters must equal the localCheckpoint ones")
+        assert(new java.io.File(dir).listFiles().nonEmpty,
+          "the loop must actually write reliable checkpoints when a dir is set")
+      } finally sc.setCheckpointDir(prior)
+    } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
+  }
+
+  // ----------------------------------- adaptive driver-side CC fast path
+
+  test("driver union-find clusters are byte-identical to the distributed loop") {
+    val fast = Dedup.nearDupClusters(docs, 0.8) // default: fast path engages
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast.nonEmpty, "fixture must yield near-dup clusters")
+    spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+    try {
+      val loop = Dedup.nearDupClusters(docs, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fast == loop, "fast path must reproduce the loop's labels exactly")
+    } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
+    // an over-ceiling edge set falls through to the loop and still agrees
+    spark.conf.set("spark.graft.cc.maxDriverEdges", "1")
+    try {
+      val fellThrough = Dedup.nearDupClusters(docs, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fellThrough == fast, "over-ceiling fall-through must agree")
+    } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
+    // the multi-signal composition routes through the same switch
+    val ms = Dedup.multiSignalClusters(docs, embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.cc.maxDriverEdges", "0")
+    try {
+      val msLoop = Dedup.multiSignalClusters(docs, embs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ms == msLoop, "multi-signal clusters must agree across paths")
+    } finally spark.conf.unset("spark.graft.cc.maxDriverEdges")
   }
 }
