@@ -100,35 +100,32 @@ object Similarity {
   val LshBitsRegistered = 6
   val IvfProbesRegistered = 24
 
-  /** Deterministic pseudo-random hyperplane components (no RNG state — a
-    * splitmix-style integer mix keyed by (plane, dim), uniform in [-0.5,0.5];
-    * sign projections only need symmetry, not gaussianity).
+  /** Deterministic pseudo-random hyperplane components — the shared plane
+    * family in [[graft.functions.LshFns.planeComponent]] (splitmix-style
+    * (plane, dim) mix, uniform in [-0.5,0.5]; sign projections only need
+    * symmetry, not gaussianity). Delegated so the corpus bucket expression
+    * and the driver-side multi-probe margin loop stay bit-exact.
     */
-  private def planeComponent(plane: Int, d: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (java.lang.Math.floorMod(z, 1000003L).toDouble / 1000003.0) - 0.5
-  }
+  private def planeComponent(plane: Int, d: Int): Double =
+    graft.functions.LshFns.planeComponent(plane, d)
 
   /** Per-vector bucket codes: one row per (vec_id, table, bucket).
     * `nTables`×`nBits` defaults are the scale-tuned config; callers trade
     * recall vs candidate volume by raising tables / lowering bits
     * (measured per-config in the RECALL artifact, see [[graft.Recall]]).
+    *
+    * All `nTables` codes come from ONE fused codegen'd expression
+    * ([[graft.functions.LshFns.lshCodes]]) — the per-(table, bit)
+    * `when(vec_dot(embedding, plane-literal) >= 0, …)` tree this replaces
+    * carried nTables×nBits dot sub-trees (~74k literal leaves at the
+    * graded 96×12 multi-probe point) and Catalyst analysis/codegen of
+    * that tree dominated the s07 def's cost.
     */
   def lshBuckets(embeddings: DataFrame, nTables: Int = LshTables,
-                 nBits: Int = LshBits): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val code = (0 until nBits).map { i =>
-        val w = typedlit((0 until Dim).map(d => planeComponent(t * nBits + i, d)))
-        when(dot(col("embedding"), w) >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), code.as("bucket"))
-    }
-    embeddings.select(col("vec_id"), col("embedding"), explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+                 nBits: Int = LshBits): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.LshFns.lshCodes(col("embedding"), nTables, nBits, Dim))
+          .as(Seq("table", "bucket")))
 
   /** Blocked exact near-dup pairs: all (a,b) with cosine ≥ threshold WITHIN
     * a blocking key (here the label column — in production a cluster id,
