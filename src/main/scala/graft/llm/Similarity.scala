@@ -289,9 +289,9 @@ object Similarity {
     * vector with its best cell. NARROW — zero shuffle: the centroid set is
     * ≤ `cells` rows (k vectors, not data — the same driver-side posture as
     * [[ivfCentroidsKMeans]]'s cluster centers), so it is collected once and
-    * inlined as literal arrays; the per-vector argmax over C cells becomes a
-    * single projection (`array_max` over (score, -cell) structs). The
-    * previous formulation exploded n×C rows — each carrying the full
+    * handed to the fused codegen'd [[graft.functions.IvfFns.ivfArgmax]]
+    * expression; the per-vector argmax over C cells is a single projection.
+    * The original formulation exploded n×C rows — each carrying the full
     * embedding payload — through an Exchange + sort to rank per vec_id,
     * i.e. ~C× the corpus embedding bytes shuffled to compute a per-row
     * argmax, on the exact path that scans the whole corpus at index-build
@@ -299,11 +299,13 @@ object Similarity {
     * Exchange.
     *
     * Tie-break matches the ranked form exactly: max score, then SMALLEST
-    * cell (struct max on (score, -cell)); null/NaN scores order the same
-    * way in both forms (Spark's total order puts NaN above every double and
-    * a null struct field below every value). The centroid norm is folded
-    * left-to-right in double on the driver — bit-identical to the VecDot
-    * accumulation it replaces, so assignments are unchanged.
+    * cell; NaN scores rank above every double (Spark's total order) and
+    * degenerate embeddings (null / null element / wrong length), whose
+    * scores were all null in the ranked form, anchor at the smallest cell.
+    * All accumulation is strict left-to-right double — bit-identical to
+    * the VecDot form, so assignments are unchanged (IvfArgmaxSpec pins
+    * parity against the array_max-over-structs tree, including at centroid
+    * counts where that tree overflows janino and drops to interpreted).
     */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell").cast("long"), col("c_emb"))
@@ -311,16 +313,15 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign: empty centroid set")
-    val scored = cents.map { case (cell, ce) =>
-      val cNorm = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-      struct(
-        (dot(col("embedding"), typedlit(ce)) / (norm(col("embedding")) * lit(cNorm)))
-          .as("score"),
-        lit(-cell).as("neg_cell"))
-    }
-    val best = array_max(array(scored.toIndexedSeq: _*))
+    // ONE fused codegen'd argmax over the whole centroid set
+    // (graft.functions.IvfFns) — the per-cell array_max-over-structs tree
+    // this replaces inlined C dim-element literals, which crosses janino's
+    // 64 KB codegen limit (→ interpreted eval on the full corpus scan) at
+    // realistic coarse-quantizer sizes (C ~ √N). Winner semantics are
+    // bit-identical (spec-pinned): NaN-above-all scoring, ties to the
+    // smallest cell, degenerate embeddings anchored at the smallest cell.
     embeddings.select(col("vec_id"), col("embedding"),
-      (-best.getField("neg_cell")).as("cell"))
+      graft.functions.IvfFns.ivfArgmax(col("embedding"), cents.toIndexedSeq).as("cell"))
   }
 
   def ivfAssign(embeddings: DataFrame): DataFrame =
