@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Lazy handles over the driver-provided parquet tables for one scale-factor
   * directory (TESTDATA.md). Reads are plain parquet scans so Catalyst can push
@@ -21,4 +23,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = load("events")
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
+}
+
+object Tables {
+
+  /** Physical-type tolerance at the source boundary: normalize a ts-like
+    * column to a microsecond `TimestampType` regardless of how the provider's
+    * parquet writer encoded it. Coerce, don't assume (reference
+    * src/extract.py:159 inferred parse; src/transform.py:249
+    * `pd.to_datetime(errors='coerce')`): a data provider regenerating the
+    * inputs with a different writer must not break every downstream operator.
+    *
+    * Encodings seen in the wild for the `events.ts` column:
+    *   - `TIMESTAMP(NANOS)` read as long under
+    *     `spark.sql.legacy.parquet.nanosAsLong` (or a plain int64 of epoch
+    *     nanos) → integer ns→us division, the same truncation DuckDB applies;
+    *   - `timestamp[us]` (pandas/pyarrow default) → already the target type;
+    *   - `timestamp_ntz[us]` → reinterpreted as UTC-instant (sessions run UTC,
+    *     so the wall-clock field values are preserved bit-for-bit).
+    */
+  def microsTs(df: DataFrame, colName: String): DataFrame = {
+    def as(c: Column): DataFrame = df.withColumn(colName, c)
+    df.schema(colName).dataType match {
+      case TimestampType    => df
+      // integer division (never double: epoch-ns magnitudes exceed double's
+      // 2^53 exact-integer range, so a float path would corrupt low bits)
+      case LongType         => as(timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType => as(df(colName).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"column '$colName' has unsupported ts encoding $other " +
+          "(expected timestamp, timestamp_ntz, or epoch-nanos long)")
+    }
+  }
 }

@@ -15,17 +15,17 @@ object LlmQueries {
   private def q(name: String, oracle: Option[String], headline: Boolean = false)(
       f: Tables => DataFrame): QueryDef =
     QueryDef(name, (s: SparkSession, dir: String) => {
-      // events.parquet carries TIMESTAMP(NANOS); read as long and convert
-      // (works under any driver-created session, not just GraftSession).
+      // tolerate an events.parquet written as TIMESTAMP(NANOS): read as long,
+      // Tables.microsTs converts (works under any driver-created session).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       f(Tables(s, dir))
     }, oracle, headline)
 
-  /** events with the nanos-long ts converted to a microsecond timestamp
-    * (integer division — same truncation DuckDB applies reading ns parquet).
+  /** events with `ts` normalized to a microsecond timestamp whatever the
+    * provider's parquet writer emitted (timestamp[us], TIMESTAMP(NANOS)-as-
+    * long, or ntz) — see [[Tables.microsTs]].
     */
-  private def eventsTs(t: Tables): DataFrame =
-    t.events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsTs(t: Tables): DataFrame = Tables.microsTs(t.events, "ts")
 
   // ------------------------------------------------------------------ dedup
 
