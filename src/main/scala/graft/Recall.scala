@@ -57,14 +57,21 @@ object Recall {
     * direction per center), each vector = its cluster's center plus
     * per-component noise — the realistic embedding geometry where near
     * neighbors are in-cluster (in-cluster cosine ≈ 0.9, cross-cluster ≈ 0).
-    * Everything is a pure function of (vec_id, dim), so the corpus is
-    * identical across runs and partitionings.
+    * Everything is a pure function of (vec_id, dim), so the corpus CONTENT
+    * is identical across runs and partitionings — and the partition COUNT
+    * is pinned (not defaultParallelism) because the downstream k-means fit
+    * accumulates float sums per partition: with the layout floating on the
+    * session's core count, the fitted centers differed in low bits between
+    * 8- and 32-core sessions, flipping a few cluster-boundary vectors
+    * between cells and jittering the measured candidate_fraction round-over-
+    * round (the r8→r9 RECALL drift — attributed ADVICE r9 #2; the fused
+    * ivf_argmax was bit-stable throughout and is not on the training path).
     */
   def clusteredCorpus(spark: SparkSession, n: Long, k: Int = 20,
                       noiseScale: Double = 0.3): DataFrame = {
     import spark.implicits._
     val dim = Similarity.Dim
-    spark.range(0L, n).map { id =>
+    spark.range(0L, n, 1L, 32).map { id =>
       val c = id % k
       val emb = Array.tabulate(dim) { d =>
         (unit(1000000L + c, d.toLong) + noiseScale * unit(id, d.toLong)).toFloat

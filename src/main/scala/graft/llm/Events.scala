@@ -111,6 +111,22 @@ object Events {
       sum(col("t3").isNotNull.cast("long")).as("n_then_purchase"))
   }
 
+  /** JSON event-property extraction + rollup: pull the integer `k` property
+    * out of the events' JSON `props` payload and aggregate per
+    * (event_type, k-decade). `get_json_object` is a codegen'd native
+    * expression — the parse is one narrow pass over the scan, no UDF — and
+    * the rollup is a single map-side-combined shuffle on low-cardinality
+    * keys, so the shape is scan-bound at any corpus size.
+    */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // k ≥ 0 here, but use floor-division semantics anyway so the bucketing
+      // matches the oracle's `//` on any future signed payload
+      .groupBy(col("event_type"), floor(col("k") / 10).as("k_decade"))
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("event_id").as("first_event"), dsum(col("value")).as("total_value"))
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

@@ -572,6 +572,21 @@ object LlmQueries {
     Events.multistepFunnel(eventsTs(t))
   }
 
+  // e08 — JSON props extraction + rollup (VERDICT r9 #7): the `props` JSON
+  // payload carried by every event, parsed with the codegen'd
+  // get_json_object and rolled up per (event_type, k-decade). No ts use —
+  // the def is encoding-independent by construction.
+  private val e08 = q("e08_props_rollup", Some(
+    s"""SELECT event_type,
+        CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_decade,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        min(event_id) AS first_event,
+        ${sqlDsum("value")} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, k_decade""")) { t =>
+    Events.propsRollup(t.events).orderBy("event_type", "k_decade")
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   // p01 — END-TO-END curation: near-dup removal (cluster representatives
@@ -929,5 +944,5 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, s07,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      e01, e02, e03, e04, e05, e06, e07, p01, p02)
+      e01, e02, e03, e04, e05, e06, e07, e08, p01, p02)
 }
