@@ -504,6 +504,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge across micro-batches and finalize past the watermark (e05 streaming twin)") {
+    // substantiates the Events.sessionWindows claim that the SAME operator
+    // runs stateful under Structured Streaming: a later micro-batch must
+    // EXTEND a user's open session (gap-merge state), and sessions emit in
+    // Append mode only once the watermark passes session end + gap.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val sessionEvents = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.00),
+      ev(2, "2024-01-01 10:10:00", 1, "view", 2.00),
+      ev(3, "2024-01-01 10:05:00", 2, "click", 4.00))
+    val extension = ev(4, "2024-01-01 10:20:00", 1, "view", 0.50)
+    val q = graft.llm.Events.sessionWindows(stream.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(sessionEvents)
+      q.processAllAvailable()
+      stream.addData(Seq(extension)) // within user 1's 30-min gap → same session
+      q.processAllAvailable()
+      // sentinel advances event time past every open session + gap + watermark
+      stream.addData(Seq(ev(5, "2024-01-01 14:00:00", 99, "view", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      val batchTwin = graft.llm.Events.sessionWindows((sessionEvents :+ extension).toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batchTwin)
+      // user 1's session merged across the two micro-batches: 3 events 10:00–10:20
+      assert(streamed.contains((1L, "2024-01-01 10:00:00.0", 3L, 3.50)))
+    } finally q.stop()
+  }
+
   test("streaming JSONL quarantine: corrupt lines surface through the stream too") {
     import graft.etl.JsonlExtract
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-quar").toString
