@@ -587,6 +587,32 @@ object LlmQueries {
     Events.propsRollup(t.events).orderBy("event_type", "k_decade")
   }
 
+  // e09 — the day-partitioned EVENT STORE through the correctness gate
+  // (t13's subject applied to the tier that actually hits 100 TB first):
+  // write the events through writeEventsPartitioned (event_date= directory
+  // layout, REBALANCE-clustered), read back ONE day — answered from
+  // listing-time partition pruning, not row filters (WarehouseSpec asserts
+  // the PartitionFilters plan) — and roll up per event type. The oracle
+  // computes the same day off the UNPARTITIONED raw events, so a row lost
+  // or duplicated by the partitioned write/read cycle hash-fails here.
+  private val e09 = q("e09_partitioned_day_scan", Some(
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        ${sqlDsum("value")} AS total_value
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+        GROUP BY 1 ORDER BY event_type""")) { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-events-part")
+      .toString + "/events_by_day"
+    graft.warehouse.ParquetWarehouse.writeEventsPartitioned(eventsTs(t), path)
+    t.spark.read.parquet(path)
+      .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-10")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   // p01 — END-TO-END curation: near-dup removal (cluster representatives
@@ -944,5 +970,5 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, s07,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      e01, e02, e03, e04, e05, e06, e07, e08, p01, p02)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02)
 }

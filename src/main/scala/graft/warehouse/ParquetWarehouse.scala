@@ -100,6 +100,23 @@ object ParquetWarehouse {
       .partitionBy("year", "month")
       .parquet(path)
 
+  /** The [[writeFactPartitioned]] layout applied to the EVENT tier — a
+    * day-partitioned event store (`path/event_date=…/…`). Event logs are the
+    * table that actually reaches 100 TB first, and their dominant query
+    * shapes (hourly windows, sessionization, funnels, day scans — the e-def
+    * tier) are all time-ranged: day-grain directories turn those into
+    * listing-time partition pruning instead of full-log scans. Same
+    * REBALANCE clustering as the fact write: hot days split across writers
+    * by byte size, cold days coalesce to one contiguous file each.
+    */
+  def writeEventsPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .hint("rebalance", col("event_date"))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
   /** Scale layout #2 — bucketed fact: pre-shuffled into N buckets by a join
     * key and sorted within buckets. Every subsequent aggregation or join ON
     * that key plans WITHOUT an exchange (the one-time shuffle at write

@@ -80,6 +80,21 @@ class WarehouseSpec extends SparkSpec {
     assert(oneMonth.count() == expected && expected > 0)
   }
 
+  test("day-partitioned event store: a one-day query prunes to the day's directory (e09)") {
+    val events = graft.Tables.microsTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val path = tmpDir() + "/events_by_day"
+    ParquetWarehouse.writeEventsPartitioned(events, path)
+    val oneDay = spark.read.parquet(path)
+      .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-10")))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("event_date")), s"no event_date partition filter in:\n$plan")
+    // round-trip completeness: the partitioned store holds every event once
+    assert(spark.read.parquet(path).count() == events.count())
+    assert(oneDay.count() > 0)
+  }
+
   test("date-partitioned fact: an oversized month splits across files, small months stay single-file") {
     import spark.implicits._
     // one hot month (wide rows, far beyond the advisory size) and one cold
