@@ -225,9 +225,16 @@ object StarQueries {
   }
 
   // Q11 — top-20 merchants → top-20 parts by revenue (sql/queries.sql:167-178).
-  // part grows with scale factor, so no broadcast hint — AQE selects the join
-  // strategy from runtime sizes; ORDER BY + LIMIT plans as
-  // TakeOrderedAndProject (per-partition top-k, no global sort).
+  // AGGREGATE-THEN-JOIN with the LIMIT pushed below the name join — the two
+  // rewrites Catalyst doesn't do itself: (1) the rollup runs on lineitem
+  // keyed by l_partkey (map-side combine shrinks each partition to its
+  // distinct partkeys; only (key, count, sum) triples shuffle — the raw
+  // form dragged p_name through a fact-sized join AND a fact-sized
+  // aggregation shuffle); (2) the top-20 is taken BEFORE the join
+  // (TakeOrderedAndProject on the |parts|-sized rollup), so part is joined
+  // against 20 broadcast rows instead of the whole fact. Equivalent because
+  // p_partkey is the part PK (one name per key) and every l_partkey
+  // resolves (referential integrity) — the same rows survive either order.
   private val q11 = q(
     "q11_top_parts",
     s"""SELECT p.p_partkey, p.p_name,
@@ -237,11 +244,15 @@ object StarQueries {
         GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 20""",
     headline = true) { t =>
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    t.lineitem.join(t.part.select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_partkey", "p_name")
+    val top = t.lineitem
+      .groupBy(col("l_partkey").as("p_partkey"))
       .agg(count(lit(1)).as("times_sold"), dsum6(rev).as("revenue"))
       .orderBy(col("revenue").desc, col("p_partkey"))
       .limit(20)
+    broadcast(top)
+      .join(t.part.select("p_partkey", "p_name"), Seq("p_partkey"))
+      .select("p_partkey", "p_name", "times_sold", "revenue")
+      .orderBy(col("revenue").desc, col("p_partkey"))
   }
 
   // Q12 — merchant visit frequency → customers per nation with COUNT(DISTINCT)

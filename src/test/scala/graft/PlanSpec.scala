@@ -40,6 +40,29 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q11_top_parts").contains("TakeOrderedAndProject"))
   }
 
+  test("q11 aggregates before the name join: fact scan reads 3 columns, join is broadcast of the top-20") {
+    val plan = planOf("q11_top_parts")
+    // the rollup must run straight off the lineitem scan — only the key and
+    // the two revenue inputs read, p_name never near the fact
+    val read = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_partkey")).get
+    assert(read.contains("l_extendedprice") && read.contains("l_discount"))
+    assert(!read.contains("l_quantity") && !read.contains("l_shipdate"))
+    // the 20-row aggregated side broadcasts; part is never shuffled
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("e08 JSON props rollup prunes the events scan to the 4 referenced columns") {
+    val plan = planOf("e08_props_rollup")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema:").last
+    assert(read.contains("props") && read.contains("event_type") &&
+      read.contains("event_id") && read.contains("value"))
+    assert(!read.contains("ts:") && !read.contains("user_id"),
+      s"e08 reads columns it never uses:\n$read")
+  }
+
   test("LSH ANN plan has no cartesian product or nested-loop join (s02)") {
     val plan = planOf("s02_knn_lsh")
     assert(!plan.contains("CartesianProduct"))
