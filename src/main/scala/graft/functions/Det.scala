@@ -27,6 +27,15 @@ object Det {
   /** Order-independent mean: exact decimal sum divided by count, in doubles. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Two-level exact sum, for aggregate-then-join rewrites that re-aggregate
+    * a pre-aggregated frame: the partial KEEPS the decimal (casting to
+    * double between levels would reintroduce order-dependent rounding), the
+    * merge sums the decimals and converts once at the end. Exactness makes
+    * the two-level total bit-equal to the one-pass [[dsum]].
+    */
+  def dsumPartial(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
+  def dsumMerge(c: Column): Column = sum(c).cast(DoubleType)
+
   /** SQL fragments for the DuckDB oracle mirroring the above. */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"

@@ -270,14 +270,22 @@ object StarQueries {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1 ORDER BY unique_customers DESC, nation LIMIT 15""") { t =>
+    // AGGREGATE-THEN-JOIN: rolling orders up per custkey first shrinks the
+    // customer join from |orders| rows to |customers| rows AND turns the
+    // COUNT(DISTINCT custkey) into a plain count (each custkey is one row
+    // after the rollup — no two-phase distinct expansion re-shuffling the
+    // key set). The spend stays decimal between the two levels (dsumPartial/
+    // dsumMerge) so the total is bit-equal to the one-pass sum.
     t.orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsumPartial(col("o_totalprice")).as("spent_dec"))
       .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
-        countDistinct(col("o_custkey")).as("unique_customers"),
-        count(lit(1)).as("order_count"),
-        dsum(col("o_totalprice")).as("total_spent"))
+        count(lit(1)).as("unique_customers"),
+        sum(col("n_orders")).as("order_count"),
+        dsumMerge(col("spent_dec")).as("total_spent"))
       .orderBy(col("unique_customers").desc, col("nation"))
       .limit(15)
   }
@@ -313,9 +321,12 @@ object StarQueries {
       .orderBy("o_orderpriority", "o_orderstatus")
   }
 
-  // Q15 — top-10 users by spend (sql/queries.sql:232-243): join to the
-  // customer dim for the name (customer grows with SF — no broadcast hint,
-  // AQE decides), then top-k.
+  // Q15 — top-10 users by spend (sql/queries.sql:232-243). Same
+  // aggregate-then-join rewrite as q11: the rollup runs per custkey straight
+  // off the orders scan (c_name never near the fact), the top-10 is taken on
+  // the |customers|-sized rollup, and the customer dim is joined against 10
+  // broadcast rows for the name. Equivalent because c_custkey is the
+  // customer PK and every o_custkey resolves.
   private val q15 = q(
     "q15_top_customers",
     s"""SELECT c.c_custkey, c.c_name,
@@ -324,14 +335,18 @@ object StarQueries {
         MAX(o.o_totalprice) AS max_order
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 10""") { t =>
-    t.orders.join(t.customer.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_custkey", "c_name")
+    val top = t.orders
+      .groupBy(col("o_custkey").as("c_custkey"))
       .agg(
         count(lit(1)).as("order_count"),
         dsum(col("o_totalprice")).as("total_spent"),
         max(col("o_totalprice")).as("max_order"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(10)
+    broadcast(top)
+      .join(t.customer.select("c_custkey", "c_name"), Seq("c_custkey"))
+      .select("c_custkey", "c_name", "order_count", "total_spent", "max_order")
+      .orderBy(col("total_spent").desc, col("c_custkey"))
   }
 
   // Q16 — top-5 customers' breakdown via IN-subquery → left-semi join against
