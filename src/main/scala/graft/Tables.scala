@@ -20,9 +20,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  def events: DataFrame     = load("events")
-  def documents: DataFrame  = load("documents")
-  def embeddings: DataFrame = load("embeddings")
+  def events: DataFrame     = Tables.widenIds(load("events"), "event_id", "user_id")
+  def documents: DataFrame  = Tables.widenIds(load("documents"), "doc_id")
+  def embeddings: DataFrame =
+    Tables.floatEmbedding(Tables.widenIds(load("embeddings"), "vec_id"), "embedding")
 }
 
 object Tables {
@@ -55,4 +56,33 @@ object Tables {
           "(expected timestamp, timestamp_ntz, or epoch-nanos long)")
     }
   }
+
+  /** Widen int32-encoded id columns to long. The LLM-tier operators consume
+    * ids as `Long` (driver probes, codegen'd expressions, case-class
+    * encoders); a provider writing pandas-default int32 must not crash them.
+    * No-op (no cast node, pushdown untouched) when the column is already
+    * long — the normal case.
+    */
+  def widenIds(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case IntegerType | ShortType | ByteType => d.withColumn(c, d(c).cast(LongType))
+        case _                                  => d
+      }
+    }
+
+  /** Normalize an embedding column to `array<float>` — the width every
+    * similarity operator assumes (float collects, int8 quantization,
+    * codegen'd dot products). A float64 parquet encoding narrows here ONCE
+    * at the scan boundary instead of crashing every getSeq[Float]. No-op
+    * when already float.
+    */
+  def floatEmbedding(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType | IntegerType | LongType, _) =>
+        df.withColumn(colName, df(colName).cast(ArrayType(FloatType)))
+      case other => throw new IllegalArgumentException(
+        s"column '$colName' has unsupported embedding encoding $other")
+    }
 }

@@ -81,6 +81,34 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("int32 ids and float64 embeddings normalize at the boundary; defs agree across encodings") {
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    // native fixture: long ids + float embeddings, as the driver writes today
+    val native = Files.createTempDirectory("graft-emb-native").toString
+    val drifted = Files.createTempDirectory("graft-emb-drift").toString
+    val base = spark.range(0, 40).select(
+      col("id").as("vec_id"),
+      atransform(org.apache.spark.sql.functions.sequence(
+        org.apache.spark.sql.functions.lit(1), org.apache.spark.sql.functions.lit(8)),
+        d => (col("id") * 31 + d.cast(LongType)).cast(FloatType) / 97.0f).as("embedding"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("c"), col("id") % 4).as("label"))
+    base.write.mode("overwrite").parquet(s"$native/embeddings.parquet")
+    // drifted fixture: pandas-style int32 ids + float64 embeddings (every
+    // float widens exactly, so values are representable both ways)
+    base.select(col("vec_id").cast(IntegerType).as("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$drifted/embeddings.parquet")
+    val Seq(a, b) = Seq(native, drifted).map { d =>
+      val t = Tables(spark, d).embeddings
+      assert(t.schema("vec_id").dataType == LongType)
+      assert(t.schema("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+        t.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+      runDef("s01_knn_bruteforce", d)
+    }
+    assert(a.nonEmpty && a == b, "brute-force knn differs across embedding encodings")
+  }
+
   test("microsTs rejects an unsupported encoding loudly") {
     val df = spark.range(1).selectExpr("CAST(id AS STRING) AS ts")
     val e = intercept[IllegalArgumentException](Tables.microsTs(df, "ts"))
