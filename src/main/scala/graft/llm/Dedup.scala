@@ -29,6 +29,32 @@ object Dedup {
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
       .select("rep_id", "fingerprint", "n_copies")
 
+  /** Per-document boilerplate fraction — the line/paragraph-level dedup signal
+    * (CCNet / RefinedWeb style) at shingle granularity: a shingle appearing
+    * in ≥ `minDocs` documents is corpus boilerplate (headers, footers,
+    * licence blurbs, navigation chrome), and a document's boilerplate RATIO
+    * is the per-doc quality signal curation filters on.
+    *
+    * Scale shape: shingles explode sparse (distinct per doc via the
+    * codegen'd WordShingles pass), the doc-frequency rollup and the
+    * back-join both key on the shingle — two shuffles of (shingle, id)
+    * pairs, never text, never all-pairs; the per-doc re-aggregation rides
+    * the doc_id key. The ratio is one integer division, bit-identical
+    * cross-engine.
+    */
+  def boilerplateProfile(documents: DataFrame, minDocs: Int = 3): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"))).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+  }
+
   // MinHash parameters: k = bands * rows hashes; a pair with Jaccard j
   // collides in ≥1 band with prob 1-(1-j^rows)^bands — at j=0.9 the miss
   // probability is ~4e-8, at j=0.5 the false-candidate rate per pair is ~1%.

@@ -64,6 +64,22 @@ object LlmQueries {
     Dedup.simhash(t.documents).orderBy("doc_id")
   }
 
+  // d10 — per-document boilerplate fraction (shingle doc-frequency ≥ 3 =
+  // corpus boilerplate; the CCNet/RefinedWeb line-dedup signal at shingle
+  // granularity). The oracle recomputes the full explode → doc-frequency →
+  // back-join → ratio chain in DuckDB, so the fraction is hash-exact.
+  private val d10 = q("d10_boilerplate_profile", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh GROUP BY 1)
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+        FROM sh s JOIN df USING (shingle)
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    Dedup.boilerplateProfile(t.documents, minDocs = 3).orderBy("doc_id")
+  }
+
   // d04 — embedding-cosine near-dup, metadata-blocked exact (block = label;
   // pairs within a block only — one shuffle by block, no corpus all-pairs).
   // Threshold 0.45 sits under this data's max pairwise cosine (~0.51) so
@@ -968,7 +984,8 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, s07,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+      s01, s02, s03, s04, s05, s06, s07,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02)
 }

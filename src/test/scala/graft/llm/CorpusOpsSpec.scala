@@ -15,6 +15,27 @@ class CorpusOpsSpec extends SparkSpec {
 
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("boilerplateProfile: shared shingles count as boilerplate, unique ones don't") {
+    // docs 1-3 share the exact phrase "terms of service apply" (3 shingles,
+    // df=3 ≥ minDocs); each doc also has unique tail words → unique shingles
+    val fixture = Seq(
+      (1L, "terms of service apply alpha beta gamma"),
+      (2L, "terms of service apply delta epsilon zeta"),
+      (3L, "terms of service apply eta theta iota"),
+      (4L, "completely unrelated text with no shared phrases at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateProfile(fixture, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 7 words → 5 shingles/doc; "terms of service", "of service apply" have
+    // df=3; "service apply alpha|delta|eta" and the tails are unique
+    assert(out(0) == (1L, 5L, 2L, 0.4))
+    assert(out(1) == (2L, 5L, 2L, 0.4))
+    assert(out(2) == (3L, 5L, 2L, 0.4))
+    val d4 = out(3)
+    assert(d4._1 == 4L && d4._3 == 0L && d4._4 == 0.0, s"doc 4 must have zero boilerplate: $d4")
+  }
+
   test("repetition: dup fractions match hand-computed values") {
     val df = Seq(
       (1L, "a a a a"),        // 2-grams: 3 total, 1 distinct; 3-grams: 2 total, 1 distinct
