@@ -35,18 +35,21 @@ object Dedup {
     * licence blurbs, navigation chrome), and a document's boilerplate RATIO
     * is the per-doc quality signal curation filters on.
     *
-    * Scale shape: shingles explode sparse (distinct per doc via the
-    * codegen'd WordShingles pass), the doc-frequency rollup and the
-    * back-join both key on the shingle — two shuffles of (shingle, id)
-    * pairs, never text, never all-pairs; the per-doc re-aggregation rides
-    * the doc_id key. The ratio is one integer division, bit-identical
+    * Scale shape: shingles explode sparse (distinct per doc via ONE
+    * codegen'd WordShingles pass over ONE corpus scan), the per-shingle
+    * doc frequency is a count-over-window on the shingle-partitioned
+    * shuffle — NOT a groupBy + self-join, which planned a second scan and a
+    * second shingle explosion of the whole corpus (no exchange reuse: the
+    * two subtrees differ) — and the per-doc re-aggregation rides the doc_id
+    * key. Two exchanges of (shingle, id) pairs total, never text, never
+    * all-pairs. The ratio is one integer division, bit-identical
     * cross-engine.
     */
   def boilerplateProfile(documents: DataFrame, minDocs: Int = 3): DataFrame = {
     val sh = documents.select(col("doc_id"),
       explode(TextFns.shingles(col("text"))).as("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
-    sh.join(dfreq, Seq("shingle"))
+    sh.withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
