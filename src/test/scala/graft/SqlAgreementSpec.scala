@@ -58,6 +58,34 @@ class SqlAgreementSpec extends SparkSpec {
          FROM monthly ORDER BY year, month""")
   }
 
+  test("q11 aggregate-then-join rewrite ≡ spark.sql single-pass join+group form") {
+    agree(byName("q11_top_parts"),
+      """SELECT p.p_partkey, p.p_name, COUNT(*) AS times_sold,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 20""")
+  }
+
+  test("q15 aggregate-then-join rewrite ≡ spark.sql single-pass join+group form") {
+    agree(byName("q15_top_customers"),
+      """SELECT c.c_custkey, c.c_name, COUNT(*) AS order_count,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         MAX(o.o_totalprice) AS max_order
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 10""")
+  }
+
+  test("q12 pre-aggregated distinct rewrite ≡ spark.sql COUNT(DISTINCT) form") {
+    agree(byName("q12_nation_customers"),
+      """SELECT n.n_name AS nation, COUNT(DISTINCT o.o_custkey) AS unique_customers,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY unique_customers DESC, nation LIMIT 15""")
+  }
+
   test("q22 DataFrame rollup ≡ spark.sql GROUP BY ROLLUP") {
     agree(byName("q22_rollup_totals"),
       """SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
