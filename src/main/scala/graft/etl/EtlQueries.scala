@@ -458,7 +458,34 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  // t16 — the BUCKETED warehouse layout through the correctness gate
+  // (scale layout #2; t13 covers layout #1): write orders bucketed+sorted by
+  // o_custkey (the one-time shuffle that amortizes across every downstream
+  // keyed operation), then run the per-customer rollup FROM THE BUCKETED
+  // TABLE — the bucketing satisfies the aggregation's required distribution,
+  // so the plan has no exchange (WarehouseSpec asserts it, with the
+  // unbucketed contrast). The oracle recomputes the rollup from raw orders,
+  // so a row lost or duplicated by the bucketed write/read cycle hash-fails.
+  private val t16 = q("t16_bucketed_cust_rollup",
+    s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+        FROM orders GROUP BY 1 ORDER BY o_custkey""") { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    graft.warehouse.ParquetWarehouse.writeFactBucketed(
+      t.orders.select("o_custkey", "o_totalprice", "o_orderstatus"),
+      "graft_t16_orders_by_cust", "o_custkey", nBuckets = 16,
+      path = Some(s"$dir/orders_by_cust"))
+    t.spark.table("graft_t16_orders_by_cust")
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, c01, c02, c03)
+      t15, t16, c01, c02, c03)
 }

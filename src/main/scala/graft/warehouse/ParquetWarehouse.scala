@@ -125,12 +125,15 @@ object ParquetWarehouse {
     * catalog, hence saveAsTable.
     */
   def writeFactBucketed(fact: DataFrame, table: String, bucketCol: String,
-                        nBuckets: Int = 32): Unit =
-    fact.write.mode("overwrite")
+                        nBuckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = fact.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path → external bucketed table (callers running under a
+    // driver-owned CWD must not litter a spark-warehouse/ dir there)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Scale layout #3 — small-file compaction for a partitioned table: the
     * maintenance pass every high-ingest warehouse needs. Incremental

@@ -134,6 +134,16 @@ class PlanSpec extends SparkSpec {
       s"defs failed to plan (window property verified for the other ${planned.size - broken.size} defs): ${broken.mkString("; ")}")
   }
 
+  test("t16 per-customer rollup plans NO hash exchange off the bucketed table") {
+    // the one-time bucket shuffle happened at write time; the aggregation
+    // must read the bucketed layout as its required distribution. (The
+    // ORDER BY's range exchange over the rolled-up frame is expected.)
+    val plan = run("t16_bucketed_cust_rollup").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed rollup re-shuffled by key:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan did not use the bucketed layout:\n$plan")
+  }
+
   test("IVF cell assignment is a narrow map: no Exchange in the plan (VERDICT r6 #1)") {
     // the assignment scans the corpus ONCE and computes the argmax over the
     // literal centroid set inside a single projection — any Exchange here
