@@ -13,6 +13,12 @@ class SmokeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("registry def names are unique (a duplicate silently drops a def from SparkEntry.queries)") {
+    val names = SparkEntry.defs.map(_.name)
+    val dups = names.diff(names.distinct)
+    assert(dups.isEmpty, s"duplicate def names: ${dups.mkString(", ")}")
+  }
+
   SparkEntry.defs.foreach { d =>
     test(s"smoke: ${d.name} executes at sf0.001") {
       d.run(spark, sf).write.format("noop").mode("overwrite").save()
