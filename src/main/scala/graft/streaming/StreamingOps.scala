@@ -375,6 +375,65 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous event-log landing into the day-partitioned store (the
+    * [[graft.warehouse.ParquetWarehouse.writeEventsPartitioned]] layout,
+    * streamed): each micro-batch derives event_date, clusters by it
+    * (REBALANCE — hot days split across writers, cold days coalesce) and
+    * APPENDS day-partitioned, so batch readers keep listing-time pruning
+    * while the stream runs. This is the ingestion path an event log needs
+    * at scale: the stream only ever touches the days present in the batch.
+    *
+    * Replay safety (foreachBatch is at-least-once): the same [[ReplayGuard]]
+    * high-water mark as the corpus/vector ingests — steady-state batches
+    * append with NO scan of the store; a replayed fully-committed batch is
+    * skipped; only the first post-restart delivery pays the defensive
+    * event_id anti-join, and that join is PRUNED to the batch's own days
+    * (the `event_date IN (...)` partition filter), never the whole log.
+    * Within-batch duplicate event_ids are dropped (the engine-wide
+    * unique-key contract); `compactEvery` folds accrued per-batch small
+    * files through the warehouse's crash-safe per-partition swap, after the
+    * mark commits.
+    */
+  def ingestEventsStream(events: DataFrame, storePath: String, checkpoint: String,
+                         compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock() // one writer per sink — checked, not assumed
+    val step: (DataFrame, Long) => Unit = (batch0, batchId) => guard.posture(batchId) match {
+      case Skip => ()
+      case p =>
+        val batch = batch0.dropDuplicates("event_id")
+          .withColumn("event_date", to_date(col("ts")))
+        val spark = batch0.sparkSession
+        // the guard's lease/hwm files live under storePath, so "dir exists"
+        // is not "store has data" — look for partition directories (the
+        // first post-start batch is ALWAYS Recover posture)
+        val storeHasData = {
+          val hp = new org.apache.hadoop.fs.Path(storePath)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("event_date="))
+        }
+        val rows =
+          if (p == Recover && storeHasData) {
+            // recovery anti-join bounded to the straddling batch's OWN days
+            val days = batch.select("event_date").distinct().collect().map(_.getDate(0))
+            val stored = spark.read.parquet(storePath)
+              .filter(col("event_date").isin(days.toSeq: _*)).select("event_id")
+            batch.join(stored, Seq("event_id"), "left_anti")
+          } else batch
+        if (!rows.isEmpty)
+          rows.hint("rebalance", col("event_date"))
+            .write.mode("append").partitionBy("event_date").parquet(storePath)
+        guard.commit(batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.warehouse.ParquetWarehouse
+            .compactPartitioned(spark, storePath, Seq("event_date"))
+    }
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** The rows a vector-ingest micro-batch appends: the batch itself in
     * steady state (no store scan — the plan Round8OpsSpec pins), or the
     * batch minus already-stored vec_ids for the crash-recovery delivery.

@@ -504,6 +504,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed event-log landing: day-partitioned store equals the batch write, dups dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-02 11:00:00", 2, "click", 2.0),
+      ev(2, "2024-01-02 11:00:00", 2, "click", 99.0)) // within-batch dup key
+    val b2 = Seq(
+      ev(3, "2024-01-02 12:00:00", 1, "view", 3.0),
+      ev(4, "2024-01-03 09:00:00", 3, "purchase", 4.0))
+    val root = java.nio.file.Files.createTempDirectory("graft-evingest").toString
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.ingestEventsStream(
+      stream.toDF(), s"$root/store", s"$root/ckpt")
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$root/store")
+    assert(stored.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // day-partitioned on disk: one directory per event date
+    val dirs = new java.io.File(s"$root/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date=")).sorted
+    assert(dirs.toSeq == Seq("event_date=2024-01-01", "event_date=2024-01-02", "event_date=2024-01-03"))
+    // a one-day read prunes at listing time
+    val oneDay = stored.filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-02")))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("event_date")))
+    assert(oneDay.count() == 2)
+    // first arrival's payload survived the within-batch dedup
+    assert(stored.filter(col("event_id") === 2).select("value").as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("event-log ingest replay: a crash-replayed micro-batch does not duplicate the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-02 11:00:00", 2, "click", 2.0))
+    val root = java.nio.file.Files.createTempDirectory("graft-evreplay").toString
+    // crash window: the first delivery's append landed but the high-water
+    // mark never committed
+    b1.toDF().withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").parquet(s"$root/store")
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.ingestEventsStream(stream.toDF(), s"$root/store", s"$root/ckpt")
+    try {
+      stream.addData(b1); q.processAllAvailable() // replayed delivery → Recover, pruned to b1's days
+      stream.addData(Seq(ev(3, "2024-01-02 12:00:00", 1, "view", 3.0)))
+      q.processAllAvailable() // steady state appends
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$root/store")
+    assert(stored.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "replay must not duplicate, steady state must append")
+  }
+
   test("session windows merge across micro-batches and finalize past the watermark (e05 streaming twin)") {
     // substantiates the Events.sessionWindows claim that the SAME operator
     // runs stateful under Structured Streaming: a later micro-batch must
