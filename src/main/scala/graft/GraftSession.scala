@@ -32,8 +32,10 @@ object GraftSession {
       // errors='coerce' semantics the reference's transform relies on),
       // instead of Spark 4's ANSI runtime errors.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as long nanos and convert explicitly.
+      // Physical-type tolerance: if a provider writes TIMESTAMP(NANOS)
+      // (which Spark's vectorized reader rejects), read it as long nanos —
+      // Tables.microsTs converts. Harmless for timestamp[us] data, the
+      // encoding the current testdata uses.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
