@@ -128,6 +128,36 @@ object LlmQueries {
     Dedup.nearDupClusters(t.documents, threshold = 0.8)
   }
 
+  // d12 — SemDeDup-style semantic dedup: one row per corpus VECTOR with its
+  // cluster representative and a kept flag (min vec_id survives each
+  // cosine-connected group within a block; singletons keep themselves).
+  // The oracle recomputes the d04 pair formulation, the d05 recursive
+  // closure, and the final membership join — so the kept/pruned decision
+  // for every vector is hash-checked end to end.
+  private val d12 = q("d12_semantic_dedup", Some(
+    """WITH RECURSIVE pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45),
+       edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       nodes AS (SELECT DISTINCT a FROM edges),
+       rep AS (
+         SELECT n.a AS vec_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+         FROM nodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a)
+       SELECT e.vec_id, COALESCE(p.rep, e.vec_id) AS rep_id,
+              CAST(CASE WHEN COALESCE(p.rep, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+       FROM embeddings e LEFT JOIN rep p USING (vec_id)
+       ORDER BY vec_id""")) { t =>
+    Similarity.semanticDedup(t.embeddings, threshold = 0.45).orderBy("vec_id")
+  }
+
   // d07 — MULTI-SIGNAL near-dup clusters: edges = text near-dups (j ≥ 0.8)
   // ∪ embedding near-dups (cos ≥ 0.45, blocked) over the shared doc/vec id
   // namespace; connected components over the union. The oracle recomputes
@@ -777,6 +807,31 @@ object LlmQueries {
     }
   }
 
+  // p03 — per-source token-cap downsampling (mixture flattening): sources
+  // over the 600-token cap thin to an expected 600-token contribution via
+  // the deterministic hash-bucket predicate; the per-source threshold is
+  // pure integer arithmetic (cap·65536 div srcTokens), so both engines
+  // compute the identical keep boundary. The oracle recomputes the token
+  // counts, per-source totals, thresholds, and the kept set end to end.
+  private val p03 = q("p03_source_cap_sample", Some(
+    s"""WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+                FROM toks GROUP BY 1),
+        thr AS (SELECT source, src_tokens,
+                  CASE WHEN CAST(600 AS BIGINT) >= src_tokens THEN 'g000'
+                       ELSE printf('%04x', (CAST(600 AS BIGINT) * 65536) // src_tokens)
+                  END AS thresh
+                FROM tot)
+        SELECT t.doc_id, t.source, t.n_tok, h.src_tokens, h.thresh
+        FROM toks t JOIN thr h USING (source)
+        WHERE ${Sampling.sqlHashBucket("t.doc_id", "mix")} < h.thresh
+        ORDER BY t.doc_id""")) { t =>
+    Sampling.sourceCapSample(t.documents, capTokens = 600L).orderBy("doc_id")
+  }
+
   // d08 — INCREMENTAL-INGEST dedup: near-dup matches of a NEW batch
   // (doc_id % 3 = 0) against the EXISTING corpus (doc_id % 3 ≠ 0) — the
   // cross-corpus variant that cleans each incoming crawl against everything
@@ -984,8 +1039,8 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
       s01, s02, s03, s04, s05, s06, s07,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02, p03)
 }

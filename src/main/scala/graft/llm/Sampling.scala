@@ -70,6 +70,41 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Per-source token-cap downsampling — the mixture-flattening step a
+    * training-corpus build applies so no single source/domain dominates the
+    * token budget (the C4/RefinedWeb per-domain cap, Raffel et al. 2020 /
+    * Penedo et al. 2023). A source whose whitespace-token total exceeds
+    * `capTokens` is thinned to an expected `capTokens` contribution; sources
+    * under the cap pass whole. The keep decision is the deterministic
+    * hash-bucket predicate, so the kept set is a pure function of
+    * (doc_id, salt) — stable across runs, partitionings, and engines.
+    *
+    * The per-source bucket threshold derives in INTEGER arithmetic —
+    * `capTokens·65536 div srcTokens` — identical in any engine, with no
+    * float rounding anywhere on the decision path. Plan shape: one narrow
+    * token-count pass, one map-side-combined aggregate producing |sources|
+    * rows, an equi-join of the corpus against that tiny rate frame
+    * (broadcast when it fits — AQE's call; |sources| can reach millions of
+    * domains at 100 TB, where sort-merge on the source key is right), and
+    * one narrow filter. Nothing corpus-sized shuffles.
+    */
+  def sourceCapSample(documents: DataFrame, capTokens: Long,
+                      salt: String = "mix"): DataFrame = {
+    require(capTokens > 0, s"capTokens $capTokens must be positive")
+    val toks = documents.select(col("doc_id"), col("source"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val thr = toks.groupBy("source")
+      .agg(sum("n_tok").as("src_tokens"))
+      .withColumn("thresh",
+        when(lit(capTokens) >= col("src_tokens"), lit("g000"))
+          .otherwise(format_string("%04x",
+            expr(s"(${capTokens}L * 65536L) div src_tokens"))))
+    toks.join(thr, Seq("source"))
+      .filter(hashBucket(col("doc_id"), salt) < col("thresh"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("src_tokens"), col("thresh"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB twin of [[hashBucket]]. */

@@ -150,6 +150,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): group
+    * vectors whose cosine similarity within a blocking key (cluster id /
+    * coarse cell / shard label) exceeds `threshold`, keep ONE representative
+    * per connected group (the minimum vec_id) and mark the rest pruned.
+    * Output: one row per CORPUS vector — (vec_id, rep_id, kept) with
+    * kept = 1 iff the vector survives the dedup (singletons keep
+    * themselves).
+    *
+    * Composition of two independently-verified operators:
+    * [[blockedNearDupPairs]] (exact cosine within blocks — one shuffle by
+    * block, never corpus all-pairs) feeding
+    * [[Dedup.clustersFromPairs]] (adaptive connected components — sparse
+    * edge sets label in one driver union-find job, large ones run the
+    * checkpointed distributed loop). The final membership join is keyed on
+    * vec_id against a frame bounded by the number of NEAR-DUP vectors (far
+    * smaller than the corpus); broadcast when it fits, sort-merge when it
+    * does not — AQE's call, not ours.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    blockCol: String = "label"): DataFrame = {
+    val pairs = blockedNearDupPairs(embeddings, threshold, blockCol)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val reps = Dedup.clustersFromPairs(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    embeddings.select(col("vec_id"))
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep_id"),
+        when(coalesce(col("rep"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L).as("kept"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage-compression step a 100 TB vector corpus applies before
     * brute-force or IVF scan (int8 dot products are also the SIMD-friendly

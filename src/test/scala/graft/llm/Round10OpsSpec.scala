@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: SemDeDup-style semantic dedup (d12) and per-source
+  * token-cap downsampling (p03).
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- semanticDedup
+
+  /** Three planted groups in one block plus cross-block twins:
+    *   block 0: {1, 2} identical direction, {3} orthogonal
+    *   block 1: {10, 11, 12} a chained near-dup cluster, {13} orthogonal
+    *   blocks 2/3: {20} and {21} identical vectors but DIFFERENT blocks —
+    *     must NOT merge (blocking is the contract, not a bug)
+    */
+  private def fixture = Seq(
+    (1L, Array(1f, 0f, 0f, 0f), 0),
+    (2L, Array(2f, 0f, 0f, 0f), 0),
+    (3L, Array(0f, 1f, 0f, 0f), 0),
+    (10L, Array(1f, 1f, 0f, 0f), 1),
+    (11L, Array(1f, 0.9f, 0f, 0f), 1),
+    (12L, Array(1f, 0.8f, 0f, 0f), 1),
+    (13L, Array(0f, 0f, 1f, 0f), 1),
+    (20L, Array(0f, 0f, 0f, 1f), 2),
+    (21L, Array(0f, 0f, 0f, 1f), 3)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("semanticDedup keeps one representative per cosine group, singletons survive") {
+    val out = Similarity.semanticDedup(fixture, threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 20L, 21L),
+      "one row per corpus vector")
+    assert(byId(1L) == ((1L, 1L)) && byId(2L) == ((1L, 0L)),
+      "identical-direction pair collapses to min id")
+    assert(byId(3L) == ((3L, 1L)), "orthogonal singleton keeps itself")
+    // chained cluster: 10~11, 11~12 (10~12 may or may not cross the
+    // threshold; connectivity must still give all three the same rep)
+    assert(byId(10L) == ((10L, 1L)) && byId(11L)._1 == 10L && byId(12L)._1 == 10L,
+      "chained near-dups share one representative")
+    assert(byId(11L)._2 == 0L && byId(12L)._2 == 0L, "non-reps pruned")
+    assert(byId(20L) == ((20L, 1L)) && byId(21L) == ((21L, 1L)),
+      "identical vectors in different blocks never merge")
+  }
+
+  test("semanticDedup kept set = corpus minus (cluster size - 1) per cluster") {
+    val out = Similarity.semanticDedup(fixture, threshold = 0.95)
+    assert(out.count() == 9)
+    assert(out.filter(col("kept") === 1L).count() == 6) // 9 - 1 (block0 pair) - 2 (block1 triple)
+    // every rep_id is itself kept (representatives are real corpus rows)
+    val reps = out.select(col("rep_id").as("vec_id")).distinct()
+    val keptIds = out.filter(col("kept") === 1L).select("vec_id")
+    assert(reps.except(keptIds).isEmpty)
+  }
+
+  test("semanticDedup is partition-layout independent") {
+    val base = Similarity.semanticDedup(fixture, threshold = 0.95).orderBy("vec_id").collect()
+    val shuffled = Similarity.semanticDedup(fixture.repartition(7), threshold = 0.95)
+      .orderBy("vec_id").collect()
+    assert(base.toSeq == shuffled.toSeq)
+  }
+
+  // -------------------------------------------------------- sourceCapSample
+
+  private def docs = Seq(
+    // source "big": 6 docs × 4 tokens = 24 tokens (over a cap of 12 → rate 1/2)
+    (1L, "big", "a b c d"), (2L, "big", "a b c d"), (3L, "big", "a b c d"),
+    (4L, "big", "a b c d"), (5L, "big", "a b c d"), (6L, "big", "a b c d"),
+    // source "small": 2 docs × 4 tokens = 8 tokens (under cap → keep all)
+    (7L, "small", "a b c d"), (8L, "small", "a b c d")
+  ).toDF("doc_id", "source", "text")
+
+  test("sourceCapSample keeps under-cap sources whole and thins over-cap sources") {
+    val out = Sampling.sourceCapSample(docs, capTokens = 12L)
+    val kept = out.select("doc_id", "source", "thresh").as[(Long, String, String)]
+      .collect().toSeq
+    assert(kept.filter(_._2 == "small").map(_._1).sorted == Seq(7L, 8L),
+      "under-cap source passes whole")
+    assert(kept.filter(_._2 == "small").forall(_._3 == "g000"))
+    // over-cap source: threshold is exactly 12*65536 div 24 = 0x8000
+    assert(kept.filter(_._2 == "big").forall(_._3 == "8000"))
+    val bigKept = kept.count(_._2 == "big")
+    assert(bigKept > 0 && bigKept < 6, "over-cap source thinned, not emptied")
+    // the decision is the documented hash-bucket predicate — recompute it
+    val expected = (1L to 6L).filter { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:mix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      h < "8000"
+    }
+    assert(kept.filter(_._2 == "big").map(_._1).sorted == expected)
+  }
+
+  test("sourceCapSample is deterministic across partitionings") {
+    val a = Sampling.sourceCapSample(docs, capTokens = 12L).orderBy("doc_id").collect()
+    val b = Sampling.sourceCapSample(docs.repartition(5), capTokens = 12L)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("sourceCapSample rejects a non-positive cap") {
+    intercept[IllegalArgumentException] {
+      Sampling.sourceCapSample(docs, capTokens = 0L)
+    }
+  }
+}
