@@ -170,6 +170,43 @@ object Recall {
       else base)
     }
 
+    // product quantization (s08): like s05 a compression path (the ADC
+    // scan touches every code, candidate fraction 1.0) — the graded
+    // numbers are how much ranking quality the 64× compression costs raw
+    // (the _adc entry) and how much of it the exact re-rank of the
+    // 50-candidate shortlist buys back (the registered config). The
+    // shortlist/k ratio bounds re-ranked recall: a true neighbor the ADC
+    // ranking pushed below rank 50 is unrecoverable.
+    // graded at two points on the compression/recall frontier: the
+    // registered m=16 config (64-bit codes, 32× compression) and the
+    // harder-compressed m=8 point (32-bit codes, 64×) that shows what the
+    // extra 2× of compression costs on each geometry.
+    val pqEntries = Seq(
+      ("s08_knn_pq", Similarity.PqSubspaces, true),
+      ("s08_knn_pq_m8", 8, false)
+    ).flatMap { case (name, m, twinProbe) =>
+      val adcRecall = Similarity.recallAtK(exact,
+        Similarity.pqTopK(embs, pred, 10, m = m))
+      val rrRecall = Similarity.recallAtK(exact,
+        Similarity.pqTopKReranked(embs, pred, 10, m = m))
+      val base = Seq(
+        "m" -> m.toDouble,
+        "k_codebook" -> Similarity.PqCodebookSize.toDouble,
+        "candidate_fraction" -> 1.0)
+      Seq(
+        (name + "_adc" + suffix) ->
+          (base :+ ("recall_at_10" -> adcRecall)),
+        (name + suffix) -> {
+          val b = base ++ Seq(
+            "shortlist" -> Similarity.PqShortlist.toDouble,
+            "recall_at_10" -> rrRecall)
+          if (twins && twinProbe)
+            b :+ ("twin_recall_at_1" -> twinRecall(
+              Similarity.pqTopKReranked(corpus, twinPred, 10, m = m)))
+          else b
+        })
+    }
+
     // persisted IVF-int8 index (s06): coarse recall bounded by the probe
     // fan-out (like s03) ON TOP of int8 fine ranking (like s05), served
     // from the cell-partitioned store. One index build per geometry; each
@@ -236,7 +273,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ {
+      quantEntry) ++ pqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

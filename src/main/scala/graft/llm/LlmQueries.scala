@@ -972,6 +972,21 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s08 — PRODUCT-QUANTIZED ANN with exact re-rank (Jégou et al. 2011):
+  // corpus vectors compress to m=8 4-bit codes (4 bytes vs 256 — the
+  // posture when even int8 vectors exceed the scan budget), queries score
+  // the codes via per-query ADC lookup tables through the fused codegen'd
+  // pq_encode/pq_adc expressions, and only the 50-candidate shortlist
+  // re-attaches float embeddings for the exact cosine top-10.
+  // Approximate → rows-only; recall graded per-round in RECALL (s08
+  // entries — both the raw ADC ranking and this re-ranked config) and
+  // encode/ADC determinism spec-pinned in PqFnsSpec/Round10OpsSpec.
+  private val s08 = q("s08_knn_pq", None) { t =>
+    Similarity.pqTopKReranked(t.embeddings, col("vec_id") % 100 === 0,
+      k = 10, shortlist = Similarity.PqShortlist)
+      .orderBy("query_id", "rank")
+  }
+
   // x14 — SEQUENCE PACKING: lay documents end-to-end in deterministic
   // (hash-bucket, doc_id) order and cut the token stream into 512-token
   // bins — each document gets its training-sequence id and starting offset.
@@ -1040,7 +1055,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
-      s01, s02, s03, s04, s05, s06, s07,
+      s01, s02, s03, s04, s05, s06, s07, s08,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02, p03)
 }

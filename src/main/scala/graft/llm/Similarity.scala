@@ -254,6 +254,134 @@ object Similarity {
     rankTopK(scored, "qcos", k)
   }
 
+  // PQ configuration: m subspaces × k codebook entries (4 bits each) —
+  // m=16 ⇒ 8 bytes/vector vs 256 float bytes (32×), the compression
+  // posture for a corpus whose VECTORS don't fit the scan budget even at
+  // int8. The harder-compressed m=8 point (4 bytes, 64×) stays graded in
+  // the RECALL artifact as the compression/recall frontier's other end.
+  val PqSubspaces = 16
+  val PqCodebookSize = 16
+  val PqShortlist = 50
+
+  /** Deterministic sampled PQ codebooks: the [[ivfCentroids]] seeded-hash
+    * draw picks `kCent` corpus vectors, and their m subvector slices become
+    * the per-subspace codebooks (m × k × dim/m floats — driver-side,
+    * metadata-sized). At scale the codebooks would come from a per-subspace
+    * k-means fit over a corpus sample; the encode/ADC machinery is
+    * identical.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = PqSubspaces,
+                  kCent: Int = PqCodebookSize,
+                  seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    val rows = embeddings
+      .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(kCent)
+      .select("embedding").collect()
+    require(rows.nonEmpty, "pqCodebooks: empty corpus")
+    val vecs = rows.map(_.getSeq[Float](0).toArray)
+    val dim = vecs.head.length
+    require(vecs.forall(_.length == dim),
+      s"pqCodebooks: ragged embedding lengths (expected $dim)")
+    require(m > 0 && dim % m == 0,
+      s"pqCodebooks: dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      vecs.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq)
+    }
+  }
+
+  /** Product-quantized approximate top-k (asymmetric distance computation,
+    * Jégou et al. 2011): corpus vectors compress to m 4-bit codes via the
+    * fused codegen'd [[graft.functions.PqFns.pqEncode]] (argmin-L2 per
+    * subspace over a flat codebook reference object — one narrow pass, no
+    * per-centroid literal sub-trees); each query becomes an m×k
+    * dot-product lookup table computed driver-side (the query set is
+    * broadcast-small by the [[MaxDriverQueryRows]] contract), and scoring
+    * is Σ_s lut[code_s] through [[graft.functions.PqFns.pqAdc]] — the scan
+    * touches ONLY the 4-byte codes, never the vectors. The ranking score
+    * approximates cosine: the reconstruction x̂ is the concatenation of
+    * the chosen codebook entries, so ‖x̂‖² = Σ_s ‖c_{s,code_s}‖² exactly —
+    * a second, query-independent ADC lookup against the codebook's
+    * squared-norm table (the query's own norm is constant per query and
+    * cannot change its ranking). A degenerate reconstruction (‖x̂‖ = 0)
+    * scores null and ranks last, like a zero-vector cosine.
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+             m: Int = PqSubspaces, kCent: Int = PqCodebookSize,
+             seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(embeddings, m, kCent, seed)
+    val kReal = books.head.length
+    val dsub = books.head.head.length
+    // query-independent squared reconstruction norms, one ADC table
+    val sqn: Seq[Double] = books.flatMap(_.map(
+      _.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+    val codes = embeddings.select(col("vec_id").as("neighbor_id"),
+      graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
+    val qRows = collectCapped(
+      embeddings.filter(queryPred).select(col("vec_id"), col("embedding")),
+      "pqTopK")
+    val luts = qRows.toSeq.map { r =>
+      val q = r.getSeq[Float](1)
+      require(q.length == m * dsub,
+        s"pqTopK: query ${r.getLong(0)} has ${q.length} dims, codebooks " +
+          s"expect ${m * dsub}")
+      val lut = new Array[Double](m * kReal)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < kReal) {
+          // strict left-to-right double accumulation (the VecMath.dot rule)
+          var acc = 0.0
+          var t = 0
+          while (t < dsub) {
+            acc += q(s * dsub + t).toDouble * books(s)(j)(t).toDouble
+            t += 1
+          }
+          lut(s * kReal + j) = acc
+          j += 1
+        }
+        s += 1
+      }
+      (r.getLong(0), lut.toSeq)
+    }
+    val qdf = luts.toDF("query_id", "lut")
+    val scored = broadcast(qdf).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqFns.pqAdc(col("codes"), col("lut")).as("dotq"),
+        graft.functions.PqFns.pqAdc(col("codes"), typedlit(sqn)).as("nrm2"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("nrm2") > 0.0, col("dotq") / sqrt(col("nrm2"))).as("ascore"))
+    rankTopK(scored, "ascore", k)
+  }
+
+  /** PQ shortlist + exact re-rank — the production PQ serving shape: the
+    * compressed scan shortlists `shortlist` candidates per query by ADC
+    * score, and ONLY those rows re-attach their float embeddings for the
+    * exact cosine top-k. The shortlist frame is |queries|·shortlist rows —
+    * broadcast against the corpus scan, so the re-rank reads the corpus
+    * once with no shuffle of it.
+    */
+  def pqTopKReranked(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                     shortlist: Int = PqShortlist, m: Int = PqSubspaces,
+                     kCent: Int = PqCodebookSize, seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
+    val cand = pqTopK(embeddings, queryPred, shortlist, m, kCent, seed)
+      .select("query_id", "neighbor_id")
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val withQ = cand.join(broadcast(q), Seq("query_id"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(withQ), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    rankTopK(scored, "cos", k)
+  }
+
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.
   val IvfCells = 32
   val IvfProbes = 4

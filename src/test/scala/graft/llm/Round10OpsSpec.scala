@@ -108,4 +108,63 @@ class Round10OpsSpec extends SparkSpec {
       Sampling.sourceCapSample(docs, capTokens = 0L)
     }
   }
+
+  // ----------------------------------------------------------------- pqTopK
+
+  private val TwinOffset = 1000000L
+
+  /** Deterministic 200-vector corpus + a cos≈0.999 twin for every query
+    * (the Recall.planted recipe): the re-ranked PQ search must put each
+    * query's twin back at rank 1.
+    */
+  private def pqCorpus = {
+    val dim = Similarity.Dim
+    val base = (0L until 200L).map { id =>
+      (id, Array.tabulate(dim)(d =>
+        (graft.functions.LshFns.planeComponent(id.toInt * 53 + 29, d) * 2.0).toFloat))
+    }
+    val twins = base.filter(_._1 % 50 == 0).map { case (id, emb) =>
+      (id + TwinOffset, emb.updated(0, emb(0) * 1.05f))
+    }
+    (base ++ twins).toDF("vec_id", "embedding")
+  }
+
+  test("pqTopKReranked recovers planted twins at rank 1") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val top1 = Similarity.pqTopKReranked(corpus, pred, k = 10)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == 4)
+    assert(top1.forall { case (q, n) => n == q + TwinOffset },
+      s"every twin at rank 1, got ${top1.toSeq}")
+  }
+
+  test("pqTopK is deterministic across partitionings and returns k rows per query") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val a = Similarity.pqTopK(corpus, pred, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.pqTopK(corpus.repartition(7), pred, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 4 * 5)
+  }
+
+  test("pq re-rank never lowers recall vs the raw ADC ranking") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val exact = Similarity.bruteForceTopK(corpus, pred, 10)
+    val adc = Similarity.recallAtK(exact, Similarity.pqTopK(corpus, pred, 10))
+    val rr = Similarity.recallAtK(exact, Similarity.pqTopKReranked(corpus, pred, 10))
+    assert(rr >= adc, s"reranked $rr < adc $adc")
+    assert(rr > 0.0, "re-ranked recall must be non-trivial on a 200-vector corpus")
+  }
+
+  test("pqCodebooks reject a dimension not divisible into subspaces") {
+    val bad = Seq((1L, Seq.fill(10)(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(bad, m = 3)
+    }
+  }
 }
