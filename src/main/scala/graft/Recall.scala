@@ -182,13 +182,21 @@ object Recall {
     // harder-compressed m=8 point (32-bit codes, 64×) that shows what the
     // extra 2× of compression costs on each geometry.
     val pqEntries = Seq(
-      ("s08_knn_pq", Similarity.PqSubspaces, true),
-      ("s08_knn_pq_m8", 8, false)
-    ).flatMap { case (name, m, twinProbe) =>
+      ("s08_knn_pq", Similarity.PqSubspaces,
+        () => Similarity.pqCodebooks(embs, Similarity.PqSubspaces), true),
+      ("s08_knn_pq_m8", 8, () => Similarity.pqCodebooks(embs, 8), false),
+      // trained codebooks (the IVF-kmeans treatment applied to PQ): fitted
+      // entries tile each subspace's marginal where the sampled codebooks
+      // inherit the corpus's skew — graded so the training win is a
+      // measured number, not a spec claim
+      ("s08_knn_pq_kmeans", Similarity.PqSubspaces,
+        () => Similarity.pqCodebooksKMeans(embs, Similarity.PqSubspaces), false)
+    ).flatMap { case (name, m, booksFn, twinProbe) =>
+      val books = booksFn()
       val adcRecall = Similarity.recallAtK(exact,
-        Similarity.pqTopK(embs, pred, 10, m = m))
+        Similarity.pqTopKWith(embs, books, pred, 10))
       val rrRecall = Similarity.recallAtK(exact,
-        Similarity.pqTopKReranked(embs, pred, 10, m = m))
+        Similarity.pqTopKRerankedWith(embs, books, pred, 10))
       val base = Seq(
         "m" -> m.toDouble,
         "k_codebook" -> Similarity.PqCodebookSize.toDouble,

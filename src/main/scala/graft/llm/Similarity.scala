@@ -291,6 +291,33 @@ object Similarity {
     }
   }
 
+  /** Trained PQ codebooks: per-subspace MLlib k-means over the subvector
+    * slices (the production path — fitted entries tile each subspace's
+    * marginal distribution, where the sampled codebooks inherit the
+    * corpus's skew). m fits of `kCent` centers over dim/m dims each; at
+    * 100 TB each fit runs over a corpus SAMPLE (k-means training needs
+    * thousands of rows per centroid, not the corpus — the caller samples
+    * upstream). Same m×k×dsub shape as [[pqCodebooks]]; the encode/ADC
+    * machinery is identical.
+    */
+  def pqCodebooksKMeans(embeddings: DataFrame, m: Int = PqSubspaces,
+                        kCent: Int = PqCodebookSize, seed: Long = 42L,
+                        maxIter: Int = 10): Seq[Seq[Seq[Float]]] = {
+    val first = embeddings.select(col("embedding")).head.getSeq[Float](0)
+    val dim = first.length
+    require(m > 0 && dim % m == 0,
+      s"pqCodebooksKMeans: dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val feats = embeddings.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(kCent).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
+      model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+    }
+  }
+
   /** Product-quantized approximate top-k (asymmetric distance computation,
     * Jégou et al. 2011): corpus vectors compress to m 4-bit codes via the
     * fused codegen'd [[graft.functions.PqFns.pqEncode]] (argmin-L2 per
@@ -309,10 +336,19 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
              m: Int = PqSubspaces, kCent: Int = PqCodebookSize,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L): DataFrame =
+    pqTopKWith(embeddings, pqCodebooks(embeddings, m, kCent, seed),
+      queryPred, k)
+
+  /** [[pqTopK]] against caller-supplied codebooks (sampled, k-means-trained
+    * via [[pqCodebooksKMeans]], or loaded from a store — anything in the
+    * m×k×dsub shape).
+    */
+  def pqTopKWith(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]],
+                 queryPred: Column, k: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val books = pqCodebooks(embeddings, m, kCent, seed)
+    val m = books.length
     val kReal = books.head.length
     val dsub = books.head.head.length
     // query-independent squared reconstruction norms, one ADC table
@@ -367,9 +403,16 @@ object Similarity {
     */
   def pqTopKReranked(embeddings: DataFrame, queryPred: Column, k: Int = 10,
                      shortlist: Int = PqShortlist, m: Int = PqSubspaces,
-                     kCent: Int = PqCodebookSize, seed: Long = 42L): DataFrame = {
+                     kCent: Int = PqCodebookSize, seed: Long = 42L): DataFrame =
+    pqTopKRerankedWith(embeddings, pqCodebooks(embeddings, m, kCent, seed),
+      queryPred, k, shortlist)
+
+  /** [[pqTopKReranked]] against caller-supplied codebooks. */
+  def pqTopKRerankedWith(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]],
+                         queryPred: Column, k: Int = 10,
+                         shortlist: Int = PqShortlist): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
-    val cand = pqTopK(embeddings, queryPred, shortlist, m, kCent, seed)
+    val cand = pqTopKWith(embeddings, books, queryPred, shortlist)
       .select("query_id", "neighbor_id")
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

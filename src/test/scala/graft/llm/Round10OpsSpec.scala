@@ -161,6 +161,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(rr > 0.0, "re-ranked recall must be non-trivial on a 200-vector corpus")
   }
 
+  test("pqCodebooksKMeans trains rectangular codebooks and serves the same machinery") {
+    val corpus = pqCorpus
+    val m = Similarity.PqSubspaces
+    val books = Similarity.pqCodebooksKMeans(corpus, m, kCent = 8, maxIter = 5)
+    assert(books.length == m)
+    assert(books.forall(_.length == 8))
+    assert(books.forall(_.forall(_.length == Similarity.Dim / m)))
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val top1 = Similarity.pqTopKRerankedWith(corpus, books, pred, k = 10)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == 4)
+    assert(top1.forall { case (q, n) => n == q + TwinOffset },
+      "trained codebooks + re-rank still recover every planted twin at rank 1")
+  }
+
   test("pqCodebooks reject a dimension not divisible into subspaces") {
     val bad = Seq((1L, Seq.fill(10)(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
