@@ -215,6 +215,33 @@ object Recall {
         })
     }
 
+    // IVF-ADC (s09): the candidate fraction is the probe fan-out (the s03
+    // machinery) while the scanned bytes per candidate are the PQ codes —
+    // recall is bounded by BOTH the probe coverage and the shortlist, so
+    // the graded number shows what the multiplied cost cuts actually keep.
+    val ivfPqEntries = {
+      val books = Similarity.pqCodebooks(embs, Similarity.PqSubspaces)
+      val assignedIds = Similarity.ivfAssign(embs, sampledCents)
+        .select("vec_id", "cell")
+      Seq(
+        "s09_knn_ivfpq" -> Similarity.IvfProbesRegistered,
+        "s09_knn_ivfpq_lowcost" -> Similarity.IvfProbes
+      ).map { case (name, nProbe) =>
+        val probes = Similarity.ivfProbes(embs, sampledCents, pred, nProbe)
+          .select("query_id", "cell")
+        val nCand = probes.join(assignedIds, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id")).count()
+        val recall = Similarity.recallAtK(exact,
+          Similarity.ivfPqTopKWith(embs, sampledCents, books, pred, 10, nProbe))
+        (name + suffix) -> Seq(
+          "n_probe" -> nProbe.toDouble,
+          "m" -> Similarity.PqSubspaces.toDouble,
+          "shortlist" -> Similarity.PqShortlist.toDouble,
+          "recall_at_10" -> recall,
+          "candidate_fraction" -> nCand / allPairs)
+      }
+    }
+
     // persisted IVF-int8 index (s06): coarse recall bounded by the probe
     // fan-out (like s03) ON TOP of int8 fine ranking (like s05), served
     // from the cell-partitioned store. One index build per geometry; each
@@ -281,7 +308,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ pqEntries ++ {
+      quantEntry) ++ pqEntries ++ ivfPqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

@@ -987,6 +987,19 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s09 — IVF-ADC (FAISS's scale architecture): coarse cells bound WHICH
+  // rows each query scans (~nProbe/C of the corpus), PQ codes bound the
+  // BYTES per scanned row — the two orthogonal cost axes multiplied. One
+  // narrow corpus pass fuses ivf_argmax cell assignment with pq_encode;
+  // probed cells ADC-score, shortlist, exact-cosine re-rank. Approximate →
+  // rows-only; recall + measured candidate fraction graded per-round in
+  // RECALL (s09 entries).
+  private val s09 = q("s09_knn_ivfpq", None) { t =>
+    Similarity.ivfPqTopK(t.embeddings, col("vec_id") % 100 === 0,
+      k = 10, nProbe = Similarity.IvfProbesRegistered)
+      .orderBy("query_id", "rank")
+  }
+
   // x14 — SEQUENCE PACKING: lay documents end-to-end in deterministic
   // (hash-bucket, doc_id) order and cut the token stream into 512-token
   // bins — each document gets its training-sequence id and starting offset.
@@ -1055,7 +1068,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
-      s01, s02, s03, s04, s05, s06, s07, s08,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02, p03)
 }

@@ -344,32 +344,34 @@ object Similarity {
     * via [[pqCodebooksKMeans]], or loaded from a store — anything in the
     * m×k×dsub shape).
     */
-  def pqTopKWith(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]],
-                 queryPred: Column, k: Int = 10): DataFrame = {
+  /** Per-query ADC lookup tables, computed driver-side (the query set is
+    * broadcast-small by the [[MaxDriverQueryRows]] contract): a
+    * (query_id, lut) frame with lut(s·k + j) = <q_s, c_{s,j}> in strict
+    * left-to-right double accumulation (the VecMath.dot rule), plus the
+    * query-independent squared-reconstruction-norm table ‖c_{s,j}‖².
+    */
+  private def pqQueryLuts(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]],
+                          queryPred: Column): (DataFrame, Seq[Double]) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val m = books.length
     val kReal = books.head.length
     val dsub = books.head.head.length
-    // query-independent squared reconstruction norms, one ADC table
     val sqn: Seq[Double] = books.flatMap(_.map(
       _.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
-    val codes = embeddings.select(col("vec_id").as("neighbor_id"),
-      graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
     val qRows = collectCapped(
       embeddings.filter(queryPred).select(col("vec_id"), col("embedding")),
-      "pqTopK")
+      "pqQueryLuts")
     val luts = qRows.toSeq.map { r =>
       val q = r.getSeq[Float](1)
       require(q.length == m * dsub,
-        s"pqTopK: query ${r.getLong(0)} has ${q.length} dims, codebooks " +
+        s"pqQueryLuts: query ${r.getLong(0)} has ${q.length} dims, codebooks " +
           s"expect ${m * dsub}")
       val lut = new Array[Double](m * kReal)
       var s = 0
       while (s < m) {
         var j = 0
         while (j < kReal) {
-          // strict left-to-right double accumulation (the VecMath.dot rule)
           var acc = 0.0
           var t = 0
           while (t < dsub) {
@@ -383,14 +385,30 @@ object Similarity {
       }
       (r.getLong(0), lut.toSeq)
     }
-    val qdf = luts.toDF("query_id", "lut")
+    (luts.toDF("query_id", "lut"), sqn)
+  }
+
+  /** Approximate-cosine ADC score column over a (codes, lut) pair: the
+    * reconstruction x̂ concatenates the chosen codebook entries, so
+    * ‖x̂‖² = Σ_s ‖c_{s,code_s}‖² exactly — the second, query-independent
+    * lookup. A degenerate reconstruction (‖x̂‖ = 0) scores null and ranks
+    * last, like a zero-vector cosine.
+    */
+  private def adcScore(codes: Column, lut: Column, sqn: Seq[Double]): Column = {
+    val dotq = graft.functions.PqFns.pqAdc(codes, lut)
+    val nrm2 = graft.functions.PqFns.pqAdc(codes, typedlit(sqn))
+    when(nrm2 > 0.0, dotq / sqrt(nrm2))
+  }
+
+  def pqTopKWith(embeddings: DataFrame, books: Seq[Seq[Seq[Float]]],
+                 queryPred: Column, k: Int = 10): DataFrame = {
+    val codes = embeddings.select(col("vec_id").as("neighbor_id"),
+      graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
+    val (qdf, sqn) = pqQueryLuts(embeddings, books, queryPred)
     val scored = broadcast(qdf).crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.PqFns.pqAdc(col("codes"), col("lut")).as("dotq"),
-        graft.functions.PqFns.pqAdc(col("codes"), typedlit(sqn)).as("nrm2"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("nrm2") > 0.0, col("dotq") / sqrt(col("nrm2"))).as("ascore"))
+        adcScore(col("codes"), col("lut"), sqn).as("ascore"))
     rankTopK(scored, "ascore", k)
   }
 
@@ -414,6 +432,16 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
     val cand = pqTopKWith(embeddings, books, queryPred, shortlist)
       .select("query_id", "neighbor_id")
+    exactRerank(embeddings, cand, queryPred, k)
+  }
+
+  /** Exact cosine top-k over a (query_id, neighbor_id) shortlist: only the
+    * shortlisted rows re-attach their float embeddings. The shortlist is
+    * |queries|·shortlist rows — broadcast against the corpus scan, so the
+    * re-rank reads the corpus once with no shuffle of it.
+    */
+  private def exactRerank(embeddings: DataFrame, cand: DataFrame,
+                          queryPred: Column, k: Int): DataFrame = {
     val q = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val withQ = cand.join(broadcast(q), Seq("query_id"))
@@ -423,6 +451,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos"))
     rankTopK(scored, "cos", k)
+  }
+
+  /** IVF-ADC (Jégou et al. 2011 §IV — the FAISS scale architecture): the
+    * coarse quantizer bounds WHICH rows each query scans (~nProbe/C of the
+    * corpus via cell probing) and PQ codes bound the BYTES per scanned row
+    * (8-byte codes at the registered m=16×16) — the two orthogonal cost
+    * axes of a 100 TB vector scan, multiplied. One narrow corpus pass
+    * fuses cell assignment ([[graft.functions.IvfFns.ivfArgmax]]) with PQ
+    * encoding ([[graft.functions.PqFns.pqEncode]]); each query ADC-scores
+    * only its probed cells' codes, shortlists, and re-ranks the shortlist
+    * with exact cosine. The probe×lut frame is queries-sized and
+    * broadcast — the codes frame never shuffles.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                nProbe: Int = IvfProbes, m: Int = PqSubspaces,
+                kCent: Int = PqCodebookSize, seed: Long = 42L,
+                shortlist: Int = PqShortlist): DataFrame =
+    ivfPqTopKWith(embeddings, ivfCentroids(embeddings),
+      pqCodebooks(embeddings, m, kCent, seed), queryPred, k, nProbe, shortlist)
+
+  /** [[ivfPqTopK]] against caller-supplied centroids and codebooks. */
+  def ivfPqTopKWith(embeddings: DataFrame, centroidsIn: DataFrame,
+                    books: Seq[Seq[Seq[Float]]], queryPred: Column,
+                    k: Int = 10, nProbe: Int = IvfProbes,
+                    shortlist: Int = PqShortlist): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
+    val centroids = centroidsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codes = ivfAssign(embeddings, centroids)
+        .select(col("vec_id").as("neighbor_id"), col("cell"),
+          graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
+      val probes = ivfProbes(embeddings, centroids, queryPred, nProbe)
+        .select("query_id", "cell")
+      val (qdf, sqn) = pqQueryLuts(embeddings, books, queryPred)
+      val probeLut = probes.join(qdf, Seq("query_id"))
+      val scored = broadcast(probeLut).join(codes, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          adcScore(col("codes"), col("lut"), sqn).as("ascore"))
+      val cand = rankTopK(scored, "ascore", shortlist)
+        .select("query_id", "neighbor_id")
+      // eager materialization (nQ·k rows) so the persisted centroids can
+      // release before the caller consumes the frame
+      exactRerank(embeddings, cand, queryPred, k).localCheckpoint(true)
+    } finally { centroids.unpersist(); () }
   }
 
   // IVF configuration: C coarse cells, probe the nProbe closest at query time.

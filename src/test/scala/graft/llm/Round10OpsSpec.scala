@@ -183,4 +183,55 @@ class Round10OpsSpec extends SparkSpec {
       Similarity.pqCodebooks(bad, m = 3)
     }
   }
+
+  // ---------------------------------------------------------------- ivfPq
+
+  test("ivfPqTopK recovers planted twins at rank 1 and is deterministic") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    // a twin quantizes to its query's cell (near-identical vectors), and
+    // each query's own cell is always its closest probe — nProbe=8 of the
+    // 32-cell default leaves plenty of slack
+    val top1 = Similarity.ivfPqTopK(corpus, pred, k = 10, nProbe = 8)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == 4)
+    assert(top1.forall { case (q, n) => n == q + TwinOffset },
+      s"every twin at rank 1 through probe+ADC+rerank, got ${top1.toSeq}")
+    val a = Similarity.ivfPqTopK(corpus, pred, k = 5, nProbe = 8)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.ivfPqTopK(corpus.repartition(7), pred, k = 5, nProbe = 8)
+      .orderBy("query_id", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ivfPqTopK probing cuts the scored candidate set below the full-scan PQ path") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val centroids = Similarity.ivfCentroids(corpus)
+    val assigned = Similarity.ivfAssign(corpus, centroids).select("vec_id", "cell")
+    val probes = Similarity.ivfProbes(corpus, centroids, pred, nProbe = 4)
+      .select("query_id", "cell")
+    val nCand = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id")).count()
+    val n = corpus.count()
+    val nQ = corpus.filter(pred).count()
+    assert(nCand < nQ * (n - 1), "probed candidates must be a strict subset")
+    assert(nCand > 0)
+  }
+
+  test("ivfPqTopK leaves no persisted RDDs behind") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.ivfPqTopK(corpus, pred, k = 5, nProbe = 8).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = after -- before
+    assert(leaked.isEmpty || leaked.forall { id =>
+      // the eager localCheckpoint of the tiny result frame is the one
+      // intentional materialization; everything centroid-sized must be gone
+      spark.sparkContext.getPersistentRDDs(id).name == null ||
+        !spark.sparkContext.getPersistentRDDs(id).toString.contains("c_emb")
+    })
+  }
 }
