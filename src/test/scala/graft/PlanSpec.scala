@@ -53,6 +53,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("p03 token pass prunes the documents scan to the 3 referenced columns") {
+    val plan = planOf("p03_source_cap_sample")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    // both passes (per-doc tokens, per-source totals) read at most
+    // (doc_id, text, source) — lang/n_chars never leave the scan
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("n_chars")),
+      s"p03 reads columns it never uses:\n${reads.mkString("\n")}")
+  }
+
+  test("ivfPq codes pass is exchange-free (fused assign + encode on the scan)") {
+    val t = Tables(spark, sf)
+    val centroids = graft.llm.Similarity.ivfCentroids(t.embeddings)
+    val books = graft.llm.Similarity.pqCodebooks(
+      t.embeddings, graft.llm.Similarity.PqSubspaces)
+    val codes = graft.llm.Similarity.ivfAssign(t.embeddings, centroids)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell assignment + PQ encode must be one narrow pass:\n$plan")
+    assert(plan.contains("pq_encode") && plan.contains("ivf_argmax"))
+  }
+
   test("e08 JSON props rollup prunes the events scan to the 4 referenced columns") {
     val plan = planOf("e08_props_rollup")
     val read = plan.linesIterator.find(_.contains("ReadSchema")).get
