@@ -1000,6 +1000,24 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s10 — PERSISTED IVF-PQ index (FAISS IVFPQ as parquet): centroids +
+  // codebooks + cell-partitioned 8-byte codes written once, queries probe
+  // the stored centroids and ADC-score ONLY the probed cells' directories
+  // (literal partition predicate), then re-rank the shortlist with exact
+  // cosine against the float corpus. The serving math is spec-pinned
+  // byte-identical to s09's in-memory pipeline (Round10OpsSpec), so the
+  // s09 RECALL entries grade this def too. The def rebuilds its index per
+  // run, so its bench time INCLUDES the build.
+  private val s10 = q("s10_knn_ivfpq_indexed", None) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(t.embeddings, idx)
+    Similarity.ivfPqTopKFromIndex(
+      t.embeddings.filter(col("vec_id") % 100 === 0), idx,
+      k = 10, nProbe = Similarity.IvfProbesRegistered,
+      rerankAgainst = Some(t.embeddings))
+      .orderBy("query_id", "rank")
+  }
+
   // x14 — SEQUENCE PACKING: lay documents end-to-end in deterministic
   // (hash-bucket, doc_id) order and cut the token stream into 512-token
   // bins — each document gets its training-sequence id and starting offset.
@@ -1068,7 +1086,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02, p03)
 }

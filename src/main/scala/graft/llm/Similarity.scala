@@ -354,18 +354,24 @@ object Similarity {
                           queryPred: Column): (DataFrame, Seq[Double]) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val m = books.length
-    val kReal = books.head.length
-    val dsub = books.head.head.length
-    val sqn: Seq[Double] = books.flatMap(_.map(
-      _.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+    val sqn = pqSqNorms(books)
     val qRows = collectCapped(
       embeddings.filter(queryPred).select(col("vec_id"), col("embedding")),
       "pqQueryLuts")
-    val luts = qRows.toSeq.map { r =>
-      val q = r.getSeq[Float](1)
+    val luts = pqLutRows(
+      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1))), books)
+    (luts.toDF("query_id", "lut"), sqn)
+  }
+
+  /** Driver-side LUT computation over already-localized query vectors. */
+  private def pqLutRows(qs: Seq[(Long, Seq[Float])],
+                        books: Seq[Seq[Seq[Float]]]): Seq[(Long, Seq[Double])] = {
+    val m = books.length
+    val kReal = books.head.length
+    val dsub = books.head.head.length
+    qs.map { case (qid, q) =>
       require(q.length == m * dsub,
-        s"pqQueryLuts: query ${r.getLong(0)} has ${q.length} dims, codebooks " +
+        s"pqLutRows: query $qid has ${q.length} dims, codebooks " +
           s"expect ${m * dsub}")
       val lut = new Array[Double](m * kReal)
       var s = 0
@@ -383,10 +389,16 @@ object Similarity {
         }
         s += 1
       }
-      (r.getLong(0), lut.toSeq)
+      (qid, lut.toSeq)
     }
-    (luts.toDF("query_id", "lut"), sqn)
   }
+
+  /** Squared reconstruction norms per codebook entry — the query-
+    * independent ADC table backing the cosine denominator.
+    */
+  private def pqSqNorms(books: Seq[Seq[Seq[Float]]]): Seq[Double] =
+    books.flatMap(_.map(
+      _.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
 
   /** Approximate-cosine ADC score column over a (codes, lut) pair: the
     * reconstruction x̂ concatenates the chosen codebook entries, so
@@ -441,12 +453,21 @@ object Similarity {
     * re-rank reads the corpus once with no shuffle of it.
     */
   private def exactRerank(embeddings: DataFrame, cand: DataFrame,
-                          queryPred: Column, k: Int): DataFrame = {
-    val q = embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+                          queryPred: Column, k: Int): DataFrame =
+    exactRerankFrames(
+      embeddings.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")),
+      cand, k)
+
+  /** [[exactRerank]] over explicit (query_id, q_emb) / (neighbor_id, c_emb)
+    * frames — the form index-serving paths use, where queries arrive as
+    * their own frame rather than a predicate over the corpus.
+    */
+  private def exactRerankFrames(q: DataFrame, c: DataFrame,
+                                cand: DataFrame, k: Int): DataFrame = {
     val withQ = cand.join(broadcast(q), Seq("query_id"))
-    val c = embeddings.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
     val scored = c.join(broadcast(withQ), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cos"))
@@ -1026,5 +1047,131 @@ object Similarity {
       .join(broadcast(qEmb), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
     (rankTopK(scored, "cos", k), release)
+  }
+
+  // ------------------------------------------------------- IVF-PQ index
+
+  /** Persisted IVF-ADC index — [[ivfPqTopK]]'s index-once/query-many form
+    * (FAISS IVFPQ as parquet): `centroids/` (cell, c_emb) + `codebooks/`
+    * (subspace, centroid, entry) + `codes/` PARTITIONED BY cell
+    * (vec_id, codes). The build is ONE narrow corpus pass fusing
+    * `ivf_argmax` assignment with `pq_encode`, plus the deliberate by-cell
+    * clustering exchange at the write (the same layout contract as
+    * [[writeIvfIndex]] — probe-time partition pruning is what it buys).
+    * At 8 bytes of codes per vector the index is ~32× smaller than the
+    * float corpus and ~4× smaller than the int8 index.
+    *
+    * Maintenance shares the int8 index's recipes: per-cell drift surfaces
+    * through [[ivfIndexStats]] pointed at `codes/` via its table argument,
+    * and a retrain (new centroids OR new codebooks) is a rebuild — codes
+    * are only meaningful against the codebooks that encoded them.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+                      cells: Int = IvfCells, m: Int = PqSubspaces,
+                      kCent: Int = PqCodebookSize, seed: Long = 42L): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(embeddings, seed, cells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = pqCodebooks(embeddings, m, kCent, seed)
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      val bookRows = for {
+        (b, s) <- books.zipWithIndex
+        (e, j) <- b.zipWithIndex
+      } yield (s, j, e)
+      bookRows.toDF("subspace", "centroid", "entry")
+        .repartition(1) // metadata-sized: m·k rows
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+      ivfAssign(embeddings, centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqFns.pqEncode(col("embedding"), books).as("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    } finally { centroids.unpersist(); () }
+  }
+
+  /** One-shot serve over a persisted IVF-PQ index; see [[IvfPqIndexHandle]]
+    * for the query-loop form. `rerankAgainst` supplies the float corpus
+    * for the exact shortlist re-rank (the index itself never stores
+    * floats); None returns the raw ADC ranking.
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, indexPath: String, k: Int = 10,
+                         nProbe: Int = IvfProbes,
+                         shortlist: Int = PqShortlist,
+                         rerankAgainst: Option[DataFrame] = None): DataFrame =
+    new IvfPqIndexHandle(queries.sparkSession, indexPath)
+      .topK(queries, k, nProbe, shortlist, rerankAgainst)
+
+  /** Serving handle over a persisted IVF-PQ index (see
+    * [[writeIvfPqIndex]]): centroids AND codebooks are read and
+    * driver-localized ONCE at construction (both metadata-sized), so a
+    * query loop plans no index-metadata scan per call. Each call probes
+    * the localized centroids, pushes the probed cell set as a LITERAL
+    * partition predicate on `codes/` (only probed directories read),
+    * ADC-scores the 8-byte codes against per-query LUTs built driver-side,
+    * and — when a float corpus is supplied — re-ranks the shortlist with
+    * exact cosine. Query-side collects are capped by the broadcast-small
+    * contract ([[MaxDriverQueryRows]]); serving accrues no persisted RDDs.
+    */
+  final class IvfPqIndexHandle(spark: org.apache.spark.sql.SparkSession,
+                               val indexPath: String) {
+    private val centroidRows: Seq[(Long, Seq[Float])] =
+      spark.read.parquet(s"$indexPath/centroids")
+        .select(col("cell").cast("long"), col("c_emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+
+    val books: Seq[Seq[Seq[Float]]] =
+      spark.read.parquet(s"$indexPath/codebooks")
+        .select(col("subspace").cast("int"), col("centroid").cast("int"),
+          col("entry"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        .sortBy(t => (t._1, t._2))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._3).toSeq)
+
+    /** The localized centroid frame (a LocalRelation — no file scan). */
+    def centroids: DataFrame = {
+      import spark.implicits._
+      centroidRows.toDF("cell", "c_emb")
+    }
+
+    def topK(queries: DataFrame, k: Int = 10, nProbe: Int = IvfProbes,
+             shortlist: Int = PqShortlist,
+             rerankAgainst: Option[DataFrame] = None): DataFrame = {
+      import spark.implicits._
+      require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
+      val probeRows = collectCapped(
+        ivfProbes(queries, centroids, lit(true), nProbe),
+        "IvfPqIndexHandle.topK")
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2))).toSeq
+      val probedCells = probeRows.map(_._3).distinct.sorted
+      val luts = pqLutRows(
+        probeRows.map(t => (t._1, t._2)).distinctBy(_._1), books).toMap
+      val sqn = pqSqNorms(books)
+      val probeLut = probeRows
+        .map(t => (t._1, t._3, luts(t._1)))
+        .toDF("query_id", "cell", "lut")
+      val stored = spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col("vec_id").as("neighbor_id"),
+          col("cell").cast("long").as("cell"), col("codes"))
+      val scored = broadcast(probeLut).join(stored, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          adcScore(col("codes"), col("lut"), sqn).as("ascore"))
+      rerankAgainst match {
+        case None => rankTopK(scored, "ascore", k)
+        case Some(corpus) =>
+          val cand = rankTopK(scored, "ascore", shortlist)
+            .select("query_id", "neighbor_id")
+          val qFrame = probeRows.map(t => (t._1, t._2)).distinctBy(_._1)
+            .toDF("query_id", "q_emb")
+          exactRerankFrames(qFrame,
+            corpus.select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("c_emb")),
+            cand, k)
+      }
+    }
   }
 }

@@ -220,6 +220,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(nCand > 0)
   }
 
+  test("persisted IVF-PQ index serves byte-identically to the in-memory pipeline") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+    try {
+      Similarity.writeIvfPqIndex(corpus, idxDir.toString)
+      val handle = new Similarity.IvfPqIndexHandle(spark, idxDir.toString)
+      // codebooks round-trip exactly
+      assert(handle.books == Similarity.pqCodebooks(corpus))
+      val served = Similarity.ivfPqTopKFromIndex(
+        corpus.filter(pred), idxDir.toString, k = 10, nProbe = 8,
+        rerankAgainst = Some(corpus))
+        .orderBy("query_id", "rank").collect()
+      val inMem = Similarity.ivfPqTopKWith(corpus,
+        Similarity.ivfCentroids(corpus), Similarity.pqCodebooks(corpus),
+        pred, k = 10, nProbe = 8)
+        .orderBy("query_id", "rank").collect()
+      assert(served.toSeq == inMem.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idxDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("IVF-PQ index serving prunes to probed cell directories and reads no floats") {
+    val corpus = pqCorpus
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-prune")
+    try {
+      Similarity.writeIvfPqIndex(corpus, idxDir.toString)
+      val handle = new Similarity.IvfPqIndexHandle(spark, idxDir.toString)
+      val adcOnly = handle.topK(corpus.filter(pred), k = 10, nProbe = 2)
+      val plan = adcOnly.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"probed-cell partition pruning missing:\n$plan")
+      assert(!plan.contains("embedding"),
+        "ADC-only serving must never read the float corpus")
+      assert(adcOnly.count() > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idxDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ivfPqTopK leaves no persisted RDDs behind") {
     val corpus = pqCorpus
     val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
