@@ -127,6 +127,27 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
         min("event_id").as("first_event"), dsum(col("value")).as("total_value"))
 
+  /** Retention cohort matrix — the standard product-analytics rollup: each
+    * user joins the cohort of their FIRST active day, and the matrix counts
+    * distinct users active per (cohort day, day offset) up to
+    * `maxOffsetDays`. Two keyed aggregations: the per-user first-day pass
+    * (map-side-combined min by user) and the cohort rollup
+    * (count-distinct by (cohort_day, offset) — Spark's two-phase distinct
+    * expansion, partial per partition). The first-day frame is |users|
+    * rows; its join back to the events is an equi-join on user_id that AQE
+    * broadcasts when it fits and sort-merges when a 100 TB user base does
+    * not. Nothing here is a global window.
+    */
+  def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset_days") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset_days")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

@@ -659,6 +659,24 @@ object LlmQueries {
       .orderBy("event_type")
   }
 
+  // e10 — retention cohort matrix: each user joins the cohort of their
+  // first active day; the matrix counts distinct users active per
+  // (cohort day, day offset ≤ 7). Two keyed aggregations + one user_id
+  // equi-join — no global window. The oracle recomputes first days,
+  // offsets, and the distinct-user rollup end to end.
+  private val e10 = q("e10_retention_cohorts", Some(
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS offset_days,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM ev e JOIN fd f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, e.day) <= 7
+        GROUP BY 1, 2 ORDER BY 1, 2""")) { t =>
+    Events.retentionCohorts(eventsTs(t), maxOffsetDays = 7)
+      .orderBy("cohort_day", "offset_days")
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   // p01 — END-TO-END curation: near-dup removal (cluster representatives
@@ -1088,5 +1106,5 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, p01, p02, p03)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, p01, p02, p03)
 }

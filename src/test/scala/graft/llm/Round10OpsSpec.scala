@@ -109,6 +109,31 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- retentionCohorts
+
+  test("retentionCohorts counts distinct users per (cohort day, offset)") {
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1 first on d1, active d1+d2+d3; u2 first on d1, active d1 only
+    // (twice — distinct must collapse); u3 first on d2, active d2+d9
+    // (offset 7 kept, boundary) and d10 (offset 8 dropped)
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(2, 9)), (1L, ts(3, 9)),
+      (2L, ts(1, 10)), (2L, ts(1, 23)),
+      (3L, ts(2, 5)), (3L, ts(9, 5)), (3L, ts(10, 5))
+    ).toDF("user_id", "ts")
+    val out = Events.retentionCohorts(ev, maxOffsetDays = 7)
+      .orderBy("cohort_day", "offset_days")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L), // u1+u2 on their first day
+      ("2024-01-01", 1, 1L), // u1 back next day
+      ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L), // u3 cohort
+      ("2024-01-02", 7, 1L)  // u3 on the boundary offset — kept
+    ))
+  }
+
   // ----------------------------------------------------------------- pqTopK
 
   private val TwinOffset = 1000000L
