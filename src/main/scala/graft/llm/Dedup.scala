@@ -167,6 +167,44 @@ object Dedup {
     (result, () => { cands.unpersist(); () })
   }
 
+  /** ALL pairs with exact shingle Jaccard ≥ `threshold`, by sparse
+    * inverted-index equi-join — the recall-1.0 gold path (the computation
+    * the d02 oracle runs in DuckDB, expressed as a Spark plan). Use it when
+    * missing a pair is unacceptable (licence dedup, eval-set hygiene) or to
+    * audit the LSH tier's measured recall on a sample; the LSH path
+    * ([[nearDupPairs]]) is the probabilistic fast twin of this operator.
+    *
+    * Scale shape: shingles explode sparse (ONE codegen'd WordShingles pass
+    * per side; the two self-join sides are identical subtrees, so the
+    * shingle-hash exchange is planned once and reused), the inverted-index
+    * join emits a row per shared shingle, and the pair intersection count
+    * is one map-side-combined aggregate on (doc_a, doc_b). Cost is
+    * Σ per-shingle posting-list² — sparse by construction for natural text
+    * (d10's boilerplate profile is the diagnostic for corpora where hot
+    * shingles would break that assumption; at 100 TB, AQE's skew-join
+    * handles residual hot keys). Set sizes ride a |docs|-row frame that AQE
+    * broadcasts. The Jaccard is ONE double division of integer counts —
+    * bit-identical cross-engine.
+    */
+  def exactJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Cross-corpus near-dup detection — the INCREMENTAL-INGEST dedup: find
     * documents in a NEW batch that are near-duplicates (shingle Jaccard ≥
     * `threshold`) of some document already in an EXISTING corpus, so each

@@ -158,6 +158,29 @@ object LlmQueries {
     Similarity.semanticDedup(t.embeddings, threshold = 0.45).orderBy("vec_id")
   }
 
+  // d11 — EXACT sparse-Jaccard pair join (the recall-1.0 gold path): the
+  // same inverted-index computation the d02 oracle runs in DuckDB,
+  // expressed as a Spark plan. Registered alongside the LSH def so the
+  // correctness artifact itself documents that the exact and probabilistic
+  // paths agree on this corpus (both hash against the same oracle answer).
+  private val d11 = q("d11_jaccard_pairs_exact", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b,
+                 CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        ORDER BY doc_a, doc_b""")) { t =>
+    Dedup.exactJaccardPairs(t.documents, threshold = 0.8).orderBy("doc_a", "doc_b")
+  }
+
   // d07 — MULTI-SIGNAL near-dup clusters: edges = text near-dups (j ≥ 0.8)
   // ∪ embedding near-dups (cos ≥ 0.45, blocked) over the shared doc/vec id
   // namespace; connected components over the union. The oracle recomputes
@@ -1102,9 +1125,72 @@ object LlmQueries {
     }
   }
 
+  // x16 — unigram-LM surprisal (perplexity-style quality scoring with the
+  // corpus itself as the model, CCNet-style). ln() is quantized to
+  // DECIMAL(18,8) once per vocabulary entry; every downstream step is exact
+  // decimal arithmetic, so the per-doc score is order-independent and
+  // hash-comparable (see TextAnalysis.unigramSurprisal).
+  private val x16 = q("x16_unigram_surprisal", Some(
+    """WITH dt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z
+          GROUP BY 1, 2),
+        freq AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n_w FROM dt GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM freq),
+        lut AS (SELECT tok,
+                  CAST(ln(CAST(n_total AS DOUBLE) / CAST(n_w AS DOUBLE)) AS DECIMAL(18,8)) AS lnv
+                FROM freq, tot)
+        SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(c * lnv) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4)
+                 AS surprisal
+        FROM dt JOIN lut USING (tok)
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.unigramSurprisal(t.documents).orderBy("doc_id")
+  }
+
+  // p04 — temperature-resampled language mix (mT5-style, alpha = 0.3):
+  // per-language weights ∝ tokens^alpha, thinned to an expected
+  // budget·w_l contribution. pow() quantizes to decimal before the
+  // normalization sum; the rest of the rate chain is correctly-rounded
+  // double arithmetic on bit-identical inputs (see Sampling.temperatureMix).
+  private val p04 = {
+    val budget = 1500L
+    q("p04_temperature_mix", Some(
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS lang,
+                   CAST(len(w) AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, w, $langHitsSql
+                  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                        FROM documents) y) z),
+          tot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens,
+                    CAST(pow(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE), 0.3) AS DECIMAL(28,6)) AS pw
+                  FROM toks GROUP BY 1),
+          s AS (SELECT SUM(pw) AS spw FROM tot),
+          thr AS (SELECT lang, lang_tokens,
+                    least(1.0, $budget.0 * CAST(pw AS DOUBLE)
+                          / (CAST(spw AS DOUBLE) * CAST(lang_tokens AS DOUBLE))) AS rate
+                  FROM tot, s),
+          thx AS (SELECT lang, lang_tokens,
+                    CASE WHEN rate >= 1.0 THEN 'g000'
+                         ELSE printf('%04x', CAST(floor(rate * 65536.0) AS BIGINT)) END AS thresh
+                  FROM thr)
+          SELECT t.doc_id, t.lang, t.n_tok, h.lang_tokens, h.thresh
+          FROM toks t JOIN thx h USING (lang)
+          WHERE ${Sampling.sqlHashBucket("t.doc_id", "tmix")} < h.thresh
+          ORDER BY t.doc_id""")) { t =>
+      Sampling.temperatureMix(t.documents, alpha = 0.3, budgetTokens = budget)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d12,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, p01, p02, p03)
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, p01, p02, p03, p04)
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling and split assignment for training-data pipelines.
   *
@@ -103,6 +104,53 @@ object Sampling {
       .filter(hashBucket(col("doc_id"), salt) < col("thresh"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("src_tokens"), col("thresh"))
+  }
+
+  /** Temperature-resampled language mix — the multilingual-corpus balancing
+    * step (mT5 / XLM-R style, Xue et al. 2021): per-language sampling
+    * weights w_l ∝ (language token count)^alpha flatten the natural
+    * distribution toward uniform as alpha → 0, and each language is thinned
+    * to an expected `budgetTokens`·w_l contribution via the deterministic
+    * hash-bucket predicate. Languages whose implied rate reaches 1 pass
+    * whole (low-resource languages keep everything — the point of
+    * temperature sampling).
+    *
+    * Determinism: pow() is the one non-rational op, computed once per
+    * LANGUAGE from a bit-identical integer input and quantized to
+    * DECIMAL(28,6) before the (order-sensitive) weight-normalization sum —
+    * the sum is then exact, and the rate = budget·pw / (Σpw·tokens) chain
+    * is correctly-rounded double arithmetic on identical inputs, so both
+    * engines derive the identical 4-hex threshold. The keep set is a pure
+    * function of (doc_id, salt).
+    *
+    * Plan shape (p03's): one narrow pass tags (lang, n_tok) row-locally
+    * (the [[TextAnalysis.predictedLang]] argmax — no join), one map-side-
+    * combined aggregate produces the |languages|-row frame, the threshold
+    * frame broadcasts back, one narrow filter. Nothing corpus-sized
+    * shuffles.
+    */
+  def temperatureMix(documents: DataFrame, alpha: Double, budgetTokens: Long,
+                     salt: String = "tmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens must be positive")
+    val toks = documents.select(col("doc_id"),
+      TextAnalysis.predictedLang(col("text")).as("lang"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = toks.groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
+      .withColumn("pw",
+        pow(col("lang_tokens").cast("double"), lit(alpha)).cast(DecimalType(28, 6)))
+    val spw = tot.agg(sum("pw").as("spw"))
+    val thr = tot.crossJoin(broadcast(spw))
+      .withColumn("rate", least(lit(1.0),
+        lit(budgetTokens.toDouble) * col("pw").cast("double")
+          / (col("spw").cast("double") * col("lang_tokens").cast("double"))))
+      .withColumn("thresh",
+        when(col("rate") >= 1.0, lit("g000"))
+          .otherwise(format_string("%04x", floor(col("rate") * 65536.0).cast("long"))))
+      .select("lang", "lang_tokens", "thresh")
+    toks.join(thr, Seq("lang"))
+      .filter(hashBucket(col("doc_id"), salt) < col("thresh"))
+      .select("doc_id", "lang", "n_tok", "lang_tokens", "thresh")
   }
 
   // ---------------------------------------------------------------- oracles

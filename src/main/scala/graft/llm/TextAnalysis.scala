@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over the documents table: token statistics,
   * lexicon-based language ID, composite quality scoring, fingerprinting.
@@ -47,6 +48,64 @@ object TextAnalysis {
         .when(es >= de && es >= fr, "es")
         .when(de >= fr, "de")
         .otherwise("fr"))
+  }
+
+  /** The [[langId]] argmax as a standalone Column over a text column —
+    * row-local (no join), for operators that need the language tag inline
+    * (e.g. [[Sampling.temperatureMix]]'s per-language grouping).
+    */
+  def predictedLang(text: Column): Column = {
+    val t = TextFns.tokens(text)
+    def hits(words: Seq[String]): Column =
+      size(filter(t, x => x.isin(words.map(lit): _*).cast("boolean")))
+    val Seq(en, es, de, fr) = Lexicons.map(l => hits(l._2))
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Per-document unigram-LM surprisal — the perplexity-style quality
+    * signal (CCNet / KenLM filtering, Wenzek et al. 2020, with the corpus
+    * itself as the model): each document scores the average per-token
+    * negative log-probability Σ c_w·ln(N/n_w) / n_tokens under the corpus
+    * unigram distribution. Low surprisal = common boilerplate-like text,
+    * high = rare/garbled text; curation cuts both tails.
+    *
+    * Determinism: ln() is the one non-rational op, so it is computed ONCE
+    * per vocabulary entry from bit-identical integer-ratio inputs (double
+    * division is correctly rounded in both engines) and immediately
+    * quantized to DECIMAL(18,8); from there every step — decimal·count
+    * products, decimal sums, the final division — is exact or correctly
+    * rounded, making the per-doc score independent of row order and
+    * partitioning. A last-ulp engine difference in ln itself would have to
+    * land within one ulp of a 0.5e-8 rounding boundary to flip the
+    * quantized value (≈1e-7 probability across a whole vocabulary).
+    *
+    * Scale shape: per-doc token counts are ONE map-side-combined shuffle of
+    * (doc_id, token) pairs; the vocabulary rollup and its 1-row total are
+    * aggregates of that already-small frame (the identical docTok subtrees
+    * share one exchange via reuse); the score join hits a vocabulary-sized
+    * LUT (AQE broadcasts it when it fits — at 100 TB vocabulary a
+    * sort-merge on the token key is right); re-aggregation rides doc_id.
+    * Raw text never shuffles.
+    */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy("tok").agg(sum("c").as("n_w"))
+    val totals = freq.agg(sum("n_w").as("n_total"))
+    val lut = freq.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log(col("n_total").cast("double") / col("n_w").cast("double"))
+          .cast(DecimalType(18, 8)).as("lnv"))
+    docTok.join(lut, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("lnv")).as("sdec"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sdec").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("surprisal"))
   }
 
   /** Language-adaptive stopword ratio: score each document against the

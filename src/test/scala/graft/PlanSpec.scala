@@ -63,6 +63,42 @@ class PlanSpec extends SparkSpec {
       s"p03 reads columns it never uses:\n${reads.mkString("\n")}")
   }
 
+  test("d11 exact-Jaccard join is an inverted-index equi-join, never all-pairs") {
+    val plan = planOf("d11_jaccard_pairs_exact")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    // pair expansion joins on the shingle key (equi-join), set sizes on ids
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => r.contains("doc_id") || r.contains("text")),
+      "documents scans read only (doc_id, text)")
+    assert(!plan.contains("source"), "non-referenced columns never leave the scan")
+  }
+
+  test("x16 surprisal: token frames shuffle, text never does; scan prunes to 2 columns") {
+    val df = run("x16_unigram_surprisal")
+    df.collect() // finalize AQE so exchange reuse is visible
+    val plan = df.queryExecution.executedPlan.toString
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(_.contains("struct<doc_id:bigint,text:string>")),
+      s"documents scan not pruned:\n${reads.mkString("\n")}")
+    // the (doc_id, tok) count subtree feeds three consumers; the identical
+    // exchanges must collapse at runtime, not recompute the explosion
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+    // no exchange anywhere carries the text column
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "raw text must never shuffle")
+  }
+
+  test("p04 temperature mix: corpus-sized frame never shuffles (thresholds broadcast back)") {
+    val plan = planOf("p04_temperature_mix")
+    assert(!plan.contains("CartesianProduct"))
+    // the only wide ops are the |languages|-row aggregate and its 1-row
+    // normalization total; the corpus side joins via broadcast
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(e => e.contains("lang") || e.contains("doc_id")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), "threshold frame must broadcast")
+  }
+
   test("ivfPq codes pass is exchange-free (fused assign + encode on the scan)") {
     val t = Tables(spark, sf)
     val centroids = graft.llm.Similarity.ivfCentroids(t.embeddings)
