@@ -15,6 +15,14 @@ final case class AssetFeatures(
     asset_id: Long, mime: String, n_bytes: Int, checksum: String,
     width: Int, height: Int, features: Array[Double])
 
+/** Decoded-audio metadata + signal statistics for one asset; signal fields
+  * are zero with `decoded = false` when the payload is not decodable audio.
+  */
+final case class AudioFeatures(
+    asset_id: Long, mime: String, decoded: Boolean, sample_rate: Double,
+    channels: Int, n_samples: Long, duration_s: Double,
+    rms: Double, peak: Double, zero_cross_rate: Double)
+
 /** Multimodal-column plumbing: image/audio/video are opaque `binary` columns
   * with typed metadata, processed by per-partition batch functions.
   *
@@ -23,9 +31,13 @@ final case class AssetFeatures(
   * inside the same per-partition batch the stub always used: feature
   * extraction reads pixels (dimensions, per-channel means, a 16-bin
   * luminance histogram) and resize is a true bilinear downscale re-encoded
-  * as PNG. Non-image payloads (audio/video codecs are NOT in the JDK) keep
-  * the deterministic byte-histogram / block-average stand-ins — the slot a
-  * JNI/javacv decoder would fill, changing no schema or partitioning.
+  * as PNG. AUDIO payloads (`audio/...` mimes) decode FOR REAL via
+  * `javax.sound.sampled` (WAV/AIFF/AU integer-PCM readers ship with the
+  * JDK): feature extraction reads samples (RMS, peak, zero-crossing rate,
+  * magnitude histogram). Payloads neither can decode (compressed codecs,
+  * video containers) keep the deterministic byte-histogram / block-average
+  * stand-ins — the slot a JNI/javacv decoder would fill, changing no
+  * schema or partitioning.
   */
 object Multimodal {
 
@@ -80,8 +92,89 @@ object Multimodal {
     (w, h, Array(r / n / 255.0, g / n / 255.0, b / n / 255.0) ++ lum.map(_ / n))
   }
 
-  /** Opaque-byte stand-in for payloads the JDK cannot decode (audio PCM
-    * extraction, video containers): deterministic 16-bin normalized
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU integer-PCM
+    * readers ship with the JDK — no external native libs): payload bytes →
+    * (sample rate, channel count, channel-averaged mono samples normalized
+    * to [-1, 1]). None when no installed reader recognizes the container or
+    * the encoding is not integer PCM — callers fall back to the opaque-byte
+    * path, so a poisoned payload degrades instead of failing the task.
+    */
+  private[llm] def decodeAudio(payload: Array[Byte]): Option[(Float, Int, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val signed =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if ((!signed && !unsigned) || bits % 8 != 0 || bits > 32) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bps = bits / 8
+          val frame = ch * bps
+          val n = bytes.length / frame
+          val mono = new Array[Double](n)
+          val big = fmt.isBigEndian
+          val full = (1L << (bits - 1)).toDouble
+          var i = 0
+          while (i < n) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = i * frame + c * bps
+              var v = 0L
+              var k = 0
+              while (k < bps) {
+                v |= (bytes(off + (if (big) bps - 1 - k else k)) & 0xFFL) << (8 * k)
+                k += 1
+              }
+              val centered =
+                if (signed) { val sh = 64 - bits; (v << sh) >> sh }
+                else v - (1L << (bits - 1))
+              s += centered / full
+              c += 1
+            }
+            mono(i) = s / ch
+            i += 1
+          }
+          Some((fmt.getSampleRate, ch, mono))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Sample-level features of decoded audio, ALL in [0, 1] like the image
+    * vector: [rms, peak, zero-crossing rate] ++ 16-bin normalized
+    * magnitude histogram — 19 values, one sequential pass (per-row
+    * deterministic regardless of partitioning).
+    */
+  private[llm] def audioVector(samples: Array[Double]): Array[Double] = {
+    val n = samples.length
+    val hist = new Array[Double](16)
+    var sq = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = samples(i)
+      val m = math.abs(v)
+      sq += v * v
+      if (m > peak) peak = m
+      hist(math.min(15, (m * 16).toInt)) += 1.0
+      if (i > 0 && (v > 0) != (samples(i - 1) > 0)) zc += 1
+      i += 1
+    }
+    val nn = math.max(1, n).toDouble
+    Array(math.sqrt(sq / nn), peak, if (n > 1) zc.toDouble / (n - 1) else 0.0) ++
+      hist.map(_ / nn)
+  }
+
+  /** Opaque-byte stand-in for payloads the JDK cannot decode (compressed
+    * audio codecs, video containers): deterministic 16-bin normalized
     * byte-value histogram.
     */
   private[llm] def decodeStub(payload: Array[Byte]): Array[Double] = {
@@ -110,6 +203,10 @@ object Multimodal {
         val (w, h, feats) =
           if (a.mime.startsWith("image/"))
             decodeImage(a.payload).map(imageFeatures)
+              .getOrElse((0, 0, decodeStub(a.payload)))
+          else if (a.mime.startsWith("audio/"))
+            decodeAudio(a.payload)
+              .map { case (_, _, samples) => (0, 0, audioVector(samples)) }
               .getOrElse((0, 0, decodeStub(a.payload)))
           else (0, 0, decodeStub(a.payload))
         val checksum = java.security.MessageDigest.getInstance("MD5")
@@ -164,6 +261,55 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Audio metadata + signal statistics per asset — the audio analogue of
+    * the pixel-feature pass: `audio/...` payloads decode FOR REAL (JDK
+    * WAV/AIFF/AU readers), everything else (and undecodable audio) reports
+    * zeroed signal fields with `decoded = false` so a poisoned payload
+    * degrades row-local. Per-partition batched like [[extractFeatures]].
+    */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val dec =
+          if (a.mime.startsWith("audio/")) decodeAudio(a.payload) else None
+        dec match {
+          case Some((rate, ch, samples)) =>
+            val v = audioVector(samples)
+            AudioFeatures(a.asset_id, a.mime, decoded = true, rate.toDouble, ch,
+              samples.length.toLong,
+              if (rate > 0) samples.length.toDouble / rate else 0.0,
+              v(0), v(1), v(2))
+          case None =>
+            AudioFeatures(a.asset_id, a.mime, decoded = false, 0.0, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 16-bit little-endian mono WAV bytes from [-1, 1]
+    * samples — the synthetic-payload generator for tests and benchmarks
+    * (real container, real JDK encoder, byte-stable for given samples).
+    */
+  def encodeWavPcm16(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0, math.min(1.0, samples(i)))
+      val s = math.round(v * 32767.0).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Frame-sampling stand-in: split the payload into fixed-size chunks and

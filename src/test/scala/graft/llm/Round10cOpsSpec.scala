@@ -120,6 +120,60 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --------------------------------------------------------- audio decode
+
+  private def sineWav(freqHz: Double, amp: Double, rate: Float, n: Int): Array[Byte] =
+    Multimodal.encodeWavPcm16(
+      Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * freqHz * i / rate)), rate)
+
+  test("audio decode is real: rate, duration, rms, peak, zcr read from WAV samples") {
+    val n = 8000
+    val wav = sineWav(freqHz = 440.0, amp = 0.5, rate = 8000f, n = n)
+    val a = Asset(1L, "audio/wav", wav.length, wav)
+    val f = Multimodal.audioFeatures(Seq(a).toDS()).collect().head
+    assert(f.decoded && f.sample_rate == 8000.0 && f.channels == 1)
+    assert(f.n_samples == n && math.abs(f.duration_s - 1.0) < 1e-9)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.peak - 0.5) < 0.01, s"peak ${f.peak}")
+    // a 440 Hz sine crosses zero 2·440 times per second
+    assert(math.abs(f.zero_cross_rate - 2 * 440.0 / 8000.0) < 0.005, s"zcr ${f.zero_cross_rate}")
+  }
+
+  test("audio decode averages channels (stereo anti-phase DC cancels to silence)") {
+    // interleaved 16-bit LE stereo: left = +0.5, right = -0.5 constant
+    val n = 1000
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val l = math.round(0.5 * 32767).toInt.toShort
+      val r = (-l).toShort
+      pcm(4 * i) = (l & 0xFF).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+      pcm(4 * i + 2) = (r & 0xFF).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = Multimodal.audioFeatures(
+      Seq(Asset(2L, "audio/wav", out.size(), out.toByteArray)).toDS()).collect().head
+    assert(f.decoded && f.channels == 2 && f.n_samples == n)
+    assert(f.rms == 0.0 && f.peak == 0.0, "anti-phase channels average to silence")
+  }
+
+  test("corrupt audio degrades row-local; decoded audio feeds a 19-value [0,1] vector") {
+    val junk = Asset(3L, "audio/wav", 32, Array.tabulate(32)(_.toByte))
+    val good = { val w = sineWav(300.0, 0.9, 4000f, 4000); Asset(4L, "audio/wav", w.length, w) }
+    val fj = Multimodal.audioFeatures(Seq(junk).toDS()).collect().head
+    assert(!fj.decoded && fj.n_samples == 0L && fj.rms == 0.0)
+    val feats = Multimodal.extractFeatures(Seq(junk, good).toDS())
+      .collect().sortBy(_.asset_id)
+    assert(feats(0).features.length == 16, "undecodable audio takes the byte-histogram path")
+    assert(feats(1).features.length == 19, "decoded audio takes the signal-feature path")
+    assert(feats(1).features.forall(v => v >= 0.0 && v <= 1.0))
+    assert(math.abs(feats(1).features(1) - 0.9) < 0.01, "peak in the vector")
+  }
+
   test("temperatureMix rejects out-of-range parameters") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMix(langCorpus, alpha = 0.0, budgetTokens = 100L)
