@@ -706,6 +706,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Per-document benchmark-overlap FRACTION — the soft contamination
+    * metric (the n-gram overlap statistic eval-hygiene reports publish,
+    * GPT-3-appendix style): for EVERY corpus document,
+    * |doc shingles ∩ benchmark shingles| / |doc shingles|, zero-overlap
+    * documents included — the dashboard form, where
+    * [[contaminationReport]]'s hit-list carries only offenders. Same scale
+    * shape: the benchmark shingle set broadcasts, the corpus side is one
+    * narrow explode + broadcast left join + partial-aggregated
+    * groupBy(doc_id); corpus text never shuffles. The fraction is one
+    * integer-ratio double division, bit-identical cross-engine.
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            shingleN: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      // shingles are distinct within a doc: count(*) = set size, hit-sum =
+      // distinct shared
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Drop contaminated documents (≥ `minShared` shingles overlapping the
     * benchmark) from the corpus — anti-join against the report's ids.
     */

@@ -473,6 +473,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // d13 — per-document benchmark-overlap FRACTION (the soft contamination
+  // dashboard metric; d06 lists offenders, this scores everyone, zeros
+  // included). Benchmark = every 50th doc, mirroring d06.
+  private val d13 = q("d13_contamination_fraction", Some(
+    s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS contamination
+        FROM c LEFT JOIN b ON c.shingle = b.shingle
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    Dedup.contaminationFraction(
+      t.documents.filter(col("doc_id") % 50 =!= 0),
+      t.documents.filter(col("doc_id") % 50 === 0))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------- events
 
   private val e01 = q("e01_hourly_windows", Some(
@@ -1189,7 +1209,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, p01, p02, p03, p04)

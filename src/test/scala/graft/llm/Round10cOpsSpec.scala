@@ -120,6 +120,25 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --------------------------------------------- contamination fraction
+
+  test("contaminationFraction scores every doc, zeros included, fractions exact") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical: fraction 1
+      (2L, "alpha beta gamma nothing shared here after that point"),
+      (3L, "completely clean document with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, bench)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "zero-overlap docs present")
+    val byId = out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(1L) == ((4L, 4L, 1.0)), "identical doc fully contaminated")
+    // doc 2: 9 tokens → 7 shingles, only 'alpha beta gamma' shared
+    assert(byId(2L) == ((7L, 1L, 1.0 / 7.0)))
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0.0)
+  }
+
   // --------------------------------------------------------- audio decode
 
   private def sineWav(freqHz: Double, amp: Double, rate: Float, n: Int): Array[Byte] =
