@@ -148,6 +148,32 @@ object Events {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Rolling distinct active users (DAU→WAU-style): for each observed
+    * calendar day, the count of distinct users active in the trailing
+    * `windowDays` window. A windowed COUNT(DISTINCT) cannot partial-
+    * aggregate (the frames overlap), so the scalable form inverts the
+    * window: dedup to (user, day) once, EXPLODE each row into the
+    * `windowDays` window-end days it contributes to, dedup again, and
+    * count per day — three map-side-combinable aggregations over frames
+    * bounded by |users|·|active days|·windowDays, each shuffled on its own
+    * key, no window function anywhere. Cost scales linearly in
+    * `windowDays`; for windows where the ×W explosion is too big (90-day
+    * MAU at 100 TB), the sketch tier (q21's approx aggregates) is the
+    * intended swap — per-day HLL sketches merge associatively across any
+    * window width.
+    */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays $windowDays must be positive")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val observed = ud.select(col("day").as("win_day")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("win_day"))
+      .join(observed, Seq("win_day"), "left_semi")
+      .distinct()
+      .groupBy("win_day")
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

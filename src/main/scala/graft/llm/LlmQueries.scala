@@ -473,6 +473,19 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // e11 — trailing-7-day rolling distinct users per observed day. The
+  // Spark side inverts the overlapping window into an explode + two-level
+  // distinct (no window function; see Events.rollingDistinctUsers); the
+  // oracle computes the same thing the declarative way, by range join.
+  private val e11 = q("e11_rolling_wau", Some(
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT d.day AS win_day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active_users
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1 ORDER BY win_day""")) { t =>
+    Events.rollingDistinctUsers(eventsTs(t), windowDays = 7).orderBy("win_day")
+  }
+
   // d13 — per-document benchmark-overlap FRACTION (the soft contamination
   // dashboard metric; d06 lists offenders, this scores everyone, zeros
   // included). Benchmark = every 50th doc, mirroring d06.
@@ -1212,5 +1225,5 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, p01, p02, p03, p04)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, p01, p02, p03, p04)
 }

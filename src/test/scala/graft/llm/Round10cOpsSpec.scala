@@ -120,6 +120,39 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------------------------------------------ rolling distinct users
+
+  test("rollingDistinctUsers counts each user once per trailing window, observed days only") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(2)), // u1 active days 1+2 (dup event)
+      (2L, ts(1)),                           // u2 day 1
+      (3L, ts(5))                            // u3 day 5 — gap days 3-4 unobserved
+    ).toDF("user_id", "ts")
+    val out = Events.rollingDistinctUsers(events, windowDays = 3)
+      .orderBy("win_day").as[(java.sql.Date, Long)].collect()
+    assert(out.map(_._1.toString).toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-05"),
+      "one row per OBSERVED day, no rows for the gap")
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 1L),
+      "u1 counted once in day-2's window despite two active days")
+  }
+
+  test("rollingDistinctUsers is partition-layout independent and windowDays=1 is daily DAU") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d $h%02d:00:00")
+    val events = (1L to 60L).map(i => (i % 7, ts((i % 5 + 1).toInt, (i % 23 + 1).toInt)))
+      .toDF("user_id", "ts")
+    val a = Events.rollingDistinctUsers(events.repartition(1), 4)
+      .orderBy("win_day").collect().toSeq
+    val b = Events.rollingDistinctUsers(events.repartition(9), 4)
+      .orderBy("win_day").collect().toSeq
+    assert(a == b)
+    val dau = Events.rollingDistinctUsers(events, 1).orderBy("win_day")
+      .as[(java.sql.Date, Long)].collect()
+    val expected = events.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .groupBy("d").count().orderBy("d").as[(java.sql.Date, Long)].collect()
+    assert(dau.toSeq == expected.toSeq)
+  }
+
   // --------------------------------------------- contamination fraction
 
   test("contaminationFraction scores every doc, zeros included, fractions exact") {
