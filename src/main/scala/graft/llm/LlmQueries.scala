@@ -1182,6 +1182,22 @@ object LlmQueries {
     TextAnalysis.unigramSurprisal(t.documents).orderBy("doc_id")
   }
 
+  // x17 — overlapping token-window chunking (max 32, overlap 8): the
+  // embedding/RAG prep primitive. Narrow map + explode, zero shuffle; the
+  // oracle replays the same start-grid and slices in DuckDB list algebra.
+  private val x17 = q("x17_chunk_overlap", Some(
+    """WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                     FROM documents),
+        st AS (SELECT doc_id, w, unnest(range(0, greatest(1, len(w) - 8), 24)) AS start
+               FROM base)
+        SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+               CAST(len(w[start + 1 : start + 32]) AS INT) AS n_tokens,
+               array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text
+        FROM st ORDER BY doc_id, chunk_id""")) { t =>
+    TextAnalysis.chunkDocuments(t.documents, maxTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // p04 — temperature-resampled language mix (mT5-style, alpha = 0.3):
   // per-language weights ∝ tokens^alpha, thinned to an expected
   // budget·w_l contribution. pow() quantizes to decimal before the
@@ -1224,6 +1240,6 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, p01, p02, p03, p04)
 }

@@ -108,6 +108,35 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Overlapping token-window chunking — the embedding/RAG prep primitive
+    * (and the long-document splitter for context-bounded training): each
+    * document becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `maxTokens` tokens,
+    * consecutive chunks sharing `overlapTokens` (stride = max − overlap).
+    * Chunk starts are 0, stride, 2·stride, … while start < n − overlap
+    * (documents at or under the overlap yield exactly one chunk), so the
+    * final chunk may be short but no chunk is wholly contained in its
+    * predecessor. Pure narrow map + explode — chunking 100 TB shuffles
+    * nothing; the chunk id is (doc_id, chunk_id), stable across runs.
+    */
+  def chunkDocuments(documents: DataFrame, maxTokens: Int = 32,
+                     overlapTokens: Int = 8): DataFrame = {
+    require(maxTokens > 0, s"maxTokens $maxTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      s"overlapTokens $overlapTokens outside [0, maxTokens)")
+    val stride = maxTokens - overlapTokens
+    val toks = TextFns.tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0),
+          greatest(lit(0), size(col("w")) - overlapTokens - 1), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        slice(col("w"), col("col") + 1, lit(maxTokens)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk_text"))
+  }
+
   /** Language-adaptive stopword ratio: score each document against the
     * lexicon of its PREDICTED language, not a fixed one — the quality
     * refinement that keeps non-English documents from being penalized by an

@@ -120,6 +120,36 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------------------------------------------------------- chunking
+
+  test("chunkDocuments emits the overlap grid: stride starts, shared tokens, short tail") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(doc, maxTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_id").as[(Long, Long, Int, String)].collect()
+    // stride 3, starts 0,3,6 while start < 10-1=9 → 0,3,6; chunk 6 covers 7..10
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.map(_._3).toSeq == Seq(4, 4, 4))
+    // consecutive chunks share exactly the overlap token
+    assert(out(0)._4.split(" ").last == out(1)._4.split(" ").head)
+  }
+
+  test("chunkDocuments: short docs yield one whole chunk; every token is covered") {
+    val docs = Seq(
+      (1L, "tiny doc"),
+      (2L, (1 to 75).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, maxTokens = 32, overlapTokens = 8)
+    val one = out.filter(col("doc_id") === 1L).as[(Long, Long, Int, String)].collect()
+    assert(one.toSeq == Seq((1L, 0L, 2, "tiny doc")))
+    val covered = out.filter(col("doc_id") === 2L)
+      .select(explode(split(col("chunk_text"), " ")).as("t")).distinct().count()
+    assert(covered == 75, "chunk union covers every token")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, maxTokens = 8, overlapTokens = 8)
+    }
+  }
+
   // ------------------------------------------------ rolling distinct users
 
   test("rollingDistinctUsers counts each user once per trailing window, observed days only") {
