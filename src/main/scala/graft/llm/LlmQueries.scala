@@ -1237,9 +1237,31 @@ object LlmQueries {
     }
   }
 
+  // p05 — epoch-weighted repetition (the mixture-table "source S trains
+  // for e epochs" step): src0 ×2.5, src1 ×0.5, everything else ×1. The
+  // fractional copy set is the deterministic hash bucket; frac thresholds
+  // are exact 4-hex literals in both engines (0.5 → '8000').
+  private val p05 = q("p05_epoch_upsample", Some(
+    s"""WITH d AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = 'src0' THEN 2
+                      WHEN source = 'src1' THEN 0 ELSE 1 END
+                 + CASE WHEN ${Sampling.sqlHashBucket("doc_id", "epoch")} <
+                             CASE WHEN source = 'src0' THEN '8000'
+                                  WHEN source = 'src1' THEN '8000'
+                                  ELSE '0000' END
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents)
+        SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        FROM d WHERE n_copies > 0 ORDER BY doc_id, copy_idx""")) { t =>
+    Sampling.epochUpsample(t.documents, Map("src0" -> 2.5, "src1" -> 0.5))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, p01, p02, p03, p04)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, p01, p02, p03, p04, p05)
 }

@@ -106,6 +106,43 @@ object Sampling {
         col("src_tokens"), col("thresh"))
   }
 
+  /** Per-source epoch-weighted repetition — the data-recipe step that
+    * realizes "source S trains for e epochs" (LLaMA/GPT-style mixture
+    * tables) as a materialized corpus: every document of a source with
+    * factor e appears ⌊e⌋ times, plus one more copy for the
+    * deterministically-chosen frac(e) of documents (hash-bucket predicate,
+    * so the extra-copy set is a pure function of (doc_id, salt) — stable
+    * across runs and engines). e < 1 degrades to plain downsampling
+    * (⌊e⌋ = 0 and only the frac(e) bucket survives), so one operator
+    * covers up- AND down-weighting. Copies carry a (doc_id, copy_idx) key
+    * so downstream shuffles (packing, splits) treat them as distinct rows.
+    *
+    * Pure narrow map + bounded explode — upsampling 100 TB shuffles
+    * nothing. The per-source factors are literals folded into ONE CASE
+    * column; the integer copy count and the 4-hex threshold both derive in
+    * driver-side exact arithmetic, no float on the row-level decision path.
+    */
+  def epochUpsample(documents: DataFrame, epochs: Map[String, Double],
+                    defaultEpochs: Double = 1.0, salt: String = "epoch"): DataFrame = {
+    (epochs.values.toSeq :+ defaultEpochs).foreach(e =>
+      require(e >= 0.0 && e <= 100.0, s"epoch factor $e outside [0, 100]"))
+    def base(e: Double): Int = math.floor(e).toInt
+    def thr(e: Double): String = hex2(e - math.floor(e))
+    val baseCol = epochs.foldLeft(lit(base(defaultEpochs))) {
+      case (acc, (s, e)) => when(col("source") === s, lit(base(e))).otherwise(acc)
+    }
+    val thrCol = epochs.foldLeft(lit(thr(defaultEpochs))) {
+      case (acc, (s, e)) => when(col("source") === s, lit(thr(e))).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"),
+        (baseCol + when(hashBucket(col("doc_id"), salt) < thrCol, 1).otherwise(0))
+          .cast("long").as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
   /** Temperature-resampled language mix — the multilingual-corpus balancing
     * step (mT5 / XLM-R style, Xue et al. 2021): per-language sampling
     * weights w_l ∝ (language token count)^alpha flatten the natural

@@ -120,6 +120,32 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // -------------------------------------------------------- epoch upsample
+
+  test("epochUpsample repeats floor(e) times plus a deterministic frac(e) bucket") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"src${i % 4}", "text")).toDF("doc_id", "source", "text")
+    val out = Sampling.epochUpsample(docs,
+      Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), defaultEpochs = 1.0)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 300L, "integer epochs: exactly 3 copies each")
+    // 100 docs at 1.5: 100 base + ~50 extra; hash split is close to fair
+    assert(bySrc("src1") >= 130L && bySrc("src1") <= 170L, s"src1 ${bySrc("src1")}")
+    // 0.25 downsampling: no base copies, ~25 survive once
+    assert(bySrc("src2") >= 10L && bySrc("src2") <= 40L, s"src2 ${bySrc("src2")}")
+    assert(bySrc("src3") == 100L, "default factor 1.0 passes whole")
+    // copy_idx makes copies distinct rows: (doc_id, copy_idx) unique
+    assert(out.select("doc_id", "copy_idx").distinct().count() == out.count())
+    // determinism across partitionings
+    val b = Sampling.epochUpsample(docs.repartition(7),
+      Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), defaultEpochs = 1.0)
+    assert(out.orderBy("doc_id", "copy_idx").collect().toSeq ==
+      b.orderBy("doc_id", "copy_idx").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.epochUpsample(docs, Map("src0" -> -1.0))
+    }
+  }
+
   // ------------------------------------------------------------- chunking
 
   test("chunkDocuments emits the overlap grid: stride starts, shared tokens, short tail") {
