@@ -1237,6 +1237,24 @@ object LlmQueries {
     }
   }
 
+  // m01 — multimodal asset plumbing under the oracle gate: synthetic
+  // assets (text bytes as payloads) through the per-partition batched
+  // extractFeatures pass. The metadata/checksum path IS SQL-replicable
+  // (MD5 over the same bytes, byte length, the 16-bin stub width for
+  // non-decodable mimes), so the Dataset encoder + mapPartitions
+  // machinery gets a hash-compare even though pixel/sample features are
+  // graded by the sample-exact specs instead.
+  private val m01 = q("m01_asset_features", Some(
+    """SELECT doc_id AS asset_id, 'application/x-fake-' || lang AS mime,
+        CAST(len(text) AS INT) AS n_bytes, md5(text) AS checksum,
+        CAST(16 AS INT) AS n_features
+        FROM documents ORDER BY asset_id""")) { t =>
+    Multimodal.extractFeatures(Multimodal.syntheticAssets(t.documents))
+      .select(col("asset_id"), col("mime"), col("n_bytes"), col("checksum"),
+        size(col("features")).as("n_features"))
+      .orderBy("asset_id")
+  }
+
   // p05 — epoch-weighted repetition (the mixture-table "source S trains
   // for e epochs" step): src0 ×2.5, src1 ×0.5, everything else ×1. The
   // fractional copy set is the deterministic hash bucket; frac thresholds
@@ -1263,5 +1281,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, p01, p02, p03, p04, p05)
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+      p01, p02, p03, p04, p05, m01)
 }
