@@ -174,6 +174,34 @@ object Events {
       .agg(count(lit(1)).as("n_active_users"))
   }
 
+  /** Sketch-based rolling distinct actives — the documented swap for
+    * [[rollingDistinctUsers]] at window widths where the ×W (user, day)
+    * explosion gets expensive (90-day MAU at 100 TB): ONE keyed aggregate
+    * builds a per-day HLL sketch of the user set (DataSketches HllSketch
+    * via `hll_sketch_agg`), the window inversion then replicates
+    * |days|·W SKETCHES (a few KB per row, independent of user count), and
+    * `hll_union_agg` merges ≤W sketches per window-end day — the
+    * associative-merge property that windowed COUNT(DISTINCT) lacks is
+    * exactly what the sketch buys. Estimates are deterministic for a given
+    * input (HLL is hash-based, no randomness) but approximate: ~1.6/√2^lgK
+    * relative standard error (±0.8% at the default lgK = 14).
+    */
+  def rollingDistinctUsersSketch(events: DataFrame, windowDays: Int = 7,
+                                 lgK: Int = 14): DataFrame = {
+    require(windowDays > 0, s"windowDays $windowDays must be positive")
+    val byDay = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+    val observed = byDay.select(col("day").as("win_day"))
+    byDay
+      .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("win_day"), col("sk"))
+      .join(observed, Seq("win_day"), "left_semi")
+      .groupBy("win_day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_active_users"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

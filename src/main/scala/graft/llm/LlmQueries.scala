@@ -486,6 +486,18 @@ object LlmQueries {
     Events.rollingDistinctUsers(eventsTs(t), windowDays = 7).orderBy("win_day")
   }
 
+  // e12 — the sketch twin of e11 (per-day HLL sketches, associatively
+  // merged per trailing window) — the 100 TB / wide-window path. No SQL
+  // oracle (DataSketches HLL isn't replicable in DuckDB); accuracy is
+  // spec-pinned against the exact e11 rollup instead (≤1% at lgK=14).
+  private val e12 = QueryDef("e12_rolling_wau_sketch",
+    (s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.rollingDistinctUsersSketch(eventsTs(Tables(s, dir)), windowDays = 7)
+        .orderBy("win_day")
+    },
+    oracle = None)
+
   // d13 — per-document benchmark-overlap FRACTION (the soft contamination
   // dashboard metric; d06 lists offenders, this scores everyone, zeros
   // included). Benchmark = every 50th doc, mirroring d06.
@@ -1281,6 +1293,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
       p01, p02, p03, p04, p05, m01)
 }

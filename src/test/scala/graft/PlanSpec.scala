@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "threshold frame must broadcast")
   }
 
+  test("x17 chunking and p05 upsampling are narrow: no hash exchange anywhere") {
+    for (n <- Seq("x17_chunk_overlap", "p05_epoch_upsample")) {
+      val plan = planOf(n)
+      // the ORDER BY's range exchange is the registered def's only wide op;
+      // the operator itself must not shuffle (narrow map + explode)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$n plans a shuffle:\n$plan")
+      assert(!plan.contains("WindowExec"), s"$n plans a window")
+    }
+  }
+
+  test("e11 rolling distinct is window-free: keyed aggregations only") {
+    val plan = planOf("e11_rolling_wau")
+    assert(!plan.contains("Window"), s"windowed COUNT DISTINCT crept back:\n$plan")
+    // every hash exchange carries one of the three designed keys
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.contains("user_id") || e.contains("win_day") || e.contains("day")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("ivfPq codes pass is exchange-free (fused assign + encode on the scan)") {
     val t = Tables(spark, sf)
     val centroids = graft.llm.Similarity.ivfCentroids(t.embeddings)

@@ -209,6 +209,25 @@ class Round10cOpsSpec extends SparkSpec {
     assert(dau.toSeq == expected.toSeq)
   }
 
+  test("sketch rolling distinct tracks the exact rollup within HLL error, deterministically") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    // 500 users, staggered activity over 9 days
+    val events = (1L to 3000L).map(i =>
+      (i % 500, ts((i % 9 + 1).toInt, (i % 23 + 1).toInt))).toDF("user_id", "ts")
+    val exact = Events.rollingDistinctUsers(events, windowDays = 3)
+      .orderBy("win_day").as[(java.sql.Date, Long)].collect().toMap
+    val approx = Events.rollingDistinctUsersSketch(events, windowDays = 3)
+      .orderBy("win_day").as[(java.sql.Date, Double)].collect()
+    assert(approx.map(_._1).toSet == exact.keySet, "same observed-day rows")
+    approx.foreach { case (d, est) =>
+      val ex = exact(d).toDouble
+      assert(math.abs(est - ex) / ex <= 0.01, s"$d: est $est vs exact $ex")
+    }
+    val again = Events.rollingDistinctUsersSketch(events.repartition(11), windowDays = 3)
+      .orderBy("win_day").as[(java.sql.Date, Double)].collect()
+    assert(approx.toSeq == again.toSeq, "sketch estimates are deterministic")
+  }
+
   // --------------------------------------------- contamination fraction
 
   test("contaminationFraction scores every doc, zeros included, fractions exact") {
