@@ -240,6 +240,29 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s11 — contrastive triplet mining (positives = top-3 exact cosine,
+  // hard negatives = ranks 40-44): the embedding-training data-prep
+  // recipe, one ranking pass + rank filter. Oracle = s01's exact ranking
+  // with the same rank windows and label tag.
+  private val s11 = q("s11_contrastive_triplets", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos,
+               CASE WHEN rank <= 3 THEN 'positive' ELSE 'hard_negative' END AS label
+        FROM r WHERE rank <= 3 OR rank BETWEEN 40 AND 44
+        ORDER BY query_id, rank""")) { t =>
+    Similarity.contrastiveTriplets(t.embeddings, col("vec_id") % 100 === 0,
+      nPos = 3, hardFrom = 40, nNeg = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; planted-twin
   // recovery asserted in LlmSpec). Registered at the HIGH-RECALL config
   // (48 tables × 6 bits — recall@10 ≈ 0.93 on the near-uniform synthetic
@@ -1291,7 +1314,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
       p01, p02, p03, p04, p05, m01)

@@ -68,6 +68,29 @@ object Similarity {
     rankTopK(scored, "cos", k)
   }
 
+  /** Contrastive training-triplet mining — the embedding-model data-prep
+    * recipe (SimCSE/E5-style): for each query vector the exact cosine
+    * ranking yields POSITIVES (ranks 1..nPos) and HARD NEGATIVES (ranks
+    * hardFrom..hardFrom+nNeg−1 — far enough down to be non-matches, close
+    * enough to be informative; random negatives are free, hard ones are
+    * what moves a contrastive loss). ONE ranking pass at
+    * k = hardFrom+nNeg−1 through the same salted two-phase TopKPerGroup
+    * machinery as [[bruteForceTopK]], then a rank filter + label — the
+    * mid-ranks are discarded after the per-group top-k, never materialized
+    * driver-side. Swap the scoring frame for an ANN shortlist
+    * ([[ivfPqTopK]]) when exact ranking at 100 TB is not worth it.
+    */
+  def contrastiveTriplets(embeddings: DataFrame, queryPred: Column,
+                          nPos: Int = 3, hardFrom: Int = 40,
+                          nNeg: Int = 5): DataFrame = {
+    require(nPos > 0 && nNeg > 0 && hardFrom > nPos,
+      s"invalid triplet spec: nPos=$nPos hardFrom=$hardFrom nNeg=$nNeg")
+    bruteForceTopK(embeddings, queryPred, k = hardFrom + nNeg - 1)
+      .filter(col("rank") <= nPos || col("rank") >= hardFrom)
+      .withColumn("label",
+        when(col("rank") <= nPos, "positive").otherwise("hard_negative"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of true (query_id, neighbor_id) pairs the approximate index
     * returned. Both frames use the bruteForceTopK/lshTopK output schema.

@@ -120,6 +120,30 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --------------------------------------------------- contrastive triplets
+
+  test("contrastiveTriplets: positives outrank hard negatives, mid-ranks absent") {
+    val vecs = (0L until 200L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.contrastiveTriplets(vecs, col("vec_id") % 50 === 0,
+      nPos = 2, hardFrom = 10, nNeg = 3)
+      .as[(Long, Int, Long, Double, String)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 50L, 100L, 150L))
+    byQuery.foreach { case (q, rows) =>
+      val pos = rows.filter(_._5 == "positive")
+      val neg = rows.filter(_._5 == "hard_negative")
+      assert(pos.map(_._2).sorted.toSeq == Seq(1, 2), s"q$q positives ranks")
+      assert(neg.map(_._2).sorted.toSeq == Seq(10, 11, 12), s"q$q negative ranks")
+      assert(pos.map(_._4).min >= neg.map(_._4).max, s"q$q ordering")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.contrastiveTriplets(vecs, col("vec_id") === 0L, nPos = 5, hardFrom = 4)
+    }
+  }
+
   // -------------------------------------------------------- epoch upsample
 
   test("epochUpsample repeats floor(e) times plus a deterministic frac(e) bucket") {
