@@ -1233,6 +1233,18 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // x18 — deterministic global training order (dense 1..N positions in
+  // salted-hash order) through the scale-safe prefix-sum path — the
+  // operator a global ROW_NUMBER window would express unscalably. The
+  // oracle IS that window (DuckDB's single node doesn't mind).
+  private val x18 = q("x18_training_order", Some(
+    s"""SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle') AS h,
+        CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':shuffle')) AS BIGINT)
+          AS position
+        FROM documents ORDER BY doc_id""")) { t =>
+    Sampling.trainingOrder(t.documents).orderBy("doc_id")
+  }
+
   // p04 — temperature-resampled language mix (mT5-style, alpha = 0.3):
   // per-language weights ∝ tokens^alpha, thinned to an expected
   // budget·w_l contribution. pow() quantizes to decimal before the
@@ -1315,7 +1327,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
       p01, p02, p03, p04, p05, m01)
 }

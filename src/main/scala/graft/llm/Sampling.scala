@@ -190,6 +190,27 @@ object Sampling {
       .select("doc_id", "lang", "n_tok", "lang_tokens", "thresh")
   }
 
+  /** Deterministic global training order — the corpus-shuffle step a
+    * training dataloader consumes: every row gets a dense 1..N position in
+    * the order of a salted hash of its id (a reproducible permutation — the
+    * same corpus and salt give the same order on any cluster, and a new
+    * salt is a fresh epoch-level shuffle). The position is assigned
+    * scale-safely: a global `ROW_NUMBER() OVER (ORDER BY hash)` would
+    * funnel 100 TB through one task's window; instead the hash range-
+    * partitions the corpus (disjoint ordered ranges per partition) and the
+    * dense index comes from the shared prefix-sum machinery
+    * ([[graft.operators.PrefixSum]] — per-partition counts are the only
+    * driver traffic). Hash ties cannot occur (full 32-hex MD5 over
+    * distinct ids).
+    */
+  def trainingOrder(documents: DataFrame, salt: String = "shuffle"): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":" + salt)).cast("binary"))
+    graft.operators.PrefixSum.withRunningSum(
+      documents.select(col("doc_id"), h.as("h"), lit(1L).as("one")),
+      orderCol = "h", valueCol = "one", outCol = "position")
+      .select(col("doc_id"), col("h"), col("position"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB twin of [[hashBucket]]. */

@@ -120,6 +120,25 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // -------------------------------------------------------- training order
+
+  test("trainingOrder assigns a dense 1..N permutation in hash order, partition-independent") {
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.trainingOrder(docs.repartition(1))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val b = Sampling.trainingOrder(docs.repartition(13))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(a == b, "position is a pure function of (doc_id, salt)")
+    assert(a.map(_._3).sorted == (1L to 500L), "dense 1..N, no gaps or dups")
+    // position order IS hash order
+    val byPos = a.sortBy(_._3).map(_._2)
+    assert(byPos == byPos.sorted, "positions ascend with the hash")
+    // a different salt is a different permutation
+    val c = Sampling.trainingOrder(docs, salt = "epoch2")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(c.map(_._3) != a.map(_._3))
+  }
+
   // --------------------------------------------------- contrastive triplets
 
   test("contrastiveTriplets: positives outrank hard negatives, mid-ranks absent") {
