@@ -164,6 +164,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking runs unchanged on a document stream (batch ≡ stream, row-local op)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.llm.TextAnalysis.chunkDocuments(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(30)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("chunks")
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.llm.TextAnalysis.chunkDocuments(docs.toSeq.toDF("doc_id", "text"))
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.size > docs.length, "long docs produced multiple chunks")
+    } finally q.stop()
+  }
+
   test("continuous deduped ingest: streamed micro-batches equal sequential batch ingestion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
