@@ -203,12 +203,17 @@ object Sampling {
     * driver traffic). Hash ties cannot occur (full 32-hex MD5 over
     * distinct ids).
     */
-  def trainingOrder(documents: DataFrame, salt: String = "shuffle"): DataFrame = {
-    val h = md5(concat(col("doc_id").cast("string"), lit(":" + salt)).cast("binary"))
+  def trainingOrder(documents: DataFrame, salt: String = "shuffle",
+                    idCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(idCols.nonEmpty, "trainingOrder needs at least one id column")
+    // composite ids (e.g. doc_id + copy_idx after epochUpsample) hash as a
+    // ':'-joined key so every physical row gets its own position
+    val key = concat_ws(":", idCols.map(c => col(c).cast("string")) :+ lit(salt): _*)
+    val h = md5(key.cast("binary"))
     graft.operators.PrefixSum.withRunningSum(
-      documents.select(col("doc_id"), h.as("h"), lit(1L).as("one")),
+      documents.select((idCols.map(col) :+ h.as("h") :+ lit(1L).as("one")): _*),
       orderCol = "h", valueCol = "one", outCol = "position")
-      .select(col("doc_id"), col("h"), col("position"))
+      .select((idCols.map(col) :+ col("h") :+ col("position")): _*)
   }
 
   // ---------------------------------------------------------------- oracles

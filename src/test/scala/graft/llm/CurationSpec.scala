@@ -23,6 +23,36 @@ class CurationSpec extends SparkSpec {
     assert(kept.intersect(nonReps).isEmpty)
   }
 
+  test("full CLI recipe: cap, split, epochs, order compose with their invariants intact") {
+    val out = graft.cli.CuratePipeline.recipe(docs,
+      minQuality = 0.0, lang = None, threshold = 0.8,
+      split = true, sourceCap = Some(150L),
+      epochs = Map("src0" -> 2.0), order = true)
+      .persist()
+    try {
+      assert(out.count() > 0)
+      // epochs: every src0 survivor appears exactly twice, others once
+      val copies = out.groupBy("doc_id", "source").count().collect()
+      assert(copies.forall { r =>
+        val expect = if (r.getAs[String]("source") == "src0") 2L else 1L
+        r.getAs[Long]("count") == expect
+      })
+      // copies inherit their doc's split: one split per doc_id
+      assert(out.groupBy("doc_id").agg(countDistinct("split").as("n"))
+        .filter(col("n") > 1).count() == 0)
+      // order: dense 1..N over physical rows
+      val pos = out.select("position").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      assert(pos.toSeq == (1L to out.count()).toSeq)
+      // source cap: no source exceeds ~cap tokens per copy tier
+      val srcTokens = out.filter(col("copy_idx") === 1L)
+        .select(col("source"), size(split(lower(col("text")), "\\s+")).as("t"))
+        .groupBy("source").agg(sum("t").as("tok")).collect()
+      assert(srcTokens.forall(_.getAs[Long]("tok") <= 400L),
+        "capped sources stay near the budget")
+    } finally out.unpersist()
+  }
+
   test("lang = None disables the language filter") {
     val anyLang = Curation.curate(docs, minQuality = 0.0, lang = None).count()
     val nonReps = Dedup.nearDupClusters(docs, 0.8)
