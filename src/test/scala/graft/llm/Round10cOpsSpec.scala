@@ -120,6 +120,48 @@ class Round10cOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunk grid invariants hold across random document lengths (bulk property)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { i =>
+      val n = rnd.nextInt(120) + 1
+      (i, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxT = 16; val over = 4; val stride = maxT - over
+    val chunks = TextAnalysis.chunkDocuments(docs, maxT, over)
+      .as[(Long, Long, Int, String)].collect()
+    val tokCount = docs.select(col("doc_id"), size(split(lower(col("text")), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      val n = tokCount(id)
+      val expected = math.max(1, math.ceil((n - over).toDouble / stride).toInt)
+      assert(rows.length == expected, s"doc $id: ${rows.length} chunks for $n tokens")
+      assert(rows.forall(_._3 <= maxT), s"doc $id: oversized chunk")
+      // chunk c starts at token c*stride
+      rows.foreach { case (_, c, _, text) =>
+        assert(text.split(" ").head == s"w${id}_${c * stride}".toLowerCase, s"doc $id chunk $c start")
+      }
+      // full coverage: distinct tokens across chunks == n
+      assert(rows.flatMap(_._4.split(" ")).distinct.length == n, s"doc $id coverage")
+    }
+  }
+
+  test("epochUpsample copy counts are floor(e) or ceil(e) for every doc (bulk property)") {
+    val docs = (1L to 600L).map(i => (i, s"src${i % 6}", "t")).toDF("doc_id", "source", "text")
+    val epochs = Map("src0" -> 2.7, "src1" -> 0.4, "src2" -> 1.0, "src3" -> 5.99)
+    val out = Sampling.epochUpsample(docs, epochs, defaultEpochs = 1.3)
+      .groupBy("doc_id", "source").agg(max("n_copies").as("n"), count(lit(1)).as("rows"))
+      .as[(Long, String, Long, Long)].collect()
+    val present = out.map(r => (r._1, r._3)).toMap
+    (1L to 600L).foreach { id =>
+      val e = epochs.getOrElse(s"src${id % 6}", 1.3)
+      val n = present.getOrElse(id, 0L)
+      assert(n == math.floor(e).toLong || n == math.ceil(e).toLong,
+        s"doc $id (e=$e) got $n copies")
+    }
+    // rows emitted per doc == n_copies exactly
+    assert(out.forall(r => r._3 == r._4))
+  }
+
   // -------------------------------------------------------- training order
 
   test("trainingOrder assigns a dense 1..N permutation in hash order, partition-independent") {
