@@ -1245,6 +1245,21 @@ object LlmQueries {
     Sampling.trainingOrder(t.documents).orderBy("doc_id")
   }
 
+  // x19 — exact-k quota sample (10 docs per source): rank by salted id
+  // hash within group, rank ≤ k survives — the exact-count twin of x10's
+  // rate-based stratified sample, via the salted two-phase top-k.
+  private val x19 = q("x19_quota_per_source", Some(
+    """SELECT doc_id, source, CAST(quota_rank AS INT) AS quota_rank FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR || ':quota'), doc_id) AS quota_rank
+          FROM documents) z
+        WHERE quota_rank <= 10 ORDER BY doc_id""")) { t =>
+    Sampling.quotaSample(t.documents, "source", k = 10)
+      .select("doc_id", "source", "quota_rank")
+      .orderBy("doc_id")
+  }
+
   // p04 — temperature-resampled language mix (mT5-style, alpha = 0.3):
   // per-language weights ∝ tokens^alpha, thinned to an expected
   // budget·w_l contribution. pow() quantizes to decimal before the
@@ -1327,7 +1342,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
       p01, p02, p03, p04, p05, m01)
 }

@@ -216,6 +216,27 @@ object Sampling {
       .select((idCols.map(col) :+ col("h") :+ col("position")): _*)
   }
 
+  /** Exact-k per-group quota sample — "take exactly k documents per
+    * source" (eval-set construction, per-domain audit samples): documents
+    * rank by their salted id hash WITHIN each group and rank ≤ k survive,
+    * so the quota is exact (groups under k pass whole), deterministic (a
+    * pure function of (id, salt) — re-runs and engines agree), and
+    * uniform-without-replacement within the group. Rate-based
+    * [[stratifiedSample]] hits quotas only in expectation; this is the
+    * exact-count twin. Rides the salted two-phase [[graft.operators
+    * .TopKPerGroup]] machinery, so a hot group (one domain = half the
+    * corpus) never funnels through a single task's window.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, k: Int,
+                  idCol: String = "doc_id", salt: String = "quota"): DataFrame = {
+    require(k > 0, s"quota $k must be positive")
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)).cast("binary"))
+    graft.operators.TopKPerGroup.topKPerGroup(
+      df.withColumn("__quota_h", h), Seq(groupCol), tieBreakCol = idCol,
+      order = Seq(col("__quota_h"), col(idCol)), k = k, rankCol = "quota_rank")
+      .drop("__quota_h")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB twin of [[hashBucket]]. */

@@ -162,6 +162,26 @@ class Round10cOpsSpec extends SparkSpec {
     assert(out.forall(r => r._3 == r._4))
   }
 
+  // ---------------------------------------------------------- quota sample
+
+  test("quotaSample takes exactly k per group, under-k groups whole, deterministically") {
+    val docs = ((1L to 80L).map(i => (i, "big")) ++ (101L to 105L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.quotaSample(docs, "source", k = 10)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("big") == 10L && bySrc("small") == 5L)
+    // ranks dense 1..n per group; selection is partition-independent
+    val ranks = out.filter(col("source") === "big")
+      .select("quota_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 10))
+    val b = Sampling.quotaSample(docs.repartition(7), "source", k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq == b)
+    // the kept set is hash-uniform, not id-prefix biased: not simply 1..10
+    val kept = out.filter(col("source") === "big").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq != (1L to 10L).toSeq)
+  }
+
   // -------------------------------------------------------- training order
 
   test("trainingOrder assigns a dense 1..N permutation in hash order, partition-independent") {
