@@ -202,6 +202,30 @@ object Events {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_active_users"))
   }
 
+  /** Daily event-volume anomaly score — the ops-telemetry twin of the
+    * warehouse's q19 z-score: per (event_type, day) counts, then each
+    * day's deviation from its type's mean in sample-std units (spike and
+    * drop detection over the event log). All inputs to the float math are
+    * EXACT integers (counts and their squares summed in long), so the
+    * mean/std/z chain is correctly-rounded double arithmetic on
+    * bit-identical values cross-engine; the final ROUND(4) absorbs
+    * formatting. One corpus scan, one map-side-combined shuffle to the
+    * tiny |types×days| frame; the per-type stats frame broadcasts back.
+    */
+  def dailyCountAnomalies(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("n_events").cast("double").as("s1"),
+      sum(col("n_events") * col("n_events")).cast("double").as("s2"))
+    daily.join(stats, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round((col("n_events") - col("s1") / col("n")) /
+          nullif(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)),
+            lit(0.0)), 4).as("z_score"))
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum of
     * session starts, then one aggregate per session. The window partitions
     * by user — exactly the state Structured Streaming keeps per key in

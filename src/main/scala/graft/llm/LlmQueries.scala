@@ -521,6 +521,26 @@ object LlmQueries {
     },
     oracle = None)
 
+  // e13 — daily event-volume anomaly z-scores (spike/drop detection per
+  // event type) — q19's operator class applied to the event log. Every
+  // float input is an exact integer, so the stats chain is bit-identical
+  // cross-engine; ROUND(4) absorbs formatting.
+  private val e13 = q("e13_daily_anomaly", Some(
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(COUNT(*) AS BIGINT) AS n_events
+                      FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(n_events) AS DOUBLE) AS s1,
+                 CAST(SUM(n_events * n_events) AS DOUBLE) AS s2
+               FROM daily GROUP BY 1)
+        SELECT d.event_type, d.day, d.n_events,
+               ROUND((d.n_events - s1 / n) /
+                     NULLIF(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0), 4) AS z_score
+        FROM daily d JOIN st USING (event_type)
+        ORDER BY event_type, day""")) { t =>
+    Events.dailyCountAnomalies(eventsTs(t)).orderBy("event_type", "day")
+  }
+
   // d13 — per-document benchmark-overlap FRACTION (the soft contamination
   // dashboard metric; d06 lists offenders, this scores everyone, zeros
   // included). Benchmark = every 50th doc, mirroring d06.
@@ -1343,6 +1363,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       p01, p02, p03, p04, p05, m01)
 }

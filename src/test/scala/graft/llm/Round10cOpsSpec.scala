@@ -162,6 +162,26 @@ class Round10cOpsSpec extends SparkSpec {
     assert(out.forall(r => r._3 == r._4))
   }
 
+  // -------------------------------------------------------- daily anomaly
+
+  test("dailyCountAnomalies flags a planted spike day and is flat-series-safe") {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-04-$day%02d ${i % 23 + 1}%02d:00:00")
+    // 'click': ~10/day for 9 days, 100 on day 5 (spike). 'flat': constant 7.
+    val click = (1 to 9).flatMap(d =>
+      (1 to (if (d == 5) 100 else 10)).map(i => ("click", ts(d, i))))
+    val flat = (1 to 9).flatMap(d => (1 to 7).map(i => ("flat", ts(d, i))))
+    val events = (click ++ flat).toDF("event_type", "ts")
+    val out = Events.dailyCountAnomalies(events)
+      .as[(String, java.sql.Date, Long, java.lang.Double)].collect()
+    val spike = out.filter(r => r._1 == "click" && r._2.toString == "2024-04-05").head
+    assert(spike._3 == 100L && spike._4 > 2.5, s"spike z ${spike._4}")
+    assert(out.filter(r => r._1 == "click" && r._2.toString != "2024-04-05")
+      .forall(_._4 < 0), "non-spike days sit below the inflated mean")
+    // zero-variance series: z is null (NULLIF guard), not NaN/infinity
+    assert(out.filter(_._1 == "flat").forall(_._4 == null))
+  }
+
   // ---------------------------------------------------------- quota sample
 
   test("quotaSample takes exactly k per group, under-k groups whole, deterministically") {
