@@ -1265,6 +1265,30 @@ object LlmQueries {
     Sampling.trainingOrder(t.documents).orderBy("doc_id")
   }
 
+  // x20 — per-document TF-IDF top-3 keywords: decimal-quantized IDF ×
+  // exact counts, token-string tie-break — identical rankings in both
+  // engines (the x16 determinism treatment applied to ranking).
+  private val x20 = q("x20_tfidf_keywords", Some(
+    """WITH dt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z
+          GROUP BY 1, 2),
+        dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, tok,
+                 c * CAST(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS DECIMAL(18,8))
+                   AS score
+               FROM dt JOIN dfq USING (tok), nd),
+        r AS (SELECT doc_id, tok, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS kw_rank
+              FROM sc)
+        SELECT doc_id, CAST(kw_rank AS INT) AS kw_rank, tok AS keyword,
+               CAST(score AS DOUBLE) AS score
+        FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""")) { t =>
+    TextAnalysis.tfidfKeywords(t.documents, k = 3).orderBy("doc_id", "kw_rank")
+  }
+
   // x19 — exact-k quota sample (10 docs per source): rank by salted id
   // hash within group, rank ≤ k survives — the exact-count twin of x10's
   // rate-based stratified sample, via the salted two-phase top-k.
@@ -1362,7 +1386,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       p01, p02, p03, p04, p05, m01)
 }

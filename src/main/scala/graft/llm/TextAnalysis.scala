@@ -102,7 +102,12 @@ object TextAnalysis {
           .cast(DecimalType(18, 8)).as("lnv"))
     docTok.join(lut, Seq("tok"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), sum(col("c") * col("lnv")).as("sdec"))
+      .agg(sum("c").as("n_tokens"),
+        // c narrowed to DECIMAL(12,0): a long operand infers DECIMAL(20,0)
+        // and the product's precision 18+20+1 > 38 silently DROPS the scale
+        // to 7 (Spark's overflow rule), while DuckDB keeps 8 — the narrowed
+        // precision (12+18+1 = 31) preserves the exact scale-8 product
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnv")).as("sdec"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sdec").cast("double") / col("n_tokens").cast("double"), 4)
           .as("surprisal"))
@@ -135,6 +140,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         size(col("cw")).as("n_tokens"),
         array_join(col("cw"), " ").as("chunk_text"))
+  }
+
+  /** Per-document TF-IDF keywords — the classic content-signature
+    * extraction (tags for dedup triage, topic sampling, search-side
+    * doc summaries): score(doc, token) = in-doc count × ln(N/df), top-k
+    * tokens per document. Same determinism treatment as
+    * [[unigramSurprisal]]: ln() quantizes to DECIMAL(18,8) once per
+    * vocabulary entry, the score is an exact decimal·count product, and
+    * ordering ties break on the token string — identical rankings in any
+    * engine. The per-doc top-k rides the salted two-phase
+    * [[graft.operators.TopKPerGroup]], the doc-frequency rollup and IDF
+    * LUT are vocabulary-sized (broadcast), and raw text never shuffles.
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val docTok = documents
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val docFreq = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = docFreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+          .cast(DecimalType(18, 8)).as("idfv"))
+    val scored = docTok.join(idf, Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        // same precision-narrowing as unigramSurprisal: keep scale 8 exact
+        (col("c").cast(DecimalType(12, 0)) * col("idfv")).as("score"))
+    graft.operators.TopKPerGroup.topKPerGroup(scored, Seq("doc_id"),
+      tieBreakCol = "tok", order = Seq(col("score").desc, col("tok")),
+      k = k, rankCol = "kw_rank")
+      .select(col("doc_id"), col("kw_rank"), col("tok").as("keyword"),
+        col("score").cast("double").as("score"))
   }
 
   /** Language-adaptive stopword ratio: score each document against the

@@ -162,6 +162,30 @@ class Round10cOpsSpec extends SparkSpec {
     assert(out.forall(r => r._3 == r._4))
   }
 
+  // ------------------------------------------------------- tfidf keywords
+
+  test("tfidfKeywords surfaces distinctive tokens over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common zebra common common"),
+      (2L, "common giraffe common lion common"),
+      (3L, "common common common common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, k = 2)
+      .as[(Long, Int, String, Double)].collect()
+    val byDoc = out.groupBy(_._1)
+    // 'common' is in every doc (idf = 0); rare tokens win rank 1
+    assert(byDoc(1L).minBy(_._2)._3 == "zebra")
+    assert(Set("giraffe", "lion").contains(byDoc(2L).minBy(_._2)._3))
+    // doc 3 has only the idf-0 token: its top keyword scores exactly 0
+    assert(byDoc(3L).minBy(_._2)._4 == 0.0)
+    assert(out.forall(_._2 <= 2), "k bound holds")
+    // determinism across partitionings (decimal scores, token tie-break)
+    val b = TextAnalysis.tfidfKeywords(docs.repartition(5), k = 2)
+      .orderBy("doc_id", "kw_rank").collect().toSeq
+    assert(TextAnalysis.tfidfKeywords(docs, k = 2)
+      .orderBy("doc_id", "kw_rank").collect().toSeq == b)
+  }
+
   // -------------------------------------------------------- daily anomaly
 
   test("dailyCountAnomalies flags a planted spike day and is flat-series-safe") {
