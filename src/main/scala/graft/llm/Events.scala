@@ -249,4 +249,34 @@ object Events {
         max(col("ts")).as("session_end"),
         dsum(col("value")).as("total_value"))
   }
+
+  /** Per-user inter-arrival statistics — the activity-cadence profile
+    * (engagement scoring, bot detection, churn features): consecutive-event
+    * gaps per user, rolled up to count / min / max / exact median gap.
+    *
+    * Scale shape: ONE shuffle by user_id feeds both the lag window and the
+    * rollup (same key — no second exchange); per-user partitions are small
+    * by construction, so the window never sees a global sort. The median is
+    * Spark's EXACT `percentile` aggregate — partials combine per user like
+    * any hash agg. Determinism: gaps are integer microseconds (ties in ts
+    * broken by event_id), and the interpolated median of two integers below
+    * 2^52 is EXACT in double (x.0 or x.5) whichever algebraic form the
+    * engine interpolates with — so the median is emitted in microseconds,
+    * un-divided and un-rounded, and hash-compares bit-exactly (a seconds
+    * conversion would sit on the 6-dp rounding boundary whenever the
+    * median is half-odd).
+    */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap").as("min_gap_us"),
+        max("gap").as("max_gap_us"),
+        percentile(col("gap"), lit(0.5)).as("median_gap_us"))
+  }
 }

@@ -1383,10 +1383,93 @@ object LlmQueries {
       .orderBy("doc_id", "copy_idx")
   }
 
+  // x21 — the Gopher quality-rule battery (Rae et al. 2021): per-document
+  // boolean verdicts (word count, mean word length, symbol ratio,
+  // alpha-word fraction, stopword presence) + the integer-ratio metrics
+  // behind them. Pure narrow map; every ratio is one double division of
+  // integer counts, so the verdicts are bit-stable cross-engine.
+  private val x21 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("x21_gopher_rules", Some(
+      s"""WITH base AS (
+            SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+              CAST(len(w) AS INT) AS n_words,
+              CAST(list_sum(list_transform(w, x -> len(x))) AS INT) AS sum_word_len,
+              CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha_words,
+              CAST(len(text) - len(replace(text, '#', '')) AS INT)
+                + CAST((len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS INT)
+                AS n_symbols,
+              CAST(len(list_filter(list_distinct(w), x -> x IN ($enStops))) AS INT)
+                AS n_stop_distinct
+            FROM base),
+          s AS (
+            SELECT *,
+              CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+              CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+              CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac
+            FROM m)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop_distinct,
+            (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+            (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+            (symbol_ratio < 0.1) AS ok_symbol_ratio,
+            (alpha_frac > 0.8) AS ok_alpha_words,
+            (n_stop_distinct >= 2) AS ok_stopwords,
+            ((n_words BETWEEN 50 AND 100000) AND mean_word_len >= 3.0
+              AND mean_word_len <= 10.0 AND symbol_ratio < 0.1
+              AND alpha_frac > 0.8 AND n_stop_distinct >= 2) AS keep_doc
+          FROM s ORDER BY doc_id""")) { t =>
+      TextAnalysis.gopherRules(t.documents).orderBy("doc_id")
+    }
+  }
+
+  // d14 — incremental EXACT dedup through a Bloom-filter pre-filter (the
+  // semi-join pushdown shape): batch docs (doc_id % 3 = 0) that are NOT
+  // already in the corpus by normalized fingerprint. The bloom path's
+  // false positives die in the confirming anti-join, so the plain
+  // anti-join oracle covers it exactly.
+  private val d14 = q("d14_incremental_dedup_bloom", Some(
+    s"""WITH f AS (SELECT doc_id, md5(${TextFns.sqlNormalized("text")}) AS fingerprint
+                   FROM documents),
+        n AS (SELECT doc_id, fingerprint FROM f WHERE doc_id % 3 = 0),
+        c AS (SELECT fingerprint FROM f WHERE doc_id % 3 <> 0)
+        SELECT n.doc_id, n.fingerprint FROM n
+        WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fingerprint = n.fingerprint)
+        ORDER BY doc_id""")) { t =>
+    Dedup.incrementalExactBloom(
+      t.documents.filter(col("doc_id") % 3 === 0),
+      t.documents.filter(col("doc_id") % 3 =!= 0),
+      expectedItems = 1000000L)
+      .orderBy("doc_id")
+  }
+
+  // e14 — per-user inter-arrival stats (activity cadence: engagement /
+  // bot-detection / churn features): consecutive-event gaps in integer
+  // microseconds, rolled up to count / min / max / exact interpolated
+  // median (emitted in µs — exact in double, so no rounding needed).
+  // One user_id shuffle feeds window AND rollup.
+  private val e14 = q("e14_interarrival", Some(
+    """WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+          FROM events)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap) AS DOUBLE)
+                 AS median_gap_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")) { t =>
+    Events.interarrivalStats(eventsTs(t)).orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       p01, p02, p03, p04, p05, m01)
 }

@@ -372,4 +372,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram"))
       .limit(k)
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, §A.1.1) — the
+    * standard pre-training document filter, per-document boolean verdicts
+    * plus the metrics behind them:
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10] characters
+    *   - symbol-to-word ratio (`#` or `...` occurrences / words) < 0.1
+    *   - fraction of words containing an alphabetic character > 0.80
+    *   - at least 2 distinct required stopwords present
+    * (The paper's line-granularity rules — bullet-start / ellipsis-end line
+    * fractions — need newline structure this corpus lacks and live with the
+    * line operators, not here.)
+    *
+    * Determinism: every metric is an integer count; each ratio is ONE double
+    * division of those integers (correctly rounded identically in both
+    * engines), and each verdict compares that ratio to a rational constant —
+    * so the booleans are bit-stable across engines, row order, and
+    * partitioning. The `...`-occurrence count uses the length-delta of a
+    * global left-to-right non-overlapping replace, which regex and plain
+    * string replace agree on; the delta is an exact multiple of 3, so the
+    * double division by 3 round-trips to int exactly.
+    *
+    * Scale shape: pure narrow map over the documents scan — zero shuffle,
+    * whole-stage codegen end to end; at 100 TB this runs at scan speed and
+    * composes with any downstream curation predicate.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    val stops = Lexicons.head._2
+    val nEllipsis =
+      ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+        .cast("int")
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val base = documents.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      aggregate(w, lit(0), (acc, x) => acc + length(x)).as("sum_word_len"),
+      size(filter(w, x => x.rlike("[a-z]"))).as("n_alpha_words"),
+      (nHash + nEllipsis).as("n_symbols"),
+      size(filter(array_distinct(w), x => x.isin(stops.map(lit): _*).cast("boolean")))
+        .as("n_stop_distinct"))
+    val scored = base
+      .withColumn("mean_word_len",
+        col("sum_word_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha_words").cast("double") / col("n_words").cast("double"))
+    scored.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      col("alpha_frac"), col("n_stop_distinct"),
+      col("n_words").between(50, 100000).as("ok_word_count"),
+      (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_word_len"),
+      (col("symbol_ratio") < 0.1).as("ok_symbol_ratio"),
+      (col("alpha_frac") > 0.8).as("ok_alpha_words"),
+      (col("n_stop_distinct") >= 2).as("ok_stopwords"))
+      .withColumn("keep_doc",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 fourth-pass operators: the Gopher quality-rule battery (x21),
+  * Bloom-pre-filtered incremental exact dedup (d14), and per-user
+  * inter-arrival statistics (e14).
+  */
+class Round10dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- gopherRules
+
+  private val fiftyGood =
+    (Seq("the", "a", "and") ++ Seq.fill(47)("word")).mkString(" ")
+
+  test("gopherRules keeps a compliant document and flags each rule individually") {
+    val docs = Seq(
+      (1L, fiftyGood),                                  // all rules pass
+      (2L, "too short to pass the word count"),         // < 50 words
+      (3L, (Seq("the", "a") ++ Seq.fill(48)("#### ... ####")).mkString(" ")), // symbols
+      (4L, (Seq("the", "a") ++ Seq.fill(48)("12345")).mkString(" ")), // non-alpha words
+      (5L, Seq.fill(50)("word").mkString(" "))          // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep_doc"))
+    assert(!byId(2L).getAs[Boolean]("ok_word_count") && !byId(2L).getAs[Boolean]("keep_doc"))
+    assert(!byId(3L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!byId(4L).getAs[Boolean]("ok_alpha_words"))
+    assert(!byId(5L).getAs[Boolean]("ok_stopwords") && byId(5L).getAs[Boolean]("ok_word_count"))
+  }
+
+  test("gopherRules counts '...' by length-delta thirds and '#' per char") {
+    val docs = Seq((1L, (Seq("the", "a") ++ Seq.fill(48)("w")).mkString(" ") + " ..... ##"))
+      .toDF("doc_id", "text")
+    // '.....' = one non-overlapping '...' match (left-to-right) → 1; '##' → 2
+    val r = TextAnalysis.gopherRules(docs).collect().head
+    assert(r.getAs[Int]("n_words") == 52)
+    val symbolRatio = r.getAs[Double]("symbol_ratio")
+    assert(symbolRatio == 3.0 / 52.0, s"3 symbols / 52 words, got $symbolRatio")
+  }
+
+  test("gopherRules mean-word-length bounds are inclusive") {
+    // 50 words of exactly 3 chars → mean 3.0 passes; 2-char words → 2.0 fails
+    val docs = Seq(
+      (1L, (Seq("the", "and") ++ Seq.fill(48)("abc")).mkString(" ")),
+      (2L, (Seq("ab") ++ Seq.fill(49)("cd")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("ok_mean_word_len"))
+    assert(!out(1).getAs[Boolean]("ok_mean_word_len"))
+  }
+
+  // ------------------------------------------------ incrementalExactBloom
+
+  private def batchAndCorpus = {
+    val batch = Seq(
+      (3L, "Shared   Text one"),   // dup of corpus 1 after normalization
+      (6L, "brand new text A"),
+      (9L, "brand new text B"),
+      (12L, "shared text two")     // dup of corpus 2
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "shared text one"),
+      (2L, "SHARED TEXT TWO"),
+      (4L, "corpus only text")
+    ).toDF("doc_id", "text")
+    (batch, corpus)
+  }
+
+  test("incrementalExactBloom returns exactly the batch docs absent from the corpus") {
+    val (batch, corpus) = batchAndCorpus
+    val out = Dedup.incrementalExactBloom(batch, corpus, expectedItems = 1000L)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(6L, 9L), "normalization-equal dups are dropped")
+  }
+
+  test("incrementalExactBloom equals the plain anti-join (bloom adds no error)") {
+    val (batch, corpus) = batchAndCorpus
+    val fp = md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint")
+    val plain = batch.select(col("doc_id"), fp)
+      .join(corpus.select(fp), Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // tiny filter (high fpp pressure): correctness must still be exact
+    val bloom = Dedup.incrementalExactBloom(batch, corpus, expectedItems = 1L, fpp = 0.5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(bloom == plain)
+  }
+
+  test("incrementalExactBloom is partition-layout independent") {
+    val (batch, corpus) = batchAndCorpus
+    val a = Dedup.incrementalExactBloom(batch.repartition(1), corpus.repartition(1), 1000L)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val b = Dedup.incrementalExactBloom(batch.repartition(7), corpus.repartition(5), 1000L)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  // ----------------------------------------------------- interarrivalStats
+
+  test("interarrivalStats computes exact gap stats incl. half-odd medians") {
+    // user 1: events at t0, +1s, +3s → gaps 1s, 2s → median 1.5s (the .5 case)
+    // user 2: single event → no gaps, excluded
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"),
+      (2L, 1L, "2024-01-01 00:00:01"),
+      (3L, 1L, "2024-01-01 00:00:03"),
+      (4L, 2L, "2024-01-01 00:00:00")
+    ).toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = Events.interarrivalStats(events).collect()
+    assert(out.length == 1, "single-event users have no gaps")
+    val r = out.head
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Long]("min_gap_us") == 1000000L)
+    assert(r.getAs[Long]("max_gap_us") == 2000000L)
+    assert(r.getAs[Double]("median_gap_us") == 1500000.0, "interpolated median is exact")
+  }
+
+  test("interarrivalStats breaks timestamp ties by event_id") {
+    // two events at the same ts: order by event_id → gaps 0 then 5s
+    val events = Seq(
+      (10L, 1L, "2024-01-01 00:00:00"),
+      (11L, 1L, "2024-01-01 00:00:00"),
+      (12L, 1L, "2024-01-01 00:00:05")
+    ).toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val r = Events.interarrivalStats(events).collect().head
+    assert(r.getAs[Long]("min_gap_us") == 0L)
+    assert(r.getAs[Long]("max_gap_us") == 5000000L)
+    assert(r.getAs[Double]("median_gap_us") == 2500000.0)
+  }
+}
