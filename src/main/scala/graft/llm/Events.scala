@@ -250,6 +250,26 @@ object Events {
         dsum(col("value")).as("total_value"))
   }
 
+  /** Per-day top-k event types by volume — the "what dominated each day"
+    * leaderboard (dashboard + anomaly-triage shape). Deterministic ties:
+    * rank orders by (count DESC, event_type).
+    *
+    * Scale shape: the ranking window runs over the PRE-AGGREGATED
+    * (day, type) frame — ≤ |days|·|types| rows however large the event log —
+    * so the raw events see only one map-side-combinable count shuffle; the
+    * window never touches event-sized data (the q20 treatment applied to
+    * per-group top-k).
+    */
+  def dailyTopTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("day").orderBy(col("n_events").desc, col("event_type"))
+    daily
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-user inter-arrival statistics — the activity-cadence profile
     * (engagement scoring, bot detection, churn features): consecutive-event
     * gaps per user, rolled up to count / min / max / exact median gap.

@@ -1466,10 +1466,52 @@ object LlmQueries {
     Events.interarrivalStats(eventsTs(t)).orderBy("user_id")
   }
 
+  // x22 — bigram-LM surprisal (KenLM-style conditional scoring, x16's
+  // transition-probability upgrade): avg −ln c(w1 w2)/c(w1 ·) per doc.
+  // Same determinism treatment as x16: quantized ln LUT, exact decimal
+  // accumulation, one final division + ROUND(4).
+  private val x22 = q("x22_bigram_surprisal", Some(
+    """WITH db AS (
+          SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1])) AS bg
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                      FROM documents) z0) z
+          GROUP BY 1, 2),
+        bf AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM db GROUP BY 1),
+        cf AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n_bg) AS BIGINT) AS n_ctx
+               FROM bf GROUP BY 1),
+        lut AS (SELECT bg,
+                  CAST(ln(CAST(n_ctx AS DOUBLE) / CAST(n_bg AS DOUBLE)) AS DECIMAL(18,8)) AS lnv
+                FROM bf JOIN cf ON string_split(bg, ' ')[1] = cf.w1)
+        SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(c * lnv) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4)
+                 AS bg_surprisal
+        FROM db JOIN lut USING (bg)
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.bigramSurprisal(t.documents).orderBy("doc_id")
+  }
+
+  // e15 — per-day top-3 event types by volume (deterministic ties by type
+  // name): the per-group top-k ranking runs over the pre-aggregated
+  // (day, type) frame, never event-sized data.
+  private val e15 = q("e15_daily_top_types", Some(
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n_events
+                      FROM events GROUP BY 1, 2),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY day ORDER BY n_events DESC, event_type) AS INT) AS rnk
+              FROM daily)
+        SELECT day, event_type, n_events, rnk FROM r WHERE rnk <= 3
+        ORDER BY day, rnk""")) { t =>
+    Events.dailyTopTypes(eventsTs(t), k = 3).orderBy("day", "rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
       p01, p02, p03, p04, p05, m01)
 }

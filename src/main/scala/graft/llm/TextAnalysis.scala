@@ -113,6 +113,58 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Per-document BIGRAM-LM surprisal — the conditional-probability upgrade
+    * of [[unigramSurprisal]] (KenLM-style n-gram scoring, n=2, with the
+    * corpus itself as the model): each document scores the average
+    * −ln p(w_i | w_{i−1}) = −ln( c(w_{i−1} w_i) / c(w_{i−1} ·) ) over its
+    * bigram positions. Unlike the unigram score it penalizes improbable
+    * TRANSITIONS, not just rare words — the signal that separates fluent
+    * text from shuffled-word salad with identical unigram stats. Scoring
+    * corpus docs against the own-corpus model means every doc bigram has
+    * corpus count ≥ 1, so no backoff branch is needed.
+    *
+    * Determinism: the x16 treatment — ln() computed once per distinct
+    * corpus bigram from bit-identical integer-ratio inputs and quantized to
+    * DECIMAL(18,8); doc counts narrowed to DECIMAL(12,0) so the scale-8
+    * product stays inside the 38-digit cap (see [[unigramSurprisal]]);
+    * every aggregation is exact decimal, so scores are independent of row
+    * order and partitioning.
+    *
+    * Scale shape: positional bigrams come from ONE codegen'd zip_with over
+    * the token array (multiplicity preserved — distinct shingles would
+    * under-count repeats); (doc_id, bigram) counts are one map-side-combined
+    * shuffle; the bigram and context rollups aggregate that already-reduced
+    * frame; the scoring join hits a vocabulary²-bounded LUT on the bigram
+    * key. Raw text never shuffles.
+    */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val docBg = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val bgFreq = docBg.groupBy("bg").agg(sum("c").as("n_bg"))
+    val ctxFreq = bgFreq
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum("n_bg").as("n_ctx"))
+    val lut = bgFreq
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(ctxFreq, Seq("w1"))
+      .select(col("bg"),
+        log(col("n_ctx").cast("double") / col("n_bg").cast("double"))
+          .cast(DecimalType(18, 8)).as("lnv"))
+    docBg.join(lut, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnv")).as("sdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sdec").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("bg_surprisal"))
+  }
+
   /** Overlapping token-window chunking — the embedding/RAG prep primitive
     * (and the long-document splitter for context-bounded training): each
     * document becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `maxTokens` tokens,

@@ -119,6 +119,56 @@ class Round10dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("median_gap_us") == 1500000.0, "interpolated median is exact")
   }
 
+  // ------------------------------------------------------ bigramSurprisal
+
+  test("bigramSurprisal scores a fully self-predictable corpus at zero") {
+    // every context has exactly one continuation → p = 1 everywhere → 0
+    val corpus = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(corpus).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Double]("bg_surprisal")).forall(_ == 0.0))
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(3L, 1L))
+  }
+
+  test("bigramSurprisal penalizes improbable transitions exactly") {
+    // c(a b)=3, c(b a)=1, c(b b)=1 → ctx a=3, b=2
+    // lnv(a b)=ln(1)=0; lnv(b a)=lnv(b b)=ln(2) quantized to 8dp
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(corpus).orderBy("doc_id").collect()
+    val ln2q = BigDecimal(math.log(2.0)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val expected1 = (ln2q / 3).toDouble  // (2·0 + 1·ln2)/3
+    assert(out(0).getAs[Double]("bg_surprisal") ==
+      BigDecimal(expected1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getAs[Double]("bg_surprisal") == 0.0)
+    assert(out(2).getAs[Double]("bg_surprisal") ==
+      BigDecimal(ln2q.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bigramSurprisal is partition-layout independent") {
+    val corpus = Seq((1L, "a b a b c d"), (2L, "a b c"), (3L, "d c b a")).toDF("doc_id", "text")
+    val a = TextAnalysis.bigramSurprisal(corpus.repartition(1))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val b = TextAnalysis.bigramSurprisal(corpus.repartition(7))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  // --------------------------------------------------------- dailyTopTypes
+
+  test("dailyTopTypes ranks by count desc with deterministic name ties, bounded by k") {
+    val events = Seq(
+      (1L, "2024-01-01 01:00:00", "view"), (2L, "2024-01-01 02:00:00", "view"),
+      (3L, "2024-01-01 03:00:00", "click"), (4L, "2024-01-01 04:00:00", "click"),
+      (5L, "2024-01-01 05:00:00", "buy"), (6L, "2024-01-01 06:00:00", "signup"),
+      (7L, "2024-01-02 01:00:00", "buy")
+    ).toDF("event_id", "s", "event_type").withColumn("ts", to_timestamp(col("s")))
+    val out = Events.dailyTopTypes(events, k = 3)
+      .orderBy("day", "rnk")
+      .select("event_type", "n_events", "rnk").as[(String, Long, Int)].collect().toSeq
+    // day 1: click/view tie at 2 → click first alphabetically; buy/signup tie
+    // at 1 → buy takes rank 3, signup cut by k
+    assert(out == Seq(("click", 2L, 1), ("view", 2L, 2), ("buy", 1L, 3), ("buy", 1L, 1)))
+  }
+
   test("interarrivalStats breaks timestamp ties by event_id") {
     // two events at the same ts: order by event_id → gaps 0 then 5s
     val events = Seq(
