@@ -133,7 +133,11 @@ object TextAnalysis {
     * Scale shape: positional bigrams come from ONE codegen'd zip_with over
     * the token array (multiplicity preserved — distinct shingles would
     * under-count repeats); (doc_id, bigram) counts are one map-side-combined
-    * shuffle; the bigram and context rollups aggregate that already-reduced
+    * shuffle, MATERIALIZED once (eager localCheckpoint — the zip_with
+    * lambda's variables defeat exchange-canonicalization, so the three
+    * consumers would otherwise re-scan and re-explode the corpus three
+    * times; the checkpointed frame is the already-reduced count table, far
+    * smaller than the text); the bigram and context rollups aggregate that
     * frame; the scoring join hits a vocabulary²-bounded LUT on the bigram
     * key. Raw text never shuffles.
     */
@@ -146,6 +150,7 @@ object TextAnalysis {
     val docBg = documents
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bgFreq = docBg.groupBy("bg").agg(sum("c").as("n_bg"))
     val ctxFreq = bgFreq
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))

@@ -99,6 +99,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "threshold frame must broadcast")
   }
 
+  test("x21 gopher rules is a narrow map: no hash exchange, no window") {
+    val plan = planOf("x21_gopher_rules")
+    assert(!plan.contains("Exchange hashpartitioning"), s"x21 plans a shuffle:\n$plan")
+    assert(!plan.contains("WindowExec"), "x21 plans a window")
+  }
+
+  test("x22 bigram surprisal: corpus scanned once (materialized count frame), text never shuffles") {
+    val plan = planOf("x22_bigram_surprisal")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "raw text must never shuffle")
+    // the (doc_id, bigram) count frame is checkpointed once; every consumer
+    // reads the materialized RDD — the final plan must contain NO parquet
+    // re-scan of the corpus (the zip_with lambda defeats exchange reuse,
+    // so an un-materialized plan would scan+explode the corpus 3×)
+    assert(!plan.contains("FileScan parquet"),
+      s"corpus re-scanned instead of reading the materialized frame:\n$plan")
+    assert(plan.contains("ExistingRDD"), "expected the checkpointed count frame")
+  }
+
+  test("d14 bloom dedup: membership probe is plan-side, text never shuffles") {
+    val plan = planOf("d14_incremental_dedup_bloom")
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "raw text must never shuffle")
+  }
+
+  test("e14 interarrival: ONE user_id exchange feeds both window and rollup") {
+    val plan = planOf("e14_interarrival")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected exactly one user_id exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("e15 daily top-k: ranking window sees only the pre-aggregated frame") {
+    val plan = planOf("e15_daily_top_types")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("user_id#") || l.contains("props#") || l.contains("event_id#"))),
+      "event-sized columns must never reach the window exchange")
+  }
+
   test("x17 chunking and p05 upsampling are narrow: no hash exchange anywhere") {
     for (n <- Seq("x17_chunk_overlap", "p05_epoch_upsample")) {
       val plan = planOf(n)
