@@ -263,6 +263,24 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s12 — exact cosine RANGE search (radius ≥ 0.3 for the query subset):
+  // the similarity-bounded complement of s01's count-bounded top-k. The
+  // cosine is the same left-to-right double fold in both engines, so the
+  // threshold boundary is exact.
+  private val s12 = q("s12_range_search", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, cos FROM p WHERE cos >= 0.3
+        ORDER BY query_id, neighbor_id""")) { t =>
+    Similarity.rangeSearch(t.embeddings, col("vec_id") % 100 === 0, threshold = 0.3)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; planted-twin
   // recovery asserted in LlmSpec). Registered at the HIGH-RECALL config
   // (48 tables × 6 bits — recall@10 ≈ 0.93 on the near-uniform synthetic
@@ -1510,7 +1528,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
       p01, p02, p03, p04, p05, m01)

@@ -68,6 +68,32 @@ object Similarity {
     rankTopK(scored, "cos", k)
   }
 
+  /** Exact cosine RANGE search (radius query): every corpus neighbor with
+    * cosine ≥ `threshold` for each query vector — the link-discovery /
+    * retrieval-audit complement of top-k (top-k bounds the COUNT, range
+    * search bounds the SIMILARITY; recall evaluation and dedup-threshold
+    * calibration need the latter). Same plan shape as [[bruteForceTopK]]:
+    * queries broadcast, one streamed pass over the corpus, but no ranking
+    * machinery at all — the threshold predicate drops non-matches inside
+    * whole-stage codegen, so nothing accumulates per group and the output
+    * is exactly the qualifying pairs. At 100 TB swap the scored frame for
+    * an IVF-probed candidate set ([[ivfTopK]]'s cell pruning) the same way
+    * the top-k tier does; the cosine is the codegen'd [[VecMath.vecDot]]
+    * left-to-right fold, bit-identical cross-engine, so the ≥ boundary is
+    * exact.
+    */
+  def rangeSearch(embeddings: DataFrame, queryPred: Column,
+                  threshold: Double): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Contrastive training-triplet mining — the embedding-model data-prep
     * recipe (SimCSE/E5-style): for each query vector the exact cosine
     * ranking yields POSITIVES (ranks 1..nPos) and HARD NEGATIVES (ranks

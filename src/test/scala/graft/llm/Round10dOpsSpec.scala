@@ -119,6 +119,38 @@ class Round10dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("median_gap_us") == 1500000.0, "interpolated median is exact")
   }
 
+  // ----------------------------------------------------------- rangeSearch
+
+  test("rangeSearch returns exactly the pairs at/above the cosine threshold") {
+    // planted geometry: q=(1,0); n1=(1,0) cos 1; n2=(1,1)/√2 cos ≈0.7071;
+    // n3=(0,1) cos 0 — threshold 0.7 keeps n1,n2, the ≥ boundary excludes n3
+    val embs = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(embs, col("vec_id") === 100L, threshold = 0.7)
+      .orderBy("neighbor_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L))
+    assert(out.head._3 == 1.0)
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("rangeSearch agrees with bruteForceTopK on the qualifying prefix") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id").cast("long"))
+    val range = Similarity.rangeSearch(embs, col("vec_id") % 100 === 0, threshold = 0.3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val topk = Similarity.bruteForceTopK(embs, col("vec_id") % 100 === 0, k = 50)
+      .filter(col("cos") >= 0.3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(range == topk, "radius pairs must equal the thresholded exact ranking")
+    assert(range.nonEmpty, "threshold chosen to be non-degenerate at sf0.001")
+  }
+
   // ------------------------------------------------------ bigramSurprisal
 
   test("bigramSurprisal scores a fully self-predictable corpus at zero") {
