@@ -270,6 +270,33 @@ object Events {
       .filter(col("rnk") <= k)
   }
 
+  /** Signup→purchase conversion LATENCY per signup-day cohort — e04's
+    * funnel with the time dimension (activation-speed dashboards, cohort
+    * A/B readouts): converted users' first_purchase − first_signup gap in
+    * integer microseconds, rolled to count / min / max / exact median per
+    * cohort day.
+    *
+    * Scale shape: two map-side-combinable aggregations (user_id, then
+    * cohort day) — no window, no join; the e14 determinism treatment (the
+    * interpolated median of int64 µs gaps is exact in double, so it is
+    * emitted un-divided and un-rounded).
+    */
+  def conversionLag(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase") >= col("first_signup"))
+      .select(to_date(col("first_signup")).as("cohort_day"),
+        (unix_micros(col("first_purchase")) - unix_micros(col("first_signup"))).as("lag_us"))
+      .groupBy("cohort_day")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min("lag_us").as("min_lag_us"),
+        max("lag_us").as("max_lag_us"),
+        percentile(col("lag_us"), lit(0.5)).as("median_lag_us"))
+
   /** Per-user inter-arrival statistics — the activity-cadence profile
     * (engagement scoring, bot detection, churn features): consecutive-event
     * gaps per user, rolled up to count / min / max / exact median gap.

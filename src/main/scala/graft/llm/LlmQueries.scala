@@ -1526,10 +1526,32 @@ object LlmQueries {
     Events.dailyTopTypes(eventsTs(t), k = 3).orderBy("day", "rnk")
   }
 
+  // e16 — signup→purchase conversion latency per signup-day cohort (e04's
+  // funnel + the time dimension): integer-µs lags, exact median per cohort
+  // (e14's un-divided-median determinism treatment).
+  private val e16 = q("e16_conversion_lag", Some(
+    """WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+          FROM events GROUP BY user_id),
+        c AS (SELECT CAST(first_signup AS DATE) AS cohort_day,
+                     epoch_us(first_purchase) - epoch_us(first_signup) AS lag_us
+              FROM f
+              WHERE first_signup IS NOT NULL AND first_purchase >= first_signup)
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+               CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_us) AS DOUBLE)
+                 AS median_lag_us
+        FROM c GROUP BY cohort_day ORDER BY cohort_day""")) { t =>
+    Events.conversionLag(eventsTs(t)).orderBy("cohort_day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       p01, p02, p03, p04, p05, m01)
 }

@@ -201,6 +201,33 @@ class Round10dOpsSpec extends SparkSpec {
     assert(out == Seq(("click", 2L, 1), ("view", 2L, 2), ("buy", 1L, 3), ("buy", 1L, 1)))
   }
 
+  // --------------------------------------------------------- conversionLag
+
+  test("conversionLag measures first-signup→first-purchase per cohort, excluding non-converters") {
+    val events = Seq(
+      // user 1: signup 00:00, purchase 00:10 → lag 600s
+      (1L, 1L, "2024-01-01 00:00:00", "signup"),
+      (2L, 1L, "2024-01-01 00:10:00", "purchase"),
+      // user 2: same cohort, lag 30s; later second purchase ignored
+      (3L, 2L, "2024-01-01 08:00:00", "signup"),
+      (4L, 2L, "2024-01-01 08:00:30", "purchase"),
+      (5L, 2L, "2024-01-02 00:00:00", "purchase"),
+      // user 3: purchase BEFORE signup → not converted
+      (6L, 3L, "2024-01-01 05:00:00", "purchase"),
+      (7L, 3L, "2024-01-01 06:00:00", "signup"),
+      // user 4: signup only → not converted
+      (8L, 4L, "2024-01-01 07:00:00", "signup")
+    ).toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.conversionLag(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Long]("min_lag_us") == 30000000L)
+    assert(r.getAs[Long]("max_lag_us") == 600000000L)
+    assert(r.getAs[Double]("median_lag_us") == 315000000.0, "interpolated median of 30s/600s")
+  }
+
   test("interarrivalStats breaks timestamp ties by event_id") {
     // two events at the same ts: order by event_id → gaps 0 then 5s
     val events = Seq(
