@@ -87,10 +87,10 @@ object Curation {
     // materialize the contaminated-id list NOW (ids only): every later
     // consumer reads the checkpointed ids, so releasing the shingle cache
     // below cannot silently re-trigger a full re-shingling pass
-    val contaminatedIds = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .join(broadcast(benchSh), Seq("shingle"))
-      .select("doc_id").distinct()
-      .localCheckpoint(true)
+    val contaminatedIds = graft.operators.Materialize.cut(
+      sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(benchSh), Seq("shingle"))
+        .select("doc_id").distinct())
     val cleanSh = sh.join(contaminatedIds, Seq("doc_id"), "left_anti")
     // the clustering loop materializes eagerly (checkpointed labels), so
     // the shared shingle frame can be released as soon as it returns

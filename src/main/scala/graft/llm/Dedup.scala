@@ -276,7 +276,7 @@ object Dedup {
   def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
                         threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val (pairs, release) = crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)
-    try pairs.localCheckpoint(true) finally release()
+    try graft.operators.Materialize.cut(pairs) finally release()
   }
 
   /** PERSISTED corpus dedup index — the 100 TB incremental-ingest shape the
@@ -497,7 +497,8 @@ object Dedup {
                         threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val (pairs, release) =
       crossNearDupPairsAgainstIndexWithCleanup(newDocs, indexPath, threshold, shingleN)
-    val matched = pairs.select(col("new_id").as("doc_id")).distinct().localCheckpoint(true)
+    val matched = graft.operators.Materialize.cut(
+      pairs.select(col("new_id").as("doc_id")).distinct())
     release()
     newDocs.join(matched, Seq("doc_id"), "left_anti")
   }
@@ -510,7 +511,8 @@ object Dedup {
   def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
                          threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val (pairs, release) = crossNearDupPairsWithCleanup(newDocs, corpus, threshold, shingleN)
-    val matched = pairs.select(col("new_id").as("doc_id")).distinct().localCheckpoint(true)
+    val matched = graft.operators.Materialize.cut(
+      pairs.select(col("new_id").as("doc_id")).distinct())
     release()
     newDocs.join(matched, Seq("doc_id"), "left_anti")
   }
@@ -635,18 +637,11 @@ object Dedup {
     // re-canonicalize the whole upstream LSH pipeline's expression tree on
     // EVERY action (measured ~2 s of pure driver planning per action here).
     // Eager checkpoints truncate edges and each round's labels to a
-    // LogicalRDD, making per-iteration plans O(1)-sized. The cut is
-    // RELIABLE `checkpoint()` when the SparkContext has a checkpoint dir
-    // configured (`sc.setCheckpointDir` — the multi-node posture:
-    // lineage-free blocks survive executor loss, where a localCheckpoint'd
-    // block dies with its executor and kills the whole converged loop —
-    // VERDICT r8 #7), else localCheckpoint (the single-JVM harness
-    // posture, no HDFS round-trip). The pair pipeline's caches are
-    // released as soon as the edge list is materialized.
-    def cut(df: DataFrame): DataFrame =
-      if (pairDf.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // LogicalRDD, making per-iteration plans O(1)-sized. The durability
+    // posture (reliable checkpoint vs localCheckpoint — VERDICT r8 #7)
+    // lives in graft.operators.Materialize.cut. The pair pipeline's caches
+    // are released as soon as the edge list is materialized.
+    def cut(df: DataFrame): DataFrame = graft.operators.Materialize.cut(df)
     val edges = cut(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     pairs.unpersist()
@@ -783,19 +778,44 @@ object Dedup {
     * scan-side, so pruned rows never shuffle. For a daily-crawl batch that
     * is mostly novel text, the confirming join touches only a few percent
     * of the batch.
+    *
+    * NOTE (ADVICE r10): the filter build is an EAGER full-corpus action at
+    * call time — `stat.bloomFilter` runs a Spark job before this method
+    * returns a (lazy) frame, and each call rebuilds it. A caller deduping
+    * many batches against one corpus should build the filter once with
+    * [[corpusFingerprintBloom]] and pass it to the `prebuilt` overload.
     */
   def incrementalExactBloom(newDocs: DataFrame, corpus: DataFrame,
-                            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+                            expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    incrementalExactBloom(newDocs, corpus,
+      corpusFingerprintBloom(corpus, expectedItems, fpp))
+
+  /** The corpus-side Bloom filter over normalized-text fingerprints — one
+    * tree-aggregated corpus pass, reusable across every batch deduped
+    * against the same corpus snapshot (ADVICE r10).
+    */
+  def corpusFingerprintBloom(corpus: DataFrame, expectedItems: Long,
+                             fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val fp = md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint")
+    corpus.select(fp).select(xxhash64(col("fingerprint")).as("h"))
+      .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
+  }
+
+  /** [[incrementalExactBloom]] against a prebuilt corpus filter (from
+    * [[corpusFingerprintBloom]], possibly deserialized from a store): no
+    * corpus action runs at construction time beyond the confirming
+    * anti-join's own lazy plan.
+    */
+  def incrementalExactBloom(newDocs: DataFrame, corpus: DataFrame,
+                            prebuilt: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftx.Bridge
     import org.apache.spark.sql.types.BinaryType
     val fp = md5(TextFns.normalized(col("text")).cast("binary")).as("fingerprint")
     val newFp = newDocs.select(col("doc_id"), fp)
     val corpusFp = corpus.select(fp)
-    val bf = corpusFp.select(xxhash64(col("fingerprint")).as("h"))
-      .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    prebuilt.writeTo(bos)
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bos.toByteArray, BinaryType),
       Bridge.expression(xxhash64(col("fingerprint")))))

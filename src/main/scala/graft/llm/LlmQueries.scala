@@ -1415,7 +1415,7 @@ object LlmQueries {
           m AS (
             SELECT doc_id,
               CAST(len(w) AS INT) AS n_words,
-              CAST(list_sum(list_transform(w, x -> len(x))) AS INT) AS sum_word_len,
+              CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_word_len,
               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha_words,
               CAST(len(text) - len(replace(text, '#', '')) AS INT)
                 + CAST((len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS INT)

@@ -80,7 +80,10 @@ object Similarity {
     * an IVF-probed candidate set ([[ivfTopK]]'s cell pruning) the same way
     * the top-k tier does; the cosine is the codegen'd [[VecMath.vecDot]]
     * left-to-right fold, bit-identical cross-engine, so the ≥ boundary is
-    * exact.
+    * exact. `queryPred` must select a BROADCAST-SMALL query subset (same
+    * contract as [[bruteForceTopK]]): the query side ships to every
+    * executor, so a predicate matching a large corpus fraction belongs on
+    * the pruned/ANN tier, not here (ADVICE r10).
     */
   def rangeSearch(embeddings: DataFrame, queryPred: Column,
                   threshold: Double): DataFrame = {
@@ -565,7 +568,7 @@ object Similarity {
         .select("query_id", "neighbor_id")
       // eager materialization (nQ·k rows) so the persisted centroids can
       // release before the caller consumes the frame
-      exactRerank(embeddings, cand, queryPred, k).localCheckpoint(true)
+      graft.operators.Materialize.cut(exactRerank(embeddings, cand, queryPred, k))
     } finally { centroids.unpersist(); () }
   }
 
@@ -696,7 +699,7 @@ object Similarity {
                   queryPred: Column, k: Int = 10,
                   nProbe: Int = IvfProbes): DataFrame = {
     val (df, release) = ivfTopKWithCleanup(embeddings, centroidsIn, queryPred, k, nProbe)
-    try df.localCheckpoint(true) finally release()
+    try graft.operators.Materialize.cut(df) finally release()
   }
 
   /** The query→probed-cell stage: each query's `nProbe` closest centroids.
@@ -982,7 +985,7 @@ object Similarity {
               probeBits: Int = 0): DataFrame = {
     // eager + leak-free convenience form — see ivfTopKWith's scaladoc
     val (df, release) = lshTopKWithCleanup(embeddings, queryPred, k, nTables, nBits, probeBits)
-    try df.localCheckpoint(true) finally release()
+    try graft.operators.Materialize.cut(df) finally release()
   }
 
   /** Query-side probe buckets for MULTI-PROBE LSH (Lv et al., VLDB 2007):

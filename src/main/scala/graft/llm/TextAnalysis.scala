@@ -133,7 +133,7 @@ object TextAnalysis {
     * Scale shape: positional bigrams come from ONE codegen'd zip_with over
     * the token array (multiplicity preserved — distinct shingles would
     * under-count repeats); (doc_id, bigram) counts are one map-side-combined
-    * shuffle, MATERIALIZED once (eager localCheckpoint — the zip_with
+    * shuffle, MATERIALIZED once (eager Materialize.cut — the zip_with
     * lambda's variables defeat exchange-canonicalization, so the three
     * consumers would otherwise re-scan and re-explode the corpus three
     * times; the checkpointed frame is the already-reduced count table, far
@@ -147,10 +147,9 @@ object TextAnalysis {
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat_ws(" ", a, b))
-    val docBg = documents
+    val docBg = graft.operators.Materialize.cut(documents
       .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
     val bgFreq = docBg.groupBy("bg").agg(sum("c").as("n_bg"))
     val ctxFreq = bgFreq
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
@@ -465,7 +464,8 @@ object TextAnalysis {
     val base = documents.select(
       col("doc_id"),
       size(w).as("n_words"),
-      aggregate(w, lit(0), (acc, x) => acc + length(x)).as("sum_word_len"),
+      // long seed: a >2^31-char document must widen, not wrap (ADVICE r10)
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
       size(filter(w, x => x.rlike("[a-z]"))).as("n_alpha_words"),
       (nHash + nEllipsis).as("n_symbols"),
       size(filter(array_distinct(w), x => x.isin(stops.map(lit): _*).cast("boolean")))

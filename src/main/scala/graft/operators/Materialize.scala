@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization with a durability posture picked by the session —
+  * the one way the engine cuts logical lineage (VERDICT r10 #2).
+  *
+  * Iterative loops and multiply-consumed shuffle results must truncate
+  * their upstream plan (nested-IMR re-canonicalization costs seconds of
+  * driver planning per action) and pin their data (exchange reuse does not
+  * fire across actions, and some lambda-bearing plans — zip_with closures,
+  * notably — defeat exchange canonicalization even within one). But HOW the
+  * cut persists decides whether a 100 TB run survives losing an executor:
+  *
+  *   - `checkpoint(eager = true)` writes replicated blocks to the
+  *     SparkContext's checkpoint directory — an executor loss recomputes
+  *     nothing and aborts nothing. This is the multi-node posture, chosen
+  *     whenever `sc.setCheckpointDir` has been called (a cluster job sets
+  *     it to durable storage as a matter of course).
+  *   - `localCheckpoint(eager = true)` stores unreplicated executor-local
+  *     blocks — zero I/O round-trip, but a lost executor kills every job
+  *     that needs its blocks. Acceptable only where executors do not fail:
+  *     the single-JVM test harness, which sets no checkpoint dir.
+  *
+  * Callers state WHAT must be materialized; this helper owns the posture.
+  * MaterializeSpec exercises both paths against identical results.
+  */
+object Materialize {
+
+  /** Cut `df`'s lineage and eagerly materialize it: reliable `checkpoint`
+    * when the SparkContext has a checkpoint dir configured, else
+    * `localCheckpoint`. Returns the lineage-free frame.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+}
