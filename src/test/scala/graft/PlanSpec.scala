@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "threshold frame must broadcast")
   }
 
+  test("q18/q20 running totals: NO grouped window — per-group prefix sum only") {
+    // the window formulation hash-exchanges the whole input onto the 3
+    // status values (single-task-per-group at any scale — VERDICT r10 #1);
+    // the registered defs must plan the range-partitioned grouped prefix
+    // sum instead: no WindowExec anywhere, no o_orderstatus hash exchange
+    for (n <- Seq("q18_running_total", "q20_running_total_daily")) {
+      val plan = planOf(n)
+      assert(!plan.contains("Window"), s"$n plans a window:\n$plan")
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("o_orderstatus")),
+        s"$n hash-exchanges on the 3-value status key:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$n should read the prefix-sum operator's output:\n$plan")
+    }
+  }
+
   test("x21 gopher rules is a narrow map: no hash exchange, no window") {
     val plan = planOf("x21_gopher_rules")
     assert(!plan.contains("Exchange hashpartitioning"), s"x21 plans a shuffle:\n$plan")
