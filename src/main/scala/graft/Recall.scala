@@ -182,17 +182,19 @@ object Recall {
     // harder-compressed m=8 point (32-bit codes, 64×) that shows what the
     // extra 2× of compression costs on each geometry.
     val pqEntries = Seq(
+      // the REGISTERED config serves KMEANS-TRAINED codebooks (VERDICT r10
+      // #3): fitted entries tile each subspace's marginal where sampled
+      // codebooks inherit the corpus's skew — measured r10: 0.96 vs 0.80
+      // uniform re-ranked at equal compression
       ("s08_knn_pq", Similarity.PqSubspaces,
-        () => Similarity.pqCodebooks(embs, Similarity.PqSubspaces), true),
-      ("s08_knn_pq_m8", 8, () => Similarity.pqCodebooks(embs, 8), false),
-      // trained codebooks (the IVF-kmeans treatment applied to PQ): fitted
-      // entries tile each subspace's marginal where the sampled codebooks
-      // inherit the corpus's skew — graded so the training win is a
-      // measured number, not a spec claim
-      ("s08_knn_pq_kmeans", Similarity.PqSubspaces,
-        () => Similarity.pqCodebooksKMeans(embs, Similarity.PqSubspaces), false)
+        (df: DataFrame) => Similarity.pqCodebooksKMeans(df, Similarity.PqSubspaces), true),
+      // sampled-codebook baseline (the registered config through r10),
+      // kept graded so the training win stays a measured number
+      ("s08_knn_pq_sampled", Similarity.PqSubspaces,
+        (df: DataFrame) => Similarity.pqCodebooks(df, Similarity.PqSubspaces), false),
+      ("s08_knn_pq_m8", 8, (df: DataFrame) => Similarity.pqCodebooks(df, 8), false)
     ).flatMap { case (name, m, booksFn, twinProbe) =>
-      val books = booksFn()
+      val books = booksFn(embs)
       val adcRecall = Similarity.recallAtK(exact,
         Similarity.pqTopKWith(embs, books, pred, 10))
       val rrRecall = Similarity.recallAtK(exact,
@@ -210,7 +212,7 @@ object Recall {
             "recall_at_10" -> rrRecall)
           if (twins && twinProbe)
             b :+ ("twin_recall_at_1" -> twinRecall(
-              Similarity.pqTopKReranked(corpus, twinPred, 10, m = m)))
+              Similarity.pqTopKRerankedWith(corpus, booksFn(corpus), twinPred, 10)))
           else b
         })
     }
@@ -220,13 +222,17 @@ object Recall {
     // recall is bounded by BOTH the probe coverage and the shortlist, so
     // the graded number shows what the multiplied cost cuts actually keep.
     val ivfPqEntries = {
-      val books = Similarity.pqCodebooks(embs, Similarity.PqSubspaces)
+      val sampledBooks = Similarity.pqCodebooks(embs, Similarity.PqSubspaces)
+      val trainedBooks = Similarity.pqCodebooksKMeans(embs, Similarity.PqSubspaces)
       val assignedIds = Similarity.ivfAssign(embs, sampledCents)
         .select("vec_id", "cell")
       Seq(
-        "s09_knn_ivfpq" -> Similarity.IvfProbesRegistered,
-        "s09_knn_ivfpq_lowcost" -> Similarity.IvfProbes
-      ).map { case (name, nProbe) =>
+        // trained-book variants isolate the PQ-training effect at fixed
+        // cells (VERDICT r10 #3: "s09/s10 if the win carries")
+        ("s09_knn_ivfpq", Similarity.IvfProbesRegistered, trainedBooks),
+        ("s09_knn_ivfpq_sampled", Similarity.IvfProbesRegistered, sampledBooks),
+        ("s09_knn_ivfpq_lowcost", Similarity.IvfProbes, trainedBooks)
+      ).map { case (name, nProbe, books) =>
         val probes = Similarity.ivfProbes(embs, sampledCents, pred, nProbe)
           .select("query_id", "cell")
         val nCand = probes.join(assignedIds, Seq("cell"))

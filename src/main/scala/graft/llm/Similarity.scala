@@ -346,28 +346,39 @@ object Similarity {
   /** Trained PQ codebooks: per-subspace MLlib k-means over the subvector
     * slices (the production path — fitted entries tile each subspace's
     * marginal distribution, where the sampled codebooks inherit the
-    * corpus's skew). m fits of `kCent` centers over dim/m dims each; at
-    * 100 TB each fit runs over a corpus SAMPLE (k-means training needs
-    * thousands of rows per centroid, not the corpus — the caller samples
-    * upstream). Same m×k×dsub shape as [[pqCodebooks]]; the encode/ADC
-    * machinery is identical.
+    * corpus's skew). m fits of `kCent` centers over dim/m dims each,
+    * trained on a DETERMINISTIC seeded-hash sample of `fitSampleRows`
+    * vectors (k-means needs thousands of rows per centroid, not the
+    * corpus — at 100 TB the fit cost must not scale with corpus size),
+    * materialized ONCE so the m fits share one corpus scan. Same
+    * m×k×dsub shape as [[pqCodebooks]]; the encode/ADC machinery is
+    * identical, and the fit is reproducible (fixed seeds, fixed sample).
     */
   def pqCodebooksKMeans(embeddings: DataFrame, m: Int = PqSubspaces,
                         kCent: Int = PqCodebookSize, seed: Long = 42L,
-                        maxIter: Int = 10): Seq[Seq[Seq[Float]]] = {
-    val first = embeddings.select(col("embedding")).head.getSeq[Float](0)
-    val dim = first.length
-    require(m > 0 && dim % m == 0,
-      s"pqCodebooksKMeans: dim $dim not divisible into m=$m subspaces")
-    val dsub = dim / m
-    (0 until m).map { s =>
-      val feats = embeddings.select(
-        org.apache.spark.ml.functions.array_to_vector(
-          slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(kCent).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
-      model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
-    }
+                        maxIter: Int = 30,
+                        fitSampleRows: Int = 8192): Seq[Seq[Seq[Float]]] = {
+    val sample = embeddings
+      .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(fitSampleRows)
+      .select("embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = sample.head.getSeq[Float](0)
+      val dim = first.length
+      require(m > 0 && dim % m == 0,
+        s"pqCodebooksKMeans: dim $dim not divisible into m=$m subspaces")
+      val dsub = dim / m
+      (0 until m).map { s =>
+        val feats = sample.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(kCent).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
+        model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+      }
+    } finally { sample.unpersist(); () }
   }
 
   /** Product-quantized approximate top-k (asymmetric distance computation,
@@ -1120,13 +1131,14 @@ object Similarity {
     */
   def writeIvfPqIndex(embeddings: DataFrame, path: String,
                       cells: Int = IvfCells, m: Int = PqSubspaces,
-                      kCent: Int = PqCodebookSize, seed: Long = 42L): Unit = {
+                      kCent: Int = PqCodebookSize, seed: Long = 42L,
+                      booksIn: Option[Seq[Seq[Seq[Float]]]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(embeddings, seed, cells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val books = pqCodebooks(embeddings, m, kCent, seed)
+      val books = booksIn.getOrElse(pqCodebooks(embeddings, m, kCent, seed))
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       val bookRows = for {
         (b, s) <- books.zipWithIndex
