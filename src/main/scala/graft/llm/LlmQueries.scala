@@ -1454,6 +1454,43 @@ object LlmQueries {
     }
   }
 
+  // x23 — the LINE-granularity Gopher rules (Rae et al. 2021 §A.1.1),
+  // completing x21's battery: bullet-start and ellipsis-end line fractions
+  // over a multi-line fixture corpus (the driver's documents table has no
+  // newline structure — VERDICT r10 "What's missing" #3). Same determinism
+  // treatment as x21: integer counts, one double division each, verdicts
+  // vs rational constants; split keeps trailing empties in both engines.
+  private val x23 = {
+    val fixture = "/root/repo/fixtures/documents_multiline.jsonl"
+    q("x23_gopher_line_rules", Some(
+      s"""WITH base AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM read_json('$fixture', format='newline_delimited',
+                 columns={doc_id: 'BIGINT', text: 'VARCHAR'})),
+          m AS (
+            SELECT doc_id,
+              CAST(len(ls) AS INT) AS n_lines,
+              CAST(len(list_filter(ls, x -> regexp_matches(x, '^\\s*[-*•]\\s+'))) AS INT)
+                AS n_bullet_lines,
+              CAST(len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) AS INT)
+                AS n_ellipsis_lines
+            FROM base),
+          s AS (
+            SELECT *,
+              CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+              CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac
+            FROM m)
+          SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+            bullet_frac, ellipsis_frac,
+            (bullet_frac <= 0.9) AS ok_bullet_lines,
+            (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+            (bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS keep_doc
+          FROM s ORDER BY doc_id""")) { t =>
+      val docs = t.spark.read.schema("doc_id LONG, text STRING").json(fixture)
+      TextAnalysis.gopherLineRules(docs).orderBy("doc_id")
+    }
+  }
+
   // d14 — incremental EXACT dedup through a Bloom-filter pre-filter (the
   // semi-join pushdown shape): batch docs (doc_id % 3 = 0) that are NOT
   // already in the corpus by normalized fingerprint. The bloom path's
@@ -1562,7 +1599,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       p01, p02, p03, p04, p05, m01)
 }

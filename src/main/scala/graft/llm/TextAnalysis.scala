@@ -489,4 +489,40 @@ object TextAnalysis {
         col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
           col("ok_alpha_words") && col("ok_stopwords"))
   }
+
+  /** The LINE-granularity Gopher rules (Rae et al. 2021, §A.1.1 — the part
+    * [[gopherRules]] defers because it needs newline structure): a document
+    * is removed when more than 90% of its lines start with a bullet marker
+    * (`-`, `*`, `•`, optionally indented, whitespace after the marker) or
+    * more than 30% end with an ellipsis (`...` or `…`, optional trailing
+    * whitespace) — the signatures of scraped navigation lists and truncated
+    * teaser text.
+    *
+    * Line semantics: `split(text, '\n')` with trailing empties KEPT (Spark
+    * and DuckDB agree on this), so a document ending in a newline counts
+    * its final empty line — a fixed, cross-engine-stable denominator. Each
+    * fraction is ONE double division of integer counts compared to a
+    * rational constant, so the verdicts are bit-stable cross-engine; the
+    * two line regexes use only syntax Java regex and RE2 share.
+    *
+    * Scale shape: pure narrow map over the documents scan — zero shuffle,
+    * whole-stage codegen end to end, same as the document-granularity
+    * battery it composes with.
+    */
+  def gopherLineRules(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val base = documents.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(filter(lines, x => x.rlike("^\\s*[-*•]\\s+"))).as("n_bullet_lines"),
+      size(filter(lines, x => x.rlike("(\\.\\.\\.|…)\\s*$"))).as("n_ellipsis_lines"))
+    base
+      .withColumn("bullet_frac",
+        col("n_bullet_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("ellipsis_frac",
+        col("n_ellipsis_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("ok_bullet_lines", col("bullet_frac") <= 0.9)
+      .withColumn("ok_ellipsis_lines", col("ellipsis_frac") <= 0.3)
+      .withColumn("keep_doc", col("ok_bullet_lines") && col("ok_ellipsis_lines"))
+  }
 }

@@ -55,6 +55,40 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- gopherLineRules (x23)
+
+  test("gopherLineRules: bullet/ellipsis fractions and verdicts, hand-computed") {
+    val docs = Seq(
+      (1L, "plain one\nplain two"),                        // 2 lines, clean
+      (2L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"), // 10/10 bullets
+      (3L, "head\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i"), // 9/10 = 0.9 boundary
+      (4L, "x...\ny...\nz...\nw...\na\nb\nc\nd\ne\nf"),    // 4/10 ellipsis > 0.3
+      (5L, "x...\ny...\nz...\na\nb\nc\nd\ne\nf\ng"),       // 3/10 = 0.3 boundary
+      (6L, "  • indented\n\t- tabbed\nends…\n* star\nplain"), // unicode forms
+      (7L, "trailing newline\n"),                          // empty last line counts
+      (8L, "-nospace\nmid - dash\ntwo dots ..\ndots ... middle"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLineRules(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))).toSeq
+    assert(out == Seq(
+      (1L, 2, 0, 0, true, true, true),
+      (2L, 10, 10, 0, false, true, false),   // 1.0 > 0.9 → removed
+      (3L, 10, 9, 0, true, true, true),      // exactly 0.9 → kept
+      (4L, 10, 0, 4, true, false, false),    // 0.4 > 0.3 → removed
+      (5L, 10, 0, 3, true, true, true),      // exactly 0.3 → kept
+      (6L, 5, 3, 1, true, true, true),       // •/tab/−/* markers, … ending
+      (7L, 2, 0, 0, true, true, true),       // split keeps the trailing empty
+      (8L, 4, 0, 0, true, true, true)))      // near-miss markers don't count
+  }
+
+  test("gopherLineRules plans as a narrow map: no exchange, no window") {
+    val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val plan = TextAnalysis.gopherLineRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line rules must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"line rules must not window:\n$plan")
+  }
+
   test("trained books recover planted twins at rank 1 through the re-rank") {
     val base = corpus.select("vec_id", "embedding")
     val twins = base.filter(col("vec_id") % 50 === 0)
