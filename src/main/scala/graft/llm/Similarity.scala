@@ -343,42 +343,141 @@ object Similarity {
     }
   }
 
-  /** Trained PQ codebooks: per-subspace MLlib k-means over the subvector
-    * slices (the production path — fitted entries tile each subspace's
-    * marginal distribution, where the sampled codebooks inherit the
-    * corpus's skew). m fits of `kCent` centers over dim/m dims each,
-    * trained on a DETERMINISTIC seeded-hash sample of `fitSampleRows`
-    * vectors (k-means needs thousands of rows per centroid, not the
-    * corpus — at 100 TB the fit cost must not scale with corpus size),
-    * materialized ONCE so the m fits share one corpus scan. Same
-    * m×k×dsub shape as [[pqCodebooks]]; the encode/ADC machinery is
-    * identical, and the fit is reproducible (fixed seeds, fixed sample).
+  /** Trained PQ codebooks: per-subspace k-means over the subvector slices
+    * (the production path — fitted entries tile each subspace's marginal
+    * distribution, where the sampled codebooks inherit the corpus's skew).
+    *
+    * The fit runs DRIVER-SIDE over one DETERMINISTIC seeded-hash sample of
+    * `fitSampleRows` vectors: k-means needs thousands of rows per
+    * centroid, not the corpus, so at 100 TB the training cost must not
+    * scale with corpus size — ONE bounded collect (the capped-probe
+    * contract shape), then m Lloyd's fits of `kCent` centers over dim/m
+    * dims each in plain arithmetic. Distributed fits (MLlib) were measured
+    * 16 subspaces × dozens of tiny jobs = ~18 s of pure scheduling
+    * overhead per call on an 8k-row sample the driver folds in
+    * milliseconds — the wrong tool below cluster scale, and above it the
+    * sample is still this size.
+    *
+    * Deterministic by construction: farthest-first (maximin) init from the
+    * hash-ordered sample, assignment ties to the lowest center index,
+    * empty clusters reseeded to the worst-served point — no RNG, no
+    * aggregation-order float drift. Same m×k×dsub shape as
+    * [[pqCodebooks]]; the encode/ADC machinery is identical.
     */
   def pqCodebooksKMeans(embeddings: DataFrame, m: Int = PqSubspaces,
                         kCent: Int = PqCodebookSize, seed: Long = 42L,
                         maxIter: Int = 30,
                         fitSampleRows: Int = 8192): Seq[Seq[Seq[Float]]] = {
-    val sample = embeddings
+    val rows = embeddings
       .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"),
         col("vec_id"))
       .orderBy(col("h"), col("vec_id")).limit(fitSampleRows)
-      .select("embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val first = sample.head.getSeq[Float](0)
-      val dim = first.length
-      require(m > 0 && dim % m == 0,
-        s"pqCodebooksKMeans: dim $dim not divisible into m=$m subspaces")
-      val dsub = dim / m
-      (0 until m).map { s =>
-        val feats = sample.select(
-          org.apache.spark.ml.functions.array_to_vector(
-            slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
-        val model = new org.apache.spark.ml.clustering.KMeans()
-          .setK(kCent).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
-        model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+      .select("embedding").collect()
+    require(rows.nonEmpty, "pqCodebooksKMeans: empty corpus")
+    val vecs = rows.map(_.getSeq[Float](0).toArray)
+    val dim = vecs.head.length
+    require(vecs.forall(_.length == dim),
+      s"pqCodebooksKMeans: ragged embedding lengths (expected $dim)")
+    require(m > 0 && dim % m == 0,
+      s"pqCodebooksKMeans: dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val pts = vecs.map { v =>
+        val p = new Array[Double](dsub)
+        var t = 0
+        while (t < dsub) { p(t) = v(s * dsub + t).toDouble; t += 1 }
+        p
       }
-    } finally { sample.unpersist(); () }
+      lloydFit(pts, kCent, maxIter).map(_.toSeq.map(_.toFloat)).toSeq
+    }
+  }
+
+  /** Deterministic Lloyd's k-means over driver-local points: maximin
+    * (farthest-first) init, ties to the lowest index, empty clusters
+    * reseeded to the point worst served by its current center. Returns
+    * min(k, |distinct usable|) = k centers (points may repeat).
+    */
+  private def lloydFit(pts: Array[Array[Double]], k: Int,
+                       maxIter: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < d) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // maximin init: first point, then repeatedly the point farthest from
+    // its nearest chosen center (deterministic; spreads centers)
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = pts(0).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var best = 0
+      var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val dd = math.min(minD(i), dist2(pts(i), centers(c - 1)))
+        minD(i) = dd
+        if (dd > bestD) { bestD = dd; best = i }
+        i += 1
+      }
+      centers(c) = pts(best).clone()
+      c += 1
+    }
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      changed = false
+      // assignment (ties to lowest center index)
+      var i = 0
+      while (i < n) {
+        var bi = 0
+        var bd = dist2(pts(i), centers(0))
+        var j = 1
+        while (j < k) {
+          val dd = dist2(pts(i), centers(j))
+          if (dd < bd) { bd = dd; bi = j }
+          j += 1
+        }
+        if (bi != assign(i)) { assign(i) = bi; changed = true }
+        i += 1
+      }
+      // recompute means; empty cluster → the point farthest from its center
+      val sums = Array.fill(k, d)(0.0)
+      val counts = Array.fill(k)(0)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        var t = 0
+        while (t < d) { sums(a)(t) += pts(i)(t); t += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < d) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+        } else {
+          var worst = 0
+          var worstD = -1.0
+          var p = 0
+          while (p < n) {
+            val dd = dist2(pts(p), centers(assign(p)))
+            if (dd > worstD) { worstD = dd; worst = p }
+            p += 1
+          }
+          centers(j) = pts(worst).clone()
+          changed = true
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Product-quantized approximate top-k (asymmetric distance computation,
