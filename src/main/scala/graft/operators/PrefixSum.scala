@@ -82,8 +82,10 @@ object PrefixSum {
     *   1. range-shuffle by (group ++ order), sort within partitions — a
     *      group's rows are contiguous ACROSS partition boundaries;
     *   2. per partition, one total per contained group, collected to the
-    *      driver (≤ |groups|·|partitions| rows — metadata, not data) and
-    *      scanned in partition order into per-(partition, group) offsets;
+    *      driver and scanned in partition order into per-(partition, group)
+    *      offsets — contiguity bounds the collect at |groups| +
+    *      |partitions| − 1 rows (each partition boundary splits at most
+    *      one group), metadata, not data;
     *   3. each partition emits offset + local running sum per group.
     *
     * Both passes share the range shuffle's files. Values may be int/long
