@@ -826,6 +826,133 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew).select("doc_id", "fingerprint")
   }
 
+  /** EXACT-SUBSTRING duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 — the ExactSubstr
+    * method, re-expressed relationally instead of via a suffix array):
+    * every MAXIMAL run of tokens covered by k-token shingles that occur
+    * more than once in the corpus (counting all occurrences, so
+    * within-document repeats qualify too). The audit view of exact
+    * substring dedup — which token ranges of which documents are
+    * verbatim duplicated text (licenses, boilerplate, templated spam).
+    *
+    * Relational decomposition:
+    *   1. positional k-shingles — narrow map + posexplode, ONE row per
+    *      (doc, position);
+    *   2. duplicated-shingle set — map-side-combined count by shingle;
+    *      the output is duplicate-volume-sized, so AQE broadcasts it back
+    *      against the positions scan in the common mostly-unique corpus;
+    *   3. coverage runs — a per-document window (doc_id partitions:
+    *      unbounded cardinality, bounded per-task rows) merges marked
+    *      positions whose covered ranges touch (gap ≤ k) into maximal
+    *      spans; a break at gap > k is exactly an uncovered token.
+    *
+    * Shingle STRINGS shuffle here (k tokens per row) for DuckDB-oracle
+    * exactness — at 100 TB swap the count/join key for a 64-bit rolling
+    * hash (same plan, ~k× less shuffle volume, collisions ~n²/2⁶⁴); the
+    * span semantics are unchanged.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) in 1-based token
+    * positions, one row per maximal duplicated span.
+    */
+  def duplicateSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"duplicateSpans: shingle length $k must be >= 2")
+    val sh = positionalShingles(documents, k)
+    val dup = sh.groupBy("shingle").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("shingle")
+    coverageSpans(sh.join(dup, Seq("shingle")).select("doc_id", "pos"), k)
+  }
+
+  /** Exact substring dedup as a FILTER (the other half of Lee et al.'s
+    * ExactSubstr): remove every REDUNDANT duplicated occurrence, keeping
+    * the corpus-first one. An occurrence (doc, pos) of a duplicated
+    * shingle is redundant unless it is the minimum (doc_id, pos) holder
+    * of that shingle — computed as a pure integer MIN over a packed
+    * (doc_id << 20 | pos) key in ONE map-side-combined aggregation (a
+    * rank-per-shingle window would funnel every occurrence of a hot
+    * boilerplate shingle through one task). Tokens covered by redundant
+    * occurrences are dropped; everything else survives in order.
+    *
+    * Output: (doc_id, n_tokens_removed, clean_text) for EVERY input
+    * document (0 removed → text round-trips modulo tokenization).
+    * Positions are bounded by `MaxDocTokens` so the packed key cannot
+    * collide; a longer document fails fast.
+    */
+  def removeDuplicateSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"removeDuplicateSpans: shingle length $k must be >= 2")
+    val sh = positionalShingles(documents, k)
+      .withColumn("okey", col("doc_id") * MaxDocTokens + col("pos"))
+    val firsts = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("first_key"))
+      .filter(col("n") > 1)
+    val redundant = sh.join(firsts, Seq("shingle"))
+      .filter(col("okey") =!= col("first_key"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val covered = redundant.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("tpos"))).as("cov"))
+    documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // size(NULL) is -1 under non-ANSI semantics — branch, don't coalesce
+        when(col("cov").isNull, 0).otherwise(size(col("cov")))
+          .as("n_tokens_removed"),
+        array_join(
+          filter(col("w"), (tok, i) =>
+            col("cov").isNull || !array_contains(col("cov"), i + 1)), " ")
+          .as("clean_text"))
+  }
+
+  /** Token-position cap backing [[removeDuplicateSpans]]'s packed
+    * occurrence key (doc_id · cap + pos must stay collision-free).
+    */
+  val MaxDocTokens = 1L << 20
+
+  /** 1-based positional k-shingles: one (doc_id, pos, shingle) row per
+    * shingle OCCURRENCE — multiplicity preserved ([[TextFns.shingles]] is
+    * set-semantics and would both drop within-doc repeats and shift later
+    * positions). Narrow map + explode; documents shorter than k tokens
+    * contribute nothing (the filter also keeps `sequence` ascending —
+    * Spark generates a DESCENDING sequence when start > stop). Positions
+    * are validated against [[MaxDocTokens]] at the point they enter
+    * packed-key arithmetic.
+    */
+  private def positionalShingles(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
+      .select(col("doc_id"),
+        when(col("pos") < MaxDocTokens, col("pos"))
+          .otherwise(raise_error(concat(lit("positionalShingles: document "),
+            col("doc_id"), lit(s" exceeds $MaxDocTokens tokens")))).as("pos"),
+        array_join(slice(col("w"), col("pos"), lit(k)), " ").as("shingle"))
+
+  /** Maximal covered runs over marked 1-based shingle positions: a token
+    * t is covered when some marked position p has p ≤ t ≤ p+k−1; runs
+    * merge marks whose covered ranges overlap or abut (gap ≤ k). The
+    * window partitions by doc_id — unbounded group cardinality, so no
+    * single-task funnel at any corpus size.
+    */
+  private def coverageSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("lagpos", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("lagpos").isNull || col("pos") - col("lagpos") > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(run))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("last_pos"))
+      .select(col("doc_id"),
+        col("start_pos").cast("int").as("span_start"),
+        (col("last_pos") + (k - 1)).cast("int").as("span_end"),
+        (col("last_pos") + k - col("start_pos")).cast("int").as("n_tokens"))
+  }
+
   /** Hamming distance between SimHash fingerprints of candidate pairs —
     * used by tests and by the SimHash-based near-dup variant.
     */

@@ -1511,6 +1511,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // Shared oracle prelude for d15/d16: positional 8-gram shingles with
+  // multiplicity (1-based positions; docs under 8 tokens contribute none).
+  private val sqlPositionalShingles8 =
+    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos, w
+               FROM t WHERE len(w) >= 8),
+        s2 AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS shingle FROM sh)"""
+
+  // d15 — EXACT-SUBSTRING duplicate spans (Lee et al. 2022 §4.1, the
+  // ExactSubstr audit view re-expressed relationally): maximal runs of
+  // tokens covered by 8-gram shingles occurring >1 time in the corpus
+  // (within-doc repeats included). Coverage runs merge marks with gap ≤ k
+  // (a break at gap > k is exactly an uncovered token); the run window
+  // partitions by doc_id — unbounded cardinality, no single-task funnel.
+  private val d15 = q("d15_duplicate_spans", Some(
+    s"""WITH $sqlPositionalShingles8,
+        dup AS (SELECT shingle FROM s2 GROUP BY shingle HAVING COUNT(*) > 1),
+        m AS (SELECT s2.doc_id, s2.pos FROM s2 JOIN dup USING (shingle)),
+        l AS (SELECT doc_id, pos,
+                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos FROM m),
+        g AS (SELECT doc_id, pos,
+                SUM(CASE WHEN lagpos IS NULL OR pos - lagpos > 8 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+              FROM l)
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 7 AS INT) AS span_end,
+               CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS n_tokens
+        FROM g GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""")) { t =>
+    Dedup.duplicateSpans(t.documents, k = 8).orderBy("doc_id", "span_start")
+  }
+
+  // d16 — exact substring dedup as a FILTER (keep-first): every redundant
+  // duplicated occurrence's tokens are removed; the corpus-first occurrence
+  // (min packed (doc_id, pos) key — ONE map-side-combined integer MIN, no
+  // per-shingle rank window to funnel hot boilerplate) survives. Emits
+  // every document (0 removed → text round-trips modulo tokenization).
+  private val d16 = q("d16_exact_substring_dedup", Some(
+    s"""WITH $sqlPositionalShingles8,
+        occ AS (SELECT doc_id, pos, shingle, doc_id * 1048576 + pos AS okey FROM s2),
+        f AS (SELECT shingle, MIN(okey) AS first_key
+              FROM occ GROUP BY shingle HAVING COUNT(*) > 1),
+        red AS (SELECT o.doc_id, unnest(generate_series(o.pos, o.pos + 7)) AS tpos
+                FROM occ o JOIN f USING (shingle) WHERE o.okey <> f.first_key),
+        cov AS (SELECT doc_id, list_sort(list(DISTINCT tpos)) AS cl FROM red GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(CASE WHEN cov.cl IS NULL THEN 0 ELSE len(cov.cl) END AS INT) AS n_tokens_removed,
+          COALESCE(array_to_string(list_filter(t.w,
+            (x, i) -> cov.cl IS NULL OR NOT list_contains(cov.cl, i)), ' '), '')
+            AS clean_text
+        FROM t LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")) { t =>
+    Dedup.removeDuplicateSpans(t.documents, k = 8).orderBy("doc_id")
+  }
+
   // e14 — per-user inter-arrival stats (activity cadence: engagement /
   // bot-detection / churn features): consecutive-event gaps in integer
   // microseconds, rolled up to count / min / max / exact interpolated
@@ -1597,7 +1652,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,

@@ -55,6 +55,80 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------- exact-substring dedup (d15/d16, Lee 2022)
+
+  test("duplicateSpans: marks maximal duplicated runs, hand-computed") {
+    // k=3; "a b c d" appears in docs 1 and 2 → shingles "a b c" (pos 1) and
+    // "b c d" (pos 2) both duplicated; doc 3 repeats "u v w" within itself
+    val docs = Seq(
+      (1L, "a b c d x y z q"),
+      (2L, "p q r a b c d w"),
+      (3L, "u v w x u v w")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, k = 3).orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // doc1: marks at pos 1,2 → covered tokens 1..4; doc2: marks at 4,5 → 4..7;
+    // doc3: within-doc "u v w" at pos 1 and 5 (gap 4 > k) → two spans
+    assert(got == Seq((1L, 1, 4, 4), (2L, 4, 7, 4), (3L, 1, 3, 3), (3L, 5, 7, 3)))
+  }
+
+  test("duplicateSpans: within-doc repeats qualify; touching ranges merge; gaps split") {
+    // doc 1 repeats "m n o" at pos 1 and pos 7 (gap 6 > k=3 → two spans);
+    // marks at pos 1 and 4 (gap 3 = k) produce contiguous coverage → merge
+    val docs = Seq(
+      (1L, "m n o x y z m n o"),
+      (2L, "c1 c2 c3 f c1 c2 c3 t1 t2 t3"),
+      (3L, "t1 t2 t3 c1 c2 c3 z9")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, k = 3).orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // doc1: marks 1 and 7 → spans [1,3] and [7,9]
+    // doc2: "c1 c2 c3" dup (pos 1, 5) + "t1 t2 t3" dup (pos 8) → marks 1,5,8:
+    //   gap(1→5)=4 > 3 → split; gap(5→8)=3 = k → merge → spans [1,3],[5,10]
+    // doc3: marks 1 ("t1 t2 t3") and 4 ("c1 c2 c3") → gap 3 = k → one span [1,6]
+    assert(got == Seq(
+      (1L, 1, 3, 3), (1L, 7, 9, 3),
+      (2L, 1, 3, 3), (2L, 5, 10, 6),
+      (3L, 1, 6, 6)))
+  }
+
+  test("removeDuplicateSpans: keep-first, redundant occurrences dropped, clean text ordered") {
+    val docs = Seq(
+      (1L, "a b c d x y z q"),
+      (2L, "p q r a b c d w"),
+      (3L, "u v w only here")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, k = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // doc1 holds the first occurrences (doc_id 1 < 2) → untouched;
+    // doc2's "a b c d" (tokens 4..7) is redundant → removed
+    assert(got == Seq(
+      (1L, 0, "a b c d x y z q"),
+      (2L, 4, "p q r w"),
+      (3L, 0, "u v w only here")))
+  }
+
+  test("removeDuplicateSpans: within-doc repeat keeps only the first copy") {
+    val docs = Seq((1L, "m n o x m n o")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, k = 3).collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((3, "m n o x")))
+  }
+
+  test("duplicateSpans: docs shorter than k contribute nothing; empty corpus-dup set → no rows") {
+    val docs = Seq((1L, "a b"), (2L, "c d e f")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, k = 3).count() == 0)
+    val clean = Dedup.removeDuplicateSpans(docs, k = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(clean == Seq((1L, 0, "a b"), (2L, 0, "c d e f")))
+  }
+
+  test("duplicateSpans plan: no single-task window (doc_id-partitioned only)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.duplicateSpans(docs, k = 3).queryExecution.sparkPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "coverage window must partition by doc_id")
+  }
+
   // --------------------------------------------- gopherLineRules (x23)
 
   test("gopherLineRules: bullet/ellipsis fractions and verdicts, hand-computed") {
