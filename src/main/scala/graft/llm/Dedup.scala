@@ -908,6 +908,52 @@ object Dedup {
     */
   val MaxDocTokens = 1L << 20
 
+  /** EXACT LINE-LEVEL dedup, keep-first (the Dolma/CCNet pipeline stage
+    * between document dedup and substring dedup): a line occurring more
+    * than once in the corpus survives only at its corpus-first position
+    * (min packed (doc_id, line_no) key — the same ONE map-side-combined
+    * integer MIN as [[removeDuplicateSpans]]; a per-line rank window
+    * would funnel every copy of a hot boilerplate line through one
+    * task). Empty lines dedup like any other — production pipelines
+    * usually add a min-length guard upstream; exact semantics are kept
+    * here so the DuckDB oracle is bit-for-bit.
+    *
+    * `split('\n')` keeps trailing empties in both engines (the
+    * [[TextAnalysis.gopherLineRules]] denominator contract). Line
+    * STRINGS shuffle for oracle exactness — at 100 TB swap the
+    * count/join key for xxhash64(line), same plan, text-free shuffle.
+    *
+    * Output: (doc_id, n_lines_removed, clean_text) for EVERY input
+    * document, surviving lines joined by newline in original order.
+    */
+  def dedupLines(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"),
+        when(col("pos") + 1 < MaxDocTokens, col("pos") + 1)
+          .otherwise(raise_error(concat(lit("dedupLines: document "),
+            col("doc_id"), lit(s" exceeds $MaxDocTokens lines")))).as("line_no"),
+        col("col").as("line"))
+      .withColumn("okey", col("doc_id") * MaxDocTokens + col("line_no"))
+    val firsts = lines.groupBy("line")
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("first_key"))
+      .filter(col("n") > 1)
+    val removed = lines.join(firsts, Seq("line"))
+      .filter(col("okey") =!= col("first_key"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("line_no"))).as("rl"))
+    documents
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("rl").isNull, 0).otherwise(size(col("rl")))
+          .as("n_lines_removed"),
+        array_join(
+          filter(col("ls"), (line, i) =>
+            col("rl").isNull || !array_contains(col("rl"), i + 1)), "\n")
+          .as("clean_text"))
+  }
+
   /** 1-based positional k-shingles: one (doc_id, pos, shingle) row per
     * shingle OCCURRENCE — multiplicity preserved ([[TextFns.shingles]] is
     * set-semantics and would both drop within-doc repeats and shift later

@@ -1566,6 +1566,40 @@ object LlmQueries {
     Dedup.removeDuplicateSpans(t.documents, k = 8).orderBy("doc_id")
   }
 
+  // d17 — EXACT LINE-LEVEL dedup, keep-first (the Dolma/CCNet stage
+  // between document and substring dedup), over the multi-line fixture
+  // corpus (the synthetic documents table has no newline structure):
+  // corpus-duplicated lines survive only at their corpus-first
+  // (doc_id, line_no); every doc is emitted with its surviving lines in
+  // order. Same packed-key MIN shape as d16 — no per-line rank window.
+  private val d17 = {
+    val fixture = "/root/repo/fixtures/documents_multiline.jsonl"
+    q("d17_line_dedup", Some(
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM read_json('$fixture', format='newline_delimited',
+                 columns={doc_id: 'BIGINT', text: 'VARCHAR'})),
+          l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS line_no, ls FROM t),
+          o AS (SELECT doc_id, line_no, ls[line_no] AS line,
+                       doc_id * 1048576 + line_no AS okey FROM l),
+          f AS (SELECT line, MIN(okey) AS first_key
+                FROM o GROUP BY line HAVING COUNT(*) > 1),
+          red AS (SELECT o.doc_id, o.line_no FROM o JOIN f USING (line)
+                  WHERE o.okey <> f.first_key),
+          rl AS (SELECT doc_id, list_sort(list(line_no)) AS rl FROM red GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(CASE WHEN rl.rl IS NULL THEN 0 ELSE len(rl.rl) END AS INT)
+              AS n_lines_removed,
+            COALESCE(array_to_string(list_filter(t.ls,
+              (x, i) -> rl.rl IS NULL OR NOT list_contains(rl.rl, i)), chr(10)), '')
+              AS clean_text
+          FROM t LEFT JOIN rl USING (doc_id)
+          ORDER BY doc_id""")) { t =>
+      val docs = t.spark.read.schema("doc_id LONG, text STRING").json(fixture)
+      Dedup.dedupLines(docs).orderBy("doc_id")
+    }
+  }
+
   // e14 — per-user inter-arrival stats (activity cadence: engagement /
   // bot-detection / churn features): consecutive-event gaps in integer
   // microseconds, rolled up to count / min / max / exact interpolated
@@ -1652,7 +1686,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,

@@ -129,6 +129,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty, "coverage window must partition by doc_id")
   }
 
+  // ------------------------------------------ line dedup (d17, Dolma/CCNet)
+
+  test("dedupLines: keep-first across docs, within-doc repeats, untouched docs") {
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\nshared line"),
+      (3L, "unique one\nunique two")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // "shared line" first occurs at (1,2) → doc2 loses both its copies
+    assert(got == Seq(
+      (1L, 0, "alpha\nshared line\nbeta"),
+      (2L, 2, "gamma"),
+      (3L, 0, "unique one\nunique two")))
+  }
+
+  test("dedupLines: trailing empty lines dedup like any line (split keeps them)") {
+    val docs = Seq(
+      (1L, "a\n"),   // lines: "a", ""
+      (2L, "b\n")).toDF("doc_id", "text") // lines: "b", "" (dup of doc1's)
+    val got = Dedup.dedupLines(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 0, "a\n"), (2L, 1, "b")))
+  }
+
   // --------------------------------------------- gopherLineRules (x23)
 
   test("gopherLineRules: bullet/ellipsis fractions and verdicts, hand-computed") {
