@@ -1648,6 +1648,49 @@ object LlmQueries {
     TextAnalysis.bigramSurprisal(t.documents).orderBy("doc_id")
   }
 
+  // x24 — CROSS-CORPUS bigram scoring with STUPID BACKOFF (Brants et al.
+  // 2007; the CCNet shape: a reference half trains the model, the other
+  // half is scored against it, so unseen bigrams/words exercise the
+  // α-discounted unigram and OOV-floor tiers). Same determinism treatment
+  // as x16/x22: per-model-entry quantized-ln LUTs, exact decimal
+  // accumulation, one division + ROUND(4).
+  private val x24 = q("x24_stupid_backoff", Some(
+    """WITH mw AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                   FROM documents WHERE doc_id % 2 = 0),
+        sw AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 1),
+        mb AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])) AS bg FROM mw),
+        bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg FROM mb GROUP BY 1),
+        cf AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n_bg) AS BIGINT) AS n_ctx
+               FROM bf GROUP BY 1),
+        bglut AS (SELECT bg,
+                    CAST(ln(CAST(n_ctx AS DOUBLE) / CAST(n_bg AS DOUBLE)) AS DECIMAL(18,8)) AS ln_bg
+                  FROM bf JOIN cf ON string_split(bg, ' ')[1] = cf.w1),
+        mu AS (SELECT unnest(w) AS tok FROM mw),
+        uf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_w FROM mu GROUP BY 1),
+        nt AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tok FROM uf),
+        unilut AS (SELECT tok AS w2,
+                     CAST(ln(2.5 * CAST(n_tok AS DOUBLE) / CAST(n_w AS DOUBLE)) AS DECIMAL(18,8)) AS ln_uni
+                   FROM uf, nt),
+        oov AS (SELECT CAST(ln(2.5 * CAST(n_tok AS DOUBLE)) AS DECIMAL(18,8)) AS ln_oov FROM nt),
+        db AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS bg FROM sw) z
+               GROUP BY 1, 2)
+        SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          ROUND(CAST(SUM(c * COALESCE(ln_bg, ln_uni, ln_oov)) AS DOUBLE)
+                / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4) AS sb_surprisal
+        FROM db LEFT JOIN bglut USING (bg)
+        LEFT JOIN unilut ON string_split(db.bg, ' ')[2] = unilut.w2
+        CROSS JOIN oov
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.stupidBackoffScore(
+      t.documents.filter(col("doc_id") % 2 === 1),
+      t.documents.filter(col("doc_id") % 2 === 0))
+      .orderBy("doc_id")
+  }
+
   // e15 — per-day top-3 event types by volume (deterministic ties by type
   // name): the per-group top-k ranking runs over the pre-aggregated
   // (day, type) frame, never event-sized data.
@@ -1688,7 +1731,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
       p01, p02, p03, p04, p05, m01)
 }

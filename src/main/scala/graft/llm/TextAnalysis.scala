@@ -169,6 +169,86 @@ object TextAnalysis {
           .as("bg_surprisal"))
   }
 
+  /** CROSS-CORPUS bigram scoring with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" §4 — the smoothing
+    * designed FOR MapReduce-scale LMs; the CCNet recipe's shape, where a
+    * REFERENCE corpus trains the model and the candidate corpus is scored
+    * against it, unlike [[bigramSurprisal]]'s own-corpus scoring which
+    * never meets an unseen bigram). Per scored-document positional bigram
+    * (w1, w2):
+    *
+    *   S(w2|w1) = c(w1 w2)/c(w1 ·)      if the bigram is in the model,
+    *            = α · c(w2)/N           else if w2 is in the model vocab,
+    *            = α · 1/N               else (OOV floor — one count),
+    *
+    * with α = 1/invAlpha (default 0.4, the paper's constant; the API takes
+    * the INVERSE so the default stays an exact binary double — 1/0.4
+    * computed at runtime is not 2.5). Per-doc score = avg −ln S, the
+    * cross-entropy against the reference model — CCNet's quality axis.
+    *
+    * Determinism: the x16/x22 treatment — every −ln is computed ONCE per
+    * model entry (bigram LUT, vocabulary LUT, one OOV row) from identical
+    * double expressions in both engines and quantized to DECIMAL(18,8);
+    * scored counts narrow to DECIMAL(12,0); accumulation is exact decimal;
+    * ONE final division + ROUND(4).
+    *
+    * Scale shape: the model's (bg, n_bg) count frame materializes once
+    * ([[graft.operators.Materialize.cut]] — the zip_with lambda defeats
+    * exchange reuse exactly as in x22) and every derived LUT is model-
+    * vocabulary-bounded, so the scoring joins broadcast; the scored corpus
+    * contributes one map-side-combined (doc_id, bg) shuffle and its raw
+    * text never shuffles. Documents under 2 tokens have no bigrams and no
+    * row, like [[bigramSurprisal]].
+    */
+  def stupidBackoffScore(scored: DataFrame, model: DataFrame,
+                         invAlpha: Double = 2.5): DataFrame = {
+    require(invAlpha > 1.0, s"invAlpha $invAlpha must be > 1 (alpha in (0,1))")
+    val toks = TextFns.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    def bigramRows(df: DataFrame) =
+      df.select(col("doc_id"), explode(bigrams).as("bg"))
+    // model side: one materialized count frame; everything below it is
+    // vocabulary-bounded
+    val bgFreq = graft.operators.Materialize.cut(
+      bigramRows(model).groupBy("bg").agg(count(lit(1)).as("n_bg")))
+    val ctxFreq = bgFreq
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum("n_bg").as("n_ctx"))
+    val bgLut = bgFreq
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(ctxFreq, Seq("w1"))
+      .select(col("bg"),
+        log(col("n_ctx").cast("double") / col("n_bg").cast("double"))
+          .cast(DecimalType(18, 8)).as("ln_bg"))
+    val uni = model.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val nTot = uni.agg(sum(col("n_w")).as("n_tok"))
+    val uniLut = uni.crossJoin(broadcast(nTot))
+      .select(col("w").as("w2"),
+        log(lit(invAlpha) * col("n_tok").cast("double") / col("n_w").cast("double"))
+          .cast(DecimalType(18, 8)).as("ln_uni"))
+    val oov = nTot.select(
+      log(lit(invAlpha) * col("n_tok").cast("double"))
+        .cast(DecimalType(18, 8)).as("ln_oov"))
+    // scored side: map-side-combined counts, then LUT joins + backoff
+    val db = bigramRows(scored).groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    db
+      .join(bgLut, Seq("bg"), "left")
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uniLut, Seq("w2"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("lnv", coalesce(col("ln_bg"), col("ln_uni"), col("ln_oov")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnv")).as("sdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sdec").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("sb_surprisal"))
+  }
+
   /** Overlapping token-window chunking — the embedding/RAG prep primitive
     * (and the long-document splitter for context-bounded training): each
     * document becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `maxTokens` tokens,

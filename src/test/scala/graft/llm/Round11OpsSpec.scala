@@ -154,6 +154,49 @@ class Round11OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 0, "a\n"), (2L, 1, "b")))
   }
 
+  // --------------------------- stupid backoff cross-corpus scoring (x24)
+
+  test("stupidBackoffScore: all three tiers, hand-computed") {
+    // model "a b a c": bigrams {a b:1, b a:1, a c:1}, ctx {a:2, b:1},
+    // unigrams {a:2, b:1, c:1}, N=4
+    val model = Seq((10L, "a b a c")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b q"),  // "a b" in-model: ln(2/1); "b q": q OOV → ln(2.5·4)
+      (2L, "x a"))    // "x a": bg absent, a in vocab (n=2) → ln(2.5·4/2)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(scored, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ln2 = BigDecimal(math.log(2.0)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val ln10 = BigDecimal(math.log(10.0)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val ln5 = BigDecimal(math.log(5.0)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = ((ln2 + ln10) / 2).toDouble
+    assert(got == Seq(
+      (1L, 2L, BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 1L, ln5.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("stupidBackoffScore: in-model text scores below shuffled-OOV text") {
+    val model = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "the quick brown fox runs under the old tree")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zq wv kx the pf brown mm fox yy")).toDF("doc_id", "text")
+    val m = TextAnalysis.stupidBackoffScore(scored, model).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(m(1L) < m(3L), s"fluent text must score lower surprisal: $m")
+  }
+
+  test("stupidBackoffScore: raw text never shuffles; model count frame materializes once") {
+    val model = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val scored = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.stupidBackoffScore(scored, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "raw text must never shuffle")
+    assert(plan.contains("ExistingRDD"), "expected the materialized model count frame")
+  }
+
   // --------------------------------------------- gopherLineRules (x23)
 
   test("gopherLineRules: bullet/ellipsis fractions and verdicts, hand-computed") {
