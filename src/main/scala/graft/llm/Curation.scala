@@ -106,4 +106,26 @@ object Curation {
       .transform(Sampling.trainValTestSplit(_, "doc_id"))
       .select("doc_id", "quality", "predicted_lang", "split")
   }
+
+  /** Per-source corpus report card — the curation-monitoring rollup every
+    * mixture pipeline watches per ingest (what's in the pot, how much of
+    * it survives the quality gate): docs, whitespace tokens, mean doc
+    * length, and the Gopher keep fraction, per source. ONE narrow pass
+    * ([[TextAnalysis.gopherRules]] carrying `source` — no self-join back
+    * to the corpus) + one |sources|-keyed map-side-combined rollup; each
+    * reported ratio is a single double division of exact integer counts,
+    * so rows are bit-stable cross-engine.
+    */
+  def corpusReport(documents: DataFrame): DataFrame =
+    TextAnalysis.gopherRules(documents, carryCols = Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("total_tokens"),
+        sum(when(col("keep_doc"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_keep_frac"))
 }

@@ -1412,6 +1412,47 @@ object LlmQueries {
       .orderBy("doc_id", "copy_idx")
   }
 
+  // p06 — per-source corpus report card (the curation-monitoring rollup):
+  // docs / tokens / mean doc length / Gopher keep-fraction per source.
+  // One narrow pass (gopherRules carrying source — no self-join) + one
+  // |sources|-keyed rollup; every ratio is a single double division of
+  // exact integer counts.
+  private val p06 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("p06_corpus_report", Some(
+      s"""WITH base AS (
+            SELECT doc_id, source, text, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+          m AS (
+            SELECT source,
+              CAST(len(w) AS INT) AS n_words,
+              CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_word_len,
+              CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha_words,
+              CAST(len(text) - len(replace(text, '#', '')) AS INT)
+                + CAST((len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS INT)
+                AS n_symbols,
+              CAST(len(list_filter(list_distinct(w), x -> x IN ($enStops))) AS INT)
+                AS n_stop_distinct
+            FROM base),
+          k AS (
+            SELECT source, n_words,
+              ((n_words BETWEEN 50 AND 100000)
+               AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+               AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+               AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+               AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+               AND n_stop_distinct >= 2) AS keep_doc
+            FROM m)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
+            CAST(SUM(CASE WHEN keep_doc THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS gopher_keep_frac
+          FROM k GROUP BY source ORDER BY source""")) { t =>
+      Curation.corpusReport(t.documents).orderBy("source")
+    }
+  }
+
   // x21 — the Gopher quality-rule battery (Rae et al. 2021): per-document
   // boolean verdicts (word count, mean word length, symbol ratio,
   // alpha-word fraction, stopword presence) + the integer-ratio metrics
@@ -1733,5 +1774,5 @@ object LlmQueries {
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
-      p01, p02, p03, p04, p05, m01)
+      p01, p02, p03, p04, p05, p06, m01)
 }

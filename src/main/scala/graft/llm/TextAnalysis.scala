@@ -534,7 +534,8 @@ object TextAnalysis {
     * whole-stage codegen end to end; at 100 TB this runs at scan speed and
     * composes with any downstream curation predicate.
     */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  def gopherRules(documents: DataFrame,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val w = TextFns.tokens(col("text"))
     val stops = Lexicons.head._2
     val nEllipsis =
@@ -542,14 +543,14 @@ object TextAnalysis {
         .cast("int")
     val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
     val base = documents.select(
-      col("doc_id"),
+      (col("doc_id") +: carryCols.map(col)) ++ Seq(
       size(w).as("n_words"),
       // long seed: a >2^31-char document must widen, not wrap (ADVICE r10)
       aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
       size(filter(w, x => x.rlike("[a-z]"))).as("n_alpha_words"),
       (nHash + nEllipsis).as("n_symbols"),
       size(filter(array_distinct(w), x => x.isin(stops.map(lit): _*).cast("boolean")))
-        .as("n_stop_distinct"))
+        .as("n_stop_distinct")): _*)
     val scored = base
       .withColumn("mean_word_len",
         col("sum_word_len").cast("double") / col("n_words").cast("double"))
@@ -558,13 +559,14 @@ object TextAnalysis {
       .withColumn("alpha_frac",
         col("n_alpha_words").cast("double") / col("n_words").cast("double"))
     scored.select(
-      col("doc_id"), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      (col("doc_id") +: carryCols.map(col)) ++ Seq(
+      col("n_words"), col("mean_word_len"), col("symbol_ratio"),
       col("alpha_frac"), col("n_stop_distinct"),
       col("n_words").between(50, 100000).as("ok_word_count"),
       (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_word_len"),
       (col("symbol_ratio") < 0.1).as("ok_symbol_ratio"),
       (col("alpha_frac") > 0.8).as("ok_alpha_words"),
-      (col("n_stop_distinct") >= 2).as("ok_stopwords"))
+      (col("n_stop_distinct") >= 2).as("ok_stopwords")): _*)
       .withColumn("keep_doc",
         col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
           col("ok_alpha_words") && col("ok_stopwords"))
