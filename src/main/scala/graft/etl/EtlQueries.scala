@@ -466,6 +466,38 @@ object EtlQueries {
   // so the plan has no exchange (WarehouseSpec asserts it, with the
   // unbucketed contrast). The oracle recomputes the rollup from raw orders,
   // so a row lost or duplicated by the bucketed write/read cycle hash-fails.
+  // t17 — the Z-ORDERED warehouse layout through the correctness gate
+  // (scale layout #3; t13 = date partitioning, t16 = bucketing): write
+  // orders Morton-ordered on (o_custkey, day-grain o_date), then run a
+  // TWO-DIMENSIONAL range rollup FROM THE Z-ORDERED TABLE — the layout
+  // whose row groups skip on either predicate column (ZOrderSpec measures
+  // the skipping against a linear layout; this def proves the re-layout
+  // loses/duplicates nothing, since the oracle recomputes from raw
+  // orders). The time dimension rides a derived DATE key: parquet stats
+  // skipping does not fire on timestamp_ntz in Spark 4.1's reader
+  // (measured in ZOrderSpec), and the day-grain key is standard
+  // warehouse practice anyway. Predicates sit directly on columns so
+  // they push to parquet.
+  private val t17 = q("t17_zorder_scan",
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+          AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""") { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val withDay = t.orders.withColumn("o_date", to_date(col("o_orderdate")))
+    graft.operators.ZOrder.writeZOrdered(
+      withDay, dir, col("o_custkey"), col("o_date"), numFiles = 32)
+    t.spark.read.parquet(dir)
+      .filter(col("o_custkey").between(100, 400) &&
+        col("o_date").between(
+          lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date")))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -487,5 +519,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, c01, c02, c03)
+      t15, t16, t17, c01, c02, c03)
 }
