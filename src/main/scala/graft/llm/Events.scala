@@ -326,4 +326,32 @@ object Events {
         max("gap").as("max_gap_us"),
         percentile(col("gap"), lit(0.5)).as("median_gap_us"))
   }
+
+  /** First-order event-transition matrix (path analysis / Markov-chain
+    * mining — "what do users do NEXT after event X"): per-user
+    * time-ordered consecutive event-type pairs, rolled up corpus-wide to
+    * (prev_type, next_type) counts plus the row-normalized transition
+    * probability. The LAG rides the same user_id-partitioned window as
+    * [[interarrivalStats]] (unbounded group cardinality — scale-safe;
+    * ties broken by event_id so the sequence is total-ordered); the
+    * per-prev_type normalizer is a |types|-sized broadcast join-back, and
+    * each probability is ONE double division of exact counts —
+    * bit-stable cross-engine.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum(col("n_transitions")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p_transition"))
+  }
 }

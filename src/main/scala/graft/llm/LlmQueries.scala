@@ -1662,6 +1662,29 @@ object LlmQueries {
     Events.interarrivalStats(eventsTs(t)).orderBy("user_id")
   }
 
+  // e17 — first-order event-transition matrix (path analysis: "what do
+  // users do next after X"): per-user time-ordered consecutive type pairs
+  // (user_id-partitioned LAG, event_id tie-break), corpus rollup to
+  // (prev, next) counts + row-normalized transition probability (one
+  // double division of exact counts; |types|-sized broadcast normalizer).
+  private val e17 = q("e17_event_transitions", Some(
+    """WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events),
+        p AS (SELECT prev_type, event_type AS next_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_transitions
+              FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+              FROM p GROUP BY 1)
+        SELECT p.prev_type, p.next_type, p.n_transitions,
+               CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_transition
+        FROM p JOIN t USING (prev_type)
+        ORDER BY prev_type, next_type""")) { t =>
+    Events.eventTransitions(eventsTs(t)).orderBy("prev_type", "next_type")
+  }
+
   // x22 — bigram-LM surprisal (KenLM-style conditional scoring, x16's
   // transition-probability upgrade): avg −ln c(w1 w2)/c(w1 ·) per doc.
   // Same determinism treatment as x16: quantized ln LUT, exact decimal
@@ -1773,6 +1796,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, m01)
 }

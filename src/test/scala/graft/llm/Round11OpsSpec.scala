@@ -129,6 +129,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty, "coverage window must partition by doc_id")
   }
 
+  // ------------------------------------- event transitions (e17, Markov)
+
+  test("eventTransitions: per-user ordered pairs, counts and probabilities") {
+    val ev = Seq(
+      (1L, 101L, "view", "2026-01-01 10:00:00"),
+      (1L, 102L, "cart", "2026-01-01 10:05:00"),
+      (1L, 103L, "buy", "2026-01-01 10:10:00"),
+      (2L, 201L, "view", "2026-01-01 11:00:00"),
+      (2L, 202L, "view", "2026-01-01 11:05:00"),
+      (2L, 203L, "cart", "2026-01-01 11:10:00"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.eventTransitions(ev).orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // user1: view→cart, cart→buy; user2: view→view, view→cart
+    // view→cart 2, view→view 1 (p 2/3, 1/3); cart→buy 1 (p 1.0)
+    assert(got == Seq(
+      ("cart", "buy", 1L, 1.0),
+      ("view", "cart", 2L, 2.0 / 3.0),
+      ("view", "view", 1L, 1.0 / 3.0)))
+  }
+
   // ------------------------------------------ line dedup (d17, Dolma/CCNet)
 
   test("dedupLines: keep-first across docs, within-doc repeats, untouched docs") {
