@@ -536,6 +536,13 @@ object TextAnalysis {
     */
   def gopherRules(documents: DataFrame,
                   carryCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("doc_id", "n_words", "sum_word_len", "n_alpha_words",
+      "n_symbols", "n_stop_distinct", "mean_word_len", "symbol_ratio",
+      "alpha_frac", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_alpha_words", "ok_stopwords", "keep_doc")
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"gopherRules: carryCols ${clash.mkString(", ")} collide with output columns")
     val w = TextFns.tokens(col("text"))
     val stops = Lexicons.head._2
     val nEllipsis =

@@ -53,10 +53,13 @@ object ZOrder {
     }
   }
 
-  /** The Morton key for `df`'s (colA, colB): bounds come from one tiny
-    * min/max aggregation (four doubles to the driver — metadata), lanes
-    * and interleave are pure codegen'd expressions. Columns may be
-    * numeric, date, or timestamp (see [[asNumeric]]).
+  /** The Morton key for `df`'s (colA, colB). NOTE: runs ONE EAGER min/max
+    * aggregation over `df` at call time (four doubles to the driver —
+    * metadata, but a full scan); callers re-keying the same table or
+    * using known domain bounds should compute bounds once and use
+    * [[zValueWith]]. Lanes and interleave are pure codegen'd
+    * expressions. Columns may be numeric, date, or timestamp (see
+    * [[asNumeric]]).
     */
   def zValue(df: DataFrame, colA: Column, colB: Column): Column = {
     val (na, nb) = (asNumeric(df, colA), asNumeric(df, colB))
@@ -67,6 +70,16 @@ object ZOrder {
       lane16(na, b.getDouble(0), b.getDouble(1)),
       lane16(nb, b.getDouble(2), b.getDouble(3)))
   }
+
+  /** [[zValue]] with caller-supplied lane bounds — no corpus action at
+    * construction time; use for repeated re-keying or fixed domains
+    * (values outside the bounds clamp to the lane edges).
+    */
+  def zValueWith(df: DataFrame, colA: Column, colB: Column,
+                 boundsA: (Double, Double), boundsB: (Double, Double)): Column =
+    interleave16(
+      lane16(asNumeric(df, colA), boundsA._1, boundsA._2),
+      lane16(asNumeric(df, colB), boundsB._1, boundsB._2))
 
   /** Write `df` Z-ordered by (colA, colB) into ~`numFiles` files: range-
     * partition on the Morton key (each partition owns a contiguous curve

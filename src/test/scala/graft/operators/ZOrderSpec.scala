@@ -28,6 +28,14 @@ class ZOrderSpec extends SparkSpec {
     assert(df.select(ZOrder.lane16(col("v"), 5.0, 5.0)).head.getLong(0) == 0L)
   }
 
+  test("zValueWith uses caller bounds, clamps outliers, and runs no eager action") {
+    val df = Seq((0L, -5L), (100L, 500L)).toDF("a", "b")
+    val z = df.select(ZOrder.zValueWith(df, col("a"), col("b"),
+      (0.0, 100.0), (0.0, 100.0)).as("z")).orderBy("z").collect().map(_.getLong(0))
+    // row1: lanes (0, 0) → z 0; row2: lanes (65535, 65535) → all 32 bits set
+    assert(z.toSeq == Seq(0L, (1L << 32) - 1))
+  }
+
   // the time dimension rides a derived day-grain DATE key: parquet stats
   // skipping works for date/numeric columns but NOT for timestamp_ntz —
   // filters push (plan-verified) yet the Spark 4.1 reader skips no row
