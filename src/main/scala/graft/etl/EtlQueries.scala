@@ -498,6 +498,54 @@ object EtlQueries {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
   }
 
+  // t18 — copy-on-write MERGE/upsert through the correctness gate: publish
+  // orders as snapshot v1, upsert every 10th order with a doubled price
+  // (an UPDATE, which t11's idempotent append can never express), read the
+  // CURRENT snapshot back and roll it up. The oracle recomputes the
+  // post-merge state from raw orders, so a lost, duplicated, or
+  // un-replaced row hash-fails; v1 stays on disk untouched (time travel —
+  // WarehouseSpec pins it).
+  private val t18 = q("t18_snapshot_upsert",
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}
+          AS total_spent,
+        CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+        FROM orders""") { t =>
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
+    val updates = t.orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    ParquetWarehouse.upsertSnapshot(root, "orders", updates, "o_orderkey")
+    ParquetWarehouse.readTable(t.spark, root, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        sum(when(col("o_orderkey") % 10 === 0, 1L).otherwise(0L)).as("n_updated"))
+  }
+
+  // t19 — SCHEMA EVOLUTION through the correctness gate: a real warehouse
+  // accretes files across schema versions (a column added years in — at
+  // 100 TB nobody rewrites history), so the read side must reconcile.
+  // Even-key orders are written WITHOUT o_orderpriority (the "old" files),
+  // odd-key orders with it (the "new" files), appended into one table;
+  // a mergeSchema read reconciles the union schema with nulls for the
+  // missing column, and the rollup groups on it — the oracle recomputes
+  // the same null-group semantics from raw orders, so a dropped or
+  // misattributed row hash-fails.
+  private val t19 = q("t19_schema_evolution",
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS priority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders GROUP BY 1 ORDER BY priority ASC NULLS FIRST""") { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    t.orders.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+      .write.mode("overwrite").parquet(dir)
+    t.orders.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("append").parquet(dir)
+    t.spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("priority").asc_nulls_first)
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -519,5 +567,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, c01, c02, c03)
+      t15, t16, t17, t18, t19, c01, c02, c03)
 }

@@ -68,6 +68,40 @@ object ParquetWarehouse {
     spark.read.parquet(s"$root/$v/$table")
   }
 
+  /** Copy-on-write MERGE/upsert (the `MERGE INTO` shape path-based table
+    * formats implement): rows in `updates` REPLACE the current snapshot's
+    * rows with the same `keyCol` value, and new keys append — one
+    * anti-join + union, published as a fresh snapshot version through the
+    * same [[AtomicPointer]] CURRENT swap as [[publishSnapshot]], so
+    * readers see the old version until the new one is complete (a crash
+    * mid-merge leaves the previous version live, and the previous
+    * version's files are never touched — time travel for free).
+    *
+    * This is the mutation primitive [[appendIdempotent]] deliberately
+    * lacks (P21's anti-join drops already-loaded keys — it can never
+    * CHANGE a row). At 100 TB the rewrite cost is the whole table per
+    * merge; partition-scoped merges (rewrite only the partitions the
+    * update keys touch) compose this with [[writeFactPartitioned]]'s
+    * layout and are the caller's slicing decision. `updates` must be
+    * key-unique — duplicate update keys would both survive (enforced:
+    * fails fast rather than publishing an ambiguous merge).
+    */
+  def upsertSnapshot(root: String, table: String, updates: DataFrame,
+                     keyCol: String): String = {
+    val spark = updates.sparkSession
+    val dupes = updates.groupBy(col(keyCol)).count().filter(col("count") > 1)
+    require(dupes.isEmpty,
+      s"upsertSnapshot: duplicate update keys in '$keyCol' — merge is ambiguous")
+    val merged = currentVersion(root) match {
+      case None => updates
+      case Some(v) =>
+        val existing = spark.read.parquet(s"$root/$v/$table")
+        existing.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+    }
+    publishSnapshot(root, Map(table -> merged))
+  }
+
   /** Scale layout #1 — date-partitioned fact: `path/year=…/month=…/…` so
     * time-ranged queries (the dominant star-query shape: monthly trends,
     * quarterly, MoM growth) touch only matching partition directories.

@@ -42,6 +42,34 @@ class WarehouseSpec extends SparkSpec {
     assert(!bad.ok && bad.problems.exists(_.contains("missing_table")))
   }
 
+  test("upsert: updates replace, inserts append, old version time-travels") {
+    val root = tmpDir()
+    val v1Data = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "amt")
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> v1Data))
+    val updates = Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("k", "v", "amt")
+    val v2 = ParquetWarehouse.upsertSnapshot(root, "t", updates, "k")
+    assert(v2 == "v2")
+    val cur = ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(cur == Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // time travel: v1 files untouched
+    val old = spark.read.parquet(s"$root/v1/t")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(old == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("upsert: duplicate update keys fail fast; first upsert bootstraps") {
+    val root = tmpDir()
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsertSnapshot(root, "t", dup, "k")
+    }
+    val first = Seq((1L, "a")).toDF("k", "v")
+    assert(ParquetWarehouse.upsertSnapshot(root, "t", first, "k") == "v1")
+    assert(ParquetWarehouse.readTable(spark, root, "t").count() == 1)
+  }
+
   test("pre-flight fails cleanly with no published snapshot") {
     val pf = ParquetWarehouse.preFlight(spark, tmpDir(), Seq("dim"))
     assert(!pf.ok)
