@@ -217,6 +217,26 @@ object Recall {
         })
     }
 
+    // PCA-reduced shortlist + exact re-rank (s13): like PQ a compression
+    // path (full candidate fraction, 4× fewer bytes per scanned row at
+    // 64→16) — the graded number is how much ranking quality the float
+    // projection keeps vs PQ's 4-bit codes at similar scan cost.
+    // graded at two points on the dims/recall frontier: PCA's win is
+    // SPECTRAL — on the clustered geometry 16 dims are perfect, on the
+    // isotropic uniform geometry (no decay to exploit) recall tracks the
+    // kept-variance fraction, so the 32-dim point shows the price curve
+    def pcaEntry(dims: Int, name: String) = (name + suffix) -> {
+      val recall = Similarity.recallAtK(exact,
+        Similarity.pcaTopKReranked(embs, pred, 10, pcaDims = dims))
+      Seq(
+        "pca_dims" -> dims.toDouble,
+        "shortlist" -> Similarity.PqShortlist.toDouble,
+        "candidate_fraction" -> 1.0,
+        "recall_at_10" -> recall)
+    }
+    val pcaEntries = Seq(
+      pcaEntry(16, "s13_knn_pca"), pcaEntry(32, "s13_knn_pca_d32"))
+
     // IVF-ADC (s09): the candidate fraction is the probe fan-out (the s03
     // machinery) while the scanned bytes per candidate are the PQ codes —
     // recall is bounded by BOTH the probe coverage and the shortlist, so
@@ -314,7 +334,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ pqEntries ++ ivfPqEntries ++ {
+      quantEntry) ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

@@ -1176,6 +1176,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s13 — PCA-reduced ANN with exact re-rank (FAISS PCAMatrix in front of
+  // the scan): driver-fitted 64→16 projection on the bounded sample
+  // (covariance + Jacobi, deterministic), corpus projected in a narrow
+  // codegen'd map (4× fewer bytes per scanned row — the float analogue of
+  // PQ's compression axis), reduced-space cosine shortlist, exact re-rank.
+  // Approximate → rows-only; recall graded in RECALL (s13).
+  private val s13 = q("s13_knn_pca", None) { t =>
+    Similarity.pcaTopKReranked(t.embeddings, col("vec_id") % 100 === 0,
+      k = 10, pcaDims = 16, shortlist = Similarity.PqShortlist)
+      .orderBy("query_id", "rank")
+  }
+
   // x14 — SEQUENCE PACKING: lay documents end-to-end in deterministic
   // (hash-bucket, doc_id) order and cut the token stream into 512-token
   // bins — each document gets its training-sequence id and starting offset.
@@ -1794,7 +1806,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, m01)

@@ -129,6 +129,61 @@ class Round11OpsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty, "coverage window must partition by doc_id")
   }
 
+  // ------------------------------------------------ PCA reduction (s13)
+
+  test("pcaFit: components are orthonormal, variance-ordered, deterministic") {
+    val m1 = Similarity.pcaFit(corpus, k = 8)
+    val m2 = Similarity.pcaFit(corpus, k = 8)
+    assert(m1 == m2, "PCA fit must be bit-reproducible")
+    // orthonormal
+    for (i <- m1.components.indices; j <- i until m1.components.size) {
+      val dot = m1.components(i).iterator.zip(m1.components(j).iterator)
+        .map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"<w$i, w$j> = $dot")
+    }
+    // eigenvalues sorted descending and non-negative
+    assert(m1.eigenvalues == m1.eigenvalues.sortBy(-_))
+    assert(m1.eigenvalues.forall(_ >= -1e-12))
+  }
+
+  test("pcaFit recovers a planted dominant direction") {
+    // points along (1, 1, 0, ..., 0)/√2 with tiny isotropic noise-free spread
+    val d = 8
+    val rows = (0 until 200).map { i =>
+      val t = (i - 100).toDouble / 10.0
+      val v = Array.fill(d)(0.0f)
+      v(0) = (t / math.sqrt(2)).toFloat; v(1) = (t / math.sqrt(2)).toFloat
+      v(2) = (i % 3 - 1).toFloat * 0.01f // tiny second direction
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, k = 2)
+    val w0 = m.components.head
+    assert(math.abs(math.abs(w0(0)) - 1 / math.sqrt(2)) < 1e-3 &&
+      math.abs(math.abs(w0(1)) - 1 / math.sqrt(2)) < 1e-3,
+      s"dominant component should be the planted diagonal: $w0")
+    assert(m.eigenvalues.head > 100 * m.eigenvalues(1),
+      s"variance ordering: ${m.eigenvalues}")
+  }
+
+  test("pcaProject is a narrow map and pcaTopKReranked recovers planted twins") {
+    val base = corpus.select("vec_id", "embedding")
+    val twins = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + TwinOffset).as("vec_id"), col("embedding"))
+    val planted = base.unionByName(twins)
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val model = Similarity.pcaFit(planted, k = 16)
+    val projPlan = planted.select(Similarity.pcaProject(col("embedding"), model))
+      .queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"), s"projection must be narrow:\n$projPlan")
+    val top1 = Similarity.pcaTopKReranked(planted, pred, k = 10, pcaDims = 16)
+      .filter(col("rank") === 1)
+    val hits = top1.filter(col("neighbor_id") === col("query_id") + TwinOffset).count()
+    assert(hits == top1.count(),
+      "every query's exact twin must surface at rank 1 after the exact re-rank")
+  }
+
   // ------------------------------------- event transitions (e17, Markov)
 
   test("eventTransitions: per-user ordered pairs, counts and probabilities") {
