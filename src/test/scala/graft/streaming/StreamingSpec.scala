@@ -164,6 +164,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher rule battery runs unchanged on a document stream (batch ≡ stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(80)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.llm.TextAnalysis.gopherRules(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(40)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("gopher_stream")
+        .select("doc_id", "n_words", "keep_doc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      val batch = graft.llm.TextAnalysis.gopherRules(docs.toSeq.toDF("doc_id", "text"))
+        .select("doc_id", "n_words", "keep_doc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("chunking runs unchanged on a document stream (batch ≡ stream, row-local op)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
