@@ -546,6 +546,36 @@ object EtlQueries {
       .orderBy(col("priority").asc_nulls_first)
   }
 
+  // t20 — MERGE-ON-READ delete through the correctness gate (the
+  // complementary mutation to t18's copy-on-write): publish orders as v1,
+  // then two delete rounds (every 7th key, then every 11th) that write ONLY
+  // tombstones + a base pointer — the v1 data files are never rewritten
+  // (WarehouseSpec pins that v2/v3 hold no data dir) — and read the CURRENT
+  // snapshot back through the tombstone anti-join. Two rounds prove the
+  // tombstones are CUMULATIVE across versions. The oracle recomputes the
+  // post-delete state from raw orders, so a row that survives deletion,
+  // vanishes wrongly, or duplicates hash-fails. At 100 TB this is the
+  // GDPR-delete shape: a few thousand keys cost one tiny parquet write
+  // instead of a full-table rewrite, and compaction folds the tombstones
+  // in later (the spec covers compact + vacuum equivalence).
+  private val t20 = q("t20_mor_delete",
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0""") { t =>
+    val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
+    ParquetWarehouse.deleteFromSnapshot(root, "orders",
+      t.orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), "o_orderkey")
+    ParquetWarehouse.deleteFromSnapshot(root, "orders",
+      t.orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"), "o_orderkey")
+    ParquetWarehouse.readTable(t.spark, root, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -567,5 +597,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, c01, c02, c03)
 }

@@ -140,4 +140,22 @@ object AtomicPointer {
       out.result()
     }
   }
+
+  /** Names of immediate child FILES of `path` (pointer-file discovery for
+    * snapshot-version manifests); empty when the path is absent.
+    */
+  def listFileNames(path: String, c: Configuration = conf()): Seq[String] = {
+    val p = new Path(path)
+    val ctx = fc(p, c)
+    if (!ctx.util.exists(p)) Seq.empty
+    else {
+      val it = ctx.listStatus(p)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) out += st.getPath.getName
+      }
+      out.result()
+    }
+  }
 }

@@ -61,11 +61,154 @@ object ParquetWarehouse {
   def currentVersion(root: String): Option[String] =
     AtomicPointer.read(s"$root/$Pointer").map(_.trim)
 
-  /** Read a table from the currently-published snapshot. */
+  /** Read a table from the currently-published snapshot, resolving the two
+    * metadata-only indirections a version may carry:
+    *   - a `<table>.base` pointer file (the version holding the actual data
+    *     files — written by [[deleteFromSnapshot]]'s merge-on-read path so
+    *     a delete never rewrites the table);
+    *   - a `<table>.deletes/` tombstone set (cumulative deleted keys; one
+    *     key column whose NAME identifies the join key), anti-joined here.
+    * A plain version (data dir, no tombstones) reads exactly as before.
+    * The tombstone side is deleted-keys-sized — tiny next to the table —
+    * so AQE broadcasts the anti-join's right side; the base scan itself
+    * still prunes columns/filters as a direct parquet read would.
+    */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    spark.read.parquet(s"$root/$v/$table")
+    val dataV = resolveBase(root, v, table)
+    val data = spark.read.parquet(s"$root/$dataV/$table")
+    tombstones(spark, root, v, table) match {
+      case None => data
+      case Some(del) => data.join(del, Seq(del.columns.head), "left_anti")
+    }
+  }
+
+  /** The version whose `<table>/` dir holds the data files for `table` as
+    * of version `v` — `v` itself unless a `.base` pointer redirects (base
+    * pointers always name a data version directly; they never chain).
+    */
+  private def resolveBase(root: String, v: String, table: String): String =
+    AtomicPointer.read(s"$root/$v/$table.base").map(_.trim).getOrElse(v)
+
+  /** The cumulative tombstone frame of `table` as of version `v`, if any. */
+  private def tombstones(spark: SparkSession, root: String, v: String,
+                         table: String): Option[DataFrame] =
+    if (AtomicPointer.exists(s"$root/$v/$table.deletes"))
+      Some(spark.read.parquet(s"$root/$v/$table.deletes"))
+    else None
+
+  /** Table names present in version `v`: data dirs, base-pointer files, or
+    * tombstone-only carries (every `.deletes` has a data dir or base
+    * pointer beside it by construction, so this is belt-and-braces).
+    */
+  private def tablesIn(root: String, v: String): Seq[String] = {
+    val dirs = AtomicPointer.listDirNames(s"$root/$v")
+    val files = AtomicPointer.listFileNames(s"$root/$v")
+    (dirs.filterNot(_.endsWith(".deletes")) ++
+      dirs.filter(_.endsWith(".deletes")).map(_.stripSuffix(".deletes")) ++
+      files.filter(_.endsWith(".base")).map(_.stripSuffix(".base"))).distinct
+  }
+
+  /** Carry `tables` from version `cur` into the staged version `next`
+    * WITHOUT copying data: each gets a `.base` pointer at its resolved data
+    * version, and its cumulative tombstones (deleted-keys-sized — metadata
+    * next to the table) are rewritten into `next` so every version is
+    * self-contained for reads.
+    */
+  private def carryForward(spark: SparkSession, root: String, cur: String,
+                           next: String, tables: Seq[String]): Unit =
+    tables.foreach { tbl =>
+      tombstones(spark, root, cur, tbl).foreach(
+        _.write.mode("overwrite").parquet(s"$root/$next/$tbl.deletes"))
+      AtomicPointer.write(s"$root/$next/$tbl.base", resolveBase(root, cur, tbl))
+    }
+
+  /** Merge-on-read DELETE — the complementary mutation to
+    * [[upsertSnapshot]]'s copy-on-write: the new snapshot version carries
+    * only a `.base` pointer at the version whose files still hold the data
+    * plus a cumulative tombstone table of deleted keys; NOTHING is
+    * rewritten. [[readTable]] applies the tombstones as an anti-join whose
+    * right side AQE broadcasts. This is the Iceberg-v2 delete-file /
+    * deletion-vector shape: at 100 TB a GDPR-scale delete of a few thousand
+    * keys costs one tiny parquet write instead of a full-table rewrite —
+    * the read-side anti-join is the price, paid until
+    * [[compactSnapshotDeletes]] folds the tombstones into a rewritten base.
+    * Other tables in the snapshot carry forward as metadata pointers.
+    * Delete keys are deduplicated; deleting an absent key is a no-op by
+    * anti-join semantics (DELETE WHERE matches nothing). The tombstone
+    * column is stored under `keyCol`'s name, which is how the read side
+    * knows the join key; repeated deletes must therefore target the same
+    * key column (enforced).
+    */
+  def deleteFromSnapshot(root: String, table: String, deleteKeys: DataFrame,
+                         keyCol: String): String = {
+    val spark = deleteKeys.sparkSession
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    require(tablesIn(root, cur).contains(table),
+      s"deleteFromSnapshot: no table '$table' in snapshot $cur under $root")
+    val next = "v" + (cur.drop(1).toLong + 1)
+    carryForward(spark, root, cur, next,
+      tablesIn(root, cur).filterNot(_ == table))
+    val prior = tombstones(spark, root, cur, table)
+    prior.foreach(p => require(p.columns.sameElements(Array(keyCol)),
+      s"deleteFromSnapshot: existing tombstones for '$table' key on " +
+        s"'${p.columns.mkString(",")}', not '$keyCol' — one delete key per table"))
+    val fresh = deleteKeys.select(col(keyCol)).distinct()
+    val all = prior.map(_.unionByName(fresh).distinct()).getOrElse(fresh)
+    all.write.mode("overwrite").parquet(s"$root/$next/$table.deletes")
+    AtomicPointer.write(s"$root/$next/$table.base", resolveBase(root, cur, table))
+    AtomicPointer.write(s"$root/$Pointer", next)
+    next
+  }
+
+  /** Fold a table's tombstones into a rewritten base — the maintenance pass
+    * that ends the merge-on-read era: the merged view (base minus deletes)
+    * is written as a PLAIN data dir in a fresh version, tombstones and base
+    * pointer dropped, other tables carried forward. Reads before the
+    * pointer swap see the old version; after it, a direct scan with no
+    * anti-join. Old versions stay on disk (time travel) until
+    * [[vacuumSnapshots]].
+    */
+  def compactSnapshotDeletes(spark: SparkSession, root: String,
+                             table: String): String = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    val next = "v" + (cur.drop(1).toLong + 1)
+    carryForward(spark, root, cur, next,
+      tablesIn(root, cur).filterNot(_ == table))
+    readTable(spark, root, table).write.mode("overwrite")
+      .parquet(s"$root/$next/$table")
+    AtomicPointer.write(s"$root/$Pointer", next)
+    next
+  }
+
+  /** Delete version dirs unreachable from CURRENT — the snapshot analogue
+    * of the dedup index's vacuum, with the same two writer-safety guards:
+    * never touch versions numbered ABOVE the committed one (a serial
+    * writer's in-flight commit occupies exactly cur+1), and re-read the
+    * pointer immediately before each delete. Reachable = the CURRENT
+    * version plus every version its `.base` pointers name. This RECLAIMS
+    * time-travel history by design — call it only when no reader may still
+    * hold an old pointer (the same maintenance-window contract as
+    * compaction). Returns the number of directories removed.
+    */
+  def vacuumSnapshots(root: String): Int = {
+    def reachable(): Set[String] = currentVersion(root) match {
+      case None => Set.empty
+      case Some(v) =>
+        tablesIn(root, v).map(resolveBase(root, v, _)).toSet + v
+    }
+    val live = reachable()
+    val maxCommitted = currentVersion(root)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).getOrElse(0L)
+    val junk = AtomicPointer.listDirNames(root)
+      .filter(n => n.matches("v\\d+") && !live.contains(n) &&
+        n.drop(1).toLong <= maxCommitted)
+    junk.count { name =>
+      !reachable().contains(name) && AtomicPointer.deleteDir(s"$root/$name")
+    }
   }
 
   /** Copy-on-write MERGE/upsert (the `MERGE INTO` shape path-based table
@@ -82,9 +225,14 @@ object ParquetWarehouse {
     * CHANGE a row). At 100 TB the rewrite cost is the whole table per
     * merge; partition-scoped merges (rewrite only the partitions the
     * update keys touch) compose this with [[writeFactPartitioned]]'s
-    * layout and are the caller's slicing decision. `updates` must be
-    * key-unique — duplicate update keys would both survive (enforced:
-    * fails fast rather than publishing an ambiguous merge).
+    * layout and are the caller's slicing decision; a DELETE at that scale
+    * belongs on [[deleteFromSnapshot]]'s merge-on-read path instead.
+    * `updates` must be key-unique — duplicate update keys would both
+    * survive (enforced: fails fast rather than publishing an ambiguous
+    * merge). Reads go through [[readTable]], so an upsert over a
+    * tombstone-carrying version merges against the POST-delete view and
+    * the rewritten table sheds its tombstones; other tables in the
+    * snapshot carry forward as metadata pointers.
     */
   def upsertSnapshot(root: String, table: String, updates: DataFrame,
                      keyCol: String): String = {
@@ -92,14 +240,21 @@ object ParquetWarehouse {
     val dupes = updates.groupBy(col(keyCol)).count().filter(col("count") > 1)
     require(dupes.isEmpty,
       s"upsertSnapshot: duplicate update keys in '$keyCol' — merge is ambiguous")
-    val merged = currentVersion(root) match {
-      case None => updates
-      case Some(v) =>
-        val existing = spark.read.parquet(s"$root/$v/$table")
-        existing.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(updates)
+    currentVersion(root) match {
+      case None => publishSnapshot(root, Map(table -> updates))
+      case Some(cur) =>
+        val merged =
+          if (!tablesIn(root, cur).contains(table)) updates
+          else readTable(spark, root, table)
+            .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(updates)
+        val next = "v" + (cur.drop(1).toLong + 1)
+        carryForward(spark, root, cur, next,
+          tablesIn(root, cur).filterNot(_ == table))
+        merged.write.mode("overwrite").parquet(s"$root/$next/$table")
+        AtomicPointer.write(s"$root/$Pointer", next)
+        next
     }
-    publishSnapshot(root, Map(table -> merged))
   }
 
   /** Scale layout #1 — date-partitioned fact: `path/year=…/month=…/…` so
@@ -395,12 +550,15 @@ object ParquetWarehouse {
     currentVersion(root) match {
       case None => PreFlight(ok = false, Seq(s"no CURRENT snapshot pointer under $root"), Map.empty)
       case Some(v) =>
+        val present = tablesIn(root, v).toSet
         val (problems, counts) = required.foldLeft((Seq.empty[String], Map.empty[String, Long])) {
           case ((ps, cs), t) =>
-            val dir = s"$root/$v/$t"
-            if (!AtomicPointer.exists(dir)) (ps :+ s"missing table $t in $v", cs)
+            // presence via the version manifest (a merge-on-read version
+            // carries a table as a .base pointer, not a data dir), counts
+            // via the resolving read path so tombstones are honored
+            if (!present.contains(t)) (ps :+ s"missing table $t in $v", cs)
             else {
-              val n = spark.read.parquet(dir).count()
+              val n = readTable(spark, root, t).count()
               (if (n == 0) ps :+ s"table $t is empty" else ps, cs + (t -> n))
             }
         }

@@ -70,6 +70,87 @@ class WarehouseSpec extends SparkSpec {
     assert(ParquetWarehouse.readTable(spark, root, "t").count() == 1)
   }
 
+  test("merge-on-read delete: tombstones only, base untouched, cumulative reads") {
+    val root = tmpDir()
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    val dim = Seq((10L, "x")).toDF("dk", "dv")
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> data, "dim" -> dim))
+    val v2 = ParquetWarehouse.deleteFromSnapshot(
+      root, "t", Seq(2L, 4L, 999L).toDF("k"), "k")
+    assert(v2 == "v2")
+    // the delete wrote NO data files: v2 holds a base pointer + tombstones
+    assert(!AtomicPointer.exists(s"$root/v2/t"))
+    assert(AtomicPointer.read(s"$root/v2/t.base").map(_.trim).contains("v1"))
+    assert(AtomicPointer.exists(s"$root/v2/t.deletes"))
+    // absent key 999 is a no-op; present keys are gone
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c"), (5L, "e")))
+    // the other table carried forward as metadata and still reads
+    assert(ParquetWarehouse.readTable(spark, root, "dim").count() == 1)
+    // second round is CUMULATIVE across versions
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(1L).toDF("k"), "k")
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c"), (5L, "e")))
+    // v1 base files never rewritten: the raw dir still has all 5 rows
+    assert(spark.read.parquet(s"$root/v1/t").count() == 5)
+    // pre-flight sees the carried tables and the post-delete counts
+    val pf = ParquetWarehouse.preFlight(spark, root, Seq("t", "dim"))
+    assert(pf.ok && pf.rowCounts == Map("t" -> 2L, "dim" -> 1L))
+    // key-column consistency is enforced across delete rounds
+    intercept[IllegalArgumentException] {
+      ParquetWarehouse.deleteFromSnapshot(root, "t", Seq("zz").toDF("v"), "v")
+    }
+  }
+
+  test("merge-on-read composes with upsert; compaction folds; vacuum reclaims") {
+    val root = tmpDir()
+    val data = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "amt")
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> data))
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(2L).toDF("k"), "k")
+    // upsert over the tombstoned version merges against the POST-delete
+    // view and rewrites plain: key 2 stays deleted, 3 updates, 5 inserts
+    val v3 = ParquetWarehouse.upsertSnapshot(
+      root, "t", Seq((3L, 99.0), (5L, 50.0)).toDF("k", "amt"), "k")
+    assert(v3 == "v3")
+    assert(AtomicPointer.exists(s"$root/v3/t"))
+    assert(!AtomicPointer.exists(s"$root/v3/t.deletes"))
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (3L, 99.0), (4L, 40.0), (5L, 50.0)))
+    // a fresh delete era, then compaction: same rows before and after,
+    // compacted version is a plain data dir with no tombstones
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(4L).toDF("k"), "k")
+    val before = ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    val v5 = ParquetWarehouse.compactSnapshotDeletes(spark, root, "t")
+    assert(v5 == "v5")
+    assert(AtomicPointer.exists(s"$root/v5/t") &&
+      !AtomicPointer.exists(s"$root/v5/t.deletes"))
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, Double)].collect().toSeq == before)
+    // vacuum while v4's base pointer is live spares the base; after
+    // compaction the history (v1-v4) is unreachable and reclaimed
+    val removed = ParquetWarehouse.vacuumSnapshots(root)
+    assert(removed == 4, s"expected v1-v4 reclaimed, removed $removed")
+    assert(!AtomicPointer.exists(s"$root/v1") && AtomicPointer.exists(s"$root/v5"))
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, Double)].collect().toSeq == before)
+  }
+
+  test("vacuum spares versions reachable through live base pointers") {
+    val root = tmpDir()
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> Seq((1L, "a")).toDF("k", "v")))
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(1L).toDF("k"), "k")
+    // v3 (current) points at v2 as base; v1 is dead history
+    assert(ParquetWarehouse.vacuumSnapshots(root) == 1)
+    assert(AtomicPointer.exists(s"$root/v2") && !AtomicPointer.exists(s"$root/v1"))
+    assert(ParquetWarehouse.readTable(spark, root, "t")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
   test("pre-flight fails cleanly with no published snapshot") {
     val pf = ParquetWarehouse.preFlight(spark, tmpDir(), Seq("dim"))
     assert(!pf.ok)
