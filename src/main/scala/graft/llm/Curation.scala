@@ -128,4 +128,32 @@ object Curation {
           .as("mean_doc_tokens"),
         (col("n_keep").cast("double") / col("n_docs").cast("double"))
           .as("gopher_keep_frac"))
+
+  /** SOFT deduplication — keep every document but DOWNWEIGHT duplicates by
+    * their near-dup cluster size (weight = 1 / |cluster|, singletons 1.0),
+    * the SoftDeDup / "sampling weight" alternative to [[curate]]'s hard
+    * drop: a cluster of n near-identical documents contributes one
+    * document's worth of expected training mass, spread over its variants,
+    * instead of deleting n−1 of them outright (duplicate-driven
+    * memorization falls without discarding the unique spans the variants
+    * disagree on). Output: every input doc_id with its cluster_size and
+    * weight — a sampling prior for [[graft.llm.Sampling]]'s hash gates or
+    * an example-weight column for the training loader.
+    *
+    * Scale shape: clusters come from the banded-LSH path (never
+    * all-pairs); the membership frame is cluster-members-sized — at real
+    * dup rates a few percent of the corpus — so the corpus-side left join
+    * broadcasts under AQE, and the size rollup is |clusters|-keyed with
+    * map-side combine. The weight is one double division of exact integer
+    * counts, bit-stable cross-engine.
+    */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs, threshold)
+    val sizes = clusters.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    val membership = clusters.join(sizes, "rep").select("doc_id", "cluster_size")
+    docs.select("doc_id")
+      .join(membership, Seq("doc_id"), "left")
+      .na.fill(1L, Seq("cluster_size"))
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+  }
 }

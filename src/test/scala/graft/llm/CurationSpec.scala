@@ -23,6 +23,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.intersect(nonReps).isEmpty)
   }
 
+  test("soft-dedup weights: every doc weighted, clusters sum to one doc of mass") {
+    val w = Curation.softDedupWeights(docs, threshold = 0.8).persist()
+    try {
+      // one row per document, nothing dropped
+      assert(w.count() == docs.count())
+      assert(w.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+      // the cluster members carry the cluster size; singletons weigh 1.0
+      val clustered = Dedup.nearDupClusters(docs, 0.8).persist()
+      try {
+        val members = clustered.select("doc_id").collect().map(_.getLong(0)).toSet
+        val singles = w.filter(!col("doc_id").isin(members.toSeq: _*)).collect()
+        assert(singles.forall(r =>
+          r.getAs[Long]("cluster_size") == 1L && r.getAs[Double]("weight") == 1.0))
+        // each cluster's weights sum to exactly one document of mass
+        val sums = w.join(clustered, "doc_id").groupBy("rep")
+          .agg(sum("weight").as("mass")).collect()
+        assert(sums.nonEmpty && sums.forall(r =>
+          math.abs(r.getAs[Double]("mass") - 1.0) < 1e-9))
+      } finally { clustered.unpersist(); () }
+    } finally { w.unpersist(); () }
+  }
+
   test("full CLI recipe: cap, split, epochs, order compose with their invariants intact") {
     val out = graft.cli.CuratePipeline.recipe(docs,
       minQuality = 0.0, lang = None, threshold = 0.8,
