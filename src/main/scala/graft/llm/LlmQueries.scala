@@ -1465,6 +1465,49 @@ object LlmQueries {
     }
   }
 
+  // x25 — DSIR importance weights (Xie et al. 2023): every document scored
+  // by the log importance ratio of the English-labeled subset (the target
+  // distribution) over the whole corpus, under hashed unigram features —
+  // 1024 buckets via the x07 polynomial fold, Laplace-smoothed. The LUT is
+  // bucket-bounded (the scale story: O(1024) model regardless of corpus
+  // size); determinism is the x16/x24 quantized-ln + exact-decimal
+  // treatment, hash arithmetic identical in both engines.
+  private val x25 = q("x25_dsir_weights", Some(
+    s"""WITH tb AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) % 1024 AS b
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents) z),
+        src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ns FROM tb GROUP BY 1),
+        stot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_src FROM src),
+        ttb AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) % 1024 AS b
+          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents WHERE lang = 'en') z),
+        tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM ttb GROUP BY 1),
+        ttot AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_tgt FROM tgt),
+        lut AS (
+          SELECT src.b,
+            CAST(ln(CAST(COALESCE(tgt.nt, 0) + 1 AS DOUBLE)
+                    / CAST(n_tgt + 1024 AS DOUBLE)) AS DECIMAL(18,8))
+            - CAST(ln(CAST(src.ns + 1 AS DOUBLE)
+                      / CAST(n_src + 1024 AS DOUBLE)) AS DECIMAL(18,8)) AS lnr
+          FROM src LEFT JOIN tgt ON src.b = tgt.b
+          CROSS JOIN stot CROSS JOIN ttot),
+        db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2)
+        SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(CAST(c AS DECIMAL(12,0)) * lnr) AS DOUBLE), 4) AS dsir_logw
+        FROM db JOIN lut ON db.b = lut.b
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.dsirWeights(
+      raw = t.documents, target = t.documents.filter(col("lang") === "en"),
+      buckets = 1024).orderBy("doc_id")
+  }
+
   // p07 — SOFT deduplication weights (the SoftDeDup / sampling-weight
   // alternative to p01's hard drop): every document keeps a row, near-dup
   // cluster members are downweighted to 1/|cluster| so each cluster
@@ -1847,7 +1890,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, p07, m01)
 }

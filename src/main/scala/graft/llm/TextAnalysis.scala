@@ -249,6 +249,66 @@ object TextAnalysis {
           .as("sb_surprisal"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw-corpus document by
+    * the log importance ratio of a TARGET distribution over the raw one,
+    * log w(x) = Σ_tokens [ ln p̂_target(b(tok)) − ln p̂_raw(b(tok)) ],
+    * under HASHED unigram features — tokens fold into `buckets` buckets, so
+    * both models and the scoring LUT are O(buckets) regardless of corpus or
+    * vocabulary size (the paper's trick, and the whole 100 TB story: the
+    * model "training" is two bounded-key map-side-combined counts, the LUT
+    * is a broadcast of `buckets` rows, and scoring adds one
+    * (doc_id, bucket) shuffle — raw text never shuffles). Documents
+    * resembling the target (e.g. a trusted high-quality subset) score high;
+    * resampling by exp(log w) shifts the corpus toward the target domain.
+    * Probabilities are Laplace-smoothed over the full bucket space, so a
+    * bucket unseen in the target still yields a finite ratio.
+    *
+    * Token hashing is the [[rollingHash]] polynomial fold mod [[RollMod]]
+    * then mod `buckets` — arithmetic both engines evaluate identically (no
+    * engine-specific hash). Determinism is the x16/x24 treatment: each ln
+    * computed once per bucket from bit-identical integer-ratio doubles,
+    * quantized to DECIMAL(18,8), subtracted exactly; doc counts narrow to
+    * DECIMAL(12,0); accumulation exact decimal; ONE final ROUND(4).
+    * The (doc_id, bucket) count frame materializes once
+    * ([[graft.operators.Materialize.cut]] — the higher-order bucket fold
+    * defeats exchange reuse exactly as in x22, and the frame feeds both the
+    * raw-model rollup and the scoring join).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    def bucketOf(tok: Column): Column =
+      aggregate(
+        transform(split(tok, ""), c => ascii(c).cast("long")),
+        lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets
+    val docBucket = graft.operators.Materialize.cut(raw
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), bucketOf(col("tok")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
+    val src = docBucket.groupBy("b").agg(sum("c").as("ns"))
+    val srcTot = src.agg(sum("ns").as("n_src"))
+    val tgt = target
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(bucketOf(col("tok")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nt"))
+    val tgtTot = tgt.agg(sum("nt").as("n_tgt"))
+    val lut = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(srcTot)).crossJoin(broadcast(tgtTot))
+      .select(col("b"),
+        (log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+            (col("n_tgt") + buckets).cast("double")).cast(DecimalType(18, 8))
+          - log((col("ns") + 1).cast("double") /
+            (col("n_src") + buckets).cast("double")).cast(DecimalType(18, 8)))
+          .as("lnr"))
+    docBucket.join(lut, Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnr")).as("sdec"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sdec").cast("double"), 4).as("dsir_logw"))
+  }
+
   /** Overlapping token-window chunking — the embedding/RAG prep primitive
     * (and the long-document splitter for context-bounded training): each
     * document becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `maxTokens` tokens,

@@ -308,6 +308,26 @@ class Round11OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"line rules must not window:\n$plan")
   }
 
+  test("DSIR: target == raw yields exactly zero log-weight for every doc") {
+    // identical distributions → per-bucket counts equal → both quantized
+    // lns identical → lnr = 0 exactly; any nonzero means the two model
+    // passes diverged (hashing, smoothing, or accumulation asymmetry)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = TextAnalysis.dsirWeights(docs, docs, buckets = 256)
+    assert(w.count() == docs.count())
+    assert(w.filter(col("dsir_logw") =!= 0.0).isEmpty,
+      "self-referential DSIR must be identically zero")
+  }
+
+  test("DSIR: a disjoint-vocabulary target pushes every raw doc's weight negative") {
+    val raw = Seq((1L, "aa bb cc dd"), (2L, "bb cc dd ee")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, tgt, buckets = 64)
+      .collect().map(_.getAs[Double]("dsir_logw"))
+    assert(w.length == 2 && w.forall(_ < 0.0),
+      "raw tokens absent from the target must be downweighted")
+  }
+
   test("trained books recover planted twins at rank 1 through the re-rank") {
     val base = corpus.select("vec_id", "embedding")
     val twins = base.filter(col("vec_id") % 50 === 0)
