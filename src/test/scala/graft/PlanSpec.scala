@@ -310,4 +310,27 @@ class PlanSpec extends SparkSpec {
     assert(exIdx > 0, "shuffle must be keyed by fingerprint")
     assert(plan.substring(exIdx).contains("HashAggregate"), "partial agg below the exchange")
   }
+
+  test("x25 DSIR: text never shuffles; bucket-bounded LUT broadcasts") {
+    val df = run("x25_dsir_weights")
+    df.collect() // finalize AQE so the LUT's broadcast decision is visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "raw text must never shuffle")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    // the scoring join hits the O(buckets) LUT — it must broadcast, never
+    // shuffle the corpus-side count frame onto the bucket key
+    assert(plan.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$plan")
+  }
+
+  test("p07 soft-dedup weights: membership join broadcasts, no all-pairs") {
+    val df = run("p07_softdedup_weights")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    // the corpus-side left join hits the cluster-members-sized membership
+    // frame — broadcast under AQE, never a corpus shuffle onto doc_id just
+    // to attach weights
+    assert(plan.contains("BroadcastHashJoin"), s"membership join not broadcast:\n$plan")
+  }
 }

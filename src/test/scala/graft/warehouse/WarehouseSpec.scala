@@ -139,6 +139,21 @@ class WarehouseSpec extends SparkSpec {
       .orderBy("k").as[(Long, Double)].collect().toSeq == before)
   }
 
+  test("merge-on-read read path: tombstone anti-join broadcasts the delete side") {
+    val root = tmpDir()
+    val data = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> data))
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(7L, 13L).toDF("k"), "k")
+    val df = ParquetWarehouse.readTable(spark, root, "t")
+    assert(df.count() == 498)
+    val plan = df.queryExecution.executedPlan.toString
+    // the table side must NOT shuffle to subtract a handful of tombstones
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone subtraction must be a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"base table shuffled for a tombstone-sized delete set:\n$plan")
+  }
+
   test("vacuum spares versions reachable through live base pointers") {
     val root = tmpDir()
     ParquetWarehouse.publishSnapshot(root, Map("t" -> Seq((1L, "a")).toDF("k", "v")))
