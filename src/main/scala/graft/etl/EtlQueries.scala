@@ -576,6 +576,42 @@ object EtlQueries {
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
   }
 
+  // t21 — PARTITION-SCOPED copy-on-write merge through the correctness
+  // gate (the slicing t18's whole-table merge defers to the caller): orders
+  // land month-partitioned, then one month's orders update (doubled price)
+  // and ONLY that month's directory is read back, merged, and rewritten —
+  // dynamic partition overwrite replaces exactly the touched partition;
+  // every other month's files are never opened (WarehouseSpec pins
+  // untouched-file immutability and the single-partition rewrite count).
+  // The oracle recomputes the post-merge table from raw orders, so a row
+  // lost in the rewritten month or disturbed in an untouched one
+  // hash-fails. At 100 TB this rewrites ~1/84th of the fact per monthly
+  // correction batch instead of the whole table.
+  private val t21 = q("t21_partition_upsert",
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+        CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS o_month,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 AND month(CAST(o_orderdate AS DATE)) = 3 THEN o_totalprice * 2 ELSE o_totalprice END")}
+          AS total_spent
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-partup").toString + "/orders"
+    val base = t.orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+    base.hint("rebalance", col("o_year"), col("o_month"))
+      .write.partitionBy("o_year", "o_month").parquet(dir)
+    val updates = base
+      .filter(col("o_year") === 1996 && col("o_month") === 3)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val nParts = ParquetWarehouse.upsertPartitioned(
+      t.spark, dir, updates, "o_orderkey", Seq("o_year", "o_month"))
+    require(nParts == 1, s"expected exactly one touched partition, got $nParts")
+    t.spark.read.parquet(dir)
+      .groupBy("o_year", "o_month")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("o_year", "o_month")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -597,5 +633,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, c01, c02, c03)
 }

@@ -257,6 +257,66 @@ object ParquetWarehouse {
     }
   }
 
+  /** PARTITION-SCOPED copy-on-write merge — the slicing
+    * [[upsertSnapshot]]'s scaladoc defers to the caller, implemented over
+    * the [[writeFactPartitioned]]-style layout: only the partition
+    * directories the update keys TOUCH are read back, merged, and
+    * rewritten (dynamic partition overwrite replaces exactly the
+    * partitions present in the written frame; every other directory's
+    * files are never opened). At 100 TB an update batch touching 3 of
+    * 84 months rewrites ~3.6% of the table instead of all of it — this,
+    * not the whole-table merge, is the production MERGE INTO shape for
+    * partitioned facts.
+    *
+    * The touched-partition set is a capped driver collect (`maxParts`,
+    * default 1024 — partition tuples, metadata not data; an update batch
+    * touching more partitions than that should take the whole-table
+    * [[upsertSnapshot]] path anyway), turned into a literal predicate so
+    * partition PRUNING happens at planning time on the read-back scan.
+    *
+    * Contract: `updates` key-unique per `keyCol` (enforced, as in
+    * [[upsertSnapshot]]) and partition values IMMUTABLE per key — a
+    * "moved" key (same `keyCol`, different partition tuple than the
+    * stored row) would leave its old copy in a directory this merge never
+    * rewrites. That invariant is standard for partitioned upserts (the
+    * partition tuple is derived from the row's stable attributes); callers
+    * mutating partition columns need delete + insert.
+    * Returns the number of partitions rewritten.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keyCol: String, partCols: Seq[String],
+                        maxParts: Int = 1024): Int = {
+    require(partCols.nonEmpty, "upsertPartitioned needs partition columns")
+    val dupes = updates.groupBy(col(keyCol)).count().filter(col("count") > 1)
+    require(dupes.isEmpty,
+      s"upsertPartitioned: duplicate update keys in '$keyCol' — merge is ambiguous")
+    val partRows = updates.select(partCols.map(col): _*).distinct()
+      .limit(maxParts + 1).collect()
+    require(partRows.length <= maxParts,
+      s"upsertPartitioned: update batch touches more than $maxParts partitions — " +
+        "use upsertSnapshot's whole-table merge instead")
+    // literal tuple-IN over the partition columns: pruned at PLANNING time
+    val touched = partRows.map { r =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val existing = spark.read.parquet(path).filter(touched)
+    // materialized BEFORE the write: the merge reads the same path it
+    // rewrites, and the write must not observe (or be rejected for
+    // observing) its own target — the cut frame is touched-partitions-
+    // sized, not table-sized
+    val merged = graft.operators.Materialize.cut(existing
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates))
+    merged
+      .hint("rebalance", partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    partRows.length
+  }
+
   /** Scale layout #1 — date-partitioned fact: `path/year=…/month=…/…` so
     * time-ranged queries (the dominant star-query shape: monthly trends,
     * quarterly, MoM growth) touch only matching partition directories.

@@ -139,6 +139,46 @@ class WarehouseSpec extends SparkSpec {
       .orderBy("k").as[(Long, Double)].collect().toSeq == before)
   }
 
+  test("partition-scoped upsert rewrites only touched partition dirs") {
+    val path = tmpDir() + "/t"
+    val base = Seq(
+      (1L, 2024, 1, 10.0), (2L, 2024, 1, 20.0),
+      (3L, 2024, 2, 30.0), (4L, 2024, 3, 40.0))
+      .toDF("k", "y", "m", "amt")
+    base.write.partitionBy("y", "m").parquet(path)
+    def filesOf(sub: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val m2Before = filesOf("y=2024/m=2")
+    val m3Before = filesOf("y=2024/m=3")
+    // update one row in month 1, insert a new key into month 1
+    val updates = Seq((2L, 2024, 1, 99.0), (5L, 2024, 1, 50.0))
+      .toDF("k", "y", "m", "amt")
+    val n = ParquetWarehouse.upsertPartitioned(
+      spark, path, updates, "k", Seq("y", "m"))
+    assert(n == 1, s"one touched partition expected, got $n")
+    // merged content is right
+    assert(spark.read.parquet(path).orderBy("k")
+      .select("k", "amt").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)))
+    // the untouched months' files were never rewritten (names + mtimes)
+    assert(filesOf("y=2024/m=2") == m2Before, "month 2 files rewritten")
+    assert(filesOf("y=2024/m=3") == m3Before, "month 3 files rewritten")
+    // an update landing in a NEW partition just creates its directory
+    val n2 = ParquetWarehouse.upsertPartitioned(
+      spark, path, Seq((6L, 2024, 4, 60.0)).toDF("k", "y", "m", "amt"),
+      "k", Seq("y", "m"))
+    assert(n2 == 1 && spark.read.parquet(path).count() == 6)
+    // duplicate update keys fail fast, as in the whole-table merge
+    intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsertPartitioned(spark, path,
+        Seq((7L, 2024, 5, 1.0), (7L, 2024, 5, 2.0)).toDF("k", "y", "m", "amt"),
+        "k", Seq("y", "m"))
+    }
+  }
+
   test("merge-on-read read path: tombstone anti-join broadcasts the delete side") {
     val root = tmpDir()
     val data = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
