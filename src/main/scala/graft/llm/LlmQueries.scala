@@ -1548,6 +1548,53 @@ object LlmQueries {
     Curation.softDedupWeights(t.documents, threshold = 0.8).orderBy("doc_id")
   }
 
+  // p08 — the soft-dedup weights APPLIED: p07's 1/|cluster| acceptance
+  // probabilities through the per-row deterministic hash gate, so a
+  // cluster of n near-dups keeps Binomial(n, 1/n) members — one in
+  // expectation — while singletons pass unconditionally (weight 1.0 rides
+  // the 'g000' keep-all sentinel). The oracle recomputes the whole chain
+  // including the md5 gate, so a hash, threshold, or boundary divergence
+  // hash-fails.
+  private val p08 = q("p08_softdedup_sample", Some(
+    s"""WITH RECURSIVE sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        qual AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM qual
+                  UNION SELECT doc_b, doc_a FROM qual),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a FROM edges),
+        cl AS (SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+               FROM nodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a),
+        sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM cl GROUP BY 1),
+        w AS (
+          SELECT d.doc_id,
+            COALESCE(sz.cluster_size, 1) AS cluster_size,
+            1.0 / CAST(COALESCE(sz.cluster_size, 1) AS DOUBLE) AS weight
+          FROM documents d
+          LEFT JOIN cl ON d.doc_id = cl.doc_id
+          LEFT JOIN sz ON cl.rep = sz.rep)
+        SELECT doc_id, cluster_size, weight FROM w
+        WHERE ${Sampling.sqlHashBucket("doc_id", "soft")}
+              < ${Sampling.sqlWeightThreshold("weight")}
+        ORDER BY doc_id""")) { t =>
+    Sampling.weightedSample(
+      Curation.softDedupWeights(t.documents, threshold = 0.8),
+      idCol = "doc_id", weightCol = "weight", salt = "soft")
+      .orderBy("doc_id")
+  }
+
   // x21 — the Gopher quality-rule battery (Rae et al. 2021): per-document
   // boolean verdicts (word count, mean word length, symbol ratio,
   // alpha-word fraction, stopword presence) + the integer-ratio metrics
@@ -1892,5 +1939,5 @@ object LlmQueries {
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-      p01, p02, p03, p04, p05, p06, p07, m01)
+      p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }

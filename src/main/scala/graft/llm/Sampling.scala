@@ -237,6 +237,29 @@ object Sampling {
       .drop("__quota_h")
   }
 
+  /** Per-ROW-rate deterministic sample — the gate that turns a weight
+    * COLUMN (acceptance probability in [0, 1], e.g.
+    * [[Curation.softDedupWeights]]' 1/|cluster| or an exp-normalized DSIR
+    * weight) into a kept subset: row kept iff its [[hashBucket]] falls
+    * under `floor(weight·65536)` buckets. Same narrow-map/zero-shuffle
+    * posture as [[hashSample]], but the threshold is computed per row from
+    * the weight column instead of a compile-time constant; weights ≥ 1
+    * keep unconditionally (the `"g000"` sentinel — see `hex2`), weights
+    * ≤ 1/65536 keep nothing. floor (not round) so both engines truncate
+    * identically regardless of half-way rounding conventions; the hex
+    * threshold is lowercased to compare against md5's lowercase digits.
+    * Deterministic in (id, salt): re-running the pipeline keeps the same
+    * rows, and a cluster of n docs under soft-dedup weights keeps
+    * Binomial(n, 1/n) of them — one in expectation.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String = "soft"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < weightThreshold(col(weightCol)))
+
+  private def weightThreshold(w: Column): Column =
+    when(w >= 1.0, lit("g000"))
+      .otherwise(lpad(lower(hex(floor(w * 65536).cast("long"))), 4, "0"))
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB twin of [[hashBucket]]. */
@@ -245,4 +268,9 @@ object Sampling {
 
   /** DuckDB twin of the threshold (identical boundary semantics). */
   def sqlHex2(rate: Double): String = s"'${hex2(rate)}'"
+
+  /** DuckDB twin of [[weightedSample]]'s per-row threshold. */
+  def sqlWeightThreshold(weightExpr: String): String =
+    s"""CASE WHEN $weightExpr >= 1.0 THEN 'g000'
+        ELSE lpad(to_hex(CAST(floor($weightExpr * 65536) AS BIGINT)), 4, '0') END"""
 }

@@ -87,6 +87,34 @@ class CorpusOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Sampling.hashSample(ids, "doc_id", 1.5).count() }
   }
 
+  test("weighted sample: per-row rates gate correctly at both boundaries and mid-range") {
+    val rows = spark.range(0, 20000).toDF("doc_id")
+      .withColumn("w",
+        when(col("doc_id") % 3 === 0, lit(1.0))       // keep all
+          .when(col("doc_id") % 3 === 1, lit(0.0))    // keep none
+          .otherwise(lit(0.5)))                       // keep ~half
+    val kept = Sampling.weightedSample(rows, "doc_id", "w").persist()
+    try {
+      assert(kept.filter(col("w") === 1.0).count() == rows.filter(col("w") === 1.0).count(),
+        "weight 1.0 must keep unconditionally (the g000 sentinel)")
+      assert(kept.filter(col("w") === 0.0).count() == 0, "weight 0.0 must keep nothing")
+      val half = kept.filter(col("w") === 0.5).count().toDouble /
+        rows.filter(col("w") === 0.5).count().toDouble
+      assert(math.abs(half - 0.5) < 0.05, s"mid-rate kept $half, expected ~0.5")
+      // deterministic in (id, salt): independent of partitioning
+      val again = Sampling.weightedSample(rows.repartition(7), "doc_id", "w")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // agrees with the constant-rate gate at the same rate and salt
+      val viaConst = Sampling.hashSample(
+        rows.filter(col("w") === 0.5), "doc_id", 0.5, salt = "soft")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaConst == kept.filter(col("w") === 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet,
+        "per-row gate at a constant weight must equal the constant-rate gate")
+    } finally { kept.unpersist(); () }
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.9), 0.1)
     val byLang = sampled.groupBy("lang").count().collect()
