@@ -1508,6 +1508,46 @@ object LlmQueries {
       buckets = 1024).orderBy("doc_id")
   }
 
+  // x26 — BM25 relevance scoring against a query term set (the
+  // benchmark-targeted data-selection primitive): +1-IDF BM25 with
+  // k1 = 1.25 / b = 0.75 (exact binary doubles — a 1.2 literal would
+  // round differently between a Scala double sum and a DuckDB decimal
+  // literal). 'shuffle' is deliberately absent from the corpus: an
+  // unmatched term contributes nothing and the def proves it. Only
+  // query-term token rows shuffle; zero-match docs emit bm25 = 0.0.
+  private val x26 = q("x26_bm25_scoring", Some(
+    """WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl FROM base),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS f
+               FROM (SELECT doc_id, unnest(w) AS tok FROM base) z
+               WHERE tok IN ('spark', 'join', 'window', 'shuffle')
+               GROUP BY 1, 2),
+        dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM dt GROUP BY 1),
+        idf AS (SELECT tok,
+                  CAST(ln((CAST(n_docs AS DOUBLE) - CAST(n_t AS DOUBLE) + 0.5)
+                          / (CAST(n_t AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(18,8)) AS idf
+                FROM dft CROSS JOIN stats),
+        sc AS (SELECT dt.doc_id,
+                 SUM(idf * CAST(
+                   (CAST(f AS DOUBLE) * 2.25)
+                   / (CAST(f AS DOUBLE)
+                      + 1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   AS DECIMAL(18,8))) AS sdec
+               FROM dt JOIN dl USING (doc_id) JOIN idf USING (tok)
+               CROSS JOIN stats GROUP BY 1)
+        SELECT d.doc_id, ROUND(COALESCE(CAST(sdec AS DOUBLE), 0.0), 4) AS bm25
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY d.doc_id""")) { t =>
+    TextAnalysis.bm25Score(
+      t.documents, queryTerms = Seq("spark", "join", "window", "shuffle"))
+      .orderBy("doc_id")
+  }
+
   // p07 — SOFT deduplication weights (the SoftDeDup / sampling-weight
   // alternative to p01's hard drop): every document keeps a row, near-dup
   // cluster members are downweighted to 1/|cluster| so each cluster
@@ -1937,7 +1977,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }

@@ -309,6 +309,66 @@ object TextAnalysis {
         round(col("sdec").cast("double"), 4).as("dsir_logw"))
   }
 
+  /** BM25 relevance scoring of the corpus against a query term set
+    * (Robertson-Spärck Jones probabilistic retrieval; the +1 IDF variant,
+    * always positive) — the benchmark-targeted data-selection primitive:
+    * score pretraining documents by relevance to an eval task's terms and
+    * upsample the top of the ranking. Per document,
+    * Σ_{t∈Q} IDF(t) · f(t,d)(k1+1) / (f(t,d) + k1(1−b+b·|d|/avgdl)),
+    * IDF(t) = ln((N−n_t+0.5)/(n_t+0.5) + 1). Docs matching no term score
+    * 0.0 (every doc emits a row, so downstream mixing sees the whole
+    * corpus).
+    *
+    * Defaults k1 = 1.25, b = 0.75 — both EXACT binary doubles (1.2's
+    * binary representation differs between a Scala literal sum and a SQL
+    * decimal literal; 1.25/0.75 cannot), so both engines' constants agree
+    * bit-for-bit; 1.25 sits inside the standard 1.2–2.0 k1 range. The
+    * per-(term, doc) saturation fraction is a rational function of exact
+    * integers and the avgdl double — correctly rounded identically in both
+    * engines — then quantized to DECIMAL(18,8) and multiplied by the
+    * quantized-ln IDF so cross-term accumulation is exact decimal
+    * (row-order-independent), one final ROUND(4).
+    *
+    * Scale shape: only QUERY-TERM token rows survive the explode filter —
+    * the (doc_id, term) count shuffle is matching-rows-sized, not
+    * corpus-token-sized; per-doc lengths ride the same scan (no second
+    * corpus pass); the IDF LUT is |Q| rows and the corpus stats 1 row,
+    * both broadcast; raw text never shuffles.
+    */
+  def bm25Score(documents: DataFrame, queryTerms: Seq[String],
+                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Score needs at least one query term")
+    val toks = TextFns.tokens(col("text"))
+    val base = documents.select(col("doc_id"), size(toks).as("dl"), toks.as("w"))
+    val docTerm = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("f"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val idf = docTerm.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log((col("n_docs").cast("double") - col("n_t").cast("double") + 0.5) /
+            (col("n_t").cast("double") + 0.5) + 1.0)
+          .cast(DecimalType(18, 8)).as("idf"))
+    val scored = docTerm
+      .join(broadcast(idf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("frac",
+        (col("f").cast("double") * lit(k1 + 1.0)) /
+          (col("f").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("contrib", col("idf") * col("frac").cast(DecimalType(18, 8)))
+      .groupBy("doc_id").agg(sum("contrib").as("sdec"))
+    documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("sdec").cast("double"), lit(0.0)), 4).as("bm25"))
+  }
+
   /** Overlapping token-window chunking — the embedding/RAG prep primitive
     * (and the long-document splitter for context-bounded training): each
     * document becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `maxTokens` tokens,

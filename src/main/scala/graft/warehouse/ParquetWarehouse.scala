@@ -76,9 +76,23 @@ object ParquetWarehouse {
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    val dataV = resolveBase(root, v, table)
+    readTableAt(spark, root, table, v)
+  }
+
+  /** TIME TRAVEL: read `table` as of a specific published version — every
+    * commit path (publish, upsert, merge-on-read delete, compaction)
+    * leaves prior versions' files untouched, so any version still on disk
+    * (i.e. not yet [[vacuumSnapshots]]-reclaimed) reproduces its exact
+    * historical state, tombstones included. Audit and reproducibility
+    * primitive: "what did the training corpus look like at v7?".
+    */
+  def readTableAt(spark: SparkSession, root: String, table: String,
+                  version: String): DataFrame = {
+    require(AtomicPointer.exists(s"$root/$version"),
+      s"readTableAt: no version dir '$version' under $root (vacuumed or never published)")
+    val dataV = resolveBase(root, version, table)
     val data = spark.read.parquet(s"$root/$dataV/$table")
-    tombstones(spark, root, v, table) match {
+    tombstones(spark, root, version, table) match {
       case None => data
       case Some(del) => data.join(del, Seq(del.columns.head), "left_anti")
     }

@@ -139,6 +139,23 @@ class WarehouseSpec extends SparkSpec {
       .orderBy("k").as[(Long, Double)].collect().toSeq == before)
   }
 
+  test("time travel: readTableAt reproduces each version's exact state") {
+    val root = tmpDir()
+    ParquetWarehouse.publishSnapshot(root,
+      Map("t" -> Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amt")))
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(2L).toDF("k"), "k") // v2
+    ParquetWarehouse.upsertSnapshot(root, "t",
+      Seq((3L, 99.0)).toDF("k", "amt"), "k")                              // v3
+    def at(v: String) = ParquetWarehouse.readTableAt(spark, root, "t", v)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(at("v1") == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(at("v2") == Seq((1L, 10.0), (3L, 30.0)), "v2 must replay its tombstones")
+    assert(at("v3") == Seq((1L, 10.0), (3L, 99.0)))
+    intercept[IllegalArgumentException] {
+      ParquetWarehouse.readTableAt(spark, root, "t", "v9")
+    }
+  }
+
   test("partition-scoped upsert rewrites only touched partition dirs") {
     val path = tmpDir() + "/t"
     val base = Seq(
