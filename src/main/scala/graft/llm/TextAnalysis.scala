@@ -309,6 +309,78 @@ object TextAnalysis {
         round(col("sdec").cast("double"), 4).as("dsir_logw"))
   }
 
+  /** FIT the DSIR model once, as driver values: the per-bucket quantized
+    * log-ratio LUT ([[dsirWeights]]' `lnr`), extended by Laplace smoothing
+    * to ALL `buckets` buckets — including those no raw token hit — so the
+    * model can serve documents the fit never saw (new batches, streams).
+    * Exactly `buckets` decimals on the driver (metadata, not data; the
+    * same bounded-collect posture as the IVF centroid cache), reproducing
+    * the in-cluster LUT bit-for-bit: same ln inputs (integer-ratio
+    * doubles), same HALF_UP scale-8 quantization Spark's decimal cast
+    * applies (equality with [[dsirWeights]] is spec-pinned).
+    */
+  def dsirModelLut(raw: DataFrame, target: DataFrame,
+                   buckets: Int = 1024): Array[java.math.BigDecimal] = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets $buckets outside (0, 65536] — the LUT is a driver value")
+    def counts(docs: DataFrame): (Map[Long, Long], Long) = {
+      val rows = docs
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .select((aggregate(
+          transform(split(col("tok"), ""), c => ascii(c).cast("long")),
+          lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect()
+      val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, m.valuesIterator.sum)
+    }
+    val (srcM, nSrc) = counts(raw)
+    val (tgtM, nTgt) = counts(target)
+    def q8(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    Array.tabulate(buckets) { b =>
+      val lnT = q8(math.log(
+        (tgtM.getOrElse(b.toLong, 0L) + 1).toDouble / (nTgt + buckets).toDouble))
+      val lnS = q8(math.log(
+        (srcM.getOrElse(b.toLong, 0L) + 1).toDouble / (nSrc + buckets).toDouble))
+      lnT.subtract(lnS)
+    }
+  }
+
+  /** SERVE a fitted DSIR model as a pure NARROW map — the 100 TB scoring
+    * shape: the LUT rides into codegen as a constant decimal array
+    * (`element_at` per token, exact decimal accumulation inside one
+    * `aggregate` fold), so scoring shuffles NOTHING and needs no second
+    * corpus pass — the same zero-exchange posture as the Gopher battery,
+    * and stateless, so the identical stage scores a STREAM (no watermark,
+    * no state store). Output schema and values match [[dsirWeights]] when
+    * the scored frame is the fit's raw corpus (spec-pinned equality).
+    */
+  def dsirScoreNarrow(docs: DataFrame,
+                      lut: Array[java.math.BigDecimal]): DataFrame = {
+    val buckets = lut.length
+    val lutCol = array(lut.map(v => lit(v).cast(DecimalType(18, 8))).toSeq: _*)
+    val toks = TextFns.tokens(col("text"))
+    // accumulator precision 30, NOT 38: a (38,8)+(18,8) add needs precision
+    // 39, so Spark's overflow rule would silently drop the scale to 7 and
+    // round EVERY step — (30,8)+(18,8) → (31,8) stays exact, and the cast
+    // back to (30,8) is exact too (22 integer digits; per-doc sums are
+    // bounded by n_tokens · max|lnr| ≪ 10^22)
+    val acc30 = DecimalType(30, 8)
+    val score = aggregate(
+      toks,
+      lit(java.math.BigDecimal.ZERO).cast(acc30),
+      (acc, tok) => (acc + element_at(lutCol,
+        ((aggregate(
+          transform(split(tok, ""), c => ascii(c).cast("long")),
+          lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets) + 1).cast("int")))
+        .cast(acc30))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(score.cast("double"), 4).as("dsir_logw"))
+  }
+
   /** BM25 relevance scoring of the corpus against a query term set
     * (Robertson-Spärck Jones probabilistic retrieval; the +1 IDF variant,
     * always positive) — the benchmark-targeted data-selection primitive:
@@ -367,6 +439,73 @@ object TextAnalysis {
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(coalesce(col("sdec").cast("double"), lit(0.0)), 4).as("bm25"))
+  }
+
+  /** A fitted BM25 model: per-term quantized IDF decimals + the corpus
+    * average document length — |Q|+1 driver values (metadata).
+    */
+  final case class Bm25Model(idf: Seq[(String, java.math.BigDecimal)],
+                             avgdl: Double, k1: Double, b: Double)
+
+  /** FIT BM25 once: corpus stats (1 row) + per-term document frequencies
+    * (≤ |Q| rows) collected to the driver, IDFs quantized with the same
+    * HALF_UP scale-8 rounding Spark's decimal cast applies — so
+    * [[bm25ScoreNarrow]] reproduces [[bm25Score]] bit-for-bit
+    * (spec-pinned). Terms absent from the corpus keep an IDF row (their
+    * per-doc frequency is 0 everywhere, so they contribute exactly 0).
+    */
+  def bm25Fit(documents: DataFrame, queryTerms: Seq[String],
+              k1: Double = 1.25, b: Double = 0.75): Bm25Model = {
+    require(queryTerms.nonEmpty, "bm25Fit needs at least one query term")
+    val toks = TextFns.tokens(col("text"))
+    val statsRow = documents
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks).cast("long")).as("tot"))
+      .collect()(0)
+    val (nDocs, tot) = (statsRow.getLong(0), statsRow.getLong(1))
+    val dfRows = documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("tok").agg(count_distinct(col("doc_id")).as("n_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def q8(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    val idf = queryTerms.map { t =>
+      val nT = dfRows.getOrElse(t, 0L)
+      t -> q8(math.log(
+        (nDocs.toDouble - nT.toDouble + 0.5) / (nT.toDouble + 0.5) + 1.0))
+    }
+    Bm25Model(idf, tot.toDouble / nDocs.toDouble, k1, b)
+  }
+
+  /** SERVE a fitted BM25 model as a pure NARROW map: per-term frequencies
+    * come from one `filter`-count over the token array per term (no
+    * explode, no shuffle — matching-term work only), the saturation
+    * fraction from the model's constants, and the |Q| contributions sum as
+    * exact decimals in fixed term order. Zero exchanges at any scale, and
+    * stateless — the identical stage scores a STREAM. Matches
+    * [[bm25Score]]'s output bit-for-bit on the fit corpus (spec-pinned);
+    * zero-match docs score 0.0 like the fused path.
+    */
+  def bm25ScoreNarrow(docs: DataFrame, model: Bm25Model): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val dl = size(toks).cast("double")
+    val denomTail = lit(model.k1) * (lit(1.0 - model.b) +
+      lit(model.b) * dl / lit(model.avgdl))
+    // products narrowed to (28,16): a (38,16)+(38,16) add needs precision
+    // 39 and would silently drop to scale 15 per step; (28,16) adds grow
+    // exactly and the per-step cast back is exact (12 integer digits vs
+    // contribution magnitudes of a few tens)
+    val c28 = DecimalType(28, 16)
+    val contribs = model.idf.map { case (term, idfV) =>
+      val f = size(filter(toks, x => x === lit(term))).cast("double")
+      val frac = (f * lit(model.k1 + 1.0)) / (f + denomTail)
+      (lit(idfV).cast(DecimalType(18, 8)) * frac.cast(DecimalType(18, 8)))
+        .cast(c28)
+    }
+    val score = contribs.reduce((a, b) => (a + b).cast(c28))
+    docs.select(
+      col("doc_id"),
+      round(score.cast("double"), 4).as("bm25"))
   }
 
   /** Overlapping token-window chunking — the embedding/RAG prep primitive

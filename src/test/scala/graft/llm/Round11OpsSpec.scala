@@ -328,6 +328,34 @@ class Round11OpsSpec extends SparkSpec {
       "raw tokens absent from the target must be downweighted")
   }
 
+  test("DSIR fit/serve: narrow scoring reproduces the fused path bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val lut = TextAnalysis.dsirModelLut(docs, target, buckets = 1024)
+    assert(lut.length == 1024)
+    val narrow = TextAnalysis.dsirScoreNarrow(docs, lut)
+    val fused = TextAnalysis.dsirWeights(docs, target, buckets = 1024)
+    assert(narrow.orderBy("doc_id").collect().toSeq ==
+      fused.orderBy("doc_id").collect().toSeq,
+      "driver-fit LUT + narrow fold must equal the in-cluster LUT join exactly")
+    // the serving plan is a pure narrow map: zero exchanges at any scale
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow DSIR serve plans a shuffle:\n$plan")
+  }
+
+  test("BM25 fit/serve: narrow scoring reproduces the fused path bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "join", "window", "shuffle")
+    val model = TextAnalysis.bm25Fit(docs, terms)
+    val narrow = TextAnalysis.bm25ScoreNarrow(docs, model)
+    val fused = TextAnalysis.bm25Score(docs, terms)
+    assert(narrow.orderBy("doc_id").collect().toSeq ==
+      fused.orderBy("doc_id").collect().toSeq,
+      "driver-fit IDFs + per-term narrow counts must equal the fused path exactly")
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow BM25 serve plans a shuffle:\n$plan")
+  }
+
   test("trained books recover planted twins at rank 1 through the re-rank") {
     val base = corpus.select("vec_id", "embedding")
     val twins = base.filter(col("vec_id") % 50 === 0)

@@ -188,6 +188,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fitted DSIR + BM25 models score a document stream (batch ≡ stream)") {
+    // fit once on the static corpus, serve the narrow stage on a stream —
+    // both serves are stateless narrow maps, so no watermark or state
+    // store is involved and the stream agrees with the batch exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dsirLut = graft.llm.TextAnalysis.dsirModelLut(
+      corpus, corpus.filter(col("lang") === "en"), buckets = 256)
+    val bm25 = graft.llm.TextAnalysis.bm25Fit(corpus, Seq("spark", "join"))
+    val docs = corpus.select("doc_id", "text").limit(80)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamDf = stream.toDF().toDF("doc_id", "text")
+    val q1 = graft.llm.TextAnalysis.dsirScoreNarrow(streamDf, dsirLut)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = graft.llm.TextAnalysis.bm25ScoreNarrow(streamDf, bm25)
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(40)
+      stream.addData(a); q1.processAllAvailable(); q2.processAllAvailable()
+      stream.addData(b); q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDf = docs.toSeq.toDF("doc_id", "text")
+      val dsirStreamed = spark.table("dsir_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val dsirBatch = graft.llm.TextAnalysis.dsirScoreNarrow(batchDf, dsirLut)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(dsirStreamed == dsirBatch && dsirStreamed.nonEmpty)
+      val bm25Streamed = spark.table("bm25_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val bm25Batch = graft.llm.TextAnalysis.bm25ScoreNarrow(batchDf, bm25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(bm25Streamed == bm25Batch && bm25Streamed.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("chunking runs unchanged on a document stream (batch ≡ stream, row-local op)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
