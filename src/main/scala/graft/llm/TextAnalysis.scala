@@ -273,7 +273,11 @@ object TextAnalysis {
     * The (doc_id, bucket) count frame materializes once
     * ([[graft.operators.Materialize.cut]] — the higher-order bucket fold
     * defeats exchange reuse exactly as in x22, and the frame feeds both the
-    * raw-model rollup and the scoring join).
+    * raw-model rollup and the scoring join). NOTE: the cut is an EAGER
+    * action at call time (the d14-bloom posture) — a caller scoring many
+    * batches against one fixed target should fit once with
+    * [[dsirModelLut]] and serve each batch through [[dsirScoreNarrow]]
+    * instead of re-calling this self-scoring form.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame,
                   buckets: Int = 1024): DataFrame = {

@@ -38,6 +38,19 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming SESSION windows — the streaming twin of the batch
+    * `session_window` aggregation (e05): gap-based sessions per user,
+    * state bounded by the event-time watermark. In append mode a session
+    * emits exactly once, when the watermark passes its close (no event for
+    * `gap` after its last one) — so downstream sees each finalized session
+    * as an immutable row, the property a session-fact landing zone needs.
+    * Works unchanged on a batch frame (watermark is a no-op), and the
+    * batch ≡ stream agreement for closed sessions is spec-pinned.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame =
+    graft.llm.Events.sessionWindows(events.withWatermark("ts", watermark), gap)
+
   /** Streaming exact dedup — the ingest twin of `graft.llm.Dedup.exact`:
     * drop events whose key was already seen, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` evicts seen-keys

@@ -188,6 +188,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: closed sessions equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sessions = Seq(
+      // user 1: two sessions (65-min gap between event 2 and 3 > 30-min gap)
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:20:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 11:25:00", 1, "view", 4.0),
+      // user 2: one session
+      ev(4, "2024-01-01 10:10:00", 2, "click", 8.0))
+    // far-future event: advances the watermark past every real session
+    val flush = ev(99, "2024-01-02 12:00:00", 999, "view", 0.0)
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.sessionWindowStream(stream.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = sessions.splitAt(2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      stream.addData(Seq(flush)); q.processAllAvailable()
+      // one more empty-ish pass so the watermark from the flush batch
+      // finalizes the pending sessions
+      stream.addData(Seq(flush.copy(event_id = 100))); q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .filter(col("user_id") =!= 999)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = graft.llm.Events.sessionWindows(sessions.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"closed streaming sessions must equal batch:\n$streamed\nvs\n$batch")
+      assert(streamed.size == 3, "expected two user-1 sessions + one user-2 session")
+    } finally q.stop()
+  }
+
   test("fitted DSIR + BM25 models score a document stream (batch ≡ stream)") {
     // fit once on the static corpus, serve the narrow stage on a stream —
     // both serves are stateless narrow maps, so no watermark or state
