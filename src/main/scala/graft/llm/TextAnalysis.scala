@@ -283,9 +283,7 @@ object TextAnalysis {
                   buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
     def bucketOf(tok: Column): Column =
-      aggregate(
-        transform(split(tok, ""), c => ascii(c).cast("long")),
-        lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets
+      graft.functions.PolyHashFns.polyHash(tok, RollMod) % buckets
     val docBucket = graft.operators.Materialize.cut(raw
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), bucketOf(col("tok")).as("b"))
@@ -330,9 +328,8 @@ object TextAnalysis {
     def counts(docs: DataFrame): (Map[Long, Long], Long) = {
       val rows = docs
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
-        .select((aggregate(
-          transform(split(col("tok"), ""), c => ascii(c).cast("long")),
-          lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets).as("b"))
+        .select((graft.functions.PolyHashFns.polyHash(col("tok"), RollMod)
+          % buckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("n"))
         .collect()
       val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -375,9 +372,8 @@ object TextAnalysis {
       toks,
       lit(java.math.BigDecimal.ZERO).cast(acc30),
       (acc, tok) => (acc + element_at(lutCol,
-        ((aggregate(
-          transform(split(tok, ""), c => ascii(c).cast("long")),
-          lit(0L), (h, c) => (h * 31 + c) % RollMod) % buckets) + 1).cast("int")))
+        ((graft.functions.PolyHashFns.polyHash(tok, RollMod) % buckets) + 1)
+          .cast("int")))
         .cast(acc30))
     docs.select(
       col("doc_id"),
@@ -695,16 +691,16 @@ object TextAnalysis {
     * content-defined fingerprint. Modulus 2^53-111 keeps every intermediate
     * below int64 overflow (DuckDB checks overflow; Java wraps — staying
     * under the limit makes both engines produce the identical value).
+    * Served by the native codegen'd [[graft.functions.PolyHashFns]]
+    * expression (the HOF fold it replaces is CodegenFallback and
+    * allocates a per-char array per document; bit-parity spec-pinned).
     */
   val RollMod = 9007199254740881L
 
   def rollingHash(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      aggregate(
-        transform(split(col("text"), ""), c => ascii(c).cast("long")),
-        lit(0L),
-        (h, c) => (h * 31 + c) % RollMod).as("rhash"))
+      graft.functions.PolyHashFns.polyHash(col("text"), RollMod).as("rhash"))
 
   /** Within-document repetition signals (the Gopher-style quality rules):
     * the duplicate fraction of word n-grams for n = 2 and 3 — a document

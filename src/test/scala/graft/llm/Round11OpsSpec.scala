@@ -328,6 +328,33 @@ class Round11OpsSpec extends SparkSpec {
       "raw tokens absent from the target must be downweighted")
   }
 
+  test("poly_hash: native expression matches the HOF fold bit-for-bit (incl. unicode)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (100001L, ""),                   // empty: both sides yield 0
+        (100002L, "héllo wörld"),        // 2-byte code points
+        (100003L, "a😀b"))     // surrogate pair stays one code point
+        .toDF("doc_id", "text"))
+    val m = TextAnalysis.RollMod
+    val hof = docs.select(col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (h, c) => (h * 31 + c) % m).as("h_hof"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.PolyHashFns.polyHash(col("text"), m).as("h_nat"))
+    val joined = hof.join(native, "doc_id")
+    assert(joined.filter(col("h_hof") =!= col("h_nat")).isEmpty,
+      "native poly_hash must reproduce the relational fold exactly")
+    // and the native form keeps the projection inside whole-stage codegen
+    // (the "*(n)" prefix in the compact plan) — the HOF fold is
+    // CodegenFallback and breaks the span
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("poly_hash") && l.contains("*(")),
+      s"poly_hash projection not in a codegen span:\n$plan")
+  }
+
   test("DSIR fit/serve: narrow scoring reproduces the fused path bit-for-bit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val target = docs.filter(col("lang") === "en")
