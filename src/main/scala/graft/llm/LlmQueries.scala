@@ -1472,7 +1472,7 @@ object LlmQueries {
   // bucket-bounded (the scale story: O(1024) model regardless of corpus
   // size); determinism is the x16/x24 quantized-ln + exact-decimal
   // treatment, hash arithmetic identical in both engines.
-  private val x25 = q("x25_dsir_weights", Some(
+  private val dsirOracleSql =
     s"""WITH tb AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1502,10 +1502,33 @@ object LlmQueries {
         SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(CAST(c AS DECIMAL(12,0)) * lnr) AS DOUBLE), 4) AS dsir_logw
         FROM db JOIN lut ON db.b = lut.b
-        GROUP BY 1 ORDER BY doc_id""")) { t =>
+        GROUP BY 1 ORDER BY doc_id"""
+
+  private val x25 = q("x25_dsir_weights", Some(dsirOracleSql)) { t =>
     TextAnalysis.dsirWeights(
       raw = t.documents, target = t.documents.filter(col("lang") === "en"),
       buckets = 1024).orderBy("doc_id")
+  }
+
+  // x27 — INCREMENTAL DSIR model maintenance: the raw-corpus bucket
+  // histogram lands in the versioned additive CountStore in TWO batch
+  // appends (even docs, then odd docs — nothing existing read or
+  // rewritten per append), the model is fit from the store's summed view,
+  // and the whole corpus is scored through the zero-shuffle narrow serve.
+  // The oracle is x25's VERBATIM from-scratch formulation — histograms
+  // sum associatively, so incremental ≡ batch bit-for-bit, and this def
+  // PROVES it at the hash level.
+  private val x27 = q("x27_dsir_incremental", Some(dsirOracleSql)) { t =>
+    val store = java.nio.file.Files.createTempDirectory("graft-dsir-idx").toString
+    graft.operators.CountStore.write(
+      TextAnalysis.dsirBucketCounts(t.documents.filter(col("doc_id") % 2 === 0)), store)
+    graft.operators.CountStore.append(
+      TextAnalysis.dsirBucketCounts(t.documents.filter(col("doc_id") % 2 === 1)), store)
+    val lut = TextAnalysis.dsirModelFromCounts(
+      graft.operators.CountStore.read(t.spark, store),
+      TextAnalysis.dsirBucketCounts(t.documents.filter(col("lang") === "en")),
+      buckets = 1024)
+    TextAnalysis.dsirScoreNarrow(t.documents, lut).orderBy("doc_id")
   }
 
   // x26 — BM25 relevance scoring against a query term set (the
@@ -1977,7 +2000,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }

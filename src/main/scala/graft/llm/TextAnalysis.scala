@@ -322,21 +322,45 @@ object TextAnalysis {
     * applies (equality with [[dsirWeights]] is spec-pinned).
     */
   def dsirModelLut(raw: DataFrame, target: DataFrame,
-                   buckets: Int = 1024): Array[java.math.BigDecimal] = {
+                   buckets: Int = 1024): Array[java.math.BigDecimal] =
+    dsirModelFromCounts(
+      dsirBucketCounts(raw, buckets), dsirBucketCounts(target, buckets), buckets)
+
+  /** The (bucket, n) token histogram one corpus (or one BATCH) contributes
+    * to a DSIR model — a `buckets`-keyed map-side-combined rollup, and the
+    * additive unit the incremental path persists through
+    * [[graft.operators.CountStore]]: histograms SUM, so a model read from
+    * appended batch counts equals the from-scratch fit exactly (the x27
+    * def pins it against x25's unchanged oracle).
+    */
+  def dsirBucketCounts(docs: DataFrame, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets $buckets outside (0, 65536] — the LUT is a driver value")
-    def counts(docs: DataFrame): (Map[Long, Long], Long) = {
-      val rows = docs
-        .select(explode(TextFns.tokens(col("text"))).as("tok"))
-        .select((graft.functions.PolyHashFns.polyHash(col("tok"), RollMod)
-          % buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("n"))
-        .collect()
+    docs
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .select((graft.functions.PolyHashFns.polyHash(col("tok"), RollMod)
+        % buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+  }
+
+  /** Build the serving LUT from count frames (each ≤ `buckets` rows —
+    * bounded collects), whatever produced them: a direct
+    * [[dsirBucketCounts]] pass or a [[graft.operators.CountStore]] read
+    * over incrementally appended batches.
+    */
+  def dsirModelFromCounts(srcCounts: DataFrame, tgtCounts: DataFrame,
+                          buckets: Int = 1024): Array[java.math.BigDecimal] = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets $buckets outside (0, 65536] — the LUT is a driver value")
+    def toMap(counts: DataFrame): (Map[Long, Long], Long) = {
+      val rows = counts.collect()
+      require(rows.length <= buckets,
+        s"count frame has ${rows.length} rows for $buckets buckets — not a bucket histogram")
       val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       (m, m.valuesIterator.sum)
     }
-    val (srcM, nSrc) = counts(raw)
-    val (tgtM, nTgt) = counts(target)
+    val (srcM, nSrc) = toMap(srcCounts)
+    val (tgtM, nTgt) = toMap(tgtCounts)
     def q8(x: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
     Array.tabulate(buckets) { b =>

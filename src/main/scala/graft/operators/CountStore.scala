@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.warehouse.AtomicPointer
+
+/** Versioned ADDITIVE count store — persisted keyed counts whose merge
+  * operation is SUM, so appends are associative and an incremental build
+  * equals a from-scratch one exactly (long arithmetic; spec-pinned by the
+  * x27 def's unchanged x25 oracle). The statistics backbone for models
+  * that are themselves counts: DSIR bucket histograms, unigram/bigram LM
+  * frequencies, per-source token budgets.
+  *
+  * Same durability protocol as the dedup corpus index (Dedup.scala): each
+  * batch stages under a dot-prefixed dir (invisible to vacuum and listing
+  * tools), renames into `v<N>`, then the CURRENT pointer — a newline list
+  * of committed versions — swaps atomically. A crash mid-append leaves the
+  * prior pointer live; the replayed append clobbers the orphan.
+  *
+  * Layout convention: every column but the LAST is a key; the last column
+  * is the long count. [[read]] returns the summed view across committed
+  * versions — at 100 TB each version is key-cardinality-sized (bucket
+  * histograms: ≤ |buckets| rows), so the sum is a metadata-scale rollup,
+  * and [[compact]] folds the version list back to one when it grows.
+  */
+object CountStore {
+
+  private val Pointer = "CURRENT"
+
+  private def committedVersions(path: String): Seq[String] =
+    AtomicPointer.read(s"$path/$Pointer")
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  private def requireCountSchema(counts: DataFrame): Unit = {
+    require(counts.columns.length >= 2,
+      "CountStore needs at least one key column plus the trailing count column")
+    require(counts.schema.fields.last.dataType == LongType,
+      s"CountStore's last column must be the long count, got " +
+        counts.schema.fields.last.dataType.catalogString)
+  }
+
+  private def commit(counts: DataFrame, path: String, replace: Boolean): Unit = {
+    requireCountSchema(counts)
+    val committed = committedVersions(path)
+    val next = "v" + (committed.filter(_.matches("v\\d+"))
+      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val staging = s".staging-$next"
+    counts.write.mode("overwrite").parquet(s"$path/$staging/counts")
+    AtomicPointer.publishDir(s"$path/$staging", s"$path/$next")
+    AtomicPointer.write(s"$path/$Pointer",
+      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+  }
+
+  /** Publish `counts` as the store's sole version (bootstrap / rebuild). */
+  def write(counts: DataFrame, path: String): Unit =
+    commit(counts, path, replace = true)
+
+  /** Append a batch's counts as a new version — NOTHING existing is read
+    * or rewritten; the merge is deferred to [[read]]'s sum.
+    */
+  def append(counts: DataFrame, path: String): Unit =
+    commit(counts, path, replace = false)
+
+  /** The summed view across all committed versions. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val vs = committedVersions(path)
+    require(vs.nonEmpty, s"CountStore.read: no committed versions under $path")
+    val u = vs.map(v => spark.read.parquet(s"$path/$v/counts"))
+      .reduce(_.unionByName(_))
+    val cnt = u.columns.last
+    u.groupBy(u.columns.dropRight(1).map(col): _*).agg(sum(col(cnt)).as(cnt))
+  }
+
+  /** Fold the committed versions into one (bounds [[read]]'s union width);
+    * old version dirs stay until [[vacuum]].
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val folded = read(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { folded.count(); commit(folded, path, replace = true) }
+    finally { folded.unpersist(); () }
+  }
+
+  /** Delete version dirs the pointer no longer references — the dedup
+    * index's vacuum guards: never above the max committed number (a serial
+    * writer's in-flight commit occupies exactly max+1), pointer re-read
+    * before each delete. Returns the number of directories removed.
+    */
+  def vacuum(path: String): Int = {
+    val committed = committedVersions(path).toSet
+    val maxCommitted = committed.filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong).maxOption.getOrElse(0L)
+    val junk = AtomicPointer.listDirNames(path)
+      .filter(n => n.matches("v\\d+") && !committed.contains(n) &&
+        n.drop(1).toLong <= maxCommitted)
+    junk.count { name =>
+      !committedVersions(path).contains(name) &&
+        AtomicPointer.deleteDir(s"$path/$name")
+    }
+  }
+}
