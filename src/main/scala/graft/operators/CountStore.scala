@@ -42,13 +42,18 @@ object CountStore {
         counts.schema.fields.last.dataType.catalogString)
   }
 
-  private def commit(counts: DataFrame, path: String, replace: Boolean): Unit = {
+  private def commit(counts: DataFrame, path: String, replace: Boolean,
+                     tag: Option[String] = None): Unit = {
     requireCountSchema(counts)
     val committed = committedVersions(path)
     val next = "v" + (committed.filter(_.matches("v\\d+"))
       .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
     val staging = s".staging-$next"
     counts.write.mode("overwrite").parquet(s"$path/$staging/counts")
+    // the tag rides INSIDE the staged dir, so it becomes visible atomically
+    // with the version itself (exactly-once bookkeeping for replayed
+    // streaming appends — see hasTag)
+    tag.foreach(t => AtomicPointer.write(s"$path/$staging/TAG", t))
     AtomicPointer.publishDir(s"$path/$staging", s"$path/$next")
     AtomicPointer.write(s"$path/$Pointer",
       ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
@@ -59,10 +64,25 @@ object CountStore {
     commit(counts, path, replace = true)
 
   /** Append a batch's counts as a new version — NOTHING existing is read
-    * or rewritten; the merge is deferred to [[read]]'s sum.
+    * or rewritten; the merge is deferred to [[read]]'s sum. An optional
+    * `tag` (e.g. a streaming batch id) is committed atomically with the
+    * version; [[hasTag]] then makes a replayed append detectable, which is
+    * what turns at-least-once delivery into exactly-once counting — a
+    * double-appended histogram would silently DOUBLE-COUNT, the failure
+    * mode no read-side dedup can repair for additive state.
     */
-  def append(counts: DataFrame, path: String): Unit =
-    commit(counts, path, replace = false)
+  def append(counts: DataFrame, path: String, tag: Option[String] = None): Unit =
+    commit(counts, path, replace = false, tag)
+
+  /** Whether any COMMITTED version carries `tag`. A crash between
+    * publishDir and the pointer swap leaves an uncommitted orphan whose
+    * tag is invisible here — and the replayed append re-stages the SAME
+    * version number, clobbering the orphan, so the count is never doubled
+    * either way.
+    */
+  def hasTag(path: String, tag: String): Boolean =
+    committedVersions(path).exists(v =>
+      AtomicPointer.read(s"$path/$v/TAG").map(_.trim).contains(tag))
 
   /** The summed view across all committed versions. */
   def read(spark: SparkSession, path: String): DataFrame = {

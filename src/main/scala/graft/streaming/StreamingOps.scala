@@ -332,6 +332,54 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous DSIR-model maintenance: each micro-batch's bucket
+    * histogram ([[graft.llm.TextAnalysis.dsirBucketCounts]] — a
+    * |buckets|-row frame) appends to the versioned additive
+    * [[graft.operators.CountStore]]; the serving model is refit from the
+    * store's summed view whenever the caller wants
+    * ([[graft.llm.TextAnalysis.dsirModelFromCounts]]), and incremental ≡
+    * from-scratch exactly because histograms sum (the x27 def pins it at
+    * the hash level). Per-batch work is one narrow scoring-free pass over
+    * the batch plus a |buckets|-row write — the raw corpus is never
+    * re-read.
+    *
+    * REPLAY SAFETY: additive state is the one sink where at-least-once
+    * delivery is NOT repairable downstream — a double-appended histogram
+    * double-counts and no read-side dedup can tell. So beyond the
+    * [[ReplayGuard]] high-water mark (O(1) skip of fully-committed
+    * replays), each version commits ATOMICALLY with a batch tag, and the
+    * one batch that can straddle a crash (the first delivery after
+    * restart) is checked against [[graft.operators.CountStore.hasTag]]
+    * before appending — already-appended ⇒ only the mark is (re)committed.
+    * `compactEvery` > 0 folds the version list every that-many batches,
+    * AFTER the mark commits (a crash mid-fold loses only the fold).
+    */
+  def ingestDsirCountsStream(docs: DataFrame, storePath: String,
+                             checkpoint: String, buckets: Int = 1024,
+                             compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyAppended =
+            p == Recover && graft.operators.CountStore.hasTag(storePath, tag)
+          if (!alreadyAppended)
+            graft.operators.CountStore.append(
+              graft.llm.TextAnalysis.dsirBucketCounts(batch, buckets),
+              storePath, Some(tag))
+          guard.commit(batchId)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.CountStore.compact(batch.sparkSession, storePath)
+      }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous vector-index maintenance: each micro-batch of embeddings is
     * assigned + int8-quantized against the STORED centroids and appended to
     * the cell-partitioned vectors table

@@ -411,6 +411,47 @@ class StreamingSpec extends SparkSpec {
     assert(vectors.select("vec_id").distinct().count() == embs.count())
   }
 
+  test("DSIR count ingest: streamed appends equal batch counts; replays never double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-stream").toString
+    val stream = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestDsirCountsStream(
+        stream.toDF().toDF("doc_id", "text"), s"$root/store", s"$root/ckpt",
+        buckets = 256)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    def view(): Map[Long, Long] =
+      graft.operators.CountStore.read(spark, s"$root/store")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a); run()
+    stream.addData(b); run()
+    val expected = graft.llm.TextAnalysis.dsirBucketCounts(docs, 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(view() == expected, "two streamed appends must equal the batch histogram")
+    // crash window A: the mark committed but Spark's commit log was lost —
+    // the restart re-delivers the last batch; the guard skips it outright
+    uncommit(1)
+    run()
+    assert(view() == expected, "a mark-skipped replay must not re-append")
+    // crash window B: the append landed but the process died BEFORE the
+    // mark write — the restart's first delivery finds the batch TAG
+    // already committed in the store and appends nothing (additive state
+    // cannot be repaired downstream, so this is the critical window)
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/store/_streaming_hwm"))
+    run()
+    assert(view() == expected, "a tag-detected replay must not double-count")
+  }
+
   test("steady-state vector ingest plans no scan over the stored vectors table") {
     implicit val sqlCtx = spark.sqlContext
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
