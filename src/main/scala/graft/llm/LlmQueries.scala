@@ -1259,7 +1259,7 @@ object LlmQueries {
   // DECIMAL(18,8) once per vocabulary entry; every downstream step is exact
   // decimal arithmetic, so the per-doc score is order-independent and
   // hash-comparable (see TextAnalysis.unigramSurprisal).
-  private val x16 = q("x16_unigram_surprisal", Some(
+  private val unigramSurprisalOracleSql =
     """WITH dt AS (
           SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
@@ -1274,8 +1274,26 @@ object LlmQueries {
                ROUND(CAST(SUM(c * lnv) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4)
                  AS surprisal
         FROM dt JOIN lut USING (tok)
-        GROUP BY 1 ORDER BY doc_id""")) { t =>
+        GROUP BY 1 ORDER BY doc_id"""
+
+  private val x16 = q("x16_unigram_surprisal", Some(unigramSurprisalOracleSql)) { t =>
     TextAnalysis.unigramSurprisal(t.documents).orderBy("doc_id")
+  }
+
+  // x28 — INCREMENTAL unigram-LM maintenance: the vocabulary histogram
+  // lands in the CountStore in two batch appends and scoring reads the
+  // summed model — x16's VERBATIM oracle hash-proves incremental ≡
+  // from-scratch, this time on an UNBOUNDED (vocabulary) key space,
+  // showing the additive-store pattern is not bucket-specific.
+  private val x28 = q("x28_surprisal_incremental", Some(unigramSurprisalOracleSql)) { t =>
+    val store = java.nio.file.Files.createTempDirectory("graft-uni-idx").toString
+    graft.operators.CountStore.write(
+      TextAnalysis.unigramCounts(t.documents.filter(col("doc_id") % 2 === 0)), store)
+    graft.operators.CountStore.append(
+      TextAnalysis.unigramCounts(t.documents.filter(col("doc_id") % 2 === 1)), store)
+    TextAnalysis.unigramSurprisalWith(
+      t.documents, graft.operators.CountStore.read(t.spark, store))
+      .orderBy("doc_id")
   }
 
   // x17 — overlapping token-window chunking (max 32, overlap 8): the
@@ -2000,7 +2018,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }

@@ -94,7 +94,41 @@ object TextAnalysis {
     val docTok = documents
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val freq = docTok.groupBy("tok").agg(sum("c").as("n_w"))
+    // the fused self-scoring form derives the model from the SAME docTok
+    // subtree (one exchange, reused); the model-as-input form below serves
+    // incrementally maintained counts instead
+    scoreAgainstUnigramModel(docTok, docTok.groupBy("tok").agg(sum("c").as("n_w")))
+  }
+
+  /** The (tok, n_w) vocabulary histogram a corpus (or one BATCH)
+    * contributes to the unigram LM — the additive unit
+    * [[graft.operators.CountStore]] persists for incremental model
+    * maintenance; vocabulary-keyed (unbounded, unlike the DSIR buckets),
+    * which the store handles identically since versions stay
+    * key-cardinality-sized. x28 pins model-from-appended-counts ≡
+    * from-scratch against x16's verbatim oracle.
+    */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_w"))
+
+  /** Score `documents` against an externally supplied unigram model (a
+    * (tok, n_w) frame — e.g. a [[graft.operators.CountStore]] read).
+    * Identical math to [[unigramSurprisal]]; only the model's provenance
+    * differs. OOV contract: tokens absent from the model drop out of both
+    * the count and the sum (inner LUT join) — a model covering the scored
+    * corpus (x28's shape) scores every token; for true cross-corpus
+    * scoring with backoff semantics use [[stupidBackoffScore]].
+    */
+  def unigramSurprisalWith(documents: DataFrame, freq: DataFrame): DataFrame =
+    scoreAgainstUnigramModel(
+      documents
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c")),
+      freq)
+
+  private def scoreAgainstUnigramModel(docTok: DataFrame,
+                                       freq: DataFrame): DataFrame = {
     val totals = freq.agg(sum("n_w").as("n_total"))
     val lut = freq.crossJoin(broadcast(totals))
       .select(col("tok"),
