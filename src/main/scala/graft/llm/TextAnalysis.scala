@@ -387,9 +387,12 @@ object TextAnalysis {
     require(buckets > 0 && buckets <= 65536,
       s"buckets $buckets outside (0, 65536] — the LUT is a driver value")
     def toMap(counts: DataFrame): (Map[Long, Long], Long) = {
-      val rows = counts.collect()
+      // limit(cap+1) BEFORE the collect (the collectCapped idiom): a frame
+      // that is not a bucket histogram fails fast instead of flooding the
+      // driver first
+      val rows = counts.limit(buckets + 1).collect()
       require(rows.length <= buckets,
-        s"count frame has ${rows.length} rows for $buckets buckets — not a bucket histogram")
+        s"count frame has > $buckets rows — not a $buckets-bucket histogram")
       val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       (m, m.valuesIterator.sum)
     }
