@@ -612,6 +612,37 @@ object EtlQueries {
       .orderBy("o_year", "o_month")
   }
 
+  // t22 — SNAPSHOT DIFF through the correctness gate (the audit twin of
+  // time travel): publish orders v1, double every 10th price (CoW upsert →
+  // v2), merge-on-read delete every 13th key (→ v3), then diff v1 → v3.
+  // The oracle recomputes the expected change set from raw orders — a key
+  // misclassified (a deleted key reported changed, an untouched key
+  // surfacing at all) hash-fails. Keys divisible by both 10 and 13 must
+  // come out 'removed' with their ORIGINAL price (the upsert's doubling is
+  // superseded by the delete).
+  private val t22 = q("t22_snapshot_diff",
+    """SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'removed' ELSE 'changed' END AS change,
+       o_totalprice AS old_price,
+       CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice * 2 END AS new_price
+       FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 10 = 0
+       ORDER BY o_orderkey""") { t =>
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+    val base = t.orders.select("o_orderkey", "o_totalprice")
+    ParquetWarehouse.publishSnapshot(root, Map("orders" -> base))
+    ParquetWarehouse.upsertSnapshot(root, "orders",
+      base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      "o_orderkey")
+    ParquetWarehouse.deleteFromSnapshot(root, "orders",
+      base.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"), "o_orderkey")
+    ParquetWarehouse.snapshotDiff(t.spark, root, "orders", "v1", "v3", "o_orderkey")
+      .select(col("o_orderkey"), col("change"),
+        col("old_row.o_totalprice").as("old_price"),
+        col("new_row.o_totalprice").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -633,5 +664,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, c01, c02, c03)
 }

@@ -138,6 +138,37 @@ object ParquetWarehouse {
       AtomicPointer.write(s"$root/$next/$tbl.base", resolveBase(root, cur, tbl))
     }
 
+  /** SNAPSHOT DIFF — what changed between two published versions of a
+    * table, keyed by `keyCol`: one row per difference, labeled
+    * `added` (key only in `vNew`), `removed` (key only in `vOld`), or
+    * `changed` (key in both, any non-key column differing). The audit twin
+    * of [[readTableAt]]: immutable versions make "what did the last merge
+    * actually do" a pure query — this is how a 100 TB warehouse reviews a
+    * merge before vacuuming its rollback target. One full-outer join on
+    * the key; the row-equality test compares the remaining columns as a
+    * struct, so it follows any schema (null-safe `<=>`).
+    */
+  def snapshotDiff(spark: SparkSession, root: String, table: String,
+                   vOld: String, vNew: String, keyCol: String): DataFrame = {
+    val old = readTableAt(spark, root, table, vOld)
+    val neu = readTableAt(spark, root, table, vNew)
+    val rest = old.columns.filterNot(_ == keyCol).toSeq
+    require(rest == neu.columns.filterNot(_ == keyCol).toSeq,
+      s"snapshotDiff: schemas differ between $vOld and $vNew — diff keys first")
+    def packed(df: DataFrame, side: String) = df.select(
+      col(keyCol),
+      struct(rest.map(col): _*).as(s"${side}_row"),
+      lit(true).as(s"in_$side"))
+    packed(old, "old")
+      .join(packed(neu, "new"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("old_row") <=> col("new_row")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"), col("old_row"), col("new_row"))
+  }
+
   /** Merge-on-read DELETE — the complementary mutation to
     * [[upsertSnapshot]]'s copy-on-write: the new snapshot version carries
     * only a `.base` pointer at the version whose files still hold the data

@@ -156,6 +156,26 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff labels added, removed, and changed keys; identity diff is empty") {
+    val root = tmpDir()
+    ParquetWarehouse.publishSnapshot(root,
+      Map("t" -> Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amt")))
+    ParquetWarehouse.upsertSnapshot(root, "t",
+      Seq((2L, 99.0), (4L, 40.0)).toDF("k", "amt"), "k")   // change 2, add 4
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(3L).toDF("k"), "k") // remove 3
+    val d = ParquetWarehouse.snapshotDiff(spark, root, "t", "v1", "v3", "k")
+      .select(col("k"), col("change"),
+        col("old_row.amt").as("o"), col("new_row.amt").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(d == Set(
+      (2L, "changed", Some(20.0), Some(99.0)),
+      (3L, "removed", Some(30.0), None),
+      (4L, "added", None, Some(40.0))))
+    // diffing a version against itself reports nothing
+    assert(ParquetWarehouse.snapshotDiff(spark, root, "t", "v3", "v3", "k").isEmpty)
+  }
+
   test("partition-scoped upsert rewrites only touched partition dirs") {
     val path = tmpDir() + "/t"
     val base = Seq(
