@@ -53,5 +53,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "word_shingles takes (string, n)")
         graft.functions.WordShingles(args.head, intLit(args(1), "word_shingles n"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "poly_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "poly_hash takes (string, modulus)")
+        val mod = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"poly_hash expects a literal modulus, got $other")
+        }
+        graft.functions.PolyHash(args.head, mod)
+      }))
   }
 }

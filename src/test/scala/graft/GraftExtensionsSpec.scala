@@ -16,13 +16,15 @@ class GraftExtensionsSpec extends SparkSpec {
                  array(cast(2.0 as float), cast(3.0 as float))) AS d,
          minhash_sig(array('a b c', 'b c d'), 4) AS m,
          simhash64(array('the', 'quick', 'fox')) AS s,
-         word_shingles('The quick brown fox jumps', 3) AS w""").collect()(0)
+         word_shingles('The quick brown fox jumps', 3) AS w,
+         poly_hash('ab', 9007199254740881L) AS p""").collect()(0)
     assert(r.getString(0) == "O'Brien-Smith 2X Llc")
     assert(r.getDouble(1) == 9.0)
     assert(r.getSeq[Long](2).length == 4)
     assert(r.getLong(3) != 0L)
     assert(r.getSeq[String](4) ==
       Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(r.getLong(5) == ('a'.toLong * 31 + 'b'.toLong))
   }
 
   test("non-literal k for minhash_sig is rejected with a clear error") {
