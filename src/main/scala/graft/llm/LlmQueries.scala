@@ -1676,6 +1676,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // x29 — EXACT heavy hitters without a distinct-key shuffle: per-partition
+  // Misra-Gries candidates (bounded at partitions·⌈1/support⌉ — MG's drop
+  // bound makes the union a provable superset of every ≥-support value) +
+  // an exact broadcast-semi-join recount that removes the false positives.
+  // support 0.2 over the language column is discriminating on this corpus:
+  // only 'en' (~44%) qualifies; the tail languages (~13-15%) must NOT
+  // appear even though MG certainly emitted them as candidates.
+  private val x29 = q("x29_heavy_hitters", Some(
+    """SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1
+       HAVING CAST(COUNT(*) AS DOUBLE)
+              >= 0.2 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+       ORDER BY value""")) { t =>
+    graft.operators.HeavyHitters.frequentItems(t.documents, "lang", support = 0.2)
+      .orderBy("value")
+  }
+
   // x21 — the Gopher quality-rule battery (Rae et al. 2021): per-document
   // boolean verdicts (word count, mean word length, symbol ratio,
   // alpha-word fraction, stopword presence) + the integer-ratio metrics
@@ -2018,7 +2035,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
       p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }
