@@ -606,6 +606,45 @@ object LlmQueries {
     Events.sessionize(eventsTs(t)).orderBy("user_id", "session_id")
   }
 
+  // e18 — cross-user session CO-PRESENCE via the grain-binned interval
+  // RANGE JOIN (the inequality join Spark lacks natively — naive
+  // formulation is a cartesian): sessions from e02's machinery, pairs of
+  // OVERLAPPING sessions across distinct users counted per user pair.
+  // The operator's first-shared-grain trick emits each qualifying pair
+  // exactly once (no distinct), and the oracle recomputes the closed-
+  // interval inequality join directly, so a pair duplicated by the
+  // binning, lost at a grain boundary, or wrongly admitted hash-fails.
+  private val e18 = q("e18_session_overlap", Some(
+    s"""WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+        s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s),
+        sess AS (SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+                 FROM s2 GROUP BY 1, 2)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        GROUP BY 1, 2 ORDER BY user_a, user_b""")) { t =>
+    val sess = Events.sessionize(eventsTs(t))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val a = sess.toDF("user_a", "sid_a", "a_start", "a_end")
+    val b = sess.toDF("user_b", "sid_b", "b_start", "b_end")
+    graft.operators.RangeJoin.overlapJoin(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        grainUs = 3600L * 1000000L)
+      .filter(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("user_a", "user_b")
+  }
+
   // e03 — SLIDING 1-hour windows every 15 minutes: each event belongs to 4
   // overlapping windows; the oracle derives the same window starts by
   // integer bucket arithmetic on epoch microseconds.
@@ -2036,6 +2075,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
       p01, p02, p03, p04, p05, p06, p07, p08, m01)
 }
