@@ -1459,6 +1459,22 @@ object LlmQueries {
       .orderBy("asset_id")
   }
 
+  // m02 — perceptual IMAGE dedup (rows-only like the other
+  // non-SQL-expressible tiers — DuckDB cannot decode PNGs; MultimodalSpec
+  // carries the semantics): a deterministic synthetic image corpus (one
+  // PNG per doc_id, brightness-shifted twins every 25th id — byte-distinct
+  // but hash-identical — and one-bit-perturbed variants every 50th), dHash
+  // over real javax.imageio decode, banded-Hamming candidate pairs, exact
+  // popcount verify. Every planted twin must pair with its base; unrelated
+  // ids sit ~32 bits apart and never pair.
+  private val m02 = q("m02_image_neardup", None) { t =>
+    import t.spark.implicits._
+    val assets = Multimodal.syntheticImageAssets(
+      t.documents.select(col("doc_id")).as[Long])
+    Multimodal.imageNearDupPairs(assets, maxHamming = 3)
+      .orderBy("asset_a", "asset_b")
+  }
+
   // p05 — epoch-weighted repetition (the mixture-table "source S trains
   // for e epochs" step): src0 ×2.5, src1 ×0.5, everything else ×1. The
   // fractional copy set is the deterministic hash bucket; frac thresholds
@@ -2076,5 +2092,5 @@ object LlmQueries {
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
-      p01, p02, p03, p04, p05, p06, p07, p08, m01)
+      p01, p02, p03, p04, p05, p06, p07, p08, m01, m02)
 }

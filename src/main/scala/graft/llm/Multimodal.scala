@@ -216,6 +216,171 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual DIFFERENCE hash (dHash) of a decoded image: the
+    * raster area-averages onto a 9×8 luminance grid, and bit (y·8+x) is
+    * set when grid(y)(x) > grid(y)(x+1) — the hash encodes the SIGN of
+    * horizontal gradients, so it survives resizing, re-encoding, and
+    * uniform brightness shifts (the transforms that defeat byte-level
+    * dedup on images) while Hamming distance grows with real content
+    * change. Deterministic for a given raster.
+    */
+  private[llm] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sum = Array.ofDim[Double](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+          (p & 0xFF) * 114) / 1000.0
+        sum(gy)(gx) += lum
+        cnt(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val a = if (cnt(gy)(gx) == 0) 0.0 else sum(gy)(gx) / cnt(gy)(gx)
+        val b = if (cnt(gy)(gx + 1) == 0) 0.0 else sum(gy)(gx + 1) / cnt(gy)(gx + 1)
+        if (a > b) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** A 9×8 grayscale PNG whose [[dHash]] is EXACTLY `bits`: row y's pixel
+    * luminances are constructed right-to-left so that
+    * lum(x) > lum(x+1) ⇔ bit (y·8+x) — the deterministic fixture the
+    * image-dedup gate def and specs build planted corpora from. A uniform
+    * `brightness` shift changes every BYTE of the payload (md5 differs)
+    * but no gradient sign, so the hash is unchanged — the exact
+    * robustness property perceptual dedup exists for.
+    */
+  private[llm] def imageFromHashBits(bits: Long, brightness: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      val p = new Array[Int](9)
+      p(8) = 128 + brightness
+      var x = 7
+      while (x >= 0) {
+        p(x) = p(x + 1) + (if (((bits >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+        x -= 1
+      }
+      var i = 0
+      while (i < 9) {
+        val v = math.max(0, math.min(255, p(i)))
+        img.setRGB(i, y, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic IMAGE corpus for the perceptual-dedup gate:
+    * each id renders the PNG of its golden-ratio bit mix (unrelated ids
+    * sit ~32 Hamming bits apart — no accidental near-dups), every
+    * `twinEvery`-th id also emits a brightness-shifted twin (byte-distinct,
+    * hash-IDENTICAL) at `id + twinOffset`, and every `2·twinEvery`-th a
+    * one-bit-perturbed variant (Hamming 1) at `id + 2·twinOffset`.
+    */
+  def syntheticImageAssets(ids: Dataset[Long], twinEvery: Int = 25,
+                           twinOffset: Long = 1000000L): Dataset[Asset] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val bits = id * 0x9E3779B97F4A7C15L
+        def asset(aid: Long, png: Array[Byte]) =
+          Asset(aid, "image/png", png.length, png)
+        val base = Seq(asset(id, imageFromHashBits(bits)))
+        val bright =
+          if (id % twinEvery == 0)
+            Seq(asset(id + twinOffset, imageFromHashBits(bits, brightness = 5)))
+          else Seq.empty
+        val perturbed =
+          if (id % (2L * twinEvery) == 0)
+            Seq(asset(id + 2 * twinOffset,
+              imageFromHashBits(bits ^ (1L << (id % 64).toInt))))
+          else Seq.empty
+        base ++ bright ++ perturbed
+      }
+    }
+  }
+
+  /** Per-asset perceptual hashes: (asset_id, mime, decoded, phash) —
+    * per-partition batched like [[extractFeatures]]; payloads ImageIO
+    * cannot decode surface `decoded = false` with a null hash (row-local
+    * degradation, a poisoned payload never fails the task).
+    */
+  def imageHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val ph =
+          if (a.mime.startsWith("image/")) decodeImage(a.payload).map(dHash)
+          else None
+        (a.asset_id, a.mime, ph.isDefined, ph.map(java.lang.Long.valueOf).orNull)
+      }
+    }.toDF("asset_id", "mime", "decoded", "phash")
+  }
+
+  /** Image NEAR-DUP pairs by banded Hamming buckets over the dHash — the
+    * SimHash recipe applied to the image tier: the 64-bit hash splits into
+    * `maxHamming + 1` bands, so any pair within the Hamming radius shares
+    * at least one untouched band (pigeonhole — recall 1.0 by
+    * construction); candidates come from the band equi-join and the exact
+    * popcount filter removes the rest. Never all-pairs: only hash-banded
+    * collisions meet, the same scale posture as the text LSH path.
+    * Output: (asset_a, asset_b, hamming) for decoded pairs with
+    * hamming ≤ `maxHamming`, each pair once.
+    */
+  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming $maxHamming outside [0, 32)")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val hashes = imageHashes(assets).filter(col("decoded"))
+      .select("asset_id", "phash")
+    val banded = hashes.select(
+      col("asset_id"), col("phash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_val",
+        // the last band absorbs the 64 mod bands leftover bits; the DSL
+        // shiftrightunsigned only takes a literal shift, so the per-row
+        // form goes through expr
+        when(col("band") === bands - 1,
+          expr(s"shiftrightunsigned(phash, ${(bands - 1) * width})"))
+          .otherwise(expr(s"shiftrightunsigned(phash, band * $width)")
+            .bitwiseAND(lit((1L << width) - 1))))
+    val a = banded.select(col("asset_id").as("asset_a"), col("phash").as("ph_a"),
+      col("band"), col("band_val"))
+    val b = banded.select(col("asset_id").as("asset_b"), col("phash").as("ph_b"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize: for `image/...` payloads a REAL bilinear downscale to
     * (w/factor, h/factor), re-encoded as PNG (deterministic: PNG is
     * lossless and the JDK encoder is stable for a given raster). The
