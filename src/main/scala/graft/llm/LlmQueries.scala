@@ -2087,10 +2087,59 @@ object LlmQueries {
     Events.conversionLag(eventsTs(t)).orderBy("cohort_day")
   }
 
+  // d18 — embedding-space decontamination (the semantic twin of d06's
+  // n-gram benchmark decontamination, for paraphrased eval leakage that
+  // shares no shingle): corpus vectors whose MAX cosine against the
+  // broadcast benchmark subset (vec_id % 100 = 0) reaches 0.3, with the
+  // count of matching benchmark vectors. The oracle recomputes every
+  // pairwise cosine, the max/count aggregate, and the threshold boundary —
+  // both engines fold the dot left-to-right in double (s01's bit-identical
+  // contract), so a single mis-scored pair hash-fails.
+  private val d18 = q("d18_semantic_decontaminate", Some(
+    """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS be
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id % 100 <> 0),
+        p AS (SELECT vec_id,
+                list_dot_product(ce, be) /
+                (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(be, be))) AS cos
+              FROM c, b),
+        a AS (SELECT vec_id, max(cos) AS max_cos,
+                CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_hits
+              FROM p GROUP BY vec_id)
+        SELECT vec_id, max_cos, n_bench_hits FROM a WHERE max_cos >= 0.3
+        ORDER BY vec_id""")) { t =>
+    Similarity.semanticDecontaminate(t.embeddings, col("vec_id") % 100 === 0,
+      threshold = 0.3).orderBy("vec_id")
+  }
+
+  // p09 — exact-budget weighted corpus selection: EXACTLY k = 100 documents
+  // drawn with probability ∝ token count via Efraimidis–Spirakis priority
+  // sampling (deterministic u from the salted id hash, priority u^(1/w),
+  // distributed top-k — see Sampling.prioritySample). p08's Bernoulli gate
+  // hits a budget only in expectation; this is the fixed-budget twin. The
+  // oracle recomputes u, the pow key, and the top-100 boundary with the
+  // (priority DESC, doc_id) total order, so a hash, arithmetic, or
+  // tie-break divergence hash-fails.
+  private val p09 = q("p09_priority_sample", Some(
+    s"""WITH w AS (SELECT doc_id,
+            CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        p AS (SELECT doc_id, n_tok,
+            ${Sampling.sqlPriority("doc_id", "n_tok", "prio")} AS priority
+          FROM w WHERE n_tok > 0)
+        SELECT doc_id, n_tok, priority FROM p
+        ORDER BY priority DESC, doc_id LIMIT 100""")) { t =>
+    Sampling.prioritySample(
+      t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok")),
+      idCol = "doc_id", weightCol = "n_tok", k = 100)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
-      p01, p02, p03, p04, p05, p06, p07, p08, m01, m02)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, m01, m02)
 }

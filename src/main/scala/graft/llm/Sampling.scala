@@ -260,6 +260,42 @@ object Sampling {
     when(w >= 1.0, lit("g000"))
       .otherwise(lpad(lower(hex(floor(w * 65536).cast("long"))), 4, "0"))
 
+  /** Exact-size weighted sample WITHOUT replacement — Efraimidis–Spirakis
+    * priority sampling (Efraimidis & Spirakis 2006, "Weighted random
+    * sampling with a reservoir"): each row draws a deterministic
+    * pseudo-uniform u ∈ (0,1) from the salted md5 of its id (first 8 hex
+    * chars → 2³² equal buckets, offset by ½ so u is never exactly 0 or 1)
+    * and competes with priority u^(1/w); the k LARGEST priorities are a
+    * weighted random sample without replacement with inclusion probability
+    * increasing in w. [[weightedSample]]'s Bernoulli gate hits a target
+    * only in expectation; this is the exact-budget twin (fixed selection
+    * budgets: "pick exactly 100k docs, quality-weighted"). Deterministic
+    * in (id, salt): re-runs, partitionings, and engines agree row-for-row.
+    *
+    * Scale shape: the priority is a pure narrow map and the global top-k
+    * plans as TakeOrderedAndProject — per-partition partial top-k, then a
+    * single k·|partitions| merge — never a global sort; sampling 100 TB
+    * moves k rows per partition. The (priority desc, id) ordering is
+    * total, so the k-th boundary is unambiguous; priorities are one
+    * correctly-rounded pow() on bit-identical dyadic-rational inputs, and
+    * adjacent priorities sit ~2⁻³² apart (orders of magnitude above any
+    * cross-libm pow ulp), so the selected SET is engine-stable even where
+    * the float hash-compare needs its epsilon. Rows with weight ≤ 0 (or
+    * null) cannot be drawn (u^(1/w) is undefined) and are excluded, the
+    * same fate a zero Bernoulli weight gets.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "prio"): DataFrame = {
+    require(k > 0, s"sample size $k must be positive")
+    val u32 = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt)).cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("priority", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB twin of [[hashBucket]]. */
@@ -273,4 +309,9 @@ object Sampling {
   def sqlWeightThreshold(weightExpr: String): String =
     s"""CASE WHEN $weightExpr >= 1.0 THEN 'g000'
         ELSE lpad(to_hex(CAST(floor($weightExpr * 65536) AS BIGINT)), 4, '0') END"""
+
+  /** DuckDB twin of [[prioritySample]]'s priority key. */
+  def sqlPriority(idCol: String, weightExpr: String, salt: String): String =
+    s"""pow((CAST('0x' || substring(md5($idCol::VARCHAR || ':$salt'), 1, 8) AS BIGINT) + 0.5)
+           / 4294967296.0, 1.0 / CAST($weightExpr AS DOUBLE))"""
 }

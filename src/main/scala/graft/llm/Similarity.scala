@@ -97,6 +97,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-space benchmark decontamination — the SEMANTIC twin of the
+    * n-gram contamination report ([[Dedup.contaminationReport]]): every
+    * corpus vector whose maximum cosine against the held-out benchmark/
+    * eval set reaches `threshold` is reported with that max and the count
+    * of benchmark vectors it matches. Shingle decontamination misses
+    * paraphrased eval leakage; matching in embedding space is the standard
+    * countermeasure. Plan shape: the benchmark side broadcasts (eval sets
+    * are thousands of rows; the corpus is the 100 TB side), one streamed
+    * pass scores each corpus vector inside whole-stage codegen, and the
+    * map-side-combined aggregate collapses the pair stream to ONE row per
+    * corpus vector BEFORE anything shuffles — the exchange carries
+    * (id, max, count) rows, never a pair and never an embedding. The
+    * cosine is the codegen'd left-to-right dot fold (bit-identical
+    * cross-engine — s01's contract), so the ≥ boundary is exact; max and
+    * the conditional integer count are order-independent, so the aggregate
+    * is too. `benchPred` must select a broadcast-small benchmark subset
+    * (same contract as [[bruteForceTopK]]'s query side).
+    */
+  def semanticDecontaminate(embeddings: DataFrame, benchPred: Column,
+                            threshold: Double): DataFrame = {
+    val bench = embeddings.filter(benchPred)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    val corpus = embeddings.filter(!benchPred)
+      .select(col("vec_id"), col("embedding").as("c_emb"))
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), cosine(col("c_emb"), col("b_emb")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_bench_hits"))
+      .filter(col("max_cos") >= threshold)
+  }
+
   /** Contrastive training-triplet mining — the embedding-model data-prep
     * recipe (SimCSE/E5-style): for each query vector the exact cosine
     * ranking yields POSITIVES (ranks 1..nPos) and HARD NEGATIVES (ranks

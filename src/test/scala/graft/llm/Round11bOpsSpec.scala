@@ -1,0 +1,119 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation pins: Efraimidis–Spirakis priority sampling (p09)
+  * and embedding-space benchmark decontamination (d18).
+  */
+class Round11bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------ prioritySample (p09, ES 2006)
+
+  /** Driver-side twin of the priority key: md5("id:salt"), first 8 hex
+    * chars as a 32-bit int, u = (v + ½)/2³², priority = u^(1/w).
+    */
+  private def priorityOf(id: Long, w: Double, salt: String = "prio"): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    math.pow((v.toDouble + 0.5) / 4294967296.0, 1.0 / w)
+  }
+
+  private lazy val weighted = (1L to 200L).map(i => (i, (i % 7 + 1).toLong))
+    .toDF("doc_id", "w")
+
+  test("prioritySample: exactly k rows, matching the brute-force ES ranking") {
+    val got = Sampling.prioritySample(weighted, "doc_id", "w", k = 25)
+      .select("doc_id", "w", "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 25)
+    val expected = (1L to 200L).map { i =>
+      val w = (i % 7 + 1).toLong
+      (i, w, priorityOf(i, w.toDouble))
+    }.sortBy { case (id, _, p) => (-p, id) }.take(25)
+    assert(got.sortBy { case (id, _, p) => (-p, id) }.toSeq == expected,
+      "sample must equal the exact (priority desc, id) top-k")
+  }
+
+  test("prioritySample: deterministic under repartitioning") {
+    val a = Sampling.prioritySample(weighted, "doc_id", "w", k = 25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.prioritySample(weighted.repartition(13), "doc_id", "w", k = 25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "the sampled set is a pure function of (id, salt, w, k)")
+  }
+
+  test("prioritySample: non-positive and null weights are excluded") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("doc_id", "w")
+      .union(Seq((4L, Option.empty[Long])).toDF("doc_id", "w"))
+    val kept = Sampling.prioritySample(df, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), "only positive-weight rows can be drawn")
+  }
+
+  test("prioritySample: heavier rows dominate the sample") {
+    // 100 rows at weight 1000 vs 1000 rows at weight 1: the k=50 sample
+    // should be nearly all heavy (each heavy row is ~1000x more likely).
+    val df = ((1L to 100L).map(i => (i, 1000L)) ++
+      (1001L to 2000L).map(i => (i, 1L))).toDF("doc_id", "w")
+    val heavy = Sampling.prioritySample(df, "doc_id", "w", k = 50)
+      .filter(col("doc_id") <= 100L).count()
+    assert(heavy >= 45, s"expected the heavy tier to dominate, got $heavy/50")
+  }
+
+  test("prioritySample plans as a distributed partial top-k, not a global sort") {
+    val plan = Sampling.prioritySample(weighted, "doc_id", "w", k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition top-k + bounded merge), got:\n$plan")
+  }
+
+  // ------------------------------- semanticDecontaminate (d18, eval leakage)
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val planted = Seq(
+    // benchmark rows (flagged by pred id >= 100)
+    (100L, vec(1, 0, 0, 0)),
+    (101L, vec(0, 1, 0, 0)),
+    // corpus: exact copy of bench 100, a near-copy, something orthogonal
+    (1L, vec(1, 0, 0, 0)),
+    (2L, vec(0.9, 0.1, 0, 0)),
+    (3L, vec(0, 0, 0, 1))
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDecontaminate: flags planted leaks with exact max/count") {
+    val got = Similarity.semanticDecontaminate(planted,
+        col("vec_id") >= 100L, threshold = 0.5)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "copy + near-copy flag; orthogonal doesn't")
+    assert(got(0)._2 == 1.0 && got(0)._3 == 1L, "exact copy: max_cos 1.0, one bench hit")
+    // embeddings are float32: the expected cosine uses the stored values
+    val (a, b) = (0.9f.toDouble, 0.1f.toDouble)
+    val expected2 = a / math.sqrt(a * a + b * b)
+    assert(math.abs(got(1)._2 - expected2) < 1e-12)
+    assert(got(1)._3 == 1L, "near-copy matches only its own bench vector at 0.5")
+  }
+
+  test("semanticDecontaminate: benchmark rows never appear as corpus rows") {
+    val ids = Similarity.semanticDecontaminate(planted,
+        col("vec_id") >= 100L, threshold = 0.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.forall(_ < 100L), "the report covers the corpus side only")
+  }
+
+  test("semanticDecontaminate: bench side broadcasts; aggregate combines map-side") {
+    val plan = Similarity.semanticDecontaminate(planted,
+        col("vec_id") >= 100L, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"benchmark side must broadcast (corpus never shuffles), got:\n$plan")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.indexOf("partial_max") >= 0,
+      s"expected a partial (map-side) aggregate before the exchange, got:\n$plan")
+  }
+}
