@@ -1,0 +1,210 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the tokenizer-
+  * training step of a training-data pipeline, built Spark-first on the
+  * classic scale trick: merges are learned from the WORD-FREQUENCY TABLE,
+  * not the raw corpus. The corpus is touched exactly once (one shuffle to
+  * build `(word, count)`); every merge iteration then runs over |vocab|
+  * rows — bounded by the distinct-word count, which grows sublinearly in
+  * corpus size (Heaps' law), so 100 TB of text trains at the cost of a
+  * few GB of vocabulary. This is how single-node BPE trainers scale too;
+  * here the per-iteration pair count is a map-side-combined Spark
+  * aggregate and the argmax is a 1-row TakeOrdered, so the iteration state
+  * that ever reaches the driver is ONE (pair, count) row per merge.
+  *
+  * Determinism: pair counts are exact integers and the argmax tie-breaks
+  * by (count desc, left asc, right asc) — a total order, so the learned
+  * merge sequence is a pure function of the corpus, identical across
+  * runs, partitionings, and engines (the DuckDB oracle replays the whole
+  * training loop as an unrolled CTE chain and must agree merge-for-merge).
+  *
+  * Merge application is the greedy left-to-right fold of classic BPE: a
+  * single pass rebuilding the symbol list, merging each non-overlapping
+  * (left, right) adjacency as it is encountered ("aaa" under (a,a) →
+  * [aa, a]). Pair COUNTING counts every adjacent position (overlapping
+  * included), matching the reference implementations.
+  *
+  * Tokenization reuses the trained vocabulary as a word → symbols cache
+  * (every corpus word is in the vocab by construction): one narrow
+  * explode + a broadcast join against the |vocab|-row symbol table —
+  * the corpus never folds through the merge sequence itself. Unseen words
+  * (tokenizing a NEW corpus with a trained model) fall back to character
+  * symbols, the same behavior as an untrained word in a real tokenizer
+  * before merge application.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the two symbols joined, and the
+    * weighted pair count that won the iteration.
+    */
+  final case class Merge(mergeRank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** The trained model: the merge sequence plus the final word → symbols
+    * vocabulary (the tokenization cache).
+    */
+  final case class Model(merges: Seq[Merge], vocab: DataFrame) {
+    def mergesDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      merges.map(m => (m.mergeRank, m.lhs, m.rhs, m.pairCount))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }
+  }
+
+  /** Word-frequency vocabulary over whitespace tokens (lowercased — the
+    * same [[TextFns.tokens]] convention the rest of the text tier uses).
+    * The one corpus-sized shuffle in BPE training.
+    */
+  def wordVocab(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Greedy left-to-right application of one merge to a symbol list: one
+    * fold rebuilding the list, consuming each (l, r) adjacency as met.
+    */
+  private[llm] def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, lit(Array.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Weighted adjacent-pair counts over the current symbol table (every
+    * adjacent position counts, overlapping included — the classic
+    * definition). Map-side combine reduces to |distinct pairs| rows.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      // size < 2 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+      // not empty — an unguarded transform would emit phantom null pairs
+      // for every fully-merged single-symbol word
+      .select(col("n"), explode(expr(
+        """CASE WHEN size(syms) > 1
+           THEN transform(sequence(1, size(syms) - 1),
+                j -> struct(syms[j-1] AS l, syms[j] AS r))
+           ELSE CAST(array() AS array<struct<l:string,r:string>>) END"""))
+        .as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum("n").as("cnt"))
+
+  /** Train `numMerges` BPE merges. EAGER: each iteration runs a Spark
+    * aggregate over the vocabulary and collects exactly ONE (pair, count)
+    * row (the argmax — a bounded driver materialization under the capped-
+    * collect contract); the symbol table re-materializes through
+    * [[graft.operators.Materialize.cut]] each iteration so iteration i
+    * never replays folds 1..i-1. Stops early if the vocabulary runs out
+    * of adjacent pairs (every word reduced to one symbol).
+    */
+  def train(documents: DataFrame, numMerges: Int,
+            textCol: String = "text"): Model = {
+    require(numMerges > 0 && numMerges <= 65536,
+      s"numMerges $numMerges outside [1, 65536]")
+    var vocab = graft.operators.Materialize.cut(
+      wordVocab(documents, textCol)
+        .withColumn("syms", split(col("word"), "")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        vocab = graft.operators.Materialize.cut(
+          vocab.withColumn("syms", applyMerge(col("syms"), l, r)))
+        rank += 1
+      }
+    }
+    Model(merges.result(), vocab.select("word", "n", "syms"))
+  }
+
+  /** Tokenize a corpus with a trained model: per-document BPE symbol count
+    * and the symbol sequence, via the vocabulary cache (one narrow word
+    * explode, one broadcast join, one rollup — the corpus never runs the
+    * merge fold). Words absent from the vocabulary degrade to character
+    * symbols row-locally.
+    */
+  def tokenCounts(documents: DataFrame, model: Model,
+                  textCol: String = "text"): DataFrame = {
+    val words = documents.select(col("doc_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .filter(length(col("word")) > 0)
+    words
+      .join(broadcast(model.vocab.select(col("word"), col("syms"))), Seq("word"), "left")
+      .select(col("doc_id"), col("word_pos"),
+        coalesce(col("syms"), split(col("word"), "")).as("syms"))
+      .groupBy("doc_id")
+      .agg(sum(size(col("syms"))).cast("long").as("n_bpe_symbols"),
+        count(lit(1)).as("n_words"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB twin of the ENTIRE training loop, as an unrolled CTE chain:
+    * stage i counts weighted adjacent pairs over the stage-(i-1) symbol
+    * table, picks the (cnt desc, l, r) argmax, and rebuilds the symbols
+    * with the same greedy left-to-right fold. `finalSelect` runs against
+    * the last symbol stage (`s<numMerges>`) and the per-merge argmax rows
+    * (`b1..b<numMerges>`).
+    */
+  def sqlTrainChain(table: String, textCol: String, numMerges: Int): String = {
+    val v0 =
+      s"""v0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split_regex(lower($textCol), '\\s+')) AS word
+                FROM $table) z
+          WHERE len(word) > 0 GROUP BY word),
+          s0 AS (SELECT word, n, split(word, '') AS syms FROM v0)"""
+    val stages = (1 to numMerges).map { i =>
+      val p = i - 1
+      s"""p$i AS (SELECT pr.l AS l, pr.r AS r, SUM(n) AS cnt FROM (
+            SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+              j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+            FROM s$p) z GROUP BY 1, 2),
+          b$i AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$i
+                  ORDER BY cnt DESC, l, r LIMIT 1),
+          s$i AS (SELECT s.word, s.n,
+            list_reduce(
+              list_prepend(CAST([] AS VARCHAR[]), list_transform(s.syms, x -> [x])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+                          THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                          ELSE list_concat(acc, x) END) AS syms
+            FROM s$p s, b$i b)"""
+    }
+    (v0 +: stages).mkString("WITH ", ",\n", "")
+  }
+
+  /** DuckDB twin of [[Model.mergesDf]]: the b1..bN argmax rows stacked. */
+  def sqlMerges(table: String, textCol: String, numMerges: Int): String = {
+    val union = (1 to numMerges).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""${sqlTrainChain(table, textCol, numMerges)}
+        SELECT merge_rank, lhs, rhs, pair_count FROM ($union) u
+        ORDER BY merge_rank"""
+  }
+
+  /** DuckDB twin of [[tokenCounts]]: replay training, then join each
+    * document's words against the final symbol stage.
+    */
+  def sqlTokenCounts(table: String, textCol: String, numMerges: Int): String =
+    s"""${sqlTrainChain(table, textCol, numMerges)},
+        dw AS (SELECT doc_id, word
+               FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower($textCol), '\\s+')) AS word
+                     FROM $table) z
+               WHERE len(word) > 0)
+        SELECT dw.doc_id,
+          CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_symbols,
+          CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM dw JOIN s$numMerges s ON dw.word = s.word
+        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+}

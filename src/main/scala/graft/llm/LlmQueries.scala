@@ -2136,10 +2136,33 @@ object LlmQueries {
       idCol = "doc_id", weightCol = "n_tok", k = 100)
   }
 
+  // x30 — BPE vocabulary learning (Sennrich et al. 2016): the first 10
+  // merges trained from the corpus word-frequency table (the classic scale
+  // trick — iterations run over |vocab| rows, the corpus shuffles once).
+  // The oracle replays the ENTIRE training loop as an unrolled CTE chain —
+  // pair counts, (cnt desc, l, r) argmax, greedy left-to-right fold — so a
+  // single divergent merge anywhere in the sequence hash-fails.
+  private val x30 = q("x30_bpe_merges",
+    Some(Bpe.sqlMerges("documents", "text", numMerges = 10))) { t =>
+    Bpe.train(t.documents, numMerges = 10).mergesDf(t.documents.sparkSession)
+      .orderBy("merge_rank")
+  }
+
+  // x31 — BPE tokenization through the trained vocabulary CACHE: per-doc
+  // symbol counts come from one word explode + a broadcast join against
+  // the |vocab|-row final symbol table — the corpus never runs the merge
+  // fold (production tokenizer-application shape). Oracle: replay training,
+  // join the final symbol stage.
+  private val x31 = q("x31_bpe_tokenize",
+    Some(Bpe.sqlTokenCounts("documents", "text", numMerges = 10))) { t =>
+    Bpe.tokenCounts(t.documents, Bpe.train(t.documents, numMerges = 10))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, m01, m02)
 }
