@@ -643,6 +643,25 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  // t23 — edit-distance entity resolution over the dirty merchant strings
+  // (the fuzzy twin of P8's rule-based merchant standardization): every
+  // unordered pair of distinct raw merchants within levenshtein ≤ 2, found
+  // via the sound q-gram inverted-index blocking (FuzzyMatch scaladoc has
+  // the pigeonhole argument) + exact codegen'd verify. The oracle brute-
+  // forces ALL pairs, so a pair the blocking missed — not just a mis-scored
+  // one — hash-fails.
+  private val t23 = q("t23_merchant_fuzzy_pairs",
+    s"""WITH dirty AS (${DirtyTxns.oracleCte}),
+        m AS (SELECT DISTINCT merchant AS s FROM dirty WHERE merchant IS NOT NULL)
+        SELECT a.s AS s_a, b.s AS s_b, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM m a JOIN m b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 2
+        ORDER BY s_a, s_b""") { t =>
+    graft.operators.FuzzyMatch.editDistancePairs(
+      DirtyTxns(t.orders), "merchant", maxDist = 2)
+      .orderBy("s_a", "s_b")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -664,5 +683,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, c01, c02, c03)
 }
