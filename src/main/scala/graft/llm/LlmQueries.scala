@@ -1475,6 +1475,20 @@ object LlmQueries {
       .orderBy("asset_a", "asset_b")
   }
 
+  // m03 — perceptual AUDIO dedup (rows-only like m02: WAV decode is not
+  // SQL-expressible): energy-delta sign hash over real JDK audio decode
+  // (gain- and re-encode-invariant, spec-pinned), through the SAME
+  // banded-Hamming candidate machinery as the image tier. Planted corpus:
+  // gain-scaled twins (byte-different, Hamming 0) and one-bit-perturbed
+  // twins (Hamming 1), every one recovered exactly (MultimodalHashSpec).
+  private val m03 = q("m03_audio_neardup", None) { t =>
+    import t.spark.implicits._
+    val assets = Multimodal.syntheticAudioAssets(
+      t.documents.select(col("doc_id")).as[Long])
+    Multimodal.audioNearDupPairs(assets, maxHamming = 3)
+      .orderBy("asset_a", "asset_b")
+  }
+
   // p05 — epoch-weighted repetition (the mixture-table "source S trains
   // for e epochs" step): src0 ×2.5, src1 ×0.5, everything else ×1. The
   // fractional copy set is the deterministic hash bucket; frac thresholds
@@ -2164,5 +2178,5 @@ object LlmQueries {
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, m01, m02)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, m01, m02, m03)
 }

@@ -351,34 +351,165 @@ object Multimodal {
     * Output: (asset_a, asset_b, hamming) for decoded pairs with
     * hamming ≤ `maxHamming`, each pair once.
     */
-  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame = {
+  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      imageHashes(assets).filter(col("decoded")).select("asset_id", "phash"),
+      "phash", maxHamming)
+
+  /** Banded-Hamming near-dup pairs over ANY 64-bit perceptual hash column
+    * (the image and audio dedup tiers share this machinery): the hash
+    * splits into `maxHamming + 1` bands, so any pair within the Hamming
+    * radius shares at least one untouched band (pigeonhole — recall 1.0 by
+    * construction); candidates come from the band equi-join and the exact
+    * popcount filter removes the rest. Never all-pairs.
+    */
+  private[llm] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+                                      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming $maxHamming outside [0, 32)")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val hashes = imageHashes(assets).filter(col("decoded"))
-      .select("asset_id", "phash")
     val banded = hashes.select(
-      col("asset_id"), col("phash"),
+      col("asset_id"), col(hashCol).as("h"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_val",
         // the last band absorbs the 64 mod bands leftover bits; the DSL
         // shiftrightunsigned only takes a literal shift, so the per-row
         // form goes through expr
         when(col("band") === bands - 1,
-          expr(s"shiftrightunsigned(phash, ${(bands - 1) * width})"))
-          .otherwise(expr(s"shiftrightunsigned(phash, band * $width)")
+          expr(s"shiftrightunsigned(h, ${(bands - 1) * width})"))
+          .otherwise(expr(s"shiftrightunsigned(h, band * $width)")
             .bitwiseAND(lit((1L << width) - 1))))
-    val a = banded.select(col("asset_id").as("asset_a"), col("phash").as("ph_a"),
+    val a = banded.select(col("asset_id").as("asset_a"), col("h").as("h_a"),
       col("band"), col("band_val"))
-    val b = banded.select(col("asset_id").as("asset_b"), col("phash").as("ph_b"),
+    val b = banded.select(col("asset_id").as("asset_b"), col("h").as("h_b"),
       col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("asset_a") < col("asset_b"))
       .select(col("asset_a"), col("asset_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit energy-delta sign hash of a decoded audio signal — the audio
+    * analogue of [[dHash]]: 65 equal sample blocks, bit i set iff block
+    * i+1's mean absolute amplitude strictly exceeds block i's. Invariant
+    * to positive gain (uniform scaling preserves every strict comparison)
+    * and to lossless re-encode; NOT meant to survive time shifts (that is
+    * chromaprint territory, the same contract dHash has with crops).
+    * Clips shorter than 65 samples hash over zero-padded empty blocks.
+    */
+  private[llm] def audioHash(samples: Array[Double]): Long = {
+    val B = 65
+    val n = samples.length
+    val e = new Array[Double](B)
+    var b = 0
+    while (b < B) {
+      val lo = (b.toLong * n / B).toInt
+      val hi = ((b + 1).toLong * n / B).toInt
+      var s = 0.0
+      var i = lo
+      while (i < hi) { s += math.abs(samples(i)); i += 1 }
+      e(b) = if (hi > lo) s / (hi - lo) else 0.0
+      b += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Per-asset audio perceptual hashes: (asset_id, mime, decoded, ahash) —
+    * real JDK WAV/AIFF/AU decode, row-local degradation like
+    * [[imageHashes]].
+    */
+  def audioHashes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val ah =
+          if (a.mime.startsWith("audio/"))
+            decodeAudio(a.payload).map(d => audioHash(d._3))
+          else None
+        (a.asset_id, a.mime, ah.isDefined, ah.map(java.lang.Long.valueOf).orNull)
+      }
+    }.toDF("asset_id", "mime", "decoded", "ahash")
+  }
+
+  /** Audio NEAR-DUP pairs: [[audioHash]] through the shared banded-Hamming
+    * candidate machinery — the audio tier of perceptual dedup, same scale
+    * posture as [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      audioHashes(assets).filter(col("decoded")).select("asset_id", "ahash"),
+      "ahash", maxHamming)
+
+  /** Deterministic WAV whose [[audioHash]] equals `bits`: a 65-block
+    * alternating-sign wave whose block amplitude steps up for a 1 bit and
+    * down for a 0 (±0.004 per step — orders of magnitude above PCM16
+    * quantization, and the walk stays inside (0.24, 0.76) so any
+    * gain ≤ 1.3 leaves it unclipped). Flipping step i moves blocks i+1..64
+    * by the same offset, so exactly delta i changes sign — a one-bit
+    * perturbation tool for planted-twin corpora, like
+    * [[imageFromHashBits]].
+    */
+  private[llm] def wavFromHashBits(bits: Long, gain: Double = 1.0,
+                                   blockLen: Int = 64): Array[Byte] = {
+    require(gain > 0.0 && gain <= 1.3, s"gain $gain outside (0, 1.3]")
+    val B = 65
+    val amps = new Array[Double](B)
+    amps(0) = 0.5
+    var i = 0
+    while (i < 64) {
+      amps(i + 1) = amps(i) + (if (((bits >> i) & 1L) == 1L) 0.004 else -0.004)
+      i += 1
+    }
+    val samples = new Array[Double](B * blockLen)
+    var b = 0
+    while (b < B) {
+      var j = 0
+      while (j < blockLen) {
+        samples(b * blockLen + j) =
+          amps(b) * gain * (if (j % 2 == 0) 1.0 else -1.0)
+        j += 1
+      }
+      b += 1
+    }
+    encodeWavPcm16(samples, 8000f)
+  }
+
+  /** Deterministic planted AUDIO corpus (the [[syntheticImageAssets]]
+    * twin): one WAV per id with a pseudorandom hash; every `twinEvery`-th
+    * id gets a GAIN-SCALED copy (byte-different, hash-identical — Hamming
+    * 0) at `id + twinOffset`, every 2·`twinEvery`-th a one-bit-perturbed
+    * variant (Hamming 1) at `id + 2·twinOffset`.
+    */
+  def syntheticAudioAssets(ids: Dataset[Long], twinEvery: Int = 25,
+                           twinOffset: Long = 1000000L): Dataset[Asset] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val bits = id * 0x9E3779B97F4A7C15L
+        def asset(aid: Long, wav: Array[Byte]) =
+          Asset(aid, "audio/wav", wav.length, wav)
+        val base = Seq(asset(id, wavFromHashBits(bits)))
+        val gained =
+          if (id % twinEvery == 0)
+            Seq(asset(id + twinOffset, wavFromHashBits(bits, gain = 0.8)))
+          else Seq.empty
+        val perturbed =
+          if (id % (2L * twinEvery) == 0)
+            Seq(asset(id + 2 * twinOffset,
+              wavFromHashBits(bits ^ (1L << (id % 64).toInt))))
+          else Seq.empty
+        base ++ gained ++ perturbed
+      }
+    }
   }
 
   /** Resize: for `image/...` payloads a REAL bilinear downscale to

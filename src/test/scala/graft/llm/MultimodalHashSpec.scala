@@ -81,4 +81,62 @@ class MultimodalHashSpec extends SparkSpec {
     assert(h.toSeq == Seq((1L, false), (2L, false), (3L, true)))
     assert(Multimodal.imageNearDupPairs(assets).isEmpty)
   }
+
+  // ------------------------------------------------- audio tier (m03 gate)
+
+  private def decodedSamples(wav: Array[Byte]): Array[Double] =
+    Multimodal.decodeAudio(wav).get._3
+
+  test("wavFromHashBits round-trips: audioHash(wav(bits)) == bits") {
+    for (bits <- Seq(0L, -1L, 0x9E3779B97F4A7C15L, 42L * 0x9E3779B97F4A7C15L)) {
+      assert(Multimodal.audioHash(decodedSamples(Multimodal.wavFromHashBits(bits))) == bits,
+        f"round-trip failed for $bits%016x")
+    }
+  }
+
+  test("audioHash survives gain scaling; md5 does not") {
+    val bits = 11L * 0x9E3779B97F4A7C15L
+    val base = Multimodal.wavFromHashBits(bits)
+    val gained = Multimodal.wavFromHashBits(bits, gain = 0.8)
+    assert(!java.util.Arrays.equals(base, gained), "payload bytes must differ")
+    assert(Multimodal.audioHash(decodedSamples(gained)) == bits,
+      "uniform gain must not move the hash")
+  }
+
+  test("one flipped walk step moves exactly one hash bit") {
+    val bits = 5L * 0x9E3779B97F4A7C15L
+    for (i <- Seq(0, 13, 63)) {
+      val h = Multimodal.audioHash(
+        decodedSamples(Multimodal.wavFromHashBits(bits ^ (1L << i))))
+      assert(java.lang.Long.bitCount(h ^ bits) == 1 && ((h >> i) & 1L) != ((bits >> i) & 1L),
+        s"perturbing step $i must flip exactly hash bit $i")
+    }
+  }
+
+  test("audio near-dup pairs: planted twins recovered with exact hamming, no strays") {
+    val assets = Multimodal.syntheticAudioAssets(
+      spark.range(0, 200).select(col("id").as("doc_id")).as[Long])
+    val pairs = Multimodal.audioNearDupPairs(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (0L until 200L).flatMap { id =>
+      val t1 = if (id % 25 == 0) Seq((id, id + 1000000L, 0)) else Seq.empty
+      val t2 = if (id % 50 == 0)
+        Seq((id, id + 2000000L, 1), (id + 1000000L, id + 2000000L, 1))
+      else Seq.empty
+      t1 ++ t2
+    }.toSet
+    assert(pairs == expected,
+      s"missing ${expected -- pairs}, strays ${pairs -- expected}")
+  }
+
+  test("undecodable and non-audio payloads degrade row-locally") {
+    val assets = Seq(
+      Asset(1L, "audio/wav", 3, Array[Byte](1, 2, 3)),        // corrupt
+      Asset(2L, "text/plain", 5, "hello".getBytes("UTF-8")),  // not audio
+      Asset(3L, "audio/wav", 0, Multimodal.wavFromHashBits(99L))).toDS()
+    val h = Multimodal.audioHashes(assets).orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(h.toSeq == Seq((1L, false), (2L, false), (3L, true)))
+    assert(Multimodal.audioNearDupPairs(assets).isEmpty)
+  }
 }
