@@ -2173,10 +2173,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // p10 — per-source exact-quota WEIGHTED selection: exactly 15 documents
+  // per source drawn with probability ∝ token count (x19's uniform quota
+  // with Efraimidis–Spirakis weights; TopKPerGroup keeps a hot source off
+  // a single task's window). The oracle recomputes the priorities and the
+  // per-source rank boundary with the same total order.
+  private val p10 = q("p10_priority_per_source", Some(
+    s"""WITH w AS (SELECT doc_id, source,
+            CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        p AS (SELECT doc_id, source, n_tok,
+            ${Sampling.sqlPriority("doc_id", "n_tok", "gprio")} AS priority
+          FROM w WHERE n_tok > 0),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY priority DESC, doc_id) AS priority_rank FROM p)
+        SELECT doc_id, source, n_tok, priority, CAST(priority_rank AS INT) AS priority_rank
+        FROM r WHERE priority_rank <= 15 ORDER BY doc_id""")) { t =>
+    Sampling.prioritySamplePerGroup(
+      t.documents.select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok")),
+      groupCol = "source", k = 15, weightCol = "n_tok")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, m01, m02, m03)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

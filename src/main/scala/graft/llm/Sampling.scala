@@ -287,13 +287,45 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      salt: String = "prio"): DataFrame = {
     require(k > 0, s"sample size $k must be positive")
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("priority", esPriority(idCol, weightCol, salt))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The Efraimidis–Spirakis priority u^(1/w) with the deterministic
+    * 8-hex-md5 uniform (see [[prioritySample]]).
+    */
+  private def esPriority(idCol: String, weightCol: String, salt: String): Column = {
     val u32 = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":" + salt)).cast("binary")), 1, 8), 16, 10).cast("long")
     val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
-    df.filter(col(weightCol).cast("double") > 0.0)
-      .withColumn("priority", pow(u, lit(1.0) / col(weightCol).cast("double")))
-      .orderBy(col("priority").desc, col(idCol))
-      .limit(k)
+    pow(u, lit(1.0) / col(weightCol).cast("double"))
+  }
+
+  /** Per-GROUP exact-k weighted sample without replacement — the grouped
+    * twin of [[prioritySample]] and the weighted twin of [[quotaSample]]:
+    * within each group the k largest Efraimidis–Spirakis priorities
+    * survive, so every group lands exactly min(k, |group|) rows drawn
+    * proportional-to-weight ("40 docs per source, length-weighted" —
+    * eval-set and audit-sample construction with non-uniform importance).
+    * Rides the salted two-phase [[graft.operators.TopKPerGroup]], so a
+    * hot group (one source = half the corpus) never funnels through a
+    * single task's window; the (priority desc, id) order is total, so
+    * ranks are engine-identical. Rows with weight ≤ 0/null are excluded
+    * as in [[prioritySample]].
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String, k: Int,
+                             idCol: String = "doc_id",
+                             weightCol: String = "weight",
+                             salt: String = "gprio"): DataFrame = {
+    require(k > 0, s"per-group sample size $k must be positive")
+    val keyed = df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("priority", esPriority(idCol, weightCol, salt))
+    graft.operators.TopKPerGroup.topKPerGroup(
+      keyed, Seq(groupCol), tieBreakCol = idCol,
+      order = Seq(col("priority").desc, col(idCol)), k = k,
+      rankCol = "priority_rank")
   }
 
   // ---------------------------------------------------------------- oracles

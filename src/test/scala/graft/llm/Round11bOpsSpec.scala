@@ -71,6 +71,26 @@ class Round11bOpsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject (per-partition top-k + bounded merge), got:\n$plan")
   }
 
+  test("prioritySamplePerGroup: exact per-group quotas, brute-force ES ranks") {
+    // group 'a': 30 rows (quota binds), group 'b': 5 rows (passes whole)
+    val df = ((1L to 30L).map(i => (i, "a", (i % 5 + 1).toLong)) ++
+      (31L to 35L).map(i => (i, "b", 2L))).toDF("doc_id", "src", "w")
+    val got = Sampling.prioritySamplePerGroup(df, "src", k = 10,
+        weightCol = "w")
+      .select("doc_id", "src", "priority_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val expected = Seq("a", "b").flatMap { g =>
+      val rows = if (g == "a") (1L to 30L).map(i => (i, (i % 5 + 1).toLong))
+      else (31L to 35L).map(i => (i, 2L))
+      rows.map { case (id, w) => (id, priorityOf(id, w.toDouble, salt = "gprio")) }
+        .sortBy { case (id, p) => (-p, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, _), i) => (id, g, i + 1) }
+    }.toSet
+    assert(got == expected)
+    assert(got.count(_._2 == "b") == 5, "under-quota groups pass whole")
+  }
+
   // ------------------------------- semanticDecontaminate (d18, eval leakage)
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
