@@ -187,12 +187,29 @@ object Events {
     * relative standard error (±0.8% at the default lgK = 14).
     */
   def rollingDistinctUsersSketch(events: DataFrame, windowDays: Int = 7,
-                                 lgK: Int = 14): DataFrame = {
-    require(windowDays > 0, s"windowDays $windowDays must be positive")
-    val byDay = events
+                                 lgK: Int = 14): DataFrame =
+    rollingFromDaySketches(dailyUserSketches(events, lgK), windowDays)
+
+  /** Per-day HLL sketches of the active-user set — ONE keyed aggregate
+    * over the event log; the |days|-row frame every sketch-served rolling
+    * metric starts from (and the row layout [[graft.operators.SketchStore]]
+    * persists: trailing binary sketch column).
+    */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 14): DataFrame =
+    events
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+
+  /** The window inversion over a per-day sketch frame: each day's sketch
+    * replicates into the ≤W windows it belongs to (a few KB per row,
+    * independent of user count) and `hll_union_agg` merges per window-end
+    * day — shared by the direct path ([[rollingDistinctUsersSketch]]) and
+    * the store-served one ([[rollingDistinctUsersFromStore]]).
+    */
+  private def rollingFromDaySketches(byDay: DataFrame,
+                                     windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays $windowDays must be positive")
     val observed = byDay.select(col("day").as("win_day"))
     byDay
       .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
@@ -201,6 +218,23 @@ object Events {
       .groupBy("win_day")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_active_users"))
   }
+
+  /** Rolling distinct actives SERVED FROM the persisted sketch store —
+    * the materialized-view endgame of the sketch path: the event log is
+    * sketched once per ingested batch ([[dailyUserSketches]] →
+    * `SketchStore.append`), and every query after that reads |days| rows
+    * of sketches, never an event. HLL union is register-wise max —
+    * associative, commutative, idempotent — so a day split across
+    * appended batches serves the IDENTICAL estimate a single-pass sketch
+    * would (spec-pinned), and the store's exactly-once TAG protocol
+    * guards the one case idempotence can't: a replayed batch whose rows
+    * were re-SKETCHED rather than re-unioned.
+    */
+  def rollingDistinctUsersFromStore(spark: org.apache.spark.sql.SparkSession,
+                                    storePath: String,
+                                    windowDays: Int = 7): DataFrame =
+    rollingFromDaySketches(
+      graft.operators.SketchStore.read(spark, storePath), windowDays)
 
   /** Daily event-volume anomaly score — the ops-telemetry twin of the
     * warehouse's q19 z-score: per (event_type, day) counts, then each

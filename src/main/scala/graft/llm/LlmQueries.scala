@@ -2196,10 +2196,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
+  // like e12: HLL estimates have no SQL oracle): the event log is sketched
+  // per ingested batch (here two appends splitting the users, so every day
+  // exists in BOTH versions — the split-day union case), and the query
+  // reads |days| sketch rows, never an event (plan-pinned in
+  // SketchStoreSpec). Estimates == e12's direct path exactly (union is
+  // register-wise max), and ±1% of e11's exact counts (spec-graded).
+  private val e19 = q("e19_wau_sketch_store", None) { t =>
+    val ev = eventsTs(t)
+    val root = java.nio.file.Files.createTempDirectory("graft-skstore").toString
+    graft.operators.SketchStore.write(
+      Events.dailyUserSketches(ev.filter(col("user_id") % 2 === 0)), root)
+    graft.operators.SketchStore.append(
+      Events.dailyUserSketches(ev.filter(col("user_id") % 2 =!= 0)), root,
+      tag = Some("batch-2"))
+    Events.rollingDistinctUsersFromStore(t.spark, root, windowDays = 7)
+      .orderBy("win_day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

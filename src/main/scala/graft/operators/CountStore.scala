@@ -27,12 +27,8 @@ import graft.warehouse.AtomicPointer
   */
 object CountStore {
 
-  private val Pointer = "CURRENT"
-
   private def committedVersions(path: String): Seq[String] =
-    AtomicPointer.read(s"$path/$Pointer")
-      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
+    VersionedStore.committedVersions(path)
 
   private def requireCountSchema(counts: DataFrame): Unit = {
     require(counts.columns.length >= 2,
@@ -45,18 +41,10 @@ object CountStore {
   private def commit(counts: DataFrame, path: String, replace: Boolean,
                      tag: Option[String] = None): Unit = {
     requireCountSchema(counts)
-    val committed = committedVersions(path)
-    val next = "v" + (committed.filter(_.matches("v\\d+"))
-      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
-    val staging = s".staging-$next"
-    counts.write.mode("overwrite").parquet(s"$path/$staging/counts")
     // the tag rides INSIDE the staged dir, so it becomes visible atomically
     // with the version itself (exactly-once bookkeeping for replayed
     // streaming appends — see hasTag)
-    tag.foreach(t => AtomicPointer.write(s"$path/$staging/TAG", t))
-    AtomicPointer.publishDir(s"$path/$staging", s"$path/$next")
-    AtomicPointer.write(s"$path/$Pointer",
-      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+    VersionedStore.commit(counts, path, replace, tag, dataDir = "counts")
   }
 
   /** Publish `counts` as the store's sole version (bootstrap / rebuild). */
@@ -81,15 +69,13 @@ object CountStore {
     * either way.
     */
   def hasTag(path: String, tag: String): Boolean =
-    committedVersions(path).exists(v =>
-      AtomicPointer.read(s"$path/$v/TAG").map(_.trim).contains(tag))
+    VersionedStore.hasTag(path, tag)
 
   /** The summed view across all committed versions. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val vs = committedVersions(path)
-    require(vs.nonEmpty, s"CountStore.read: no committed versions under $path")
-    val u = vs.map(v => spark.read.parquet(s"$path/$v/counts"))
-      .reduce(_.unionByName(_))
+    require(committedVersions(path).nonEmpty,
+      s"CountStore.read: no committed versions under $path")
+    val u = VersionedStore.readUnion(spark, path, dataDir = "counts")
     val cnt = u.columns.last
     u.groupBy(u.columns.dropRight(1).map(col): _*).agg(sum(col(cnt)).as(cnt))
   }
@@ -109,16 +95,5 @@ object CountStore {
     * writer's in-flight commit occupies exactly max+1), pointer re-read
     * before each delete. Returns the number of directories removed.
     */
-  def vacuum(path: String): Int = {
-    val committed = committedVersions(path).toSet
-    val maxCommitted = committed.filter(_.matches("v\\d+"))
-      .map(_.drop(1).toLong).maxOption.getOrElse(0L)
-    val junk = AtomicPointer.listDirNames(path)
-      .filter(n => n.matches("v\\d+") && !committed.contains(n) &&
-        n.drop(1).toLong <= maxCommitted)
-    junk.count { name =>
-      !committedVersions(path).contains(name) &&
-        AtomicPointer.deleteDir(s"$path/$name")
-    }
-  }
+  def vacuum(path: String): Int = VersionedStore.vacuum(path)
 }
