@@ -2196,6 +2196,48 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // x32 — unicode cleanup (the normalization pass between raw web
+  // extraction and tokenization): typographic chars map to ASCII via one
+  // char-for-char translate, zero-width and C0/DEL control chars are
+  // removed, each class counted from exact character-length deltas. Noise
+  // is INJECTED deterministically (curly quotes + em dash + ZWSP on
+  // doc_id%3, NBSP + curly apostrophe on %4, BEL on %5) so the def is
+  // discriminating; the oracle replays injection and scrub char-for-char.
+  private val x32 = q("x32_unicode_scrub", Some(
+    """WITH noisy AS (SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' ' || chr(8220) || 'quoted' || chr(8212) || 'text' || chr(8221) || chr(8203)
+               ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+               THEN ' menu' || chr(160) || 'item' || chr(8217) || 's' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' bell' || chr(7) || 'end' ELSE '' END
+          AS nt FROM documents),
+        f AS (SELECT chr(8220)||chr(8221)||chr(8216)||chr(8217)||chr(8211)||chr(8212)||chr(160) AS mfrom),
+        m AS (SELECT doc_id,
+                CAST(length(nt) - length(translate(nt, mfrom, '')) AS INT) AS n_mapped,
+                translate(nt, mfrom, '""''''-- ') AS t1
+              FROM noisy, f),
+        z AS (SELECT doc_id, n_mapped, t1,
+                regexp_replace(t1, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS t2
+              FROM m),
+        c AS (SELECT doc_id, n_mapped,
+                CAST(length(t1) - length(t2) AS INT) AS n_zero_width, t2,
+                regexp_replace(t2, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed
+              FROM z)
+        SELECT doc_id, n_mapped, n_zero_width,
+          CAST(length(t2) - length(scrubbed) AS INT) AS n_controls, scrubbed
+        FROM c ORDER BY doc_id""")) { t =>
+    val noisy = t.documents.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" \u201Cquoted\u2014text\u201D\u200B")).otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        lit(" menu\u00A0item\u2019s")).otherwise(""),
+      when(col("doc_id") % 5 === 0, lit(" bell\u0007end")).otherwise(""))
+      .as("nt"))
+    TextAnalysis.unicodeScrub(noisy, "nt").orderBy("doc_id")
+  }
+
   // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
   // like e12: HLL estimates have no SQL oracle): the event log is sketched
   // per ingested batch (here two appends splitting the users, so every day
@@ -2218,7 +2260,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -815,6 +815,38 @@ object TextAnalysis {
           EmailPattern, "<EMAIL>"),
         LongNumPattern, "<NUM>").as("scrubbed"))
 
+  /** Unicode cleanup — the normalization stage between raw web extraction
+    * and tokenization (every corpus pipeline's quote/dash/invisible-char
+    * pass): typographic characters MAP to ASCII (curly quotes → "/',
+    * en/em dash → -, NBSP → space, one `translate` — char-for-char, no
+    * regex), zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and C0/DEL control
+    * characters are REMOVED, and each class is counted from length deltas
+    * of exact integer character counts. Pure narrow map, three codegen'd
+    * string ops per row — scrubbing 100 TB shuffles nothing.
+    */
+  val UnicodeMapFrom = "\u201C\u201D\u2018\u2019\u2013\u2014\u00A0"
+  val UnicodeMapTo = "\"\"''-- "
+  val ZeroWidthPattern = "[\u200B\u200C\u200D\uFEFF]"
+  // written with per-engine escape syntax (Java backslash-u escapes here,
+  // RE2 \x{..} in the oracle) because a literal NUL inside a pattern
+  // string is the one char neither SQL string layer passes through
+  // reliably
+  val ControlPattern = "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]"
+
+  def unicodeScrub(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = translate(t0, UnicodeMapFrom, UnicodeMapTo)
+    val t2 = regexp_replace(t1, ZeroWidthPattern, "")
+    val t3 = regexp_replace(t2, ControlPattern, "")
+    documents.select(
+      col("doc_id"),
+      (length(t0) - length(translate(t0, UnicodeMapFrom, ""))).cast("int")
+        .as("n_mapped"),
+      (length(t1) - length(t2)).cast("int").as("n_zero_width"),
+      (length(t2) - length(t3)).cast("int").as("n_controls"),
+      t3.as("scrubbed"))
+  }
+
   /** Corpus-level top-k token n-grams: explode each document's distinct
     * n-grams, count across the corpus, keep the k most frequent
     * (deterministic ties by n-gram). explode → partial-agg → shuffle of

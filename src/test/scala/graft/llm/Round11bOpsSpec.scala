@@ -91,6 +91,28 @@ class Round11bOpsSpec extends SparkSpec {
     assert(got.count(_._2 == "b") == 5, "under-quota groups pass whole")
   }
 
+  // ---------------------------------------------- unicodeScrub (x32)
+
+  test("unicodeScrub: hand-computed mapping, removal, and counts; idempotent") {
+    val df = Seq(
+      (1L, "\u201Chi\u201D \u2018there\u2019 \u2013\u00A0ok"), // 6 mapped
+      (2L, "a\u200Bb\u200Cc\uFEFFd"),                            // 3 zero-width
+      (3L, "x\u0007y\u0000z\u001Fw"),                            // 3 controls
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unicodeScrub(df).orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got(0) == ((1L, 6, 0, 0, "\"hi\" 'there' - ok")))
+    assert(got(1) == ((2L, 0, 3, 0, "abcd")))
+    assert(got(2) == ((3L, 0, 0, 3, "xyzw")))
+    assert(got(3) == ((4L, 0, 0, 0, "clean text")))
+    val rescrub = TextAnalysis.unicodeScrub(
+      TextAnalysis.unicodeScrub(df).select(col("doc_id"), col("scrubbed").as("text")))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rescrub.forall(_ == ((0, 0, 0))), "scrub must be idempotent")
+  }
+
   // ------------------------------- semanticDecontaminate (d18, eval leakage)
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
