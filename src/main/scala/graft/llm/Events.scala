@@ -226,9 +226,10 @@ object Events {
     * of sketches, never an event. HLL union is register-wise max —
     * associative, commutative, idempotent — so a day split across
     * appended batches serves the IDENTICAL estimate a single-pass sketch
-    * would (spec-pinned), and the store's exactly-once TAG protocol
-    * guards the one case idempotence can't: a replayed batch whose rows
-    * were re-SKETCHED rather than re-unioned.
+    * would (spec-pinned), and even a double-appended batch cannot inflate
+    * an estimate; the store's TAG protocol still skips replays, bounding
+    * version growth and defending the one real risk — a source whose
+    * replayed batch differs from the original delivery.
     */
   def rollingDistinctUsersFromStore(spark: org.apache.spark.sql.SparkSession,
                                     storePath: String,

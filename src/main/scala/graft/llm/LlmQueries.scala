@@ -2244,7 +2244,8 @@ object LlmQueries {
   // exists in BOTH versions — the split-day union case), and the query
   // reads |days| sketch rows, never an event (plan-pinned in
   // SketchStoreSpec). Estimates == e12's direct path exactly (union is
-  // register-wise max), and ±1% of e11's exact counts (spec-graded).
+  // register-wise max — idempotent, so even double-appends cannot inflate),
+  // and ±1% of e11's exact counts (spec-graded).
   private val e19 = q("e19_wau_sketch_store", None) { t =>
     val ev = eventsTs(t)
     val root = java.nio.file.Files.createTempDirectory("graft-skstore").toString

@@ -380,6 +380,47 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous sketch-materialized-view maintenance — the sketch twin of
+    * [[ingestDsirCountsStream]]: each micro-batch of events is sketched
+    * per day ([[graft.llm.Events.dailyUserSketches]], |batch days| rows)
+    * and appended to the [[graft.operators.SketchStore]]; rolling
+    * distinct-user metrics then serve from the store with NO event rescan
+    * ([[graft.llm.Events.rollingDistinctUsersFromStore]]) and see each
+    * batch's users as soon as it commits. Replay posture: HLL union is
+    * idempotent — re-appending a deterministic re-sketch of the SAME rows
+    * cannot inflate any estimate (spec-proved) — so unlike the additive
+    * count store, correctness does not hinge on the guard; the ReplayGuard
+    * + TAG protocol still skips replays to bound version growth and to
+    * defend the one real risk, a source whose replayed batch differs from
+    * the original delivery. `compactEvery` folds versions so the read-side
+    * union stays bounded on a long-lived stream.
+    */
+  def ingestDailySketchStream(events: DataFrame, storePath: String,
+                              checkpoint: String, lgK: Int = 14,
+                              compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyAppended =
+            p == Recover && graft.operators.SketchStore.hasTag(storePath, tag)
+          if (!alreadyAppended)
+            graft.operators.SketchStore.append(
+              graft.llm.Events.dailyUserSketches(batch, lgK),
+              storePath, Some(tag))
+          guard.commit(batchId)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.SketchStore.compact(batch.sparkSession, storePath)
+      }
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous vector-index maintenance: each micro-batch of embeddings is
     * assigned + int8-quantized against the STORED centroids and appended to
     * the cell-partitioned vectors table

@@ -411,6 +411,51 @@ class StreamingSpec extends SparkSpec {
     assert(vectors.select("vec_id").distinct().count() == embs.count())
   }
 
+  test("daily-sketch ingest: streamed store equals batch build; replays cannot inflate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.microsTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts")
+    val rows = events.as[(Long, java.sql.Timestamp)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-sk-stream").toString
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestDailySketchStream(
+        stream.toDF().toDF("user_id", "ts"), s"$root/store", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    def served(): Seq[(String, Long)] =
+      graft.llm.Events.rollingDistinctUsersFromStore(spark, s"$root/store")
+        .orderBy("win_day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a); run()
+    stream.addData(b); run()
+    val expected = graft.llm.Events.rollingDistinctUsersSketch(events)
+      .orderBy("win_day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(served() == expected,
+      "two streamed appends must serve the single-pass estimates exactly")
+    // crash window A: mark committed, Spark commit log lost — guard skips
+    uncommit(1)
+    run()
+    assert(served() == expected)
+    // crash window B: append landed, process died before the mark — the TAG
+    // detects it; and even a hypothetical double-append could not inflate
+    // (union is register-wise max), which the direct double-append proves:
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/store/_streaming_hwm"))
+    run()
+    assert(served() == expected)
+    graft.operators.SketchStore.append(
+      graft.llm.Events.dailyUserSketches(b.toDF("user_id", "ts")), s"$root/store")
+    assert(served() == expected, "idempotent union: forced double-append changes nothing")
+  }
+
   test("DSIR count ingest: streamed appends equal batch counts; replays never double-count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
