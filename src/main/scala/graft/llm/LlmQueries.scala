@@ -2196,6 +2196,42 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // s14 — margin-based bitext mining (Artetxe & Schwenk 2019, the
+  // CCMatrix pipeline shape): best-margin cross-group pair per query
+  // vector, margins normalized by DECIMAL-exact k-neighborhood means so
+  // the ≥ boundary is engine-identical. The oracle recomputes every
+  // cosine, both neighborhood rankings, the means, and the best-pair
+  // rank — a single mis-ranked neighbor anywhere hash-fails.
+  private val s14 = q("s14_bitext_margin", Some(
+    """WITH a AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xe
+                  FROM embeddings WHERE label = 0),
+        b AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS ye
+              FROM embeddings WHERE label = 1),
+        p AS (SELECT x_id, y_id,
+                list_dot_product(xe, ye) /
+                (sqrt(list_dot_product(xe, xe)) * sqrt(list_dot_product(ye, ye))) AS cos
+              FROM a, b),
+        rx AS (SELECT x_id, y_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS r FROM p),
+        mx AS (SELECT x_id,
+                 CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / 4 AS mu_x
+               FROM rx WHERE r <= 4 GROUP BY x_id),
+        ry AS (SELECT x_id, y_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS r FROM p),
+        my AS (SELECT y_id,
+                 CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / 4 AS mu_y
+               FROM ry WHERE r <= 4 GROUP BY y_id),
+        m AS (SELECT p.x_id, p.y_id, p.cos,
+                p.cos / ((mx.mu_x + my.mu_y) / 2) AS margin
+              FROM p JOIN mx USING (x_id) JOIN my USING (y_id)),
+        best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                   ORDER BY margin DESC, y_id) AS br FROM m)
+        SELECT x_id, y_id, cos, margin FROM best
+        WHERE br = 1 AND margin >= 1.0 ORDER BY x_id""")) { t =>
+    Similarity.marginMining(t.embeddings, labelA = 0, labelB = 1,
+      k = 4, threshold = 1.0).orderBy("x_id")
+  }
+
   // x32 — unicode cleanup (the normalization pass between raw web
   // extraction and tokenization): typographic chars map to ASCII via one
   // char-for-char translate, zero-width and C0/DEL control chars are
@@ -2260,7 +2296,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)

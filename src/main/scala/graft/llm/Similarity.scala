@@ -129,6 +129,54 @@ object Similarity {
       .filter(col("max_cos") >= threshold)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    * LASER parallel-corpus pipeline — THE canonical 100 TB embedding-join
+    * workload): candidate pairs between two label groups ("languages")
+    * score cos(x,y) normalized by the mean of each side's k-nearest
+    * cross-group neighborhoods — margin = cos / ((μ_x + μ_y)/2) — which
+    * suppresses hubs (vectors globally close to everything) that absolute
+    * cosine thresholds mis-mine; each x keeps its best-margin y at or
+    * above `threshold`.
+    *
+    * Determinism: the k-neighborhood means sum EXACT DECIMAL(18,12)
+    * quantizations of the bit-identical cosines (decimal addition is
+    * order-independent — the unigram-surprisal pattern), so μ and the
+    * margin are engine-identical and the ≥ boundary is exact. Plan shape:
+    * the query group broadcasts; the scored bipartite frame materializes
+    * ONCE ([[graft.operators.Materialize.cut]] — three consumers) and
+    * both neighborhood rankings plus the final best-pair ranking ride the
+    * salted [[graft.operators.TopKPerGroup]]. At real bitext scale swap
+    * the cross-score for an ANN shortlist ([[ivfPqTopK]]) exactly as the
+    * top-k tier documents — margins only need the shortlist.
+    */
+  def marginMining(embeddings: DataFrame, labelA: Int, labelB: Int,
+                   k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    require(k > 0, s"neighborhood size $k must be positive")
+    val a = embeddings.filter(col("label") === labelA)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val b = embeddings.filter(col("label") === labelB)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val pairs = graft.operators.Materialize.cut(
+      broadcast(a).crossJoin(b)
+        .select(col("x_id"), col("y_id"),
+          cosine(col("x_emb"), col("y_emb")).as("cos")))
+    import org.apache.spark.sql.types.DecimalType
+    def muOf(group: String, tie: String, out: String): DataFrame =
+      graft.operators.TopKPerGroup.topKPerGroup(
+        pairs, Seq(group), tie, Seq(col("cos").desc, col(tie)), k, rankCol = "r")
+        .groupBy(group)
+        .agg((sum(col("cos").cast(DecimalType(18, 12))).cast("double") / k).as(out))
+    val scored = pairs
+      .join(muOf("x_id", "y_id", "mu_x"), Seq("x_id"))
+      .join(muOf("y_id", "x_id", "mu_y"), Seq("y_id"))
+      .withColumn("margin", col("cos") / ((col("mu_x") + col("mu_y")) / 2))
+    graft.operators.TopKPerGroup.topKPerGroup(
+      scored, Seq("x_id"), "y_id", Seq(col("margin").desc, col("y_id")), 1,
+      rankCol = "br")
+      .filter(col("margin") >= threshold)
+      .select("x_id", "y_id", "cos", "margin")
+  }
+
   /** Contrastive training-triplet mining — the embedding-model data-prep
     * recipe (SimCSE/E5-style): for each query vector the exact cosine
     * ranking yields POSITIVES (ranks 1..nPos) and HARD NEGATIVES (ranks

@@ -127,6 +127,69 @@ class Round11bOpsSpec extends SparkSpec {
     (3L, vec(0, 0, 0, 1))
   ).toDF("vec_id", "embedding")
 
+  // -------------------------------------- marginMining (s14, bitext/LASER)
+
+  test("marginMining: margins equal a driver-side brute force; one best pair per query") {
+    // deterministic pseudo-random unit-ish vectors in two label groups
+    def v(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val rows = (0L until 12L).map(i => (i, v(i), 0)) ++
+      (100L until 110L).map(i => (i, v(i), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val k = 3
+    val got = Similarity.marginMining(df, 0, 1, k = k, threshold = 0.0)
+      .orderBy("x_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+
+    // brute force with the engine's exact arithmetic: double cosine fold,
+    // DECIMAL(18,12) HALF_UP quantization, exact decimal sum, /k in double
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val as = rows.filter(_._3 == 0).map(r => (r._1, r._2))
+    val bs = rows.filter(_._3 == 1).map(r => (r._1, r._2))
+    val pairMap = (for { (x, xe) <- as; (y, ye) <- bs } yield ((x, y), cos(xe, ye))).toMap
+    def mu(tops: Seq[Double]): Double =
+      tops.map(c => BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / k
+    val muX = as.map { case (x, _) =>
+      x -> mu(bs.map { case (y, _) => (pairMap((x, y)), y) }
+        .sortBy { case (c, y) => (-c, y) }.take(k).map(_._1))
+    }.toMap
+    val muY = bs.map { case (y, _) =>
+      y -> mu(as.map { case (x, _) => (pairMap((x, y)), x) }
+        .sortBy { case (c, x) => (-c, x) }.take(k).map(_._1))
+    }.toMap
+    val expected = as.map { case (x, _) =>
+      val (y, m) = bs.map { case (y, _) =>
+        (y, pairMap((x, y)) / ((muX(x) + muY(y)) / 2))
+      }.minBy { case (y, m) => (-m, y) }
+      (x, y, m)
+    }.sortBy(_._1)
+    assert(got.length == expected.length, "one best pair per query vector")
+    got.zip(expected).foreach { case ((gx, gy, gm), (ex, ey, em)) =>
+      assert(gx == ex && gy == ey && math.abs(gm - em) < 1e-12,
+        s"query $gx: got ($gy, $gm), expected ($ey, $em)")
+    }
+  }
+
+  test("marginMining: deterministic under repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.marginMining(emb, 0, 1).orderBy("x_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Similarity.marginMining(emb.repartition(13), 0, 1).orderBy("x_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("semanticDecontaminate: flags planted leaks with exact max/count") {
     val got = Similarity.semanticDecontaminate(planted,
         col("vec_id") >= 100L, threshold = 0.5)
