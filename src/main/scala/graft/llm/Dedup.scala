@@ -205,6 +205,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT pairs — excerpt/quotation detection, the
+    * one-sided Jaccard: (inner, outer) with |S(inner) ∩ S(outer)| /
+    * |S(inner)| ≥ threshold. A short document quoted inside a long one
+    * scores 1.0 here while symmetric Jaccard buries it near
+    * |inner|/|outer| — the near-dup tier structurally cannot see it, and
+    * dedup recipes (Dolma, RefinedWeb) treat contained docs as a separate
+    * removal class. Same sparse inverted-index shape as
+    * [[exactJaccardPairs]] (shared-shingle equi-join, never all-pairs;
+    * hot-shingle candidates are the d10 diagnostic + AQE skew backstop);
+    * both directions emit naturally since containment is directional.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.8,
+                       shingleN: Int = 3): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("inner_id"), col("n").as("n_inner")),
+        Seq("inner_id"))
+      .select(col("inner_id"), col("outer_id"),
+        (col("i").cast("double") / col("n_inner").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Cross-corpus near-dup detection — the INCREMENTAL-INGEST dedup: find
     * documents in a NEW batch that are near-duplicates (shingle Jaccard ≥
     * `threshold`) of some document already in an EXISTING corpus, so each

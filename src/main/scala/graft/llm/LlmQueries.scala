@@ -2196,6 +2196,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // d19 — asymmetric containment pairs (excerpt/quotation detection, the
+  // one-sided Jaccard the near-dup tier structurally cannot see): 8-token
+  // excerpts are PLANTED at doc_id+1e6 for every 25th document, so the
+  // def must find containment 1.0 pairs whose symmetric Jaccard is tiny;
+  // corpus near-dups surface in both directions too. The oracle
+  // recomputes the full sparse-intersection chain over the augmented
+  // corpus.
+  private val d19 = q("d19_containment_pairs", Some(
+    s"""WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 8), ' ')
+          FROM documents WHERE doc_id % 25 = 0),
+        sh AS (${TextFns.sqlShingleRows("doc_id", "text", "aug")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT inner_id, outer_id,
+               CAST(i AS DOUBLE) / CAST(c.n AS DOUBLE) AS containment
+        FROM inter JOIN counts c ON inner_id = c.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(c.n AS DOUBLE) >= 0.8
+        ORDER BY inner_id, outer_id""")) { t =>
+    val excerpts = t.documents.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(col("text"), "\\s+"), 1, 8), " ").as("text"))
+    Dedup.containmentPairs(
+      t.documents.select("doc_id", "text").unionByName(excerpts))
+      .orderBy("inner_id", "outer_id")
+  }
+
   // s14 — margin-based bitext mining (Artetxe & Schwenk 2019, the
   // CCMatrix pipeline shape): best-margin cross-group pair per query
   // vector, margins normalized by DECIMAL-exact k-neighborhood means so
@@ -2295,7 +2328,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,

@@ -127,6 +127,20 @@ class Round11bOpsSpec extends SparkSpec {
     (3L, vec(0, 0, 0, 1))
   ).toDF("vec_id", "embedding")
 
+  // ---------------------------------- containmentPairs (d19, excerpts)
+
+  test("containmentPairs: planted excerpt scores 1.0 one way, invisible the other") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"), // 2 shingles, both inside doc 1
+      (3L, "completely different words entirely never overlapping anything")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)),
+      s"excerpt containment must be 1.0 and strictly one-directional, got $got")
+  }
+
   // -------------------------------------- marginMining (s14, bitext/LASER)
 
   test("marginMining: margins equal a driver-side brute force; one best pair per query") {
