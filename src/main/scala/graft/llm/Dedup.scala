@@ -188,14 +188,7 @@ object Dedup {
     */
   def exactJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
                         shingleN: Int = 3): DataFrame = {
-    val sh = documents.select(col("doc_id"),
-      explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val (inter, counts) = shingleIntersections(documents, shingleN, sym = true)
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -203,6 +196,27 @@ object Dedup {
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared sparse-intersection core of the exact pair measures: distinct
+    * shingles exploded, pairwise intersection sizes from the shared-
+    * shingle equi-join (never all-pairs). `sym` restricts to a < b
+    * (symmetric measures — Jaccard); directional measures (containment)
+    * take both orders.
+    */
+  private def shingleIntersections(documents: DataFrame, shingleN: Int,
+                                   sym: Boolean): (DataFrame, DataFrame) = {
+    val sh = documents.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cond =
+      if (sym) col("a.doc_id") < col("b.doc_id")
+      else col("a.doc_id") =!= col("b.doc_id")
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && cond)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    (inter, counts)
   }
 
   /** Asymmetric CONTAINMENT pairs — excerpt/quotation detection, the
