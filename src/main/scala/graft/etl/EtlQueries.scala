@@ -662,6 +662,70 @@ object EtlQueries {
       .orderBy("s_a", "s_b")
   }
 
+  // t24 — SCD TYPE 2 dimension maintenance through the correctness gate
+  // (the versioned-dim semantics the reference's rebuild-from-scratch dims
+  // drop every run): customer publishes as a Type-2 dim, then two dated
+  // batches apply — batch 1 (2026-02-01) re-segments every 7th key and
+  // bumps its balance (a real change), re-delivers every 5th key UNCHANGED
+  // (a no-op that must create ZERO versions), and lands every 11th key
+  // under a brand-new business key (an insert); batch 2 (2026-03-01)
+  // rebrands every 3rd ORIGINAL key at its original balance — so keys
+  // divisible by 21 chain THREE versions with abutting half-open
+  // intervals. The oracle enumerates the expected version set per
+  // residue class from raw customer, so a lost version, an unclosed
+  // interval, a phantom no-op version, or a wrong is_current flag
+  // hash-fails. Scale shape: one full-outer shuffle join per batch on the
+  // business key; history rows bypass the join; no windows anywhere.
+  // (Open intervals project as the conventional 9999-12-31 high date at
+  // the gate boundary — the driver's cell compare can't equate null dates.)
+  private val t24 = q("t24_scd2_dim",
+    """WITH base AS (
+         SELECT c_custkey AS bk, c_mktsegment AS segment, c_acctbal AS acctbal
+         FROM customer),
+       v AS (
+         SELECT bk, segment, acctbal,
+                DATE '2026-01-01' AS effective_from,
+                CAST(NULL AS DATE) AS effective_to, TRUE AS is_current
+         FROM base WHERE bk % 7 <> 0 AND bk % 3 <> 0
+         UNION ALL
+         SELECT bk, segment, acctbal, DATE '2026-01-01', DATE '2026-02-01', FALSE
+         FROM base WHERE bk % 7 = 0
+         UNION ALL
+         SELECT bk, 'UPDATED', acctbal + 100, DATE '2026-02-01',
+                CASE WHEN bk % 3 = 0 THEN DATE '2026-03-01' END, bk % 3 <> 0
+         FROM base WHERE bk % 7 = 0
+         UNION ALL
+         SELECT bk, segment, acctbal, DATE '2026-01-01', DATE '2026-03-01', FALSE
+         FROM base WHERE bk % 3 = 0 AND bk % 7 <> 0
+         UNION ALL
+         SELECT bk, 'REBRANDED', acctbal, DATE '2026-03-01', NULL, TRUE
+         FROM base WHERE bk % 3 = 0
+         UNION ALL
+         SELECT bk + 10000000, segment, acctbal, DATE '2026-02-01', NULL, TRUE
+         FROM base WHERE bk % 11 = 0)
+       SELECT bk, segment, acctbal, effective_from,
+              COALESCE(effective_to, DATE '9999-12-31') AS effective_to, is_current
+       FROM v ORDER BY bk, effective_from""") { t =>
+    import graft.warehouse.ScdDim
+    val base = t.customer.select(col("c_custkey").as("bk"),
+      col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+    val dim0 = ScdDim.initial(base, lit("2026-01-01"))
+    val b1 = base.filter(col("bk") % 7 === 0)
+      .withColumn("segment", lit("UPDATED"))
+      .withColumn("acctbal", col("acctbal") + 100)
+      .unionByName(base.filter(col("bk") % 5 === 0 && col("bk") % 7 =!= 0))
+      .unionByName(base.filter(col("bk") % 11 === 0)
+        .withColumn("bk", col("bk") + 10000000L))
+    val dim1 = ScdDim.applyBatch(dim0, b1,
+      Seq("bk"), Seq("segment", "acctbal"), lit("2026-02-01"))
+    val b2 = base.filter(col("bk") % 3 === 0).withColumn("segment", lit("REBRANDED"))
+    val dim2 = ScdDim.applyBatch(dim1, b2,
+      Seq("bk"), Seq("segment", "acctbal"), lit("2026-03-01"))
+    dim2.withColumn("effective_to",
+        coalesce(col("effective_to"), lit("9999-12-31").cast("date")))
+      .orderBy("bk", "effective_from")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -683,5 +747,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, c01, c02, c03)
 }

@@ -1,0 +1,99 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 maintenance — the versioned-dimension
+  * merge the reference's rebuild-from-scratch dims (src/transform.py:380
+  * `build_dimensions`, which drops history every run) cannot express.
+  *
+  * A Type-2 dimension keeps one row PER VERSION of a business key:
+  * `(businessKey, attrs..., effective_from, effective_to, is_current)` with
+  * a half-open validity interval `[effective_from, effective_to)` and
+  * `effective_to IS NULL` on the single current row. Applying a batch of
+  * attribute snapshots dated `effectiveDate`:
+  *
+  *   - changed key (any tracked attribute differs, null-safe): the current
+  *     row CLOSES (`effective_to = effectiveDate`, `is_current = false`)
+  *     and a new current row opens at `effectiveDate`;
+  *   - no-op update (all attributes equal): nothing happens — idempotent,
+  *     so re-delivering yesterday's full snapshot creates zero versions;
+  *   - brand-new key: inserted as the first current row;
+  *   - key absent from the batch: untouched (batches are deltas or full
+  *     snapshots alike — absence never closes a row).
+  *
+  * Scale shape: ONE full-outer shuffle join on the business key decides
+  * every row's fate; history rows never enter the join (filtered out up
+  * front and unioned back), closures/openings/keeps are narrow projections
+  * of that single join, and the unions are partition-local. No windows, no
+  * driver materialization — the dimension can be arbitrarily large.
+  */
+object ScdDim {
+
+  /** First publication of a dimension: every row current as of `effectiveDate`. */
+  def initial(snapshot: DataFrame, effectiveDate: Column): DataFrame =
+    snapshot
+      .withColumn("effective_from", effectiveDate.cast("date"))
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+
+  /** Apply one batch of attribute snapshots to an SCD2 dimension.
+    *
+    * @param current      the dimension table (businessKey ++ attrs ++
+    *                     effective_from/effective_to/is_current)
+    * @param updates      batch rows: businessKey ++ attrs (extra columns
+    *                     ignored)
+    * @param businessKey  natural-key columns
+    * @param attrs        tracked attribute columns (change detection is
+    *                     null-safe on exactly these)
+    * @param effectiveDate the batch's as-of date
+    */
+  def applyBatch(current: DataFrame, updates: DataFrame, businessKey: Seq[String],
+                 attrs: Seq[String], effectiveDate: Column): DataFrame = {
+    val outCols = businessKey ++ attrs ++
+      Seq("effective_from", "effective_to", "is_current")
+    require(outCols.forall(current.columns.contains),
+      s"current dim must carry ${outCols.mkString(", ")}")
+
+    val eff = effectiveDate.cast("date")
+    val cur = current.filter(col("is_current")).withColumn("__c", lit(true))
+    val hist = current.filter(!col("is_current")).select(outCols.map(col): _*)
+    // updates' attrs renamed so the using-join keeps both versions visible
+    val u = updates.select(
+      businessKey.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")): _*)
+      .withColumn("__u", lit(true))
+
+    val j = cur.join(u, businessKey, "full_outer")
+    val differs = attrs.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
+    val changed = col("__c").isNotNull && col("__u").isNotNull && differs
+    val inserted = col("__c").isNull
+
+    // keys without a differing update: the current row rides through as-is
+    val kept = j.filter(col("__c").isNotNull && (col("__u").isNull || !differs))
+      .select(outCols.map(col): _*)
+    // changed keys: old attribute values, interval closed at the batch date
+    val closed = j.filter(changed)
+      .select((businessKey ++ attrs :+ "effective_from").map(col): _*)
+      .withColumn("effective_to", eff)
+      .withColumn("is_current", lit(false))
+      .select(outCols.map(col): _*)
+    // changed + brand-new keys: a fresh current row opens at the batch date
+    val opened = j.filter(changed || inserted)
+      .select(businessKey.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)): _*)
+      .withColumn("effective_from", eff)
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select(outCols.map(col): _*)
+
+    hist.unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+
+  /** Point-in-time lookup: the version of each key valid at `asOf`
+    * (half-open intervals: from ≤ asOf < to, open end = still valid).
+    */
+  def asOf(dim: DataFrame, asOf: Column): DataFrame = {
+    val d = asOf.cast("date")
+    dim.filter(col("effective_from") <= d &&
+      (col("effective_to").isNull || col("effective_to") > d))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ScdDimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d1 = java.sql.Date.valueOf("2026-01-01")
+  private val d2 = java.sql.Date.valueOf("2026-02-01")
+  private val d3 = java.sql.Date.valueOf("2026-03-01")
+
+  private def dim0 = ScdDim.initial(
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("bk", "seg", "bal"),
+    lit("2026-01-01"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy("bk", "effective_from").collect().toSeq
+
+  test("initial: every row current with an open interval") {
+    assert(rows(dim0) === Seq(
+      Row(1L, "a", 10.0, d1, null, true),
+      Row(2L, "b", 20.0, d1, null, true),
+      Row(3L, "c", 30.0, d1, null, true)))
+  }
+
+  test("changed attribute closes the old row and opens a new current one") {
+    val upd = Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal")
+    val out = ScdDim.applyBatch(dim0, upd, Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    assert(rows(out) === Seq(
+      Row(1L, "a", 10.0, d1, d2, false),
+      Row(1L, "a2", 10.0, d2, null, true),
+      Row(2L, "b", 20.0, d1, null, true),
+      Row(3L, "c", 30.0, d1, null, true)))
+  }
+
+  test("no-op re-delivery and key absence create zero versions") {
+    val upd = Seq((1L, "a", 10.0)).toDF("bk", "seg", "bal") // identical attrs
+    val out = ScdDim.applyBatch(dim0, upd, Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    assert(rows(out) === rows(dim0))
+  }
+
+  test("null-safe change detection: null -> value and value -> null both version") {
+    val base = ScdDim.initial(
+      Seq((1L, Option.empty[String], 10.0), (2L, Some("b"), 20.0)).toDF("bk", "seg", "bal"),
+      lit("2026-01-01"))
+    val upd = Seq((1L, Some("x"), 10.0), (2L, Option.empty[String], 20.0))
+      .toDF("bk", "seg", "bal")
+    val out = ScdDim.applyBatch(base, upd, Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    assert(out.filter(col("is_current")).count() === 2)
+    assert(out.count() === 4) // both keys versioned
+    // and a null == null no-op does NOT version
+    val noop = ScdDim.applyBatch(out, Seq((1L, Some("x"), 10.0)).toDF("bk", "seg", "bal"),
+      Seq("bk"), Seq("seg", "bal"), lit("2026-03-01"))
+    assert(noop.count() === 4)
+  }
+
+  test("brand-new key inserts as the first current row") {
+    val upd = Seq((9L, "z", 90.0)).toDF("bk", "seg", "bal")
+    val out = ScdDim.applyBatch(dim0, upd, Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    assert(rows(out).last === Row(9L, "z", 90.0, d2, null, true))
+    assert(out.count() === 4)
+  }
+
+  test("two batches chain abutting half-open intervals; asOf resolves each") {
+    val out1 = ScdDim.applyBatch(dim0, Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal"),
+      Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    val out2 = ScdDim.applyBatch(out1, Seq((1L, "a3", 10.0)).toDF("bk", "seg", "bal"),
+      Seq("bk"), Seq("seg", "bal"), lit("2026-03-01"))
+    assert(rows(out2.filter(col("bk") === 1)) === Seq(
+      Row(1L, "a", 10.0, d1, d2, false),
+      Row(1L, "a2", 10.0, d2, d3, false),
+      Row(1L, "a3", 10.0, d3, null, true)))
+    def segAt(day: String): String =
+      ScdDim.asOf(out2.filter(col("bk") === 1), lit(day)).select("seg").as[String].head()
+    assert(segAt("2026-01-15") === "a")
+    // boundary day belongs to the NEW version (half-open intervals)
+    assert(segAt("2026-02-01") === "a2")
+    assert(segAt("2026-02-28") === "a2")
+    assert(segAt("2026-03-01") === "a3")
+    assert(ScdDim.asOf(out2.filter(col("bk") === 1), lit("2025-12-31")).count() === 0)
+  }
+
+  test("plan: no Window node anywhere in the merge") {
+    val out = ScdDim.applyBatch(dim0, Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal"),
+      Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    val plan = out.queryExecution.optimizedPlan
+    assert(!plan.toString.contains("Window"), "SCD2 merge must not use window functions")
+  }
+}
