@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
 import graft.llm.LlmQueries
-import graft.queries.StarQueries
+import graft.queries.{GraphQueries, StarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def defs: Seq[QueryDef] =
-    StarQueries.all ++ EtlQueries.all ++ LlmQueries.all
+    StarQueries.all ++ EtlQueries.all ++ LlmQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph analytics over an edge DataFrame — the
+  * Pregel-without-Pregel shapes (PageRank, connected components) expressed
+  * as per-iteration relational joins so Catalyst owns the physical plan.
+  *
+  * Edge contract: a DataFrame with long columns `src`, `dst`, one row per
+  * DIRECTED edge. Undirected graphs pass both orientations (see
+  * [[symmetrize]]). Nodes are the distinct `src` values — on a symmetrized
+  * graph that is every endpoint, and every node has out-degree ≥ 1 (no
+  * dangling-mass correction needed).
+  *
+  * Scale shape (both algorithms): the edge table — the 100 TB side — is
+  * scanned once per iteration through an equi-join on `src` against the
+  * node-sized state frame; state is [[Materialize]]d each iteration
+  * (lineage would otherwise grow exponentially and a recompute would replay
+  * every prior iteration), so failure recovery under a checkpoint dir
+  * replays at most one iteration. Nothing is ever collected to the driver;
+  * per-iteration state is one shuffle (the groupBy on `dst`) plus one
+  * node-sized join. On a real cluster, bucketing the edge table by `src`
+  * co-locates every iteration's join for free.
+  *
+  * Cross-engine determinism: PageRank runs in FIXED-POINT integer
+  * arithmetic (rank scaled by 1e12, integer `div` everywhere), so an exact
+  * integer answer replaces the order-dependent float sums a naive
+  * implementation would produce — the DuckDB oracle unrolls the identical
+  * integer recurrence and hash-matches bit-for-bit at any partitioning.
+  */
+object Graph {
+
+  /** Rank scale: 1.0 of probability mass = 1e12 fixed-point units. Chosen
+    * so 85 * totalMass stays far under 2^63 while keeping 12 significant
+    * fractional digits.
+    */
+  val Scale: Long = 1000000000000L
+
+  /** Both orientations of an undirected edge list (distinct input pairs). */
+  def symmetrize(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val p = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst")).distinct()
+    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Fixed-point PageRank with damping `d = dampNum/100`.
+    *
+    * Recurrence (all integer arithmetic, `div` = floor division):
+    * {{{
+    *   r0(v)   = Scale div N
+    *   share(u)= r(u) div outdeg(u)
+    *   r'(v)   = (100-dampNum)*Scale div (100*N)
+    *             + dampNum * sum_{u->v} share(u) div 100
+    * }}}
+    * Returns (node, rank_fp, rank) — the exact fixed-point rank and its
+    * double rendering rank_fp / 1e12.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, dampNum: Long = 85): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // node count as a broadcast scalar: no driver action, no collect
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
+    var ranks = degN.select(col("node"),
+      expr(s"${Scale}L div n_nodes").as("r"))
+    for (_ <- 1 to iterations) {
+      val share = ranks.join(degN, "node")
+        .select(col("node"), expr("r div outdeg").as("share"))
+      val contrib = edges.join(share, edges("src") === share("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("share").as("contrib"))
+      ranks = Materialize.cut(
+        degN.join(contrib, Seq("node"), "left")
+          .select(col("node"), (
+            expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** DuckDB oracle fragment replaying the identical fixed-point recurrence:
+    * unrolled CTE chain `r0 .. r{iterations}` over CTEs `edges(src,dst)`
+    * and `deg(node,outdeg)` the caller provides. `//` is DuckDB floor
+    * division — exact twin of Spark's `div` on the non-negative operands
+    * used here.
+    */
+  def pageRankOracleCtes(iterations: Int, dampNum: Long = 85): String = {
+    val n = "(SELECT CAST(COUNT(*) AS BIGINT) FROM deg)"
+    val r0 = s"r0 AS MATERIALIZED (SELECT node, $Scale // $n AS r FROM deg)"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+            SELECT d.node,
+                   ((${100 - dampNum} * $Scale) // (100 * $n))
+                   + (($dampNum * COALESCE(c.contrib, 0)) // 100) AS r
+            FROM deg d LEFT JOIN (
+              SELECT e.dst AS node, SUM(s.share) AS contrib
+              FROM edges e JOIN (
+                SELECT r.node, r.r // d2.outdeg AS share
+                FROM r${i - 1} r JOIN deg d2 ON r.node = d2.node) s
+                ON e.src = s.node
+              GROUP BY 1) c ON d.node = c.node)"""
+    }
+    (r0 +: iters).mkString(",\n")
+  }
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with its own id; each iteration every node takes the minimum
+    * of its label and its neighbors' labels. After ≥ diameter iterations
+    * the label is the component-wide minimum id. Fixed `iterations` keeps
+    * the recurrence oracle-replayable; [[ccConverged]] proves a fixpoint.
+    * Returns (node, component).
+    */
+  def connectedComponents(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val nodes = Materialize.cut(edges.select("src").distinct())
+    var labels = nodes.select(col("src").as("node"), col("src").as("label"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nbr_label"))
+      labels = Materialize.cut(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** True when one more propagation step changes no label — i.e. the fixed
+    * iteration count already reached the fixpoint.
+    */
+  def ccConverged(edges: DataFrame, iterations: Int): Boolean = {
+    val a = connectedComponents(edges, iterations)
+    val b = connectedComponents(edges, iterations + 1)
+    a.join(b.withColumnRenamed("component", "component2"), "node")
+      .filter(col("component") =!= col("component2"))
+      .isEmpty
+  }
+
+  /** Min-label-propagation oracle fragment: unrolled `l0 .. l{iterations}`
+    * over a caller-provided `edges(src,dst)` CTE.
+    */
+  def ccOracleCtes(iterations: Int): String = {
+    val l0 = "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"
+    val iters = (1 to iterations).map { i =>
+      s"""l$i AS MATERIALIZED (
+            SELECT l.node,
+                   LEAST(l.label, COALESCE(m.nbr_label, l.label)) AS label
+            FROM l${i - 1} l LEFT JOIN (
+              SELECT e.dst AS node, MIN(p.label) AS nbr_label
+              FROM edges e JOIN l${i - 1} p ON e.src = p.node
+              GROUP BY 1) m ON l.node = m.node)"""
+    }
+    (l0 +: iters).mkString(",\n")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics QueryDefs (g*) — iterative algorithms over the
+  * customer–supplier purchase graph (customers and suppliers are nodes,
+  * an order line is an undirected edge). Both defs run a FIXED iteration
+  * count of an exactly-replayable recurrence, so the DuckDB oracle unrolls
+  * the same iterations as a CTE chain and hash-matches exactly — see
+  * [[graft.operators.Graph]] for the fixed-point arithmetic that makes
+  * PageRank order-independent.
+  */
+object GraphQueries {
+
+  private def q(name: String, oracle: Option[String])(f: Tables => DataFrame): QueryDef =
+    QueryDef(name, (s, dir) => f(Tables(s, dir)), oracle)
+
+  /** Distinct (customer, supplier) purchase pairs; nodes disambiguated by
+    * parity (customer k → 2k, supplier k → 2k+1).
+    */
+  private def purchaseEdges(t: Tables, minQty: Option[Int]): DataFrame = {
+    val li = minQty.fold(t.lineitem)(q => t.lineitem.filter(col("l_quantity") > q))
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(li.select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    Graph.symmetrize(pairs, "c", "s")
+  }
+
+  private def edgesCte(minQty: Option[Int]): String = {
+    val filter = minQty.fold("")(q => s" WHERE l_quantity > $q")
+    s"""e0 AS MATERIALIZED (
+         SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey$filter),
+       edges AS MATERIALIZED (
+         SELECT CAST(c AS BIGINT) AS src, CAST(s AS BIGINT) AS dst FROM e0
+         UNION ALL
+         SELECT CAST(s AS BIGINT), CAST(c AS BIGINT) FROM e0)"""
+  }
+
+  // g01 — 5 iterations of fixed-point PageRank over the full purchase
+  // graph. The oracle replays the integer recurrence, so a wrong degree,
+  // a dropped contribution, or any float-order nondeterminism hash-fails
+  // on the exact rank_fp column.
+  private val g01 = q("g01_pagerank", Some(
+    s"""WITH ${edgesCte(None)},
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY 1),
+        ${Graph.pageRankOracleCtes(iterations = 5)}
+        SELECT node, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r5 ORDER BY node""")) { t =>
+    Graph.pageRank(purchaseEdges(t, None), iterations = 5).orderBy("node")
+  }
+
+  // g02 — connected components of the SPARSE purchase graph (only
+  // high-quantity lines: > 48 keeps ~4% of edges, fragmenting the dense
+  // bipartite graph into real components). 15 min-label-propagation
+  // rounds, fixed in both engines; GraphSpec proves 15 reaches the
+  // fixpoint on the testdata graph.
+  private val g02 = q("g02_connected_components", Some(
+    s"""WITH ${edgesCte(Some(48))},
+        ${Graph.ccOracleCtes(iterations = 15)}
+        SELECT node, label AS component FROM l15 ORDER BY node""")) { t =>
+    Graph.connectedComponents(purchaseEdges(t, Some(48)), iterations = 15)
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02)
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    Graph.symmetrize(pairs.toDF("a", "b"), "a", "b")
+
+  // path 1-2-3 plus isolated pair 10-11
+  private val twoComponents = edges((1L, 2L), (2L, 3L), (10L, 11L))
+
+  test("symmetrize: both orientations, duplicates collapsed") {
+    val e = edges((1L, 2L), (1L, 2L))
+    assert(e.count() === 2)
+    assert(e.orderBy("src").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("connectedComponents: labels are the component-wide min id") {
+    val cc = Graph.connectedComponents(twoComponents, iterations = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cc === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("ccConverged: true at diameter, false below it on a long chain") {
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(!Graph.ccConverged(chain, iterations = 2)) // label 1 not yet at node 6
+    assert(Graph.ccConverged(chain, iterations = 5))
+  }
+
+  test("g02's fixed iteration count reaches the fixpoint on the testdata graph") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.filter(col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    assert(Graph.ccConverged(Graph.symmetrize(pairs, "c", "s"), iterations = 15))
+  }
+
+  test("pageRank: hand-computed fixed-point recurrence on a 3-node path") {
+    // path 1-2-3 symmetrized: deg(1)=1, deg(2)=2, deg(3)=1, N=3
+    // r0 = Scale div 3 = 333333333333
+    // shares: n1 333333333333, n2 166666666666, n3 333333333333
+    // teleport = 15*Scale div 300 = 50000000000
+    // r1(1) = tp + 85*166666666666 div 100 = 50000000000 + 141666666666
+    // r1(2) = tp + 85*(333333333333+333333333333) div 100
+    // r1(3) = r1(1)
+    val pr = Graph.pageRank(edges((1L, 2L), (2L, 3L)), iterations = 1)
+      .orderBy("node").select("node", "rank_fp").as[(Long, Long)].collect().toSeq
+    val tp = 15L * Graph.Scale / 300
+    assert(pr === Seq(
+      (1L, tp + 85L * 166666666666L / 100),
+      (2L, tp + 85L * 666666666666L / 100),
+      (3L, tp + 85L * 166666666666L / 100)))
+  }
+
+  test("pageRank: mass conserved within floor loss, hub outranks leaves") {
+    // star: hub 1 connected to 2,3,4,5
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val pr = Graph.pageRank(star, iterations = 5).orderBy("node")
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSeq
+    val total = pr.map(_._2).sum
+    // every div floors; with ~10 integer divisions per node per iteration
+    // the loss is bounded well under 1e-6 of the mass
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000000L)
+    val hub = pr.head._2
+    assert(pr.tail.forall(_._2 < hub))
+    assert(pr.tail.map(_._2).distinct.size === 1) // leaves symmetric
+  }
+
+  test("pageRank: partitioning-independent (exact integer equality)") {
+    val e = twoComponents
+    val a = Graph.pageRank(e, iterations = 3)
+    val b = Graph.pageRank(e.repartition(7), iterations = 3)
+    assert(a.orderBy("node").collect().toSeq === b.orderBy("node").collect().toSeq)
+  }
+}
