@@ -2307,6 +2307,35 @@ object LlmQueries {
     TextAnalysis.unicodeScrub(noisy, "nt").orderBy("doc_id")
   }
 
+  // x33 — PMI collocations (Church & Hanks 1990): corpus bigrams with ≥ 5
+  // occurrences scored by ln(p(ab)/(p(a)p(b))) — the phrase-mining signal.
+  // Exact integer counts feed a fixed IEEE expression tree; ln is
+  // quantized to DECIMAL(18,8) per bigram (the x16/x22 treatment), so the
+  // score column hash-matches exactly.
+  private val x33 = q("x33_pmi_collocations", Some(
+    """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+       bgr AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+       bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bgr GROUP BY 1),
+       uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_w
+              FROM (SELECT unnest(w) AS tok FROM w) z GROUP BY 1),
+       tot AS (SELECT (SELECT SUM(n_pair) FROM bf) AS n_bi,
+                      (SELECT SUM(n_w) FROM uc) AS n_uni)
+       SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+              n_pair,
+              CAST(CAST(ln(
+                (CAST(n_pair AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+                ((CAST(a.n_w AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                 * (CAST(b.n_w AS DOUBLE) / CAST(n_uni AS DOUBLE)))
+              ) AS DECIMAL(18,8)) AS DOUBLE) AS pmi
+       FROM bf CROSS JOIN tot
+       JOIN uc a ON a.tok = string_split(bg, ' ')[1]
+       JOIN uc b ON b.tok = string_split(bg, ' ')[2]
+       WHERE n_pair >= 5
+       ORDER BY w1, w2""")) { t =>
+    TextAnalysis.pmiCollocations(t.documents, minCount = 5).orderBy("w1", "w2")
+  }
+
   // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
   // like e12: HLL estimates have no SQL oracle): the event log is sketched
   // per ingested batch (here two appends splitting the users, so every day
@@ -2330,7 +2359,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

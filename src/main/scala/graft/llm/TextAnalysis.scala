@@ -203,6 +203,53 @@ object TextAnalysis {
           .as("bg_surprisal"))
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990): for every corpus bigram (a, b) with at least `minCount`
+    * occurrences,
+    *
+    *   PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )
+    *            = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) )
+    *
+    * — high when the pair co-occurs far above chance (fixed phrases,
+    * named entities), the classic phrase-mining signal for tokenizer
+    * vocabulary seeding and quality analysis.
+    *
+    * Determinism: the x16/x22 treatment — the log's argument is a fixed
+    * tree of IEEE divisions/multiplications over exact integer counts
+    * (bit-identical in any engine), ln is computed ONCE per surviving
+    * bigram and quantized to DECIMAL(18,8).
+    *
+    * Scale shape: two map-side-combined count shuffles (positional bigrams
+    * via codegen'd zip_with, unigrams via explode) — raw text never
+    * shuffles; the minCount filter prunes the pair table BEFORE the
+    * unigram joins; totals ride a broadcast 1-row scalar. The unigram
+    * joins are vocabulary-keyed (AQE broadcasts when the vocabulary fits).
+    */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val bgFreq = documents.select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+    val uniFreq = documents.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_w"))
+    val totals = bgFreq.agg(sum("n_pair").as("n_bi_total"))
+      .crossJoin(uniFreq.agg(sum("n_w").as("n_uni_total")))
+    val pairs = bgFreq.filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uniFreq.select(col("tok").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uniFreq.select(col("tok").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+    val pAb = col("n_pair").cast("double") / col("n_bi_total").cast("double")
+    val pA = col("n_w1").cast("double") / col("n_uni_total").cast("double")
+    val pB = col("n_w2").cast("double") / col("n_uni_total").cast("double")
+    pairs.select(col("w1"), col("w2"), col("n_pair"),
+      log(pAb / (pA * pB)).cast(DecimalType(18, 8)).cast("double").as("pmi"))
+  }
+
   /** CROSS-CORPUS bigram scoring with STUPID BACKOFF (Brants et al. 2007,
     * "Large Language Models in Machine Translation" §4 — the smoothing
     * designed FOR MapReduce-scale LMs; the CCNet recipe's shape, where a

@@ -1,0 +1,49 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 third-session operators: PMI collocations (x33) + later
+  * additions from the same session.
+  */
+class Round11cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiCollocations: hand-computed PMI on a perfectly-associated pair") {
+    // 6 docs of "x y": c_xy=6, N_bi=6, c_x=c_y=6, N_uni=12
+    // PMI = ln((6/6) / ((6/12)*(6/12))) = ln 4 = 1.38629436 at scale 8
+    val docs = (1 to 6).map(i => (i.toLong, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5)
+      .select("w1", "w2", "n_pair", "pmi").as[(String, String, Long, Double)]
+      .collect().toSeq
+    assert(out === Seq(("x", "y", 6L, 1.38629436)))
+  }
+
+  test("pmiCollocations: fully-crossed design scores ln 4 exactly; minCount prunes") {
+    // all four combinations of {a,c} x {b,d} appear 8x each:
+    // p(ab) = 8/32 = 1/4, p(a) = p(b) = 16/64 = 1/4
+    // PMI = ln(0.25 / (0.25 * 0.25)) = ln 4 for every pair — assert the
+    // exact DECIMAL(18,8)-quantized value.
+    val pairsAB = (1 to 8).map(i => (i.toLong, "a b"))
+    val pairsAD = (1 to 8).map(i => (100 + i.toLong, "a d"))
+    val pairsCB = (1 to 8).map(i => (200 + i.toLong, "c b"))
+    val pairsCD = (1 to 8).map(i => (300 + i.toLong, "c d"))
+    val docs = (pairsAB ++ pairsAD ++ pairsCB ++ pairsCD).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5)
+    assert(out.count() === 4)
+    val ab = out.filter(col("w1") === "a" && col("w2") === "b")
+      .select("pmi").as[Double].head()
+    assert(ab === math.floor(math.log(4) * 1e8 + 0.5) / 1e8 ||
+      ab === BigDecimal(math.log(4)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // rare pair below minCount disappears
+    val withRare = docs.union(Seq((999L, "q z")).toDF("doc_id", "text"))
+    assert(TextAnalysis.pmiCollocations(withRare, minCount = 5)
+      .filter(col("w1") === "q").count() === 0)
+  }
+
+  test("pmiCollocations: raw text never shuffles (only count exchanges)") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+}
