@@ -589,6 +589,38 @@ object Dedup {
   def clustersFromPairs(pairs: DataFrame): DataFrame =
     clustersFromPairSource((pairs, () => ()))
 
+  /** CANONICAL-COPY SELECTION — the decision table that turns near-dup
+    * clusters into a curation action: every document labeled with its
+    * cluster, the cluster's surviving copy, and whether it IS that copy.
+    * The canonical member is the cluster's argmax by
+    * [[TextAnalysis.qualityScore]] (ties — e.g. byte-identical copies —
+    * break to the smallest doc_id), so dedup keeps the BEST copy instead
+    * of d01/d02's arbitrary min-id representative. Singletons are their
+    * own canonical.
+    *
+    * Scale shape: clustering is the oracled d05 machinery (banded LSH,
+    * never all-pairs); quality is a narrow per-row projection; the argmax
+    * is ONE cluster-keyed aggregation of a `max(struct(quality, -doc_id))`
+    * — no window, no per-cluster sort; the decision join back is
+    * cluster-keyed. Raw text never shuffles.
+    */
+  def canonicalPerCluster(documents: DataFrame,
+                          threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(documents, threshold)
+    val member = documents.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .join(TextAnalysis.qualityScore(documents).select("doc_id", "quality"),
+        Seq("doc_id"))
+    val best = member.groupBy("rep")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("rep"), col("m.quality").as("best_quality"),
+        (-col("m.negid")).as("canonical_id"))
+    member.join(best, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("quality"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
   /** MULTI-SIGNAL near-dup clusters: a pair is an edge if the documents are
     * near-dups by text (shingle Jaccard ≥ `jaccardT`, banded-LSH detected)
     * OR by embedding (blocked cosine ≥ `cosT`) — the practical dedup rule

@@ -2229,6 +2229,69 @@ object LlmQueries {
       .orderBy("inner_id", "outer_id")
   }
 
+  // d20 — canonical-copy selection: near-dup clusters (d05's oracled
+  // machinery) resolved to a KEEP decision per document — the cluster's
+  // best copy by the x03 quality score survives, ties break to the
+  // smallest doc_id, singletons keep themselves. The oracle recomposes
+  // the recursive closure, the full quality formula, and the argmax, so
+  // a wrong survivor anywhere hash-fails.
+  private val d20 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("d20_canonical_selection", Some(
+      s"""WITH RECURSIVE sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        qpairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN counts ca ON doc_a = ca.doc_id
+          JOIN counts cb ON doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM qpairs
+                  UNION SELECT doc_b, doc_a FROM qpairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cnodes AS (SELECT DISTINCT a FROM edges),
+        cl AS (SELECT n.a AS doc_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+               FROM cnodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a),
+        qb AS (SELECT doc_id, len(text) AS n_chars,
+                      string_split_regex(lower(text), '\\s+') AS w
+               FROM documents),
+        qm AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                      CAST(len(w) AS INT) AS n_tokens,
+                      CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                      CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                      CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles
+               FROM qb),
+        qs AS (SELECT doc_id,
+                 (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                  + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  + CASE WHEN n_tokens > 2
+                         THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                         ELSE 0.0 END) / 4.0 AS quality
+               FROM qm),
+        member AS (SELECT d.doc_id, COALESCE(cl.rep, d.doc_id) AS rep, qs.quality
+                   FROM documents d
+                   LEFT JOIN cl ON d.doc_id = cl.doc_id
+                   JOIN qs ON d.doc_id = qs.doc_id),
+        mq AS (SELECT rep, MAX(quality) AS best_quality FROM member GROUP BY 1),
+        canon AS (SELECT m.rep, MIN(m.doc_id) AS canonical_id
+                  FROM member m JOIN mq ON m.rep = mq.rep AND m.quality = mq.best_quality
+                  GROUP BY 1)
+        SELECT m.doc_id, m.rep, m.quality, c.canonical_id,
+               m.doc_id = c.canonical_id AS is_canonical
+        FROM member m JOIN canon c ON m.rep = c.rep
+        ORDER BY doc_id""")) { t =>
+      Dedup.canonicalPerCluster(t.documents, threshold = 0.8).orderBy("doc_id")
+    }
+  }
+
   // s14 — margin-based bitext mining (Artetxe & Schwenk 2019, the
   // CCMatrix pipeline shape): best-margin cross-group pair per query
   // vector, margins normalized by DECIMAL-exact k-neighborhood means so
@@ -2357,7 +2420,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,

@@ -41,6 +41,27 @@ class Round11cOpsSpec extends SparkSpec {
       .filter(col("w1") === "q").count() === 0)
   }
 
+  test("canonicalPerCluster: best-quality copy survives, ties break to min id") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home now"
+    val docs = Seq(
+      (1L, base),                        // near-dup cluster {1,2}: 2 is longer
+      (2L, base + " tonight my friend"), // => higher len_score => canonical
+      (7L, "completely different words entirely unrelated content here today"),
+      (10L, "copy of twin text body exactly equal weight and length overall"),
+      (11L, "copy of twin text body exactly equal weight and length overall"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalPerCluster(docs, threshold = 0.6)
+      .orderBy("doc_id")
+      .select("doc_id", "rep", "canonical_id", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 2L, false),   // cluster rep is min id, canonical is best copy
+      (2L, 1L, 2L, true),
+      (7L, 7L, 7L, true),    // singleton keeps itself
+      (10L, 10L, 10L, true), // exact twins: equal quality, min id survives
+      (11L, 10L, 10L, false)))
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
