@@ -2399,6 +2399,42 @@ object LlmQueries {
     TextAnalysis.pmiCollocations(t.documents, minCount = 5).orderBy("w1", "w2")
   }
 
+  // x34 — DISTRIBUTED LOGISTIC-REGRESSION TRAINING through the correctness
+  // gate: 3 batch-GD steps over the x03 quality features learn the
+  // n_chars>300 label, then the final model scores every document. The
+  // oracle replays the ENTIRE training trajectory (quantized sigmoids,
+  // exact decimal gradient sums, fixed IEEE weight updates) as an unrolled
+  // CTE chain — a single mis-accumulated gradient term in any iteration
+  // shifts the weights and hash-fails every prediction.
+  private val x34 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("x34_quality_lr", Some(
+      s"""WITH qb AS (SELECT doc_id, len(text) AS n_chars,
+                      string_split_regex(lower(text), '\\s+') AS w
+               FROM documents),
+        qm AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+                      CAST(len(w) AS INT) AS n_tokens,
+                      CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+                      CAST(len(list_filter(w, x -> x IN ($enStops))) AS INT) AS n_stop,
+                      CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INT) AS n_shingles
+               FROM qb),
+        feats AS MATERIALIZED (SELECT doc_id,
+                 least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
+                 CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                 CASE WHEN n_tokens > 2
+                      THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                      ELSE 0.0 END AS uniq3,
+                 CAST(CASE WHEN n_chars > ${QualityModel.LabelThreshold}
+                      THEN 1 ELSE 0 END AS DOUBLE) AS y
+               FROM qm),
+        ${QualityModel.gradientDescentOracleCtes(iterations = 3)}
+        ${QualityModel.predictOracleSelect(iterations = 3)}""")) { t =>
+      QualityModel.trainAndPredict(t.documents, iterations = 3).orderBy("doc_id")
+    }
+  }
+
   // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
   // like e12: HLL estimates have no SQL oracle): the event log is sketched
   // per ingested batch (here two appends splitting the users, so every day
@@ -2422,7 +2458,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -62,6 +62,31 @@ class Round11cOpsSpec extends SparkSpec {
       (11L, 10L, 10L, false)))
   }
 
+  test("QualityModel: GD actually learns (beats majority class), exactly reproducible") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val preds = QualityModel.trainAndPredict(t.documents, iterations = 3)
+    val n = preds.count().toDouble
+    val acc = preds.filter((col("pred") && col("y") === 1.0) ||
+      (!col("pred") && col("y") === 0.0)).count() / n
+    val majority = math.max(
+      preds.filter(col("y") === 1.0).count() / n,
+      preds.filter(col("y") === 0.0).count() / n)
+    assert(acc > majority, s"accuracy $acc must beat majority baseline $majority")
+    // training is partitioning-independent: exact weight equality
+    val w1 = QualityModel.train(t.documents, iterations = 3)
+    val w2 = QualityModel.train(t.documents.repartition(13), iterations = 3)
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("QualityModel: one GD step separates opposite-label documents") {
+    val docs = Seq((1L, "short doc here"), (2L, "x " * 200)).toDF("doc_id", "text")
+    val preds = QualityModel.trainAndPredict(docs, iterations = 1)
+    assert(preds.count() === 2)
+    // after one step from w=0 the two opposite-label docs separate
+    val ps = preds.orderBy("doc_id").select("p").as[Double].collect()
+    assert(ps(0) < ps(1), "longer (positive-label) doc must score higher after one step")
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
