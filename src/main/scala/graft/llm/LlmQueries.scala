@@ -2435,6 +2435,55 @@ object LlmQueries {
     }
   }
 
+  // s15 — DISTRIBUTED K-MEANS TRAINING through the correctness gate:
+  // 3 Lloyd iterations (k = 8, init = the 8 smallest vec_ids) over the
+  // embedding corpus, then the final model labels every vector. The oracle
+  // unrolls the ENTIRE trajectory — init, every assignment (exact
+  // left-to-right dots, ties to smaller cid), every exact-decimal centroid
+  // update — so one mis-assigned vector in any iteration moves a centroid
+  // and hash-fails the final labeling.
+  private val s15 = q("s15_kmeans_assign", Some(
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        ${KMeans.kmeansOracleCtes(k = 8, iterations = 3)}
+        SELECT vec_id, cid FROM af ORDER BY vec_id""")) { t =>
+    KMeans.trainAndAssign(t.embeddings, k = 8, iterations = 3).orderBy("vec_id")
+  }
+
+  // d21 — SemDeDup PROPER (Abbas et al. 2023): near-dup search blocked by
+  // the LEARNED s15 k-means clusters instead of d12's given labels — the
+  // no-natural-blocking-column scale path. The oracle replays the full
+  // k-means trajectory, the within-cluster cosine pairs, the recursive
+  // closure, and the keep decision, so a drifted centroid OR a wrong
+  // survivor hash-fails.
+  private val d21 = q("d21_semdedup_kmeans", Some(
+    s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+        ${KMeans.kmeansOracleCtes(k = 8, iterations = 3)},
+        ec AS MATERIALIZED (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, a.cid
+          FROM emb e JOIN af a ON e.vec_id = a.vec_id),
+        pairs AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb
+          FROM ec x JOIN ec y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.ev, y.ev) /
+                (sqrt(list_dot_product(x.ev, x.ev)) * sqrt(list_dot_product(y.ev, y.ev)))
+                >= 0.45),
+        edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cnodes AS (SELECT DISTINCT a FROM edges),
+        rep AS (SELECT n.a AS vec_id, LEAST(n.a, COALESCE(MIN(r.b), n.a)) AS rep
+                FROM cnodes n LEFT JOIN reach r ON r.a = n.a GROUP BY n.a)
+        SELECT e.vec_id, COALESCE(rep.rep, e.vec_id) AS rep_id,
+               CAST(CASE WHEN COALESCE(rep.rep, e.vec_id) = e.vec_id
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM emb e LEFT JOIN rep ON e.vec_id = rep.vec_id
+        ORDER BY e.vec_id""")) { t =>
+    Similarity.semDeDupKMeans(t.embeddings, k = 8, iterations = 3, threshold = 0.45)
+      .orderBy("vec_id")
+  }
+
   // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
   // like e12: HLL estimates have no SQL oracle): the event log is sketched
   // per ingested batch (here two appends splitting the users, so every day
@@ -2456,8 +2505,8 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)

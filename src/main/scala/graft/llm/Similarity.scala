@@ -314,6 +314,23 @@ object Similarity {
           .otherwise(0L).as("kept"))
   }
 
+  /** SemDeDup proper (Abbas et al. 2023): k-means cluster the corpus, then
+    * search near-duplicates only WITHIN each learned cluster — the scale
+    * path when no natural blocking column exists ([[semanticDedup]]'s
+    * `blockCol` becomes the LEARNED [[KMeans]] assignment). Candidate
+    * generation drops from O(n²) to Σ|cluster|², and at 100 TB the cluster
+    * count scales with the corpus so cluster sizes stay bounded.
+    * Cross-cluster near-dups are invisible by construction — the SemDeDup
+    * trade, priced in the paper and inherited here.
+    */
+  def semDeDupKMeans(embeddings: DataFrame, k: Int = 8, iterations: Int = 3,
+                     threshold: Double = 0.45): DataFrame = {
+    val model = KMeans.train(embeddings, k, iterations)
+    semanticDedup(
+      embeddings.withColumn("cid", KMeans.assignCol(model, col("embedding"))),
+      threshold, blockCol = "cid")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage-compression step a 100 TB vector corpus applies before
     * brute-force or IVF scan (int8 dot products are also the SIMD-friendly

@@ -87,6 +87,55 @@ class Round11cOpsSpec extends SparkSpec {
     assert(ps(0) < ps(1), "longer (positive-label) doc must score higher after one step")
   }
 
+  test("KMeans: hand-computed Lloyd step, tie to smaller cid, empty cluster persists") {
+    // 1-D points embedded in 2-D; init = two smallest vec_ids (0.0 and 10.0)
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(9.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.train(emb, k = 2, iterations = 1)
+    assert(m(0).toSeq === Seq(0.5, 0.0)) // mean of {0,1}
+    assert(m(1).toSeq === Seq(9.5, 0.0)) // mean of {10,9}
+    val assigned = KMeans.trainAndAssign(emb, k = 2, iterations = 1)
+      .orderBy("vec_id").select("cid").as[Long].collect().toSeq
+    assert(assigned === Seq(0L, 1L, 0L, 1L))
+
+    // equidistant point: tie breaks to the smaller cid
+    val tie = Seq((1L, Seq(0.0f)), (2L, Seq(2.0f)), (3L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val tieCid = KMeans.trainAndAssign(tie, k = 2, iterations = 0)
+      .filter(col("vec_id") === 3).select("cid").as[Long].head()
+    assert(tieCid === 0L)
+
+    // an emptied cluster keeps its previous centroid (init c2 duplicates
+    // c0's point, every vector prefers a smaller-cid centroid)
+    val dup = Seq((1L, Seq(0.0f)), (2L, Seq(5.0f)), (3L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    val m3 = KMeans.train(dup, k = 3, iterations = 2)
+    assert(m3(2).toSeq === Seq(0.0)) // untouched init value
+  }
+
+  test("KMeans: training is partitioning-independent (exact model equality)") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val a = KMeans.train(t.embeddings, k = 4, iterations = 2)
+    val b = KMeans.train(t.embeddings.repartition(11), k = 4, iterations = 2)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("semDeDupKMeans: planted duplicates pruned within learned clusters") {
+    // two tight groups; 11 duplicates 1, 12 near-duplicates 2
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f, 0.0f)), (12L, Seq(0.0f, 0.99f, 0.1f)),
+      (30L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDeDupKMeans(emb, k = 3, iterations = 2, threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "rep_id", "kept").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (11L, 1L, 0L), (12L, 2L, 0L), (30L, 30L, 1L)))
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
