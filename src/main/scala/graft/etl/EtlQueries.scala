@@ -726,6 +726,38 @@ object EtlQueries {
       .orderBy("bk", "effective_from")
   }
 
+  // t25 — POINT-IN-TIME fact enrichment through the correctness gate (the
+  // consumer SCD2 exists for): customers publish as an SCD2 dim effective
+  // 1990-01-01, every 4th key re-segments to 'PROMO' effective 1995-01-01,
+  // and each order joins the dim VERSION VALID AT ITS OWN ORDER DATE — so
+  // pre-1995 orders of re-segmented customers roll up under the ORIGINAL
+  // segment and post-1995 orders under 'PROMO'. The oracle recomputes the
+  // temporal attribution directly from raw tables, so a fact enriched with
+  // the wrong-era version hash-fails. The interval predicate rides on the
+  // business-key equi-join (no inequality-only join).
+  private val t25 = q("t25_scd2_pit_join",
+    s"""SELECT CASE WHEN c_custkey % 4 = 0
+               AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+               THEN 'PROMO' ELSE c_mktsegment END AS segment,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY segment""") { t =>
+    import graft.warehouse.ScdDim
+    val base = t.customer.select(col("c_custkey").as("bk"),
+      col("c_mktsegment").as("segment"))
+    val dim0 = ScdDim.initial(base, lit("1990-01-01"))
+    val dim = ScdDim.applyBatch(dim0,
+      base.filter(col("bk") % 4 === 0).withColumn("segment", lit("PROMO")),
+      Seq("bk"), Seq("segment"), lit("1995-01-01"))
+    val facts = t.orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    ScdDim.pointInTimeJoin(facts, dim, "o_custkey", "bk",
+      to_date(facts("o_orderdate")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("segment")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -747,5 +779,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, c01, c02, c03)
 }

@@ -624,7 +624,34 @@ object StarQueries {
       .orderBy("o_orderstatus")
   }
 
+  // q25 — CUBE over (status, priority): all four grouping sets in ONE pass
+  // (Spark expands the cube inside a single Expand+Aggregate — no
+  // re-reading the fact per grouping set, the way four separate GROUP BYs
+  // would at 100 TB). GROUPING() flags disambiguate real NULLs from
+  // subtotal rows, mirrored exactly in DuckDB.
+  private val q25 = q(
+    "q25_cube_totals",
+    s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority, status, priority""") { t =>
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_orderpriority", "priority")
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

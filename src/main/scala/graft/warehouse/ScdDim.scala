@@ -96,4 +96,22 @@ object ScdDim {
     dim.filter(col("effective_from") <= d &&
       (col("effective_to").isNull || col("effective_to") > d))
   }
+
+  /** TEMPORAL fact enrichment: each fact row joins the dim version valid
+    * at that ROW's own date — the consumer SCD2 exists for (a fact from
+    * 1994 must see the 1994 attributes, not today's). Inner join.
+    *
+    * Scale shape: the interval predicate rides ON TOP of the business-key
+    * equi-join (Spark plans the hash join on the key and filters the few
+    * versions per key), never a standalone inequality join — the
+    * BroadcastNestedLoop trap a naive `BETWEEN`-only join falls into.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String, asOf: Column): DataFrame = {
+    val d = asOf.cast("date")
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        dim("effective_from") <= d &&
+        (dim("effective_to").isNull || dim("effective_to") > d))
+  }
 }

@@ -83,6 +83,31 @@ class ScdDimSpec extends SparkSpec {
     assert(ScdDim.asOf(out2.filter(col("bk") === 1), lit("2025-12-31")).count() === 0)
   }
 
+  test("pointInTimeJoin: each fact sees the version valid at its own date") {
+    val dim1 = ScdDim.applyBatch(dim0, Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal"),
+      Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    val facts = Seq(
+      (1L, "2026-01-15", 100.0), // before the change: must see "a"
+      (1L, "2026-02-01", 200.0), // boundary day: the NEW version (half-open)
+      (2L, "2026-03-01", 300.0)) // untouched key
+      .toDF("fk", "fdate", "amount")
+    val out = ScdDim.pointInTimeJoin(facts, dim1, "fk", "bk", facts("fdate"))
+      .orderBy("fdate").select("fk", "amount", "seg")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(out === Seq((1L, 100.0, "a"), (1L, 200.0, "a2"), (2L, 300.0, "b")))
+    // a pre-history fact matches NO version (inner join drops it)
+    val early = Seq((1L, "2025-06-01", 1.0)).toDF("fk", "fdate", "amount")
+    assert(ScdDim.pointInTimeJoin(early, dim1, "fk", "bk", early("fdate")).count() === 0)
+  }
+
+  test("pointInTimeJoin plan: hash join on the key, never nested-loop") {
+    val facts = Seq((1L, "2026-01-15", 1.0)).toDF("fk", "fdate", "amount")
+    val plan = ScdDim.pointInTimeJoin(facts, dim0, "fk", "bk", facts("fdate"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval predicate must ride the equi-join, got:\n$plan")
+  }
+
   test("plan: no Window node anywhere in the merge") {
     val out = ScdDim.applyBatch(dim0, Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal"),
       Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
