@@ -651,7 +651,51 @@ object StarQueries {
       .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
   }
 
+  // q26 — customer spend DECILES without a global window: the decile of
+  // each customer needs a GLOBAL rank over |customers| rows, and
+  // `ROW_NUMBER() OVER (ORDER BY spend)` plans a single-partition
+  // WindowExec — the one-task sort this engine bans (PlanSpec). The rank
+  // rides the PrefixSum machinery instead (range-partition by the
+  // composite order key, per-partition counts, driver offsets over
+  // |partitions| metadata rows), then bucket arithmetic is a narrow map
+  // and the decile rollup a 10-key aggregate. The oracle computes the
+  // same rank with a window (fine at oracle scale) and the SAME bucket
+  // formula. Spend re-aggregates through DECIMAL(24,6) (dsum6) so the
+  // two-level sum is order-independent.
+  private val q26 = q(
+    "q26_spend_deciles",
+    s"""WITH spend AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 ${sqlDsum("o_totalprice")} AS total_spent
+          FROM orders GROUP BY 1),
+        r AS (SELECT *,
+                ROW_NUMBER() OVER (ORDER BY total_spent, o_custkey) AS rnk,
+                (SELECT COUNT(*) FROM spend) AS n
+              FROM spend)
+        SELECT CAST(((rnk - 1) * 10) // n + 1 AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ${sqlDsum6("total_spent")} AS decile_spend,
+               MIN(total_spent) AS min_spend, MAX(total_spent) AS max_spend
+        FROM r GROUP BY 1 ORDER BY decile""") { t =>
+    val spend = t.orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .withColumn("g0", lit(0)) // constant group = global composite-order rank
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixSum.withGroupedRunningSum(
+      spend, Seq("g0"), Seq("total_spent", "o_custkey"), "one", "rnk")
+    val n = spend.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr("CAST(((rnk - 1) * 10) div n + 1 AS INT)").as("decile"),
+        col("total_spent"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum6(col("total_spent")).as("decile_spend"),
+        min("total_spent").as("min_spend"), max("total_spent").as("max_spend"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26)
 }
