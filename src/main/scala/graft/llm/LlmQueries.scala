@@ -2435,6 +2435,36 @@ object LlmQueries {
     }
   }
 
+  // x35 — Zipf-law fit of the token distribution (corpus-health
+  // diagnostic: natural text has slope ≈ −1): exact least squares of
+  // ln(freq) on ln(rank) with quantized lns and exact-decimal regression
+  // sums; the global frequency rank rides PrefixSum (a ROW_NUMBER window
+  // would single-task the vocabulary).
+  private val x35 = q("x35_zipf_fit", Some(
+    """WITH uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_w
+          FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z GROUP BY 1),
+       r AS (SELECT n_w, ROW_NUMBER() OVER (ORDER BY n_w DESC, tok) AS rnk FROM uc),
+       pts AS (SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+                      CAST(ln(CAST(n_w AS DOUBLE)) AS DECIMAL(18,8)) AS y
+               FROM r),
+       s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                    SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             FROM pts),
+       fit AS (SELECT n_vocab, sx, sy,
+                 (CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+               FROM s)
+       SELECT n_vocab, slope,
+              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+              / CAST(n_vocab AS DOUBLE) AS intercept
+       FROM fit""")) { t =>
+    TextAnalysis.zipfFit(t.documents)
+  }
+
   // s15 — DISTRIBUTED K-MEANS TRAINING through the correctness gate:
   // 3 Lloyd iterations (k = 8, init = the 8 smallest vec_ids) over the
   // embedding corpus, then the final model labels every vector. The oracle
@@ -2507,7 +2537,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

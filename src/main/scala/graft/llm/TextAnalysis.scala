@@ -250,6 +250,49 @@ object TextAnalysis {
       log(pAb / (pA * pB)).cast(DecimalType(18, 8)).cast("double").as("pmi"))
   }
 
+  /** Zipf-law fit of the corpus token distribution — the corpus-health
+    * diagnostic (natural text follows freq ∝ rank^(−s) with s ≈ 1;
+    * boilerplate-heavy or synthetic corpora deviate): least-squares slope
+    * and intercept of ln(freq) on ln(rank) over the full vocabulary.
+    *
+    * Scale shape: ONE map-side-combined token-count shuffle; the global
+    * frequency rank rides the PrefixSum machinery (range-partition by
+    * (−freq, token), per-partition counts, driver offsets) because a
+    * `ROW_NUMBER() OVER (ORDER BY ...)` would plan the single-task window
+    * this engine bans; the regression is one exact-decimal aggregate of
+    * the vocabulary frame.
+    *
+    * Determinism: ln(rank)/ln(freq) quantize to DECIMAL(18,8) per row (the
+    * x16 treatment); their products are exact DECIMAL(37,16); all four
+    * regression sums are exact decimal; the final slope/intercept are one
+    * fixed IEEE expression over the sums.
+    */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    val freq = documents
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_w"))
+      .withColumn("g0", lit(0))
+      .withColumn("negn", -col("n_w"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixSum.withGroupedRunningSum(
+      freq, Seq("g0"), Seq("negn", "tok"), "one", "rnk")
+    val pts = ranked.select(
+      log(col("rnk").cast("double")).cast(DecimalType(18, 8)).as("x"),
+      log(col("n_w").cast("double")).cast(DecimalType(18, 8)).as("y"))
+    pts.agg(count(lit(1)).as("n_vocab"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_vocab").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_vocab").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_vocab").cast("double"))
+      .select(col("n_vocab"), col("slope"), col("intercept"))
+  }
+
   /** CROSS-CORPUS bigram scoring with STUPID BACKOFF (Brants et al. 2007,
     * "Large Language Models in Machine Translation" §4 — the smoothing
     * designed FOR MapReduce-scale LMs; the CCNet recipe's shape, where a

@@ -136,6 +136,20 @@ class Round11cOpsSpec extends SparkSpec {
       (1L, 1L, 1L), (2L, 2L, 1L), (11L, 1L, 0L), (12L, 2L, 0L), (30L, 30L, 1L)))
   }
 
+  test("zipfFit: flat distribution fits slope 0 exactly; perfect Zipf fits ~ -1") {
+    // two tokens, equal frequency: y is constant => exact 0 slope
+    val flat = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val f = TextAnalysis.zipfFit(flat).select("n_vocab", "slope")
+      .as[(Long, Double)].head()
+    assert(f === ((2L, 0.0)))
+    // freq ∝ 1/rank (6, 3, 2): ln freq = ln 6 - ln rank => slope -1
+    // (up to the DECIMAL(18,8) quantization of each ln)
+    val words = Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc")
+    val zipf = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val z = TextAnalysis.zipfFit(zipf).select("slope").as[Double].head()
+    assert(math.abs(z + 1.0) < 1e-6, s"slope $z should be ~ -1")
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
