@@ -758,6 +758,49 @@ object EtlQueries {
       .orderBy("segment")
   }
 
+  // t26 — WRITE-AUDIT-PUBLISH through the correctness gate: the full star
+  // stages as an unpublished version, the StarIntegrity audit runs ON THE
+  // STAGED FILES, and only a clean audit swaps the pointer; a poisoned
+  // second batch (every category key orphaned) stages, FAILS the audit,
+  // and must leave the good version live — the def reads the CURRENT
+  // snapshot after both attempts, so a premature pointer swap (serving
+  // the corrupt batch) hash-fails against the clean-star oracle.
+  private val t26 = q("t26_wap_publish",
+    s"""$withPrefix
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_facts,
+              ${sqlDsum("amount")} AS total_amount,
+              CAST(COUNT(DISTINCT category_key) AS BIGINT) AS n_categories
+       FROM fact""") { t =>
+    import graft.warehouse.StarIntegrity
+    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = Map(
+      "dim_category" -> TxnPipeline.dimCategory(valid),
+      "dim_merchant" -> TxnPipeline.dimMerchant(valid),
+      "dim_payment_method" -> TxnPipeline.dimPayment(valid),
+      "dim_user" -> TxnPipeline.dimUser(valid),
+      "dim_date" -> TxnPipeline.dimDate(valid))
+    val fact = TxnPipeline.buildFact(valid,
+      dims("dim_category"), dims("dim_merchant"), dims("dim_payment_method"),
+      dims("dim_user"), dims("dim_date"))
+    val star = dims + ("fact_transactions" -> fact)
+    val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+    val good = ParquetWarehouse.publishAudited(root, star, StarIntegrity.allClean)
+    require(good.isRight, s"clean star must publish, got $good")
+    // poison batch: every fact category key orphaned — must NOT publish
+    val poisoned = star + ("fact_transactions" ->
+      fact.withColumn("category_key", col("category_key") + 999999))
+    val bad = ParquetWarehouse.publishAudited(root, poisoned, StarIntegrity.allClean)
+    require(bad.isLeft, "poisoned star must fail the audit")
+    require(ParquetWarehouse.currentVersion(root) == good.toOption,
+      "failed audit must leave the good version live")
+    valid.unpersist()
+    ParquetWarehouse.readTable(t.spark, root, "fact_transactions")
+      .agg(count(lit(1)).as("n_facts"),
+        dsum(col("amount")).as("total_amount"),
+        countDistinct("category_key").as("n_categories"))
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -779,5 +822,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, c01, c02, c03)
 }

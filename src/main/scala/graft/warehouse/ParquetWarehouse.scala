@@ -61,6 +61,34 @@ object ParquetWarehouse {
   def currentVersion(root: String): Option[String] =
     AtomicPointer.read(s"$root/$Pointer").map(_.trim)
 
+  /** WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern): stage every
+    * table under an UNPUBLISHED version dir, run `audit` on the STAGED
+    * FILES (exactly the bytes readers would see — not on the input
+    * lineage, which a nondeterministic upstream could diverge from), and
+    * swap the CURRENT pointer only when the audit passes. A failing audit
+    * publishes NOTHING: the previous version stays live and the staged dir
+    * remains on disk for inspection (Left(version)). At 100 TB this is the
+    * only safe shape for "don't serve a corrupt batch" — validation after
+    * the pointer swap is a read-visible corruption window.
+    */
+  def publishAudited(root: String, tables: Map[String, DataFrame],
+                     audit: Map[String, DataFrame] => Boolean): Either[String, String] = {
+    require(tables.nonEmpty, "publishAudited: no tables to publish")
+    // allocate past any EXISTING dir, not just past the pointer — a failed
+    // stage keeps its number (and its files) until vacuumed, so the next
+    // attempt never overwrites the evidence
+    var n = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1
+    while (AtomicPointer.exists(s"$root/v$n")) n += 1
+    val next = s"v$n"
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$next/$name")
+    }
+    val spark = tables.head._2.sparkSession
+    val staged = tables.keys.map(n => n -> spark.read.parquet(s"$root/$next/$n")).toMap
+    if (audit(staged)) { AtomicPointer.write(s"$root/$Pointer", next); Right(next) }
+    else Left(next)
+  }
+
   /** Read a table from the currently-published snapshot, resolving the two
     * metadata-only indirections a version may carry:
     *   - a `<table>.base` pointer file (the version holding the actual data

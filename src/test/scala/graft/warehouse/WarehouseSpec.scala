@@ -383,6 +383,31 @@ class WarehouseSpec extends SparkSpec {
       again.sortBy(_.asset_id).map(_.payload.toSeq).toSeq)
   }
 
+  test("publishAudited: failing audit never swaps the pointer; staged dir survives") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wap-spec").toString
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val r1 = ParquetWarehouse.publishAudited(root, Map("t" -> good),
+      s => s("t").filter(col("v") <= 0).isEmpty)
+    assert(r1 === Right("v1"))
+    assert(ParquetWarehouse.currentVersion(root).contains("v1"))
+    // bad batch: audit rejects, pointer stays, staged v2 remains on disk
+    val bad = Seq((3L, -5.0)).toDF("k", "v")
+    val r2 = ParquetWarehouse.publishAudited(root, Map("t" -> bad),
+      s => s("t").filter(col("v") <= 0).isEmpty)
+    assert(r2 === Left("v2"))
+    assert(ParquetWarehouse.currentVersion(root).contains("v1"))
+    assert(new java.io.File(s"$root/v2/t").exists, "staged dir kept for inspection")
+    assert(ParquetWarehouse.readTable(spark, root, "t").count() === 2)
+    // a later clean batch publishes as v3: the failed v2 stage keeps its
+    // number and files (never overwritten)
+    val r3 = ParquetWarehouse.publishAudited(root, Map("t" -> good),
+      s => s("t").filter(col("v") <= 0).isEmpty)
+    assert(r3 === Right("v3"))
+    assert(ParquetWarehouse.currentVersion(root).contains("v3"))
+    assert(spark.read.parquet(s"$root/v2/t").count() === 1, "failed stage intact")
+  }
+
   test("multimodal: chunk sampling keeps every k-th fixed-size chunk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     val chunks = Multimodal.sampleChunks(Multimodal.syntheticAssets(docs), chunkBytes = 64, every = 4)
