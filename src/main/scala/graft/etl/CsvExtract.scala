@@ -47,6 +47,25 @@ object CsvExtract {
       .csv(path)
       .withColumn("seq", monotonically_increasing_id())
 
+  /** RFC-4180 CSV scan: quoted fields may contain the delimiter, doubled
+    * quotes (`""` escaping — Spark's default escape is backslash, so it
+    * must be pinned to `"`), and EMBEDDED NEWLINES (`multiLine`). The
+    * 100 TB tradeoff `multiLine` buys this correctness with: a file whose
+    * records can span lines cannot be split at arbitrary byte offsets, so
+    * each FILE becomes one input partition — fine for many medium files,
+    * wrong for one giant file. Bulk pipelines prefer newline-free escaped
+    * formats exactly to keep scans splittable; this reader is the
+    * correctness path for third-party RFC-4180 drops.
+    */
+  def readRobust(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("multiLine", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+
   /** P1 over a DIRECTORY BATCH: read several CSV files as ONE frame with a
     * composite file-order `seq` = struct(file, off). A single multi-file
     * `spark.read.csv(paths: _*)` packs small files into shared partitions in

@@ -458,6 +458,25 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  private val fixtureQuoted = "/root/repo/fixtures/transactions_quoted.csv"
+
+  // c04 — RFC-4180 CSV ingestion: quoted delimiters, doubled-quote
+  // escapes, EMBEDDED NEWLINES, and quote-preserved padding, parsed
+  // field-for-field identically to DuckDB's conforming reader (Spark needs
+  // multiLine + escape='"' pinned — its defaults silently mis-parse all
+  // three). The oracle reads the same committed fixture, so one
+  // mis-split record or mangled escape hash-fails.
+  private val c04 = q("c04_csv_quoted_extract",
+    s"""SELECT transaction_id, date, category, amount, merchant,
+               payment_method, user_id
+        FROM read_csv('$fixtureQuoted', header=true, all_varchar=true)
+        ORDER BY transaction_id""") { t =>
+    CsvExtract.readRobust(t.spark, fixtureQuoted)
+      .select("transaction_id", "date", "category", "amount", "merchant",
+        "payment_method", "user_id")
+      .orderBy("transaction_id")
+  }
+
   // t16 — the BUCKETED warehouse layout through the correctness gate
   // (scale layout #2; t13 covers layout #1): write orders bucketed+sorted by
   // o_custkey (the one-time shuffle that amortizes across every downstream
@@ -822,5 +841,5 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, c01, c02, c03)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, c01, c02, c03, c04)
 }
