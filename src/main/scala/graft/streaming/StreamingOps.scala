@@ -421,6 +421,55 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous SCD TYPE 2 dimension maintenance from an attribute-update
+    * stream: each micro-batch applies [[graft.warehouse.ScdDim.applyBatch]]
+    * per effective date (ascending — dims change on human cadence, so a
+    * batch carries a handful of dates; the distinct-date collect is
+    * date-count-bounded, never row-bounded) against the CURRENT published
+    * dim and publishes the result as a new snapshot version.
+    *
+    * REPLAY SAFETY comes from SCD2's own semantics, no guard needed: a
+    * re-delivered batch finds every update attribute-equal to the current
+    * version and versions NOTHING (the no-op rule), so at-least-once
+    * foreachBatch delivery converges to the exactly-once dim. Batch dates
+    * must be non-decreasing across the stream (the SCD2 contract — late
+    * retro-dated corrections are a rebuild, not an append).
+    *
+    * First batch bootstraps the dim: unseen business keys insert as first
+    * current rows at their batch date.
+    */
+  def ingestScdDimStream(updates: DataFrame, root: String, checkpoint: String,
+                         businessKey: Seq[String], attrs: Seq[String],
+                         dateCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.warehouse.{ParquetWarehouse, ScdDim}
+    val cols = businessKey ++ attrs
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dates = batch.select(col(dateCol).cast("date").as("d")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        if (dates.nonEmpty) {
+          var dim = ParquetWarehouse.currentVersion(root) match {
+            case Some(_) => ParquetWarehouse.readTable(spark, root, "dim")
+            case None => ScdDim.initial(
+              batch.filter(lit(false)).select(cols.map(col): _*),
+              lit(dates.head.toString))
+          }
+          dates.foreach { d =>
+            val b = batch
+              .filter(col(dateCol).cast("date") === lit(d.toString).cast("date"))
+              .select(cols.map(col): _*)
+            dim = ScdDim.applyBatch(dim, b, businessKey, attrs, lit(d.toString))
+          }
+          ParquetWarehouse.publishSnapshot(root,
+            Map("dim" -> graft.operators.Materialize.cut(dim)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector-index maintenance: each micro-batch of embeddings is
     * assigned + int8-quantized against the STORED centroids and appended to
     * the cell-partitioned vectors table

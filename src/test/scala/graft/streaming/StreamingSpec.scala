@@ -343,6 +343,53 @@ class StreamingSpec extends SparkSpec {
     assert(indexedIds(s"$root/idx_s") == indexedIds(s"$root/idx_b"))
   }
 
+  test("streaming SCD2: stream equals batch-sequential truth; replay versions nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.warehouse.{ParquetWarehouse, ScdDim}
+    val root = java.nio.file.Files.createTempDirectory("graft-scd-stream").toString
+    val b1 = Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"))
+    val b2 = Seq((1L, "a2", "2026-02-01"), (2L, "b", "2026-02-01")) // 2 is a no-op
+
+    def dimRows() = ParquetWarehouse.readTable(spark, root, "dim")
+      .orderBy("bk", "effective_from")
+      .select(col("bk"), col("seg"), col("effective_from").cast("string"),
+        col("effective_to").cast("string"), col("is_current"))
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.ingestScdDimStream(
+      stream.toDF().toDF("bk", "seg", "eff"),
+      root, s"$root/ckpt", Seq("bk"), Seq("seg"), "eff")
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = Seq(
+      (1L, "a", "2026-01-01", Some("2026-02-01"), false),
+      (1L, "a2", "2026-02-01", None, true),
+      (2L, "b", "2026-01-01", None, true))
+    assert(dimRows() === expected)
+
+    // batch-sequential twin from the same deliveries
+    val dim0 = ScdDim.applyBatch(
+      ScdDim.initial(Seq.empty[(Long, String)].toDF("bk", "seg"), lit("2026-01-01")),
+      b1.map(r => (r._1, r._2)).toDF("bk", "seg"), Seq("bk"), Seq("seg"), lit("2026-01-01"))
+    val dimB = ScdDim.applyBatch(dim0,
+      b2.map(r => (r._1, r._2)).toDF("bk", "seg"), Seq("bk"), Seq("seg"), lit("2026-02-01"))
+    assert(dimB.count() === 3)
+
+    // crash replay: the same b2 re-delivered through a FRESH checkpoint
+    // (reprocessing) — SCD2's no-op rule must version NOTHING
+    val replay = MemoryStream[(Long, String, String)]
+    val q2 = StreamingOps.ingestScdDimStream(
+      replay.toDF().toDF("bk", "seg", "eff"),
+      root, s"$root/ckpt2", Seq("bk"), Seq("seg"), "eff")
+    try { replay.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    assert(dimRows() === expected, "replayed batch must not create versions")
+  }
+
   test("deduped ingest replay window: a batch re-delivered after a crash duplicates nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
