@@ -44,6 +44,13 @@ object KMeans {
 
   /** cid of the nearest centroid (squared-L2 via c·c − 2·x·c; ties →
     * smaller cid) as a narrow column over `embCol`.
+    *
+    * Implementation note: the argmin is `array_min` over (d, cid) structs —
+    * struct ordering compares d first, then cid, which IS the
+    * min-distance-tie-to-smaller-cid rule — because a `when`-chain fold
+    * duplicates the accumulated branch twice per step (2^k copies of the
+    * distance expressions; at k=8, dim=64 that was a ~10⁵-node tree whose
+    * PLANNING took ~45 s per job). This form is linear in k·dim.
     */
   def assignCol(model: Model, embCol: Column): Column = {
     def dist(c: Array[Double]): Column = {
@@ -52,13 +59,9 @@ object KMeans {
       while (i < c.length) { cc += c(i) * c(i); i += 1 }
       lit(cc) - lit(2.0) * VecMath.vecDot(embCol, typedlit(c.toSeq))
     }
-    model.zipWithIndex.tail.foldLeft(
-      struct(dist(model(0)).as("d"), lit(0L).as("cid"))) {
-      case (best, (c, cid)) =>
-        val d = dist(c)
-        when(d < best.getField("d"), struct(d.as("d"), lit(cid.toLong).as("cid")))
-          .otherwise(best)
-    }.getField("cid")
+    array_min(array(model.zipWithIndex.map { case (c, cid) =>
+      struct(dist(c).as("d"), lit(cid.toLong).as("cid"))
+    }: _*)).getField("cid")
   }
 
   /** `iterations` Lloyd steps from [[init]]. Returns the final model. */
