@@ -54,6 +54,15 @@ object ScdDim {
       Seq("effective_from", "effective_to", "is_current")
     require(outCols.forall(current.columns.contains),
       s"current dim must carry ${outCols.mkString(", ")}")
+    // key-unique batch contract (the upsertSnapshot rule): a duplicated
+    // business key would fan out through the full-outer join into
+    // conflicting versions. NOTE: this check is an EAGER action at
+    // call time (one count job over the batch), the price upsertSnapshot
+    // also pays — callers constructing plans without executing still run it
+    val dupes = updates.groupBy(businessKey.map(col): _*)
+      .count().filter(col("count") > 1)
+    require(dupes.isEmpty,
+      s"applyBatch: duplicate business keys in the update batch — merge is ambiguous")
 
     val eff = effectiveDate.cast("date")
     val cur = current.filter(col("is_current")).withColumn("__c", lit(true))

@@ -108,6 +108,14 @@ class ScdDimSpec extends SparkSpec {
       s"interval predicate must ride the equi-join, got:\n$plan")
   }
 
+  test("duplicate business keys in a batch fail fast") {
+    val dup = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("bk", "seg", "bal")
+    val e = intercept[IllegalArgumentException] {
+      ScdDim.applyBatch(dim0, dup, Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
+    }
+    assert(e.getMessage.contains("duplicate business keys"))
+  }
+
   test("plan: no Window node anywhere in the merge") {
     val out = ScdDim.applyBatch(dim0, Seq((1L, "a2", 10.0)).toDF("bk", "seg", "bal"),
       Seq("bk"), Seq("seg", "bal"), lit("2026-02-01"))
