@@ -138,6 +138,51 @@ object Graph {
       .isEmpty
   }
 
+  /** Exact TRIANGLE COUNT of an undirected simple graph, with the
+    * degree-ordered orientation that makes it tractable at scale: every
+    * edge orients from its lower-(degree, id) endpoint to the higher, so
+    * each node's out-degree is O(√m) and the wedge join (the quadratic
+    * step) is bounded by Σ outdeg² = O(m^1.5) — a plain id-ordered
+    * orientation lets one low-id hub generate O(deg²) wedges. Each
+    * triangle is counted exactly once (at its lowest-ordered vertex).
+    *
+    * Input: one row per undirected edge as (a, b) with a ≠ b (either
+    * order, duplicates tolerated — normalized here). Output: one row
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(pairs: DataFrame, a: String = "src", b: String = "dst"): DataFrame = {
+    // canonicalize BEFORE symmetrizing: an edge delivered in both
+    // orientations must collapse to one undirected edge, not two
+    val und = pairs.select(
+      least(col(a).cast("long"), col(b).cast("long")).as("a"),
+      greatest(col(a).cast("long"), col(b).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = symmetrize(und, "a", "b")
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // one comparable key encoding (deg, id) — ids are graph-node ids well
+    // under 2^31, degrees under 2^32
+    val keyed = deg.select(col("node"),
+      (col("deg") * lit(4294967296L) + col("node")).as("okey"))
+    // materialized once: the orientation join feeds four consumers
+    // (edge count, both wedge sides, the closing semi join)
+    val oriented = Materialize.cut(sym
+      .join(keyed.select(col("node").as("src"), col("okey").as("skey")), Seq("src"))
+      .join(keyed.select(col("node").as("dst"), col("okey").as("dkey")), Seq("dst"))
+      .filter(col("skey") < col("dkey"))
+      .select(col("src"), col("dst"), col("dkey")))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("w_src"), col("dst").as("w_dst")),
+      Seq("w_src", "w_dst"), "left_semi")
+    // three 1-row aggregates composed lazily — no driver actions
+    keyed.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Min-label-propagation oracle fragment: unrolled `l0 .. l{iterations}`
     * over a caller-provided `edges(src,dst)` CTE.
     */

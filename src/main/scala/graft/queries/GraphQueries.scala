@@ -69,5 +69,38 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02)
+  // g03 — exact triangle count of the rare-part CO-PURCHASE graph
+  // (customers linked when they bought the same part at quantity ≥ 49 —
+  // the rare-event filter keeps the graph sparse; the unfiltered
+  // co-purchase graph is near-complete and its triangle count is the
+  // O(n³) query nobody should run). The engine counts via degree-ordered
+  // orientation (each triangle once, wedge work O(m^1.5)); the oracle
+  // counts the canonical a<b<c 3-way join — the equality proves the
+  // orientation neither drops nor double-counts.
+  private val g03 = q("g03_triangle_count", Some(
+    """WITH rp AS (
+         SELECT DISTINCT l_partkey AS p, o_custkey AS c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity >= 49),
+       e AS MATERIALIZED (
+         SELECT DISTINCT a.c AS x, b.c AS y
+         FROM rp a JOIN rp b ON a.p = b.p AND a.c < b.c),
+       nodes AS (SELECT x AS n FROM e UNION SELECT y FROM e)
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM e ab JOIN e bc ON ab.y = bc.x
+                         JOIN e ac ON ac.x = ab.x AND ac.y = bc.y) AS n_triangles""")) { t =>
+    val rare = t.lineitem.filter(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_partkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+    val pairs = rare.as("a")
+      .join(rare.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("x"), col("b.c").as("y")).distinct()
+    Graph.triangleCount(pairs, "x", "y")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03)
 }

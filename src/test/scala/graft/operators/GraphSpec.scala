@@ -73,6 +73,20 @@ class GraphSpec extends SparkSpec {
     assert(pr.tail.map(_._2).distinct.size === 1) // leaves symmetric
   }
 
+  test("triangleCount: hand graphs — K4, K4 minus an edge, square, triangle+pendant") {
+    def tri(pairs: (Long, Long)*): (Long, Long, Long) =
+      Graph.triangleCount(pairs.toDF("src", "dst"))
+        .as[(Long, Long, Long)].head()
+    // K4: 4 nodes, 6 edges, 4 triangles
+    assert(tri((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) === ((4L, 6L, 4L)))
+    // K4 minus edge (3,4): 2 triangles
+    assert(tri((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)) === ((4L, 5L, 2L)))
+    // 4-cycle: no triangles
+    assert(tri((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)) === ((4L, 4L, 0L)))
+    // duplicates and reversed orientations normalize away
+    assert(tri((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)) === ((3L, 3L, 1L)))
+  }
+
   test("pageRank: partitioning-independent (exact integer equality)") {
     val e = twoComponents
     val a = Graph.pageRank(e, iterations = 3)
