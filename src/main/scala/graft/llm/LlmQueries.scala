@@ -2514,6 +2514,24 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // e20 — event-type frequencies from a COUNT-MIN SKETCH, side by side
+  // with the exact counts (rows-only: xxhash64 has no DuckDB twin, like
+  // d03; CountMinSpec grades the one-sided error and exactly-additive
+  // merge). At this key cardinality and width the estimates are exact;
+  // the sketch's value is that its build shuffles d·w cells however many
+  // distinct keys 100 TB of events carries.
+  private val e20 = q("e20_event_freq_cms", None) { t =>
+    val ev = eventsTs(t)
+    val sketch = graft.operators.CountMin.build(ev, "event_type")
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact"))
+    graft.operators.CountMin.estimate(sketch, ev, "event_type")
+      .withColumnRenamed("k", "event_type")
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy("event_type")
+  }
+
   // e19 — rolling WAU served from the PERSISTED sketch store (rows-only
   // like e12: HLL estimates have no SQL oracle): the event log is sketched
   // per ingested batch (here two appends splitting the users, so every day
@@ -2538,6 +2556,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }
