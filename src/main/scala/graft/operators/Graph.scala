@@ -183,6 +183,56 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** K-CORE of an undirected graph by iterative peeling: each round
+    * removes every node whose CURRENT degree is < k (removals cascade —
+    * a node can drop below k because its neighbors left). After enough
+    * rounds the survivors are exactly the maximal subgraph of minimum
+    * degree ≥ k — the standard dense-community / spam-farm detector.
+    * Fixed `rounds` keeps the recurrence oracle-replayable;
+    * [[kCoreConverged]] proves the fixpoint. Returns the surviving
+    * (node, deg) — degrees WITHIN the core.
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * of the shrinking edge set; edges [[Materialize]]d per round (same
+    * recovery bound as the other iterative ops).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = Materialize.cut(edges)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      e = Materialize.cut(
+        e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** True when one more peeling round removes nothing. */
+  def kCoreConverged(edges: DataFrame, k: Int, rounds: Int): Boolean = {
+    val a = kCore(edges, k, rounds).agg(count(lit(1)), sum("deg")).head()
+    val b = kCore(edges, k, rounds + 1).agg(count(lit(1)), sum("deg")).head()
+    a == b
+  }
+
+  /** Peeling oracle fragment: unrolled `p0 .. p{rounds}` over a
+    * caller-provided `edges(src,dst)` CTE; the served result reads
+    * `p{rounds}`.
+    */
+  def kCoreOracleCtes(k: Int, rounds: Int): String = {
+    val p0 = "p0 AS MATERIALIZED (SELECT src, dst FROM edges)"
+    val iters = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src AS node FROM p${i - 1}
+                  GROUP BY 1 HAVING COUNT(*) >= $k),
+         p$i AS MATERIALIZED (
+           SELECT e.src, e.dst FROM p${i - 1} e
+           JOIN k$i a ON e.src = a.node
+           JOIN k$i b ON e.dst = b.node)"""
+    }
+    (p0 +: iters).mkString(",\n")
+  }
+
   /** Min-label-propagation oracle fragment: unrolled `l0 .. l{iterations}`
     * over a caller-provided `edges(src,dst)` CTE.
     */

@@ -102,5 +102,19 @@ object GraphQueries {
     Graph.triangleCount(pairs, "x", "y")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03)
+  // g04 — 3-CORE of the sparse purchase graph by iterative peeling
+  // (remove-degree-<3 until stable; 10 fixed rounds both engines —
+  // GraphSpec proves 10 reaches the fixpoint on the testdata graph). The
+  // surviving (node, within-core degree) rows are the dense backbone the
+  // leaf-cascade strips away.
+  private val g04 = q("g04_kcore", Some(
+    s"""WITH ${edgesCte(Some(48))},
+        ${Graph.kCoreOracleCtes(k = 3, rounds = 10)}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM p10 GROUP BY 1 ORDER BY node""")) { t =>
+    Graph.kCore(purchaseEdges(t, Some(48)), k = 3, rounds = 10)
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04)
 }

@@ -87,6 +87,30 @@ class GraphSpec extends SparkSpec {
     assert(tri((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)) === ((3L, 3L, 1L)))
   }
 
+  test("kCore: peeling cascades; 2-core of triangle+tail keeps only the triangle") {
+    // triangle {1,2,3} with a tail 3-4-5: peeling k=2 removes 5 (deg 1),
+    // then 4 (deg drops to 1) — two rounds needed, proving the cascade
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core = Graph.kCore(g, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round is NOT enough (node 4 still present with deg 1 at round 1)
+    assert(!Graph.kCoreConverged(g, k = 2, rounds = 1))
+    assert(Graph.kCoreConverged(g, k = 2, rounds = 2))
+    // 3-core of the same graph is empty
+    assert(Graph.kCore(g, k = 3, rounds = 3).count() === 0)
+  }
+
+  test("g04's fixed round count reaches the k-core fixpoint on the testdata graph") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.filter(col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    assert(Graph.kCoreConverged(Graph.symmetrize(pairs, "c", "s"), k = 3, rounds = 10))
+  }
+
   test("pageRank: partitioning-independent (exact integer equality)") {
     val e = twoComponents
     val a = Graph.pageRank(e, iterations = 3)
