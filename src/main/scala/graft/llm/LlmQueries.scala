@@ -1319,6 +1319,40 @@ object LlmQueries {
     TextAnalysis.unigramSurprisal(t.documents).orderBy("doc_id")
   }
 
+  // x36 — CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
+  // per-LANGUAGE surprisal terciles (head = most fluent third, the CCNet
+  // keep slice). The per-lang rank rides the grouped PrefixSum — the
+  // window formulation would funnel each language through one task. The
+  // oracle recomputes the x16 scores, the per-lang window rank (fine at
+  // oracle scale), and the same tercile arithmetic.
+  private val x36 = q("x36_ccnet_buckets", Some(
+    """WITH dt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z
+          GROUP BY 1, 2),
+        freq AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n_w FROM dt GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM freq),
+        lut AS (SELECT tok,
+                  CAST(ln(CAST(n_total AS DOUBLE) / CAST(n_w AS DOUBLE)) AS DECIMAL(18,8)) AS lnv
+                FROM freq, tot),
+        sc AS (SELECT dt.doc_id,
+                 ROUND(CAST(SUM(c * lnv) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4)
+                   AS surprisal
+               FROM dt JOIN lut USING (tok) GROUP BY 1),
+        sl AS (SELECT sc.doc_id, d.lang, sc.surprisal
+               FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+        r AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS rnk,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM sl)
+        SELECT doc_id, lang, surprisal,
+               CASE ((rnk - 1) * 3) // n WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM r ORDER BY doc_id""")) { t =>
+    TextAnalysis.ccnetBuckets(t.documents).orderBy("doc_id")
+  }
+
   // x28 — INCREMENTAL unigram-LM maintenance: the vocabulary histogram
   // lands in the CountStore in two batch appends and scoring reads the
   // summed model — x16's VERBATIM oracle hash-proves incremental ≡
@@ -2555,7 +2589,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -250,6 +250,33 @@ object TextAnalysis {
       log(pAb / (pA * pB)).cast(DecimalType(18, 8)).cast("double").as("pmi"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): per
+    * LANGUAGE, documents split into head/middle/tail terciles of LM
+    * surprisal — head = most-fluent third, the slice CCNet keeps for
+    * pretraining; the grouping is per-language because surprisal scales
+    * differ across languages. Uses the x16 unigram surprisal as the LM
+    * score.
+    *
+    * Scale shape: the per-language rank rides the GROUPED PrefixSum
+    * (range-partition by (lang, surprisal, doc_id) + driver offsets) —
+    * a `ROW_NUMBER() OVER (PARTITION BY lang ...)` would funnel each
+    * language through one task, and real corpora have a handful of huge
+    * languages; the tercile arithmetic is a narrow map over the
+    * language-keyed count join.
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val scored = unigramSurprisal(documents)
+      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixSum.withGroupedRunningSum(
+      scored, Seq("lang"), Seq("surprisal", "doc_id"), "one", "rnk")
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(n, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("surprisal"),
+        expr("CASE ((rnk - 1) * 3) div n WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+  }
+
   /** Zipf-law fit of the corpus token distribution — the corpus-health
     * diagnostic (natural text follows freq ∝ rank^(−s) with s ≈ 1;
     * boilerplate-heavy or synthetic corpora deviate): least-squares slope

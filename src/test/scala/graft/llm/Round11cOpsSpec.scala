@@ -150,6 +150,26 @@ class Round11cOpsSpec extends SparkSpec {
     assert(math.abs(z + 1.0) < 1e-6, s"slope $z should be ~ -1")
   }
 
+  test("ccnetBuckets: terciles per language, head = lowest surprisal, no Window") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.ccnetBuckets(t.documents)
+    // every language splits 3 ways with near-equal tercile sizes
+    val sizes = out.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"),
+        count(lit(1)).as("nb")).collect()
+    sizes.foreach { r =>
+      assert(r.getLong(3) === 3L, s"lang ${r.getString(0)} must have 3 buckets")
+      assert(r.getLong(1) - r.getLong(2) <= 1, "terciles within 1 of each other")
+    }
+    // ordering: every head doc scores <= every tail doc within its language
+    val agg = out.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("surprisal"))).as("maxHead"),
+      min(when(col("bucket") === "tail", col("surprisal"))).as("minTail")).collect()
+    agg.foreach(r => assert(r.getDouble(1) <= r.getDouble(2),
+      s"head must outscore tail in ${r.getString(0)}"))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
