@@ -1319,6 +1319,37 @@ object LlmQueries {
     TextAnalysis.unigramSurprisal(t.documents).orderBy("doc_id")
   }
 
+  // x37 — LEAKAGE-FREE train/test split: the x11 hash split, then any
+  // train/val doc sharing ≥ 20 3-shingle occurrences with the test split
+  // re-labels 'dropped' (Lee et al. 2022 §6.2's train-test leakage,
+  // closed at split time). Test docs are never dropped. minShared = 20
+  // sits above this low-vocabulary synthetic corpus's incidental-overlap
+  // floor (median hit count 6, p99 19 — measured), so only the genuine
+  // heavy-overlap tail drops; on a real corpus a shared 3-shingle is rare
+  // and minShared = 1 is the right screen. The oracle recomputes the
+  // split rule, the test shingle set, and the containment screen.
+  private val x37 = q("x37_leakfree_split", Some(
+    s"""WITH sp AS (
+          SELECT doc_id, ${Sampling.sqlHashBucket("doc_id", "split")} AS bucket,
+            CASE WHEN ${Sampling.sqlHashBucket("doc_id", "split")} < ${Sampling.sqlHex2(0.8)} THEN 'train'
+                 WHEN ${Sampling.sqlHashBucket("doc_id", "split")} < ${Sampling.sqlHex2(0.9)} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+        sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+        b AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
+              WHERE sp.split = 'test'),
+        hits AS (SELECT s.doc_id FROM sh s
+                 JOIN sp p USING (doc_id) JOIN b USING (shingle)
+                 WHERE p.split <> 'test'
+                 GROUP BY s.doc_id HAVING COUNT(*) >= 20)
+        SELECT sp.doc_id,
+               CASE WHEN sp.split <> 'test'
+                    AND sp.doc_id IN (SELECT doc_id FROM hits)
+                    THEN 'dropped' ELSE sp.split END AS split
+        FROM sp ORDER BY doc_id""")) { t =>
+    Sampling.leakFreeSplit(t.documents, minShared = 20).orderBy("doc_id")
+  }
+
   // x36 — CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
   // per-LANGUAGE surprisal terciles (head = most fluent third, the CCNet
   // keep slice). The per-lang rank rides the grouped PrefixSum — the
@@ -2589,7 +2620,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -71,6 +71,34 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** LEAKAGE-FREE train/test split — the eval-hygiene upgrade of
+    * [[trainValTestSplit]]: after the deterministic hash split, any
+    * train/val document sharing ≥ `minShared` 3-shingles with ANY test
+    * document is re-labeled `dropped` (it is a paraphrase/near-copy of
+    * held-out data; training on it makes the test split dishonest —
+    * Lee et al. 2022 §6.2 measure exactly this leakage). Test documents
+    * are never dropped, so the eval set itself stays a pure function of
+    * ids.
+    *
+    * Scale shape: the split is a narrow hash map; contamination screening
+    * is [[Dedup.contaminationReport]]'s shape — the TEST side's distinct
+    * shingles are the small side (an eval-sized fraction of the corpus)
+    * joined against the train shingle stream, so the corpus text never
+    * shuffles and no all-pairs comparison exists.
+    */
+  def leakFreeSplit(documents: DataFrame, minShared: Int = 1): DataFrame = {
+    val sp = trainValTestSplit(documents, "doc_id")
+    val contaminated = Dedup.contaminationReport(
+      sp.filter(col("split") =!= "test"),
+      sp.filter(col("split") === "test"))
+      .filter(col("n_shared_shingles") >= minShared)
+      .select(col("doc_id"), lit(true).as("leaks"))
+    sp.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split") =!= "test" && col("leaks"), "dropped")
+          .otherwise(col("split")).as("split"))
+  }
+
   /** Per-source token-cap downsampling — the mixture-flattening step a
     * training-corpus build applies so no single source/domain dominates the
     * token budget (the C4/RefinedWeb per-domain cap, Raffel et al. 2020 /

@@ -170,6 +170,26 @@ class Round11cOpsSpec extends SparkSpec {
     assert(!out.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("leakFreeSplit: planted cross-split copy drops; disjoint survives; test never drops") {
+    val ids = spark.range(1, 201).select(col("id").as("doc_id"))
+    val sp = Sampling.trainValTestSplit(ids, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    val testId = sp.find(_._2 == "test").get._1
+    val trainIds = sp.filter(_._2 == "train").map(_._1)
+    val (leakTrain, cleanTrain) = (trainIds(0), trainIds(1))
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ") // 28 shingles ≥ 20
+    val docs = Seq(
+      (testId, shared),                    // held-out doc
+      (leakTrain, shared),                 // verbatim copy in train => leak
+      (cleanTrain, Seq.fill(8)("totally different words here now").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakFreeSplit(docs, minShared = 20)
+      .as[(Long, String)].collect().toMap
+    assert(out(testId) === "test")
+    assert(out(leakTrain) === "dropped")
+    assert(out(cleanTrain) === "train")
+  }
+
   test("pmiCollocations: raw text never shuffles (only count exchanges)") {
     val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val plan = TextAnalysis.pmiCollocations(docs).queryExecution.optimizedPlan.toString
