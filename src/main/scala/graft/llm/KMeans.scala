@@ -69,6 +69,8 @@ object KMeans {
     require(k >= 1 && iterations >= 0)
     val emb = Materialize.cut(embeddings.select("vec_id", "embedding"))
     var model = init(emb, k)
+    require(model.length == k,
+      s"KMeans.train: corpus has only ${model.length} vectors, need k = $k")
     val dim = model.head.length
     for (_ <- 1 to iterations) {
       val means = emb

@@ -436,7 +436,11 @@ object StreamingOps {
     * retro-dated corrections are a rebuild, not an append).
     *
     * First batch bootstraps the dim: unseen business keys insert as first
-    * current rows at their batch date.
+    * current rows at their batch date. SINGLE-WRITER contract: the
+    * read-apply-publish cycle is not concurrency-safe — exactly one
+    * stream owns a dim root (the same contract every snapshot mutator in
+    * ParquetWarehouse carries; unlike the guarded ingests there is no
+    * lock file here because replays are already harmless).
     */
   def ingestScdDimStream(updates: DataFrame, root: String, checkpoint: String,
                          businessKey: Seq[String], attrs: Seq[String],
