@@ -310,7 +310,7 @@ object LlmQueries {
         CAST(tl AS INT) AS n_chars,
         CAST(len(w) AS INT) AS n_tokens,
         CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
-        CAST(list_sum(list_transform(w, x -> len(x))) AS INT) AS sum_token_len,
+        CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_token_len,
         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
         CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio
         FROM (SELECT doc_id, len(text) AS tl, string_split_regex(lower(text), '\s+') AS w
@@ -1348,6 +1348,43 @@ object LlmQueries {
                     THEN 'dropped' ELSE sp.split END AS split
         FROM sp ORDER BY doc_id""")) { t =>
     Sampling.leakFreeSplit(t.documents, minShared = 20).orderBy("doc_id")
+  }
+
+  // x38 — Moore–Lewis cross-entropy-difference selection (in-domain =
+  // source 'src0'): H_in − H_gen under two add-one-smoothed unigram LMs
+  // sharing the general vocabulary. The oracle mirrors the x16 treatment
+  // twice — each ln quantized to DECIMAL(18,8) from identical double
+  // ratios, the per-token DIFFERENCE subtracted in exact decimal, doc
+  // counts times the decimal difference accumulated exactly, one double
+  // division at the end.
+  private val x38 = q("x38_moore_lewis", Some(
+    """WITH dt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z
+          GROUP BY 1, 2),
+        gen AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n_gen FROM dt GROUP BY 1),
+        ind AS (SELECT dt.tok, CAST(SUM(dt.c) AS BIGINT) AS n_in
+                FROM dt JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0' GROUP BY 1),
+        vocab AS (SELECT g.tok, g.n_gen, COALESCE(i.n_in, 0) AS n_in
+                  FROM gen g LEFT JOIN ind i USING (tok)),
+        tots AS (SELECT CAST(SUM(n_gen) AS BIGINT) AS n_gen_tot,
+                        CAST(SUM(n_in) AS BIGINT) AS n_in_tot,
+                        CAST(COUNT(*) AS BIGINT) AS v
+                 FROM vocab),
+        lut AS (SELECT tok,
+                  CAST(ln(CAST(n_in_tot + v AS DOUBLE) / CAST(n_in + 1 AS DOUBLE)) AS DECIMAL(18,8))
+                  - CAST(ln(CAST(n_gen_tot + v AS DOUBLE) / CAST(n_gen + 1 AS DOUBLE)) AS DECIMAL(18,8))
+                    AS lnd
+                FROM vocab, tots)
+        SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(c * lnd) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 4)
+                 AS ml_score
+        FROM dt JOIN lut USING (tok)
+        GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.mooreLewisScore(t.documents, col("source") === "src0")
+      .orderBy("doc_id")
   }
 
   // x36 — CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
@@ -2620,7 +2657,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -28,7 +28,10 @@ object TextAnalysis {
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct_tokens"),
-      aggregate(t, lit(0), (acc, x) => acc + length(x)).as("sum_token_len"))
+      // 0L seed: an Int seed silently wraps past 2^31 total chars in
+      // non-ANSI Spark while the oracle's INT cast errors — the ADVICE r10
+      // gopherRules finding, applied here too (long is exact to 2^63)
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
       .withColumn("avg_token_len",
         col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
       .withColumn("type_token_ratio",
@@ -145,6 +148,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         round(col("sdec").cast("double") / col("n_tokens").cast("double"), 4)
           .as("surprisal"))
+  }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data"): score
+    * every document by H_in(doc) − H_gen(doc), the difference between its
+    * cross-entropy under an IN-DOMAIN unigram LM (trained on the subset
+    * selected by `inDomainPred`) and under the GENERAL corpus LM. Lower =
+    * reads more like the target domain *specifically* (the general-LM term
+    * cancels the "this is just common fluent text" component that makes raw
+    * in-domain perplexity pick generic documents). The standard cheap
+    * domain-selection pass of large-scale pipelines (the same shape CCNet
+    * uses with a Wikipedia LM).
+    *
+    * Both models are add-one smoothed over the GENERAL vocabulary V:
+    * p(w) = (c(w)+1)/(N+|V|) — the in-domain model must assign mass to
+    * general-corpus tokens it never saw, and smoothing both keeps the two
+    * cross-entropies on the same support, so the difference is well-defined
+    * for every document. Tokens outside the general vocabulary cannot occur
+    * (the scored corpus IS the general corpus; for external scoring, feed
+    * the union).
+    *
+    * Determinism: the x16 treatment — each −ln is computed once per
+    * distinct token from bit-identical double ratios and quantized to
+    * DECIMAL(18,8); the per-token difference lnv_in − lnv_gen is exact
+    * DECIMAL(19,8); doc counts narrow to DECIMAL(12,0) so the product's
+    * precision (12+19+1 = 32) keeps scale 8 under the 38-digit cap; the
+    * per-doc accumulation is exact decimal (order-independent), one double
+    * division at the end.
+    *
+    * Scale shape: one corpus tokenize→count shuffle feeds BOTH models (the
+    * in-domain counts re-aggregate the per-doc frame, not the text); the
+    * scoring join hits a vocabulary-sized LUT; scalar totals broadcast.
+    * Raw text never shuffles.
+    */
+  def mooreLewisScore(documents: DataFrame, inDomainPred: Column): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), inDomainPred.as("in_domain"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "in_domain", "tok").agg(count(lit(1)).as("c"))
+    val gen = docTok.groupBy("tok").agg(sum("c").as("n_gen"))
+    val ind = docTok.filter(col("in_domain"))
+      .groupBy("tok").agg(sum("c").as("n_in"))
+    val vocab = gen.join(ind, Seq("tok"), "left")
+      .select(col("tok"), col("n_gen"), coalesce(col("n_in"), lit(0L)).as("n_in"))
+    val totals = vocab.agg(
+      sum("n_gen").as("n_gen_tot"), sum("n_in").as("n_in_tot"),
+      count(lit(1)).as("v"))
+    val lut = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("n_in_tot") + col("v")).cast("double") /
+             (col("n_in") + lit(1L)).cast("double")).cast(DecimalType(18, 8)) -
+         log((col("n_gen_tot") + col("v")).cast("double") /
+             (col("n_gen") + lit(1L)).cast("double")).cast(DecimalType(18, 8)))
+          .as("lnd"))
+    docTok.join(lut, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnd")).as("sdec"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sdec").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("ml_score"))
   }
 
   /** Per-document BIGRAM-LM surprisal — the conditional-probability upgrade
