@@ -820,6 +820,43 @@ object EtlQueries {
         countDistinct("category_key").as("n_categories"))
   }
 
+  // t27 — CDC changelog apply through the correctness gate: a base
+  // snapshot (keys ending 0–7) plus one multi-op Debezium-shaped batch —
+  // inserts (…8 new, …9 insert-then-DELETE in the same batch), two
+  // successive updates of …3 (the seq-2 after-image must win), and deletes
+  // of …5. The netting is one max_by aggregation on the key (no window, no
+  // per-key sort) and the merge one anti-join + union (Cdc.scala). The
+  // oracle recomputes the net state from raw orders: a stale after-image
+  // (seq-1 winning), a surviving …5/…9, or a lost untouched row hash-fails.
+  private val t27 = q("t27_cdc_apply",
+    """SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 ELSE o_totalprice END
+         AS o_totalprice
+       FROM orders
+       WHERE o_orderkey % 10 <> 5 AND o_orderkey % 10 <> 9
+       ORDER BY o_orderkey""") { t =>
+    val o = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val k = col("o_orderkey") % 10
+    val base = o.filter(k <= 7)
+    def change(df: DataFrame, op: String, seq: Long): DataFrame =
+      df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    def tombstone(df: DataFrame, seq: Long): DataFrame =
+      change(df.select(col("o_orderkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice")), "D", seq)
+    val changes = change(o.filter(k === 8), "I", 1L)
+      .unionByName(change(o.filter(k === 9), "I", 1L))
+      .unionByName(tombstone(o.filter(k === 9).select("o_orderkey"), 2L))
+      .unionByName(change(o.filter(k === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 10), "U", 1L))
+      .unionByName(change(o.filter(k === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 2L))
+      .unionByName(tombstone(o.filter(k === 5).select("o_orderkey"), 1L))
+    graft.warehouse.Cdc.applyChangeLog(base, changes,
+      keyCols = Seq("o_orderkey"), seqCol = "seq", opCol = "op")
+      .orderBy("o_orderkey")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -841,5 +878,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, c01, c02, c03, c04)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+      c01, c02, c03, c04)
 }

@@ -1,0 +1,63 @@
+package graft.warehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply — collapse a multi-operation changelog to its
+  * net effect and merge it into a snapshot in one pass. The mutation shape
+  * t18 (whole-row upsert) and t20 (delete tombstones) each express ALONE:
+  * a real CDC feed (Debezium/DMS-style) interleaves inserts, updates, and
+  * deletes of the SAME key in one batch, ordered by a log sequence number,
+  * and only the latest operation per key may win — an I followed by a D
+  * must net to "absent", two Us to the later after-image.
+  *
+  * Contract (the Debezium LSN model): every change row carries the FULL
+  * after-image for I/U (payload columns null for D), and `(key, seq)` is
+  * unique — a CDC log totally orders each key's history. Like
+  * [[ScdDim.applyBatch]], the uniqueness contract is enforced fail-fast
+  * (one eager aggregate over the batch; silently nondeterministic netting
+  * would be worse than the job).
+  *
+  * Scale shape: netting is ONE hash aggregation on the key (max_by of the
+  * (seq, row) struct — map-side combinable, no per-key sort, no window);
+  * the merge is one anti-join of the base against the netted keys plus a
+  * partition-local union of the netted upserts. Both exchanges hash on the
+  * business key, so AQE co-plans them; nothing corpus-sized crosses the
+  * driver. Replay-safe: re-applying the same batch to its own output is a
+  * no-op (upserts replace themselves, deletes find nothing).
+  */
+object Cdc {
+
+  /** Net effect of a changelog batch: the latest (by `seqCol`) operation
+    * per business key, with all payload columns. Output = keyCols ++
+    * payload ++ (opCol, seqCol).
+    */
+  def netChanges(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+                 opCol: String): DataFrame = {
+    val dup = changes.groupBy(keyCols.map(col) :+ col(seqCol): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate (${keyCols.mkString(",")}, $seqCol) in changelog batch: " +
+        s"${dup.headOption.map(_.toString).getOrElse("")} — " +
+        "a CDC log must totally order each key's history")
+    val payload = changes.columns.filterNot(c => c == seqCol || keyCols.contains(c))
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((payload :+ seqCol).map(col): _*), col(seqCol)).as("w"))
+      .select(keyCols.map(col) ++ (payload :+ seqCol).map(c => col(s"w.$c")): _*)
+  }
+
+  /** Apply a CDC changelog batch to a base snapshot. I and U both upsert
+    * their after-image (an I on an existing key replaces it — CDC feeds
+    * emit I for rows first seen mid-stream); a net D removes the key.
+    * Output schema = base schema.
+    */
+  def applyChangeLog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                     seqCol: String, opCol: String): DataFrame = {
+    val net = netChanges(changes, keyCols, seqCol, opCol)
+    val upserts = net.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col): _*)
+    base.join(net.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+}
