@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.{QueryDef, Tables}
-import graft.functions.Det.{dsum, sqlDsum}
+import graft.functions.Det.{dsum, dsumPartial, dsum6Partial, sqlDsum, sqlDsum6}
 import graft.functions.PyTitle.sqlPyTitle
 import graft.warehouse.ParquetWarehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -857,6 +857,44 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  // t28 — incremental materialized-aggregate maintenance through the
+  // correctness gate: the monthly revenue rollup is STORED as partial
+  // aggregates (count + exact-decimal sums) for history before 1997, the
+  // 1997+ delta aggregates alone, and IncrementalAgg.mergePartials folds
+  // the two |groups|-sized frames — no historical raw row is re-read. The
+  // oracle is DuckDB's FULL recompute over all of lineitem: any drift
+  // between incremental maintenance and from-scratch aggregation
+  // hash-fails (decimal partials make the two bit-equal).
+  private val t28 = q("t28_incremental_rollup",
+    s"""SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+        CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS ship_month,
+        l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { t =>
+    def partial(pred: org.apache.spark.sql.Column): DataFrame =
+      t.lineitem.filter(pred)
+        .groupBy(year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsumPartial(col("l_quantity")).as("qty_dec"),
+          dsum6Partial(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_dec"))
+    val cutoff = lit("1997-01-01").cast("date")
+    val dir = java.nio.file.Files.createTempDirectory("graft-iagg").toString
+    partial(col("l_shipdate") < cutoff).write.mode("overwrite").parquet(dir)
+    val stored = t.spark.read.parquet(dir)
+    val delta = partial(col("l_shipdate") >= cutoff)
+    graft.warehouse.IncrementalAgg.mergePartials(stored, delta,
+      Seq("ship_year", "ship_month", "l_returnflag"))
+      .select(col("ship_year"), col("ship_month"), col("l_returnflag"),
+        col("n_items"),
+        col("qty_dec").cast("double").as("sum_qty"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("ship_year", "ship_month", "l_returnflag")
+  }
+
   private val t16 = q("t16_bucketed_cust_rollup",
     s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         ${sqlDsum("o_totalprice")} AS total_spent,
@@ -878,6 +916,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       c01, c02, c03, c04)
 }

@@ -34,6 +34,7 @@ object Det {
     * the two-level total bit-equal to the one-pass [[dsum]].
     */
   def dsumPartial(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
+  def dsum6Partial(c: Column): Column = sum(c.cast(DecimalType(24, 6)))
   def dsumMerge(c: Column): Column = sum(c).cast(DoubleType)
 
   /** SQL fragments for the DuckDB oracle mirroring the above. */
