@@ -694,8 +694,69 @@ object StarQueries {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------------------
+  // Q27 — per-customer spend TREND: ordinary-least-squares slope/intercept of
+  // order price against order date, one line fit per customer. The moments
+  // (n, Σx, Σx², Σy, Σxy) are the whole distributed computation — ONE
+  // map-side-combinable groupBy on the customer key (no window, no per-group
+  // sort; the same shape at 10⁹ customers) — and the closed-form solve is a
+  // narrow projection. Determinism: x is an exact integer day offset, Σy/Σxy
+  // accumulate in exact decimal, and the solve runs in DOUBLE with the
+  // IDENTICAL expression tree on both engines (exact inputs + IEEE ops =
+  // bit-equal), so the rounded slope/intercept hash-match. Degenerate fits
+  // (n < 3 or a single distinct date) are filtered by the same predicate on
+  // both sides.
+  private val q27 = q(
+    "q27_customer_trend",
+    """WITH m AS (
+         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+                SUM(CAST(x AS DECIMAL(12,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS sxy
+         FROM (SELECT o_custkey, o_totalprice,
+                      date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x
+               FROM orders) z
+         GROUP BY 1),
+       s AS (
+         SELECT o_custkey, n,
+                CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         FROM m)
+       SELECT o_custkey, n AS n_orders,
+              ROUND(num / den, 6) AS slope,
+              ROUND((syd - (num / den) * sxd) / CAST(n AS DOUBLE), 4) AS intercept
+       FROM s WHERE n >= 3 AND den <> 0
+       ORDER BY o_custkey""") { t =>
+    val x = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+    val m = t.orders
+      .select(col("o_custkey"), col("o_totalprice"), x.cast("long").as("x"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sy"),
+        sum(col("x").cast(DecimalType(12, 0)) *
+          col("o_totalprice").cast(DecimalType(18, 2))).as("sxy"))
+    val den = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("o_custkey"), col("n"), den.as("den"), num.as("num"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .filter(col("n") >= 3 && col("den") =!= 0d)
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        round(col("num") / col("den"), 6).as("slope"),
+        round((col("syd") - (col("num") / col("den")) * col("sxd")) /
+          col("n").cast("double"), 4).as("intercept"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26)
+    q21, q22, q23, q24, q25, q26, q27)
 }

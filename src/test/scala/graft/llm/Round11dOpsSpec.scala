@@ -58,6 +58,33 @@ class Round11dOpsSpec extends SparkSpec {
       s"in-domain-vocab docs must outrank disjoint-vocab docs ($aMax vs $bMin)")
   }
 
+  test("q27 customer trend: hand-computed OLS line through exact points") {
+    // cust 1: (day 0, 10), (day 1, 12), (day 2, 14) → slope 2, intercept 10
+    // cust 2: (0, 100), (2, 100), (4, 130) → slope 7.5, intercept 95
+    // cust 3: n = 2 → filtered; cust 4: one distinct day → den = 0 → filtered
+    val dir = java.nio.file.Files.createTempDirectory("graft-q27").toString
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      (1L, 1L, "O", 10.0, d("1992-01-01"), "1-URGENT"),
+      (2L, 1L, "O", 12.0, d("1992-01-02"), "1-URGENT"),
+      (3L, 1L, "O", 14.0, d("1992-01-03"), "1-URGENT"),
+      (4L, 2L, "O", 100.0, d("1992-01-01"), "1-URGENT"),
+      (5L, 2L, "O", 100.0, d("1992-01-03"), "1-URGENT"),
+      (6L, 2L, "O", 130.0, d("1992-01-05"), "1-URGENT"),
+      (7L, 3L, "O", 1.0, d("1992-01-01"), "1-URGENT"),
+      (8L, 3L, "O", 2.0, d("1992-01-02"), "1-URGENT"),
+      (9L, 4L, "O", 1.0, d("1992-01-01"), "1-URGENT"),
+      (10L, 4L, "O", 2.0, d("1992-01-01"), "1-URGENT"),
+      (11L, 4L, "O", 3.0, d("1992-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(dir + "/orders.parquet")
+    val out = graft.SparkEntry.queries("q27_customer_trend")(spark, dir)
+      .select("o_custkey", "n_orders", "slope", "intercept")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2.0, 10.0), (2L, 3L, 7.5, 95.0)))
+  }
+
   test("mooreLewisScore: partition-layout independence (1 vs 13 partitions)") {
     val docs = (1 to 40).map(i =>
       (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} shared word", s"src${i % 4}"))
