@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index (term → postings) + conjunctive keyword
+  * serve — the search-engine-shaped secondary index the store family was
+  * missing (dedup shingle index, IVF/PQ vector indexes, count/sketch stores,
+  * and now text postings).
+  *
+  * Mirrors the reference's ad-hoc `LIKE`-over-rows text filtering intent
+  * (reference queries scan the fact table for string matches) re-expressed
+  * as the structure a 100 TB corpus needs: tokenize ONCE at build time into
+  * (term, doc_id, tf) postings, lay the postings out by a deterministic
+  * term bucket, and serve keyword queries by reading ONLY the buckets the
+  * query terms hash to.
+  *
+  * Scale shape:
+  *   - build: one narrow explode over the corpus followed by a map-side-
+  *     combined groupBy(term, doc_id) — the exchange carries postings
+  *     (two longs + a term), never document text;
+  *   - layout: `partitionBy(bucket)` directories, bucket = md5(term) mod B,
+  *     so the term space spreads uniformly whatever its skew (a hot term
+  *     concentrates its OWN postings run, not a directory hot-spot);
+  *   - serve: the query's terms hash DRIVER-SIDE (same md5, no Spark job)
+  *     to a bucket list → partition pruning reads |query buckets|/B of the
+  *     index; the `term IN (...)` equality then pushes into parquet
+  *     row-group stats. The doc_id groupBy that intersects the posting
+  *     lists exchanges only rows for the queried terms.
+  *
+  * Conjunctive (AND) semantics with exact integer tf ranking; postings are
+  * unique on (term, doc_id) so `count(*)` per doc counts DISTINCT matched
+  * query terms. Relevance-weighted variants belong to the BM25 tier
+  * (TextAnalysis.bm25Scores, x26) — this operator is the retrieval
+  * structure, not the scorer.
+  */
+object Search {
+
+  val DefaultBuckets = 64
+
+  private val BucketSalt = ":tidx"
+
+  /** Executor-side term bucket: first four hex chars of md5(term+salt),
+    * mod `buckets`. The driver twin is [[termBucketLocal]] — both sides
+    * MUST agree or pruning silently drops matches, so the agreement is
+    * spec-pinned (SearchSpec).
+    */
+  def termBucket(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(concat(term, lit(BucketSalt)).cast("binary")), 1, 4), 16, 10)
+      .cast("int"), lit(buckets))
+
+  /** Driver-side twin of [[termBucket]] (plain JVM md5 — no Spark job to
+    * plan a query's bucket list).
+    */
+  def termBucketLocal(term: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((term + BucketSalt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex4 = f"${(d(0) & 0xff)}%02x${(d(1) & 0xff)}%02x"
+    Integer.parseInt(hex4, 16) % buckets
+  }
+
+  /** Postings rows (term, doc_id, tf) from whitespace-tokenized lowercased
+    * text. Empty terms (leading/trailing whitespace artifacts) are dropped.
+    */
+  def postings(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build and persist the index at `path`: postings partitioned by term
+    * bucket. The pre-write `repartition(bucket)` makes each task own whole
+    * buckets, so the layout lands as one file per bucket directory instead
+    * of |tasks|×|buckets| fragments.
+    */
+  def writeIndex(documents: DataFrame, path: String,
+                 buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+    postings(documents, textCol)
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Conjunctive keyword serve: documents containing EVERY query term, with
+    * the exact total term frequency as the ranking signal. Reads only the
+    * buckets the query terms hash to (partition pruning — plan-pinned in
+    * SearchSpec) and pushes the term equalities into the parquet scan.
+    */
+  def searchAll(spark: SparkSession, path: String, terms: Seq[String],
+                buckets: Int = DefaultBuckets): DataFrame = {
+    require(terms.nonEmpty, "searchAll: empty query")
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val bks = lowered.map(termBucketLocal(_, buckets)).distinct
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+      .filter(col("term").isin(lowered: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === lowered.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** The serve result computed directly from the corpus (no index) — the
+    * definition `searchAll` must match; shared by the spec and the oracle
+    * formulation.
+    */
+  def searchAllDirect(documents: DataFrame, terms: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    postings(documents, textCol)
+      .filter(col("term").isin(lowered: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === lowered.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Inverted text index (llm/Search): postings correctness, serve ≡ direct
+  * corpus compute, driver/executor bucket agreement (the pruning contract),
+  * and the partition-pruned serve plan.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark merge window spark"),
+    (2L, "window merge"),
+    (3L, "SPARK window merge merge"),
+    (4L, "spark spark spark"),
+    (5L, " window  spark merge ")
+  ).toDF("doc_id", "text")
+
+  test("postings: exact (term, doc_id, tf) rows, case-folded, empties dropped") {
+    val got = Search.postings(corpus)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("spark", 1L, 2L), ("merge", 1L, 1L), ("window", 1L, 1L),
+      ("window", 2L, 1L), ("merge", 2L, 1L),
+      ("spark", 3L, 1L), ("window", 3L, 1L), ("merge", 3L, 2L),
+      ("spark", 4L, 3L),
+      ("spark", 5L, 1L), ("window", 5L, 1L), ("merge", 5L, 1L)))
+  }
+
+  test("searchAll: conjunctive match with exact tf ranking, query case-folded") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
+    Search.writeIndex(corpus, idx, buckets = 8)
+    val got = Search.searchAll(spark, idx, Seq("Spark", "WINDOW", "merge"), buckets = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc 2 lacks spark, doc 4 lacks window+merge
+    assert(got == Seq((1L, 4L), (3L, 4L), (5L, 3L)))
+  }
+
+  test("searchAll ≡ searchAllDirect on every subset of query terms") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
+    Search.writeIndex(corpus, idx, buckets = 8)
+    for (terms <- Seq(Seq("spark"), Seq("merge", "window"), Seq("spark", "merge", "window"))) {
+      val served = Search.searchAll(spark, idx, terms, buckets = 8)
+        .orderBy("doc_id").collect().toSeq
+      val direct = Search.searchAllDirect(corpus, terms)
+        .orderBy("doc_id").collect().toSeq
+      assert(served == direct, s"terms=$terms")
+    }
+  }
+
+  test("driver and executor term buckets agree (the pruning correctness contract)") {
+    val terms = Seq("spark", "window", "merge", "the", "a", "Zsh", "émigré", "")
+    val fromSpark = terms.toDF("t")
+      .select(col("t"), Search.termBucket(col("t"), 64).as("b"))
+      .as[(String, Int)].collect().toMap
+    terms.foreach { t =>
+      assert(Search.termBucketLocal(t, 64) == fromSpark(t), s"term '$t'")
+    }
+  }
+
+  test("serve plan prunes to the query terms' bucket partitions") {
+    withConf("spark.sql.adaptive.enabled", "false") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
+    Search.writeIndex(corpus, idx, buckets = 16)
+    val df = Search.searchAll(spark, idx, Seq("spark", "merge"), buckets = 16)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.headOption.getOrElse(fail("no file scan in serve plan"))
+    assert(scan.partitionFilters.nonEmpty, "serve scan has no partition filters")
+    // repartition(bucket) lays out one file per bucket dir, so files read ==
+    // bucket partitions selected
+    val expected = Seq("spark", "merge").map(Search.termBucketLocal(_, 16)).distinct
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead == expected.length,
+      s"read $filesRead bucket files, expected ${expected.length} of 16")
+    // the term equality also reaches the parquet scan
+    assert(scan.dataFilters.exists(_.toString.contains("term")),
+      "term predicate not pushed to the scan")
+    }
+  }
+
+  test("writeIndex overwrite is idempotent: rebuild serves identical results") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
+    Search.writeIndex(corpus, idx, buckets = 8)
+    val first = Search.searchAll(spark, idx, Seq("spark"), buckets = 8)
+      .orderBy("doc_id").collect().toSeq
+    Search.writeIndex(corpus, idx, buckets = 8)
+    val second = Search.searchAll(spark, idx, Seq("spark"), buckets = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(first == second)
+  }
+}
