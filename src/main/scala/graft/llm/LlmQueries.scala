@@ -2674,10 +2674,34 @@ object LlmQueries {
     Search.searchAll(t.spark, idx, Seq("spark", "window", "merge")).orderBy("doc_id")
   }
 
+  // x40 — blocklist screening (the Dolma/C4 banned-phrase tagger): distinct
+  // blocked phrases present per document as exact word-boundary matches,
+  // keep = zero hits. One narrow shingle-intersection map per phrase
+  // LENGTH (not per phrase), blocklist shipped as plan literals — zero
+  // exchanges (plan-pinned in Round12OpsSpec). The oracle recomputes both
+  // shingle granularities and the distinct-hit count, so a word-boundary
+  // bug (substring match, cross-token match) hash-fails. One phrase is
+  // deliberately absent from the corpus vocabulary: it must change nothing.
+  private val x40 = q("x40_blocklist_screen", Some(
+    s"""WITH s1 AS (${TextFns.sqlShingleRows("doc_id", "text", "documents", 1)}),
+        s2 AS (${TextFns.sqlShingleRows("doc_id", "text", "documents", 2)}),
+        hits AS (
+          SELECT doc_id FROM s1 WHERE shingle IN ('hash')
+          UNION ALL
+          SELECT doc_id FROM s2 WHERE shingle IN ('big table', 'slow scan', 'forbidden junk')),
+        h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n, 0) = 0 AS keep
+        FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""")) { t =>
+    TextAnalysis.blocklistScreen(t.documents,
+      Seq("hash", "big table", "slow scan", "forbidden junk"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -1147,4 +1147,41 @@ object TextAnalysis {
       .withColumn("ok_ellipsis_lines", col("ellipsis_frac") <= 0.3)
       .withColumn("keep_doc", col("ok_bullet_lines") && col("ok_ellipsis_lines"))
   }
+
+  /** Banned-phrase screening (the Dolma/C4-style blocklist tagger): per
+    * document, the count of DISTINCT blocklist phrases present as exact
+    * word-boundary matches on the lowercased whitespace tokenization, and
+    * the keep verdict (zero hits). Matching is set-intersection against the
+    * document's L-gram shingles per phrase length L — exact word-boundary
+    * semantics with none of regex alternation's escaping or backtracking
+    * hazards, and it reuses the codegen'd [[TextFns.shingles]] pass the
+    * dedup tier already owns.
+    *
+    * Scale shape: the blocklist is bounded (a curated list, not data) and
+    * ships as plan literals like the stopword lexicons do; the whole
+    * operator is ONE narrow map over the corpus scan — zero exchanges
+    * (plan-pinned in Round12OpsSpec). One shingle pass per distinct phrase
+    * length, not per phrase.
+    *
+    * Input phrases are normalized (lowercase, whitespace collapsed) before
+    * matching, so caller formatting can't desynchronize them from the
+    * tokenization.
+    */
+  def blocklistScreen(documents: DataFrame, phrases: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklistScreen: empty blocklist")
+    val normed = phrases
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "blocklistScreen: blocklist is all whitespace")
+    val nHits = normed.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      .map { case (l, ps) =>
+        size(array_intersect(TextFns.shingles(col(textCol), l),
+          array(ps.sorted.map(lit): _*)))
+      }
+      .reduce(_ + _)
+    documents.select(col("doc_id"), nHits.cast("long").as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
 }
