@@ -1088,4 +1088,44 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Canonical dedup key for a URL: strip the query string and fragment,
+    * lowercase the scheme+authority (RFC 3986 §6.2.2.1 — scheme and host
+    * are case-insensitive, the path is NOT), strip one trailing slash.
+    * Pure string/regex composition with identical semantics in DuckDB, so
+    * the canonicalization itself is oracle-checked, not just the grouping.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noQf = regexp_replace(url, "[?#].*$", "")
+    val head = lower(regexp_extract(noQf, "^(https?://[^/]*)", 1))
+    val tail = regexp_extract(noQf, "^https?://[^/]*(.*)$", 1)
+    regexp_replace(concat(head, tail), "/$", "")
+  }
+
+  /** URL-keyed dedup — the FIRST stage of a crawl pipeline (CCNet/Dolma
+    * drop exact-URL recrawls before any content hashing): extract each
+    * document's first URL, canonicalize it ([[canonicalUrl]]), keep the
+    * corpus-first (min doc_id) document per canonical URL. Documents
+    * without a URL carry a null key and are always kept — no URL is no
+    * dedup evidence, not a dedup group (SQL-join semantics: nulls never
+    * match).
+    *
+    * Scale shape: the exchange carries (doc_id, canon_url) pairs — never
+    * text; the min() winner picks are map-side combined; the verdict join
+    * is URL-group-sized and AQE-broadcastable. One row out per input row
+    * (an audit-friendly screen, like the other dedup verdict frames).
+    */
+  def urlDedup(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val keyed = documents.select(
+      col("doc_id"),
+      canonicalUrl(regexp_extract(col(textCol), TextAnalysis.UrlPattern, 0))
+        .as("canon_url"))
+      .withColumn("canon_url",
+        when(col("canon_url") === "", lit(null)).otherwise(col("canon_url")))
+    val firsts = keyed.filter(col("canon_url").isNotNull)
+      .groupBy("canon_url").agg(min("doc_id").as("first_id"))
+    keyed.join(firsts, Seq("canon_url"), "left")
+      .select(col("doc_id"), col("canon_url"),
+        (col("canon_url").isNull || col("doc_id") === col("first_id")).as("keep"))
+  }
 }

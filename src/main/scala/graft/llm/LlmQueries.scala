@@ -2698,8 +2698,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // d22 — URL-keyed dedup (the crawl pipeline's stage zero). The word-salad
+  // corpus has no URLs, so the def injects one per document (the x09
+  // pattern): 37 logical pages dressed in host-case, trailing-slash, and
+  // tracking-query variants that canonicalization must collapse — and the
+  // path case must SURVIVE lowercasing (RFC 3986: host is case-insensitive,
+  // path isn't). The oracle replays injection, extraction, every
+  // canonicalization regex, and the keep-first verdict character for
+  // character.
+  private val d22 = {
+    val u = TextAnalysis.UrlPattern
+    q("d22_url_dedup", Some(
+      s"""WITH noisy AS (
+            SELECT doc_id,
+              text || ' visit https://' ||
+              CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'example.com' END ||
+              '/Page/' || CAST(doc_id % 37 AS VARCHAR) ||
+              CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=9' ELSE '' END AS nt
+            FROM documents),
+          nq AS (SELECT doc_id,
+                   regexp_replace(regexp_extract(nt, '$u', 0), '[?#].*$$', '') AS v
+                 FROM noisy),
+          keyed AS (SELECT doc_id,
+                      regexp_replace(
+                        lower(regexp_extract(v, '^(https?://[^/]*)', 1)) ||
+                        regexp_extract(v, '^https?://[^/]*(.*)$$', 1),
+                        '/$$', '') AS canon_url
+                    FROM nq),
+          f AS (SELECT canon_url, MIN(doc_id) AS first_id FROM keyed GROUP BY 1)
+          SELECT k.doc_id, k.canon_url, k.doc_id = f.first_id AS keep
+          FROM keyed k JOIN f USING (canon_url) ORDER BY k.doc_id""")) { t =>
+      val noisy = t.documents.select(col("doc_id"), concat(
+        col("text"), lit(" visit https://"),
+        when(col("doc_id") % 2 === 0, "Example.COM").otherwise("example.com"),
+        lit("/Page/"), (col("doc_id") % 37).cast("string"),
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0, "?utm_source=feed&ref=9").otherwise(""))
+        .as("nt"))
+      Dedup.urlDedup(noisy, "nt").orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,

@@ -41,4 +41,36 @@ class Round12OpsSpec extends SparkSpec {
       TextAnalysis.blocklistScreen(docs, Seq("   ", ""))
     }
   }
+
+  // --------------------------------------------------------------- urlDedup
+
+  test("canonicalUrl: case-folds scheme+host ONLY, strips query/fragment and trailing slash") {
+    val cases = Seq(
+      ("https://Example.COM/Page/5/?utm_source=x", "https://example.com/Page/5"),
+      ("https://example.com/Page/5", "https://example.com/Page/5"),
+      ("http://HOST.net/A/B#frag", "http://host.net/A/B"),
+      ("https://example.com/", "https://example.com"),
+      ("https://example.com", "https://example.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Dedup.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("urlDedup: keep-first per canonical URL; URL-less documents always kept") {
+    val docs = Seq(
+      (1L, "see https://Example.COM/a/?q=1 now"), // group a, first
+      (2L, "see https://example.com/a now"),      // group a, dup
+      (3L, "see https://example.com/B/ now"),     // group B, first
+      (4L, "no url at all"),                      // null key → kept
+      (5L, "see https://example.com/a/ now")      // group a, dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.urlDedup(docs).orderBy("doc_id")
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("https://example.com/a"), true),
+      (2L, Some("https://example.com/a"), false),
+      (3L, Some("https://example.com/B"), true),
+      (4L, None, true),
+      (5L, Some("https://example.com/a"), false)))
+  }
 }
