@@ -914,8 +914,31 @@ object EtlQueries {
       .orderBy("o_custkey")
   }
 
+  // c05 — ORC source/sink round-trip: orders written as ORC partitioned by
+  // o_orderstatus, read back through the partition-pruned path (only the
+  // status='F' directory is listed — plan-pinned in Round12OpsSpec), rolled
+  // up per month. The oracle recomputes from the raw parquet, so a row
+  // lost, duplicated, or type-mangled by the ORC writer/reader cycle
+  // hash-fails. Widens the source matrix to the second columnar format
+  // Spark ships natively (CSV c01/c02/c04, JSONL c03, parquet throughout,
+  // ORC here).
+  private val c05 = q("c05_orc_roundtrip",
+    s"""SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2 ORDER BY year, month""") { t =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    t.orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(dir)
+    t.spark.read.orc(dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("year", "month")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      c01, c02, c03, c04)
+      c01, c02, c03, c04, c05)
 }

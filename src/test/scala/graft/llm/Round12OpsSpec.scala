@@ -73,4 +73,24 @@ class Round12OpsSpec extends SparkSpec {
       (4L, None, true),
       (5L, Some("https://example.com/a"), false)))
   }
+
+  // ------------------------------------------------------ ORC source/sink
+
+  test("ORC round-trip preserves rows and prunes on the partition column") {
+    val df = Seq(
+      (1L, "F", 10.5), (2L, "O", 20.0), (3L, "F", 30.25), (4L, "P", 5.0)
+    ).toDF("k", "status", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
+    df.write.mode("overwrite").partitionBy("status").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 4)
+    assert(back.select("k", "v").orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.5), (2L, 20.0), (3L, 30.25), (4L, 5.0)))
+    val pruned = back.filter(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("status")),
+      s"ORC scan not partition-pruned:\n$plan")
+    assert(pruned.count() == 2)
+  }
 }
