@@ -2740,10 +2740,30 @@ object LlmQueries {
     }
   }
 
+  // x41 — source-interleaved training order: consecutive positions rotate
+  // round-robin across the 20 sources (each internally hash-shuffled) —
+  // the heterogeneous-batch guarantee x18's plain hash shuffle gives only
+  // in expectation. Runtime plan: grouped prefix sum (within-source rank)
+  // + global prefix sum over the packed key — zero windows; the oracle IS
+  // the two-window formulation, so the scale-safe plan must reproduce the
+  // funnel plan's rows bit-for-bit.
+  private val x41 = q("x41_interleaved_order", Some(
+    """WITH r AS (
+         SELECT doc_id, source,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY substring(md5(doc_id::VARCHAR || ':interleave'), 1, 4),
+                              doc_id) AS BIGINT) AS rn
+         FROM documents)
+       SELECT doc_id, source, rn,
+              CAST(ROW_NUMBER() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+       FROM r ORDER BY doc_id""")) { t =>
+    Sampling.interleavedOrder(t.documents).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

@@ -374,4 +374,55 @@ object Sampling {
   def sqlPriority(idCol: String, weightExpr: String, salt: String): String =
     s"""pow((CAST('0x' || substring(md5($idCol::VARCHAR || ':$salt'), 1, 8) AS BIGINT) + 0.5)
            / 4294967296.0, 1.0 / CAST($weightExpr AS DOUBLE))"""
+
+  /** Hard cap on the distinct-source collect in [[interleavedOrder]] — the
+    * source/domain dimension is configuration-scale metadata (tens to
+    * thousands), never data; a corpus-scale grouping column here is a
+    * caller bug and fails fast instead of flooding the driver.
+    */
+  val MaxInterleaveSources = 65536
+
+  /** Source-interleaved training order — the batch-composition complement
+    * of [[trainingOrder]]: a pure hash shuffle makes the global order
+    * uniform IN EXPECTATION, but any given window of it can still run
+    * same-source; this order guarantees consecutive positions rotate
+    * round-robin across sources (each source internally hash-shuffled),
+    * the heterogeneous-batch recipe mixture training wants. Deterministic:
+    * a pure function of (id, salt, source) — re-runs, engines, and
+    * partitionings agree.
+    *
+    * Scale shape: the within-source rank rides the grouped two-phase
+    * prefix sum (no per-source window funnel — sources are exactly the
+    * low-cardinality keys that pattern exists for), the global position
+    * rides the global prefix sum over a packed (rank × |S| + source-index)
+    * long key, and the source dimension is a capped driver collect
+    * ([[MaxInterleaveSources]]). Nothing corpus-sized funnels through one
+    * task. `sourceCol` must be non-null (SQL PARTITION BY would make a
+    * null its own group, but the packed key can't index it — filter or
+    * coalesce nulls first).
+    */
+  def interleavedOrder(documents: DataFrame, sourceCol: String = "source",
+                       idCol: String = "doc_id",
+                       salt: String = "interleave"): DataFrame = {
+    val srcRows = documents.select(col(sourceCol).cast("string"))
+      .distinct().limit(MaxInterleaveSources + 1).collect()
+    require(srcRows.length <= MaxInterleaveSources,
+      s"interleavedOrder: more than $MaxInterleaveSources distinct sources — " +
+        "this column is corpus data, not a source dimension")
+    val sorted = srcRows.map(_.getString(0)).sorted
+    val s = sorted.length
+    val idxMap = map(sorted.zipWithIndex.flatMap {
+      case (name, i) => Seq(lit(name), lit(i.toLong))
+    }: _*)
+    val ranked = graft.operators.PrefixSum.withGroupedRunningSum(
+      documents.select(col(idCol), col(sourceCol),
+        hashBucket(col(idCol), salt).as("hk"), lit(1L).as("one")),
+      groupCols = Seq(sourceCol), orderCols = Seq("hk", idCol),
+      valueCol = "one", outCol = "rn")
+    val packed = ranked
+      .withColumn("pos_key",
+        col("rn") * lit(s.toLong) + element_at(idxMap, col(sourceCol).cast("string")))
+    graft.operators.PrefixSum.withRunningSum(packed, "pos_key", "one", "pos")
+      .select(col(idCol), col(sourceCol), col("rn"), col("pos"))
+  }
 }

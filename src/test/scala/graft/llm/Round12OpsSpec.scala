@@ -74,6 +74,36 @@ class Round12OpsSpec extends SparkSpec {
       (5L, Some("https://example.com/a"), false)))
   }
 
+  // ------------------------------------------------- interleavedOrder
+
+  test("interleavedOrder: round-robin across sources, permutation positions, repartition-invariant") {
+    val docs = (1L to 17L).map(i => (i, s"src${(i % 3)}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.interleavedOrder(docs)
+      .orderBy("pos").as[(Long, String, Long, Long)].collect().toSeq
+    // positions are exactly 1..n
+    assert(out.map(_._4) == (1L to 17L))
+    // ordered by pos ⇔ ordered by (rn, source)
+    assert(out.map(r => (r._3, r._2)) == out.map(r => (r._3, r._2)).sorted)
+    // within each source, rn is exactly 1..|source|
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length))
+    }
+    // the first |S| positions hold one document from EACH source (all
+    // sources still have rank-1 docs): the round-robin guarantee
+    assert(out.take(3).map(_._2).toSet == Set("src0", "src1", "src2"))
+    // deterministic under physical layout changes
+    val again = Sampling.interleavedOrder(docs.repartition(7))
+      .orderBy("pos").as[(Long, String, Long, Long)].collect().toSeq
+    assert(again == out)
+  }
+
+  test("interleavedOrder plans no Window operator (prefix sums, not windows)") {
+    val docs = (1L to 10L).map(i => (i, s"s${i % 2}", "t")).toDF("doc_id", "source", "text")
+    val plan = Sampling.interleavedOrder(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"interleavedOrder plans a window:\n$plan")
+  }
+
   // ------------------------------------------------------ ORC source/sink
 
   test("ORC round-trip preserves rows and prunes on the partition column") {
