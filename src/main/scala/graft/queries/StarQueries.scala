@@ -755,8 +755,40 @@ object StarQueries {
       .orderBy("o_custkey")
   }
 
+  // Q28 — equi-width spend histogram (the data-profiling staple the
+  // reference's amount_stats (Q4) summarizes into single aggregates): 25
+  // fixed bins of 20k over [0, 500k), count + share per bin. Bin assignment
+  // is one IEEE double division + floor — bit-identical cross-engine, no
+  // data-derived edges to drift. Scale: one map-side-combined aggregate
+  // collapses the fact to ≤25 rows; the share division rides a broadcast
+  // scalar crossJoin of the 25-row frame's own total (never a second fact
+  // scan, never a window).
+  private val q28 = q(
+    "q28_price_histogram",
+    """WITH h AS (
+         SELECT CAST(LEAST(floor(o_totalprice / 20000), 24) AS INT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1),
+       t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM h)
+       SELECT bin, bin * 20000.0 AS bin_lo, (bin + 1) * 20000.0 AS bin_hi,
+              n_orders, CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       FROM h, t ORDER BY bin""") { t =>
+    val h = t.orders
+      .groupBy(least(floor(col("o_totalprice") / 20000), lit(24)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+    val total = h.agg(sum("n_orders").as("total"))
+    h.crossJoin(broadcast(total))
+      .select(
+        col("bin"),
+        (col("bin") * 20000.0).as("bin_lo"),
+        ((col("bin") + 1) * 20000.0).as("bin_hi"),
+        col("n_orders"),
+        (col("n_orders").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("bin")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27)
+    q21, q22, q23, q24, q25, q26, q27, q28)
 }
