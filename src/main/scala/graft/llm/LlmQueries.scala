@@ -2662,16 +2662,33 @@ object LlmQueries {
   // oracle recomputes the AND-match and exact tf sum straight from the
   // corpus, so an index-layout bug (wrong bucket, lost posting) hash-fails
   // rather than mis-ranking.
-  private val x39 = q("x39_keyword_search", Some(
+  private val keywordSearchOracleSql: String =
     """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
                   FROM documents),
        m AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
              FROM w WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2)
        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
-       FROM m GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""")) { t =>
+       FROM m GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id"""
+
+  private val x39 = q("x39_keyword_search", Some(keywordSearchOracleSql)) { t =>
     val idx = java.nio.file.Files.createTempDirectory("graft-text-idx").toString
     Search.writeIndex(t.documents, idx)
     Search.searchAll(t.spark, idx, Seq("spark", "window", "merge")).orderBy("doc_id")
+  }
+
+  // x42 — INCREMENTAL index maintenance for the x39 postings store: the
+  // corpus lands in two appends (even/odd doc halves) under the store
+  // family's staged-version + CURRENT-pointer protocol (bucket layout
+  // preserved INSIDE each version, so pruning survives versioning), and
+  // the serve merges versions by additive tf. x39's VERBATIM oracle
+  // hash-proves incremental ≡ from-scratch — the x27/x28/d08 pattern, now
+  // for the text-retrieval store.
+  private val x42 = q("x42_search_incremental", Some(keywordSearchOracleSql)) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-text-idx-inc").toString
+    Search.initIndex(t.documents.filter(col("doc_id") % 2 === 0), idx)
+    Search.appendToIndex(t.documents.filter(col("doc_id") % 2 === 1), idx)
+    Search.searchAllIndexed(t.spark, idx, Seq("spark", "window", "merge"))
+      .orderBy("doc_id")
   }
 
   // x40 — blocklist screening (the Dolma/C4 banned-phrase tagger): distinct
@@ -2763,7 +2780,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)
 }

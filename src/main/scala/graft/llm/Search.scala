@@ -114,4 +114,79 @@ object Search {
       .filter(col("n_terms") === lowered.size)
       .select(col("doc_id"), col("total_tf"))
   }
+
+  // ------------------------------------------------- versioned incremental
+
+  private val Pointer = "CURRENT"
+
+  private def committedVersions(path: String): Seq[String] =
+    graft.warehouse.AtomicPointer.read(s"$path/$Pointer")
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Stage postings for one batch as the next version (bucket-partitioned
+    * inside the version dir, so the serve path's pruning survives
+    * versioning), publish the dir, swap the CURRENT pointer — the store
+    * family's crash-safe protocol (a crash mid-append leaves the prior
+    * pointer live; the replay clobbers the orphan staging dir).
+    */
+  private def commitVersion(documents: DataFrame, path: String,
+                            replace: Boolean, buckets: Int,
+                            textCol: String): Unit = {
+    val committed = committedVersions(path)
+    val next = "v" + (committed.filter(_.matches("v\\d+"))
+      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val staging = s"$path/.staging-$next"
+    postings(documents, textCol)
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    graft.warehouse.AtomicPointer.publishDir(staging, s"$path/$next")
+    graft.warehouse.AtomicPointer.write(s"$path/$Pointer",
+      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+  }
+
+  /** Bootstrap the versioned index: commit `documents`' postings as the
+    * sole version.
+    */
+  def initIndex(documents: DataFrame, path: String,
+                buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+    commitVersion(documents, path, replace = true, buckets, textCol)
+
+  /** Append one batch's postings as a new version WITHOUT reading existing
+    * state (the CountStore contract: the merge is the read side's SUM, so
+    * appends stay O(batch) however large the index has grown). tf merges
+    * additively — a document whose text arrives split across batches sums
+    * to the same postings as a one-shot build (spec-pinned).
+    */
+  def appendToIndex(documents: DataFrame, path: String,
+                    buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+    commitVersion(documents, path, replace = false, buckets, textCol)
+
+  /** [[searchAll]] against the VERSIONED index: every committed version is
+    * read through the same bucket-pruned, term-pushed scan, postings merge
+    * by additive tf on (term, doc_id), then the conjunctive intersection.
+    * The merge exchange carries only the queried terms' postings — version
+    * count never touches the corpus-sized build cost.
+    */
+  def searchAllIndexed(spark: SparkSession, path: String, terms: Seq[String],
+                       buckets: Int = DefaultBuckets): DataFrame = {
+    val vs = committedVersions(path)
+    require(vs.nonEmpty, s"searchAllIndexed: no committed versions under $path")
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(lowered.nonEmpty, "searchAllIndexed: empty query")
+    val bks = lowered.map(termBucketLocal(_, buckets)).distinct
+    val merged = vs.map { v =>
+      spark.read.parquet(s"$path/$v")
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+        .filter(col("term").isin(lowered: _*))
+        .select("term", "doc_id", "tf")
+    }.reduce(_.unionByName(_))
+      .groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+    merged
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .filter(col("n_terms") === lowered.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
 }

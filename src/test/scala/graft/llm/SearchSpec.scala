@@ -83,6 +83,37 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("versioned index: init + append over doc halves ≡ one-shot build") {
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-search-1s").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-search-inc").toString
+    Search.writeIndex(corpus, oneShot, buckets = 8)
+    Search.initIndex(corpus.filter(col("doc_id") % 2 === 0), inc, buckets = 8)
+    Search.appendToIndex(corpus.filter(col("doc_id") % 2 === 1), inc, buckets = 8)
+    for (terms <- Seq(Seq("spark"), Seq("spark", "window", "merge"))) {
+      val a = Search.searchAll(spark, oneShot, terms, buckets = 8)
+        .orderBy("doc_id").collect().toSeq
+      val b = Search.searchAllIndexed(spark, inc, terms, buckets = 8)
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b, s"terms=$terms")
+    }
+  }
+
+  test("versioned index: a document whose text is split across appends sums tf additively") {
+    val inc = java.nio.file.Files.createTempDirectory("graft-search-split").toString
+    Search.initIndex(Seq((1L, "spark spark window")).toDF("doc_id", "text"), inc, buckets = 8)
+    Search.appendToIndex(Seq((1L, "spark merge")).toDF("doc_id", "text"), inc, buckets = 8)
+    val got = Search.searchAllIndexed(spark, inc, Seq("spark", "window", "merge"), buckets = 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L)))
+  }
+
+  test("versioned index: serve fails fast on an uninitialized store") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-search-empty").toString
+    intercept[IllegalArgumentException] {
+      Search.searchAllIndexed(spark, empty, Seq("spark"), buckets = 8)
+    }
+  }
+
   test("writeIndex overwrite is idempotent: rebuild serves identical results") {
     val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
     Search.writeIndex(corpus, idx, buckets = 8)
