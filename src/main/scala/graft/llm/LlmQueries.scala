@@ -2777,9 +2777,29 @@ object LlmQueries {
     Sampling.interleavedOrder(t.documents).orderBy("doc_id")
   }
 
+  // s16 — exact MIPS top-k (unnormalized-embedding retrieval): the oracle
+  // re-ranks by raw list_dot_product, so the def proves inner-product
+  // ordering differs from cosine's ONLY through the engine's own exact
+  // ranking — magnitude-sensitive retrieval, the recommendation-scoring
+  // shape. The norm-augmentation reduction onto the cosine ANN tier is the
+  // documented 100 TB path (Similarity.mipsTopK scaladoc).
+  private val s16 = q("s16_knn_mips", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        p AS (SELECT query_id, neighbor_id, list_dot_product(qe, ce) AS ip
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ip
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
+    Similarity.mipsTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03)

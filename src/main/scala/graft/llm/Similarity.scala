@@ -68,6 +68,28 @@ object Similarity {
     rankTopK(scored, "cos", k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — retrieval over UNNORMALIZED
+    * embeddings, where magnitude is signal (recommendation scores, learned
+    * relevance embeddings): rank by the raw dot product instead of cosine.
+    * MIPS is not cosine search (a long vector can beat a better-aligned
+    * short one), so it earns its own entry; the classic norm-augmentation
+    * reduction (Bachrach et al. 2014) maps it ONTO the cosine ANN tier at
+    * scale — noted here as the 100 TB path, with this operator as the
+    * exact baseline. Same plan and broadcast-small query contract as
+    * [[bruteForceTopK]]; the dot is the codegen'd left-to-right
+    * [[graft.functions.VecMath.vecDot]] fold, bit-identical cross-engine.
+    */
+  def mipsTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("c_emb")).as("ip"))
+    rankTopK(scored, "ip", k)
+  }
+
   /** Exact cosine RANGE search (radius query): every corpus neighbor with
     * cosine ≥ `threshold` for each query vector — the link-discovery /
     * retrieval-audit complement of top-k (top-k bounds the COUNT, range

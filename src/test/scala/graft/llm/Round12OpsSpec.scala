@@ -104,6 +104,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"interleavedOrder plans a window:\n$plan")
   }
 
+  // ------------------------------------------------------------- mipsTopK
+
+  test("mipsTopK ranks by inner product: a longer vector beats a better-aligned short one") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),     // query
+      (1L, Array(0.9f, 0f)),   // well-aligned, short: ip 0.9, cosine 1.0
+      (2L, Array(3f, 3f)),     // poorly aligned, long: ip 3.0, cosine ~0.707
+      (3L, Array(0.1f, 0.9f))  // worst on both
+    ).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(emb, col("vec_id") === 0, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(mips == Seq(2L, 1L, 3L), "MIPS must rank the long vector first")
+    val cos = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(cos == Seq(1L, 2L, 3L), "cosine must rank the aligned vector first")
+  }
+
   // ------------------------------------------------------ ORC source/sink
 
   test("ORC round-trip preserves rows and prunes on the partition column") {
