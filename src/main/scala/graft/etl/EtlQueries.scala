@@ -914,6 +914,37 @@ object EtlQueries {
       .orderBy("o_custkey")
   }
 
+  // t29 — snapshot RETENTION through the correctness gate: publish v1,
+  // upsert to v2 (t18's mutation), then vacuum — exactly one version (the
+  // unreachable v1) must be reclaimed, and the SERVED state must come
+  // through the maintenance bit-identical (same rollup oracle as t18, plus
+  // the pinned reclaim count). The def fails fast if vacuum deletes too
+  // much (current would break), too little (n_vacuumed ≠ 1), or if the
+  // time-travel contract leaks into the vacuumed dir (readTableAt(v1) must
+  // now refuse). Completes the snapshot lifecycle in the gate:
+  // publish (t18) → audit (t26) → diff (t22) → EXPIRE (here).
+  private val t29 = q("t29_snapshot_vacuum",
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}
+          AS total_spent,
+        CAST(1 AS BIGINT) AS n_vacuumed
+        FROM orders""") { t =>
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
+    val updates = t.orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    ParquetWarehouse.upsertSnapshot(root, "orders", updates, "o_orderkey")
+    val n = ParquetWarehouse.vacuumSnapshots(root)
+    val v1Gone =
+      try { ParquetWarehouse.readTableAt(t.spark, root, "orders", "v1"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(v1Gone, "t29: vacuumed v1 still readable")
+    ParquetWarehouse.readTable(t.spark, root, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .withColumn("n_vacuumed", lit(n.toLong))
+  }
+
   // c05 — ORC source/sink round-trip: orders written as ORC partitioned by
   // o_orderstatus, read back through the partition-pruned path (only the
   // status='F' directory is listed — plan-pinned in Round12OpsSpec), rolled
@@ -939,6 +970,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
       c01, c02, c03, c04, c05)
 }
