@@ -125,14 +125,17 @@ object Search {
       .getOrElse(Seq.empty)
 
   /** Stage postings for one batch as the next version (bucket-partitioned
-    * inside the version dir, so the serve path's pruning survives
-    * versioning), publish the dir, swap the CURRENT pointer — the store
-    * family's crash-safe protocol (a crash mid-append leaves the prior
-    * pointer live; the replay clobbers the orphan staging dir).
+    * under the version's `postings/` dir, so the serve path's pruning
+    * survives versioning), publish the dir, swap the CURRENT pointer — the
+    * store family's crash-safe protocol (a crash mid-append leaves the
+    * prior pointer live; the replay clobbers the orphan staging dir). An
+    * optional `tag` commits atomically WITH the version — the exactly-once
+    * bookkeeping the streaming maintainer needs, since additive tf state
+    * cannot be de-duplicated downstream.
     */
   private def commitVersion(documents: DataFrame, path: String,
                             replace: Boolean, buckets: Int,
-                            textCol: String): Unit = {
+                            textCol: String, tag: Option[String]): Unit = {
     val committed = committedVersions(path)
     val next = "v" + (committed.filter(_.matches("v\\d+"))
       .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
@@ -140,7 +143,8 @@ object Search {
     postings(documents, textCol)
       .withColumn("bucket", termBucket(col("term"), buckets))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/postings")
+    tag.foreach(t => graft.warehouse.AtomicPointer.write(s"$staging/TAG", t))
     graft.warehouse.AtomicPointer.publishDir(staging, s"$path/$next")
     graft.warehouse.AtomicPointer.write(s"$path/$Pointer",
       ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
@@ -150,8 +154,9 @@ object Search {
     * sole version.
     */
   def initIndex(documents: DataFrame, path: String,
-                buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
-    commitVersion(documents, path, replace = true, buckets, textCol)
+                buckets: Int = DefaultBuckets, textCol: String = "text",
+                tag: Option[String] = None): Unit =
+    commitVersion(documents, path, replace = true, buckets, textCol, tag)
 
   /** Append one batch's postings as a new version WITHOUT reading existing
     * state (the CountStore contract: the merge is the read side's SUM, so
@@ -160,8 +165,18 @@ object Search {
     * to the same postings as a one-shot build (spec-pinned).
     */
   def appendToIndex(documents: DataFrame, path: String,
-                    buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
-    commitVersion(documents, path, replace = false, buckets, textCol)
+                    buckets: Int = DefaultBuckets, textCol: String = "text",
+                    tag: Option[String] = None): Unit =
+    commitVersion(documents, path, replace = false, buckets, textCol, tag)
+
+  /** Whether any COMMITTED version carries `tag` — the streaming
+    * maintainer's crash-window probe (see CountStore.hasTag for the
+    * argument; committed-only is what makes it safe: an orphaned staging
+    * dir's tag is invisible, exactly as its rows are).
+    */
+  def hasTag(path: String, tag: String): Boolean =
+    committedVersions(path).exists(v =>
+      graft.warehouse.AtomicPointer.read(s"$path/$v/TAG").map(_.trim).contains(tag))
 
   /** [[searchAll]] against the VERSIONED index: every committed version is
     * read through the same bucket-pruned, term-pushed scan, postings merge
@@ -177,7 +192,7 @@ object Search {
     require(lowered.nonEmpty, "searchAllIndexed: empty query")
     val bks = lowered.map(termBucketLocal(_, buckets)).distinct
     val merged = vs.map { v =>
-      spark.read.parquet(s"$path/$v")
+      spark.read.parquet(s"$path/$v/postings")
         .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
         .filter(col("term").isin(lowered: _*))
         .select("term", "doc_id", "tf")

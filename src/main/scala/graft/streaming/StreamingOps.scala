@@ -380,6 +380,41 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous inverted-index maintenance — the text-retrieval twin of
+    * [[ingestDsirCountsStream]]: each micro-batch's postings land as one
+    * bucket-partitioned version of the [[graft.llm.Search]] store, and
+    * keyword queries serve from the committed versions (additive tf merge)
+    * with NO corpus rescan, seeing each batch as soon as its pointer swap
+    * lands. Same replay posture as every additive store: the ReplayGuard
+    * high-water mark skips fully-committed replays O(1), and the one batch
+    * that can straddle a crash (first delivery after restart) is checked
+    * against the store's committed batch TAG before appending — a
+    * double-appended posting would double tf and no read-side dedup could
+    * tell (both crash windows fault-injected in StreamingSpec).
+    */
+  def ingestPostingsStream(docs: DataFrame, indexPath: String, checkpoint: String,
+                           buckets: Int = graft.llm.Search.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(indexPath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyAppended =
+            p == Recover && graft.llm.Search.hasTag(indexPath, tag)
+          if (!alreadyAppended)
+            graft.llm.Search.appendToIndex(batch, indexPath, buckets,
+              tag = Some(tag))
+          guard.commit(batchId)
+      }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous sketch-materialized-view maintenance — the sketch twin of
     * [[ingestDsirCountsStream]]: each micro-batch of events is sketched
     * per day ([[graft.llm.Events.dailyUserSketches]], |batch days| rows)

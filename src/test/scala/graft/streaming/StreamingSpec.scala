@@ -852,6 +852,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("postings ingest: streamed index equals one-shot build; replays never double tf") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val terms = Seq("spark", "window", "merge")
+    val root = java.nio.file.Files.createTempDirectory("graft-postings-stream").toString
+    val stream = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestPostingsStream(
+        stream.toDF().toDF("doc_id", "text"), s"$root/idx", s"$root/ckpt",
+        buckets = 32)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    def served(): Seq[(Long, Long)] =
+      graft.llm.Search.searchAllIndexed(spark, s"$root/idx", terms, buckets = 32)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a); run()
+    stream.addData(b); run()
+    val expected = graft.llm.Search.searchAllDirect(docs, terms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(expected.nonEmpty, "fixture corpus must contain conjunctive matches")
+    assert(served() == expected, "two streamed appends must equal the one-shot index")
+    // crash window A: mark committed, Spark commit log lost — guard skips
+    uncommit(1)
+    run()
+    assert(served() == expected, "a mark-skipped replay must not re-append")
+    // crash window B: append landed, process died before the mark — the
+    // committed batch TAG detects it (additive tf cannot be repaired
+    // downstream, so this is the critical window)
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/idx/_streaming_hwm"))
+    run()
+    assert(served() == expected, "a tag-detected replay must not double tf")
+  }
+
   test("streaming JSONL quarantine: corrupt lines surface through the stream too") {
     import graft.etl.JsonlExtract
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-quar").toString
