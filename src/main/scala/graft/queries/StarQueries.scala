@@ -787,8 +787,49 @@ object StarQueries {
       .orderBy("bin")
   }
 
+  // Q29 — robust outlier detection (median/MAD), the heavy-tail-safe
+  // complement of q19's mean/σ z-score: per status, the median, the median
+  // absolute deviation, and the count beyond the 3·1.4826·MAD fence
+  // (1.4826 ≈ 1/Φ⁻¹(¾) makes MAD a consistent σ estimator). Exact
+  // percentile interpolation hash-matches PERCENTILE_CONT (the q24
+  // treatment); both medians broadcast back as ≤|status|-row scalars, so
+  // the two fact passes stay narrow. Exact grouped percentile inherits
+  // q24's contract (group values buffer in the aggregator); the 100 TB
+  // path for percentile itself is the approx tier (q21).
+  private val q29 = q(
+    "q29_robust_outliers",
+    """WITH med AS (
+         SELECT o_orderstatus,
+                PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median
+         FROM orders GROUP BY 1),
+       dev AS (
+         SELECT o.o_orderstatus, m.median, abs(o.o_totalprice - m.median) AS adev
+         FROM orders o JOIN med m USING (o_orderstatus)),
+       mad AS (
+         SELECT o_orderstatus,
+                PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+         FROM dev GROUP BY 1)
+       SELECT d.o_orderstatus, d.median, x.mad,
+              CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers
+       FROM dev d JOIN mad x USING (o_orderstatus)
+       GROUP BY 1, 2, 3 ORDER BY o_orderstatus""") { t =>
+    val med = t.orders.groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("median"))
+    val dev = t.orders.select("o_orderstatus", "o_totalprice")
+      .join(broadcast(med), "o_orderstatus")
+      .withColumn("adev", abs(col("o_totalprice") - col("median")))
+    val mad = dev.groupBy("o_orderstatus")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "o_orderstatus")
+      .groupBy("o_orderstatus", "median", "mad")
+      .agg(sum(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
