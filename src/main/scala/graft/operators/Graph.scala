@@ -236,6 +236,68 @@ object Graph {
   /** Min-label-propagation oracle fragment: unrolled `l0 .. l{iterations}`
     * over a caller-provided `edges(src,dst)` CTE.
     */
+  /** Synchronous LABEL PROPAGATION communities (Raghavan et al. 2007), the
+    * modularity-flavored sibling of [[connectedComponents]]: each round,
+    * every node adopts the label carried by the PLURALITY of its
+    * neighbors — count ties break to the smallest label, so the update is
+    * a pure function of the previous labeling and the run is deterministic
+    * under any partitioning (the async/random-order variants of LPA are
+    * not, which is why this is the sync form). Fixed `iterations` on both
+    * engines: sync LPA can oscillate on bipartite structure rather than
+    * converge, so the CONTRACT is the fixed round count, not a fixpoint —
+    * the oracle unrolls the same rounds ([[lpaOracleCtes]]) and must
+    * hash-match the full labeling.
+    *
+    * Scale shape per round: one exchange keyed on the destination node for
+    * the (node, label) counts (map-side combined), a second node-keyed
+    * aggregation for the plurality argmax — expressed as `max(struct(count,
+    * -label))` so it rides a plain partial-merged aggregate, no per-node
+    * window — then a left join back to carry isolated nodes unchanged.
+    * Labels and intermediates are node-count-sized; per-round state is
+    * [[Materialize.cut]] so lineage stays flat and executor loss replays
+    * one round, not the whole history.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val nodes = Materialize.cut(edges.select("src").distinct())
+    var labels = nodes.select(col("src").as("node"), col("src").as("label"))
+    for (_ <- 1 to iterations) {
+      val counts = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("new_label"))
+      labels = Materialize.cut(
+        labels.join(best, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label")))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** DuckDB unroll of [[labelPropagation]] — plurality via a count-desc,
+    * label-asc ROW_NUMBER (the window formulation the runtime deliberately
+    * avoids; here it IS the spec).
+    */
+  def lpaOracleCtes(iterations: Int): String = {
+    val l0 = "p0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"
+    val iters = (1 to iterations).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT l.node, COALESCE(m.new_label, l.label) AS label
+            FROM p${i - 1} l LEFT JOIN (
+              SELECT node, label AS new_label FROM (
+                SELECT e.dst AS node, p.label,
+                       ROW_NUMBER() OVER (PARTITION BY e.dst
+                         ORDER BY COUNT(*) DESC, p.label) AS rn
+                FROM edges e JOIN p${i - 1} p ON e.src = p.node
+                GROUP BY e.dst, p.label) z
+              WHERE rn = 1) m ON l.node = m.node)"""
+    }
+    (l0 +: iters).mkString(",\n")
+  }
+
   def ccOracleCtes(iterations: Int): String = {
     val l0 = "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"
     val iters = (1 to iterations).map { i =>

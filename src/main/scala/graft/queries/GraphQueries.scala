@@ -116,5 +116,19 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04)
+  // g05 — synchronous label-propagation communities over the sparse
+  // purchase graph (g02's edge set): 4 fixed rounds, plurality labels with
+  // count ties to the smallest label. The oracle unrolls the identical
+  // rounds with the window-formulated argmax, so the runtime's
+  // max(struct(count, -label)) plurality (no per-node window) must
+  // reproduce the full labeling bit-for-bit.
+  private val g05 = q("g05_label_propagation", Some(
+    s"""WITH ${edgesCte(Some(48))},
+        ${Graph.lpaOracleCtes(iterations = 4)}
+        SELECT node, label AS community FROM p4 ORDER BY node""")) { t =>
+    Graph.labelPropagation(purchaseEdges(t, Some(48)), iterations = 4)
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
 }

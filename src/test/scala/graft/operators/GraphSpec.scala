@@ -117,4 +117,25 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(e.repartition(7), iterations = 3)
     assert(a.orderBy("node").collect().toSeq === b.orderBy("node").collect().toSeq)
   }
+
+  test("labelPropagation: plurality beats min-label; ties break to smallest (hand-computed)") {
+    // triangle {1,2,3} with 4 attached to 2 and 3.
+    // Round 1 (labels = ids, all neighbor counts 1 → ties to min):
+    //   1→2, 2→1, 3→1, 4→2
+    // Round 2: node 2's neighbors carry {1:(1), 2:(2 votes)} — plurality 2
+    //   BEATS the smaller label 1, which distinguishes LPA from CC:
+    //   1→1, 2→2, 3→2, 4→1
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 2L), (4L, 3L))
+    val got = Graph.labelPropagation(e, iterations = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("labelPropagation is deterministic under repartitioning") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val a = Graph.labelPropagation(e, iterations = 3).orderBy("node").collect().toSeq
+    val b = Graph.labelPropagation(e.repartition(7), iterations = 3)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
 }
