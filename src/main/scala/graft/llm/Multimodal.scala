@@ -623,4 +623,112 @@ object Multimodal {
         }
     }.toDF("asset_id", "chunk_idx", "chunk_len", "chunk_hash")
   }
+
+  // ------------------------------------------------------------------ video
+
+  /** The deterministic fake video container the frame-sampling tier runs
+    * on (no video codec ships with the JDK, so — per the multimodal
+    * contract — the DECODE is a stand-in while the Spark-side plumbing is
+    * real): magic "GVID", big-endian u16 width/height, u8 fps, u32 frame
+    * count, then frame-count raster frames of width×height grayscale
+    * bytes. A payload that fails ANY structural check (magic, bounds,
+    * exact length) decodes to None and degrades row-locally, like the
+    * image/audio decoders.
+    */
+  private[llm] def decodeVideo(payload: Array[Byte])
+      : Option[(Int, Int, Int, Array[Array[Byte]])] = {
+    try {
+      val b = java.nio.ByteBuffer.wrap(payload)
+      if (b.remaining() < 13) return None
+      val magic = new Array[Byte](4); b.get(magic)
+      if (!java.util.Arrays.equals(magic, "GVID".getBytes("US-ASCII"))) return None
+      val w = b.getShort & 0xFFFF
+      val h = b.getShort & 0xFFFF
+      val fps = b.get() & 0xFF
+      val n = b.getInt
+      if (w <= 0 || h <= 0 || fps <= 0 || n <= 0 || n > 100000) return None
+      val frameLen = w * h
+      if (b.remaining() != n * frameLen) return None
+      val frames = Array.fill(n) { val f = new Array[Byte](frameLen); b.get(f); f }
+      Some((w, h, fps, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[llm] def videoBytes(w: Int, h: Int, fps: Int,
+                              frames: Array[Array[Byte]]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13 + frames.length * w * h)
+    out.put("GVID".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort).put(fps.toByte)
+    out.putInt(frames.length)
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  /** Deterministic synthetic video corpus: 8×8 grayscale at 10 fps,
+    * 12 + 3·(id mod 5) frames, pixel values a pure integer mix of
+    * (id, frame, x, y); every 50th asset is TRUNCATED mid-frame — the
+    * corrupt row the sampler must degrade around, not die on.
+    */
+  def syntheticVideoAssets(ids: Dataset[Long]): Dataset[Asset] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      val w = 8; val h = 8; val fps = 10
+      val n = 12 + (id % 5).toInt * 3
+      val frames = Array.tabulate(n) { f =>
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          (((id * 31 + f * 131 + x * 17 + y * 7) % 251) & 0xFF).toByte
+        }
+      }
+      val full = videoBytes(w, h, fps, frames)
+      val payload = if (id % 50 == 0) full.take(full.length - w * h / 2) else full
+      Asset(id, "video/x-gvid", payload.length, payload)
+    }
+  }
+
+  /** FRAME SAMPLING — the video analogue of chunking: every `everyK`-th
+    * frame of each asset decodes to (frame_idx, ts_ms, mean_lum,
+    * frame_hash), where ts_ms = idx·1000/fps (integer — exact), mean_lum
+    * is the integer pixel sum (exactness over prettiness: the double
+    * division is one op at the consumer's discretion), and frame_hash is
+    * the 64-bit horizontal-gradient sign hash (the dHash recipe on the
+    * raw raster — twin frames match at Hamming 0 and feed the SAME
+    * banded-Hamming dedup machinery as images/audio).
+    *
+    * Scale shape: one mapPartitions pass (the per-partition batch shape a
+    * real codec needs — mapPartitions is justified here exactly as for
+    * image/audio: binary decode has no Catalyst expression), output rows
+    * are sample-sized (|frames|/everyK per asset), corrupt containers
+    * yield zero rows row-locally. The sampler never shuffles; ordering
+    * and grouping are the consumer's.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyK: Int = 4): DataFrame = {
+    require(everyK >= 1, s"sampleFrames: everyK $everyK must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      decodeVideo(a.payload) match {
+        case None => Iterator.empty
+        case Some((w, h, fps, frames)) =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % everyK == 0 }
+            .map { case (frame, idx) =>
+              var lum = 0L
+              var hash = 0L
+              var bit = 0
+              var i = 0
+              while (i < frame.length) {
+                lum += (frame(i) & 0xFF)
+                // horizontal gradient sign, first 64 in-row adjacent pairs
+                if (bit < 64 && (i % w) < w - 1) {
+                  if ((frame(i) & 0xFF) > (frame(i + 1) & 0xFF))
+                    hash |= (1L << bit)
+                  bit += 1
+                }
+                i += 1
+              }
+              (a.asset_id, idx, idx.toLong * 1000L / fps, w, h, lum, hash)
+            }
+      }
+    }.toDF("asset_id", "frame_idx", "ts_ms", "width", "height", "lum_sum", "frame_hash")
+  }
 }

@@ -121,6 +121,47 @@ class Round12OpsSpec extends SparkSpec {
     assert(cos == Seq(1L, 2L, 3L), "cosine must rank the aligned vector first")
   }
 
+  // --------------------------------------------------------- sampleFrames
+
+  test("sampleFrames: exact indices, timestamps, luminance sums, gradient hash (hand-computed)") {
+    // 2×2 at 5 fps, 3 frames; everyK=2 samples frames 0 and 2.
+    val f0 = Array[Byte](10, 20, 30, 40)   // rows (10,20) (30,40): no descending pair
+    val f1 = Array[Byte](0, 0, 0, 0)
+    val f2 = Array[Byte](9, 5, 5, 9)       // (9>5) bit0 set, (5<9) bit1 clear
+    val payload = Multimodal.videoBytes(2, 2, 5, Array(f0, f1, f2))
+    val assets = Seq(Asset(7L, "video/x-gvid", payload.length, payload)).toDS()
+    val got = Multimodal.sampleFrames(assets, everyK = 2)
+      .orderBy("frame_idx")
+      .as[(Long, Int, Long, Int, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0, 0L, 2, 2, 100L, 0L),
+      (7L, 2, 400L, 2, 2, 28L, 1L)))
+  }
+
+  test("sampleFrames: corrupt containers degrade row-locally to zero rows") {
+    val good = Multimodal.videoBytes(2, 2, 5, Array(Array[Byte](1, 2, 3, 4)))
+    val truncated = good.take(good.length - 2)
+    val notVideo = "not a container".getBytes("US-ASCII")
+    val assets = Seq(
+      Asset(1L, "video/x-gvid", good.length, good),
+      Asset(2L, "video/x-gvid", truncated.length, truncated),
+      Asset(3L, "video/x-gvid", notVideo.length, notVideo)).toDS()
+    val got = Multimodal.sampleFrames(assets, everyK = 1)
+      .select("asset_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "only the intact container contributes rows")
+  }
+
+  test("sampleFrames is deterministic under repartitioning") {
+    val ids = (1L to 60L).toDS()
+    val a = Multimodal.sampleFrames(Multimodal.syntheticVideoAssets(ids))
+      .orderBy("asset_id", "frame_idx").collect().toSeq
+    val b = Multimodal.sampleFrames(Multimodal.syntheticVideoAssets(ids.repartition(7)))
+      .orderBy("asset_id", "frame_idx").collect().toSeq
+    assert(a == b)
+    // the truncated id-50 asset is present in the corpus but absent from samples
+    assert(!a.exists(_.getLong(0) == 50L))
+  }
+
   // ------------------------------------------------------ ORC source/sink
 
   test("ORC round-trip preserves rows and prunes on the partition column") {
