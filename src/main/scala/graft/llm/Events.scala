@@ -389,4 +389,43 @@ object Events {
         (col("n_transitions").cast("double") / col("n_from").cast("double"))
           .as("p_transition"))
   }
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the fractional-
+    * credit generalization of [[asofViewAttribution]]'s last-touch rule:
+    * for each purchase, every view/click by the same user inside the
+    * lookback window earns credit by position — 40% first touch, 40% last,
+    * the middle 20% split evenly (one touch takes 100%, two split 50/50).
+    * Credits are single double divisions of integer counts, bit-identical
+    * cross-engine.
+    *
+    * Scale shape: one user_id-keyed equi-join pairs purchases with their
+    * own user's touches (the interval predicate rides the equi-join — never
+    * an inequality-only join), then position/count windows partitioned by
+    * purchase_id — the HIGH-cardinality key, each partition bounded by one
+    * purchase's touches inside the window, so no funnel at any scale.
+    */
+  def multiTouchAttribution(events: DataFrame,
+                            lookback: String = "48 hours"): DataFrame = {
+    val touches = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("touch_id"), col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val j = purchases.join(touches, Seq("user_id"))
+      .filter(col("ts") <= col("p_ts") &&
+        col("ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val r = j
+      .withColumn("position",
+        row_number().over(byPurchase.orderBy(col("ts"), col("touch_id"))).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+    r.select(col("purchase_id"), col("touch_id"), col("event_type"),
+      col("position"), col("n_touches"),
+      when(col("n_touches") === 1, lit(1.0))
+        .when(col("n_touches") === 2, lit(0.5))
+        .when(col("position") === 1 || col("position") === col("n_touches"), lit(0.4))
+        .otherwise(lit(0.2) / (col("n_touches") - 2).cast("double"))
+        .as("credit"))
+  }
 }

@@ -2812,10 +2812,38 @@ object LlmQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
+  // e21 — position-based multi-touch attribution (the fractional-credit
+  // generalization of e06's last-touch as-of): 40/20/40 first/middle/last
+  // credit across each purchase's lookback touches. The interval predicate
+  // rides the user_id equi-join; the position windows partition on
+  // purchase_id (high cardinality — bounded partitions, no funnel).
+  // Credits are single double divisions; the oracle recomputes the join,
+  // both windows, and every CASE arm.
+  private val e21 = q("e21_multitouch_attribution", Some(
+    """WITH tch AS (SELECT user_id, ts, event_id AS touch_id, event_type
+                    FROM events WHERE event_type IN ('view', 'click')),
+        p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT p.purchase_id, t.touch_id, t.event_type, t.ts
+              FROM p JOIN tch t ON p.user_id = t.user_id
+                AND t.ts <= p.p_ts AND t.ts >= p.p_ts - INTERVAL 48 HOUR),
+        r AS (SELECT *,
+                CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ts, touch_id) AS BIGINT) AS position,
+                CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+              FROM j)
+        SELECT purchase_id, touch_id, event_type, position, n_touches,
+               CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                    WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                    WHEN position = 1 OR position = n_touches THEN CAST(0.4 AS DOUBLE)
+                    ELSE CAST(0.2 AS DOUBLE) / CAST(n_touches - 2 AS DOUBLE) END AS credit
+        FROM r ORDER BY purchase_id, position""")) { t =>
+    Events.multiTouchAttribution(eventsTs(t)).orderBy("purchase_id", "position")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

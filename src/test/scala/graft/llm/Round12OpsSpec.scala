@@ -121,6 +121,39 @@ class Round12OpsSpec extends SparkSpec {
     assert(cos == Seq(1L, 2L, 3L), "cosine must rank the aligned vector first")
   }
 
+  // ------------------------------------------- multiTouchAttribution
+
+  test("multiTouchAttribution: every credit arm + window exclusion (hand-computed)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // columns: (event_id, ts, user_id, event_type)
+    val events = Seq(
+      // user 1: purchase 1 at 12:00 with 3 in-window touches + 1 stale
+      (1L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "view"),   // first  → 0.4
+      (3L, ts("2024-01-01 10:00:00"), 1L, "click"),  // middle → 0.2
+      (4L, ts("2024-01-01 11:00:00"), 1L, "view"),   // last   → 0.4
+      (5L, ts("2023-12-29 11:00:00"), 1L, "view"),   // outside 48h → excluded
+      // user 2: single touch takes 100%
+      (6L, ts("2024-01-01 12:00:00"), 2L, "purchase"),
+      (7L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      // user 3: two touches split 50/50
+      (8L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      (9L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (10L, ts("2024-01-01 11:00:00"), 3L, "click"),
+      // user 4: error events never earn credit
+      (11L, ts("2024-01-01 12:00:00"), 4L, "purchase"),
+      (12L, ts("2024-01-01 11:00:00"), 4L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.multiTouchAttribution(events)
+      .orderBy("purchase_id", "position")
+      .select("purchase_id", "touch_id", "position", "n_touches", "credit")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 3L, 0.4), (1L, 3L, 2L, 3L, 0.2), (1L, 4L, 3L, 3L, 0.4),
+      (6L, 7L, 1L, 1L, 1.0),
+      (8L, 9L, 1L, 2L, 0.5), (8L, 10L, 2L, 2L, 0.5)))
+  }
+
   // --------------------------------------------------------- sampleFrames
 
   test("sampleFrames: exact indices, timestamps, luminance sums, gradient hash (hand-computed)") {
