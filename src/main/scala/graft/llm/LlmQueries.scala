@@ -2840,10 +2840,63 @@ object LlmQueries {
     Events.multiTouchAttribution(eventsTs(t)).orderBy("purchase_id", "position")
   }
 
+  // x43 — corpus DRIFT report between two snapshots (md5-hash doc halves
+  // standing in for recrawl N and N+1 — the synthetic sources are
+  // id-parity-aligned, so a parity split would put each source wholly on
+  // one side): per-source doc/token counts both
+  // sides plus the total-variation distance between the unigram
+  // distributions — computed EXACTLY by clearing denominators
+  // (Σ|c_a·N_b − c_b·N_a| is an integer, decimal-summed), leaving one
+  // double division per source where a float Σ|p−q| would be
+  // accumulation-order-dependent. The oracle replays the split, both
+  // count frames, the full-outer vocabulary join, and the cleared-
+  // denominator arithmetic.
+  private val x43 = q("x43_corpus_drift", Some(
+    """WITH o AS (SELECT * FROM documents
+               WHERE substring(md5(doc_id::VARCHAR || ':drift'), 1, 4) < '8000'),
+        nw AS (SELECT * FROM documents
+               WHERE substring(md5(doc_id::VARCHAR || ':drift'), 1, 4) >= '8000'),
+        ca AS (SELECT source, tok, CAST(COUNT(*) AS DECIMAL(18,0)) AS c_a
+               FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM o) z
+               WHERE tok <> '' GROUP BY 1, 2),
+        cb AS (SELECT source, tok, CAST(COUNT(*) AS DECIMAL(18,0)) AS c_b
+               FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM nw) z
+               WHERE tok <> '' GROUP BY 1, 2),
+        ta AS (SELECT d.source, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS docs_old, t.toks_a
+               FROM o d LEFT JOIN (SELECT source, CAST(SUM(c_a) AS DECIMAL(18,0)) AS toks_a
+                                   FROM ca GROUP BY 1) t ON d.source = t.source
+               GROUP BY 1, 3),
+        tb AS (SELECT d.source, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS docs_new, t.toks_b
+               FROM nw d LEFT JOIN (SELECT source, CAST(SUM(c_b) AS DECIMAL(18,0)) AS toks_b
+                                    FROM cb GROUP BY 1) t ON d.source = t.source
+               GROUP BY 1, 3),
+        j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+                     COALESCE(ca.tok, cb.tok) AS tok,
+                     COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+              FROM ca FULL OUTER JOIN cb ON ca.source = cb.source AND ca.tok = cb.tok),
+        tv AS (SELECT j.source,
+                      SUM(ABS(j.c_a * tb.toks_b - j.c_b * ta.toks_a)) AS tv_num
+               FROM j JOIN ta ON j.source = ta.source JOIN tb ON j.source = tb.source
+               GROUP BY 1)
+        SELECT ta.source, ta.docs_old, tb.docs_new,
+               CAST(COALESCE(ta.toks_a, 0) AS BIGINT) AS tokens_old,
+               CAST(COALESCE(tb.toks_b, 0) AS BIGINT) AS tokens_new,
+               CAST(tv.tv_num AS DOUBLE)
+                 / NULLIF(2.0 * CAST(ta.toks_a AS DOUBLE) * CAST(tb.toks_b AS DOUBLE), 0.0)
+                 AS tv_unigram
+        FROM ta FULL OUTER JOIN tb ON ta.source = tb.source
+        LEFT JOIN tv ON ta.source = tv.source
+        ORDER BY ta.source""")) { t =>
+    TextAnalysis.corpusDrift(
+      t.documents.filter(Sampling.hashBucket(col("doc_id"), "drift") < lit("8000")),
+      t.documents.filter(Sampling.hashBucket(col("doc_id"), "drift") >= lit("8000")))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

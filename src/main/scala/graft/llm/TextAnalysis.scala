@@ -1184,4 +1184,56 @@ object TextAnalysis {
     documents.select(col("doc_id"), nHits.cast("long").as("n_hits"))
       .withColumn("keep", col("n_hits") === 0L)
   }
+
+  /** CORPUS DRIFT report between two corpus snapshots (the monitoring op a
+    * continuously-recrawled training mixture needs): per source, document
+    * and token counts on each side, and the TOTAL-VARIATION distance
+    * between the two unigram distributions — computed EXACTLY by clearing
+    * denominators: TV = Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b), whose numerator
+    * is a pure integer (decimal-summed, order-independent), leaving ONE
+    * double division per source — bit-identical cross-engine, where a
+    * float Σ|p−q| would be accumulation-order-dependent.
+    *
+    * Scale shape: each side is one narrow explode + map-side-combined
+    * (source, token) count; the comparison is a vocabulary-sized full-outer
+    * join (never corpus-sized); per-source totals broadcast back as
+    * |sources|-row frames. A source present on only one side reports null
+    * TV (no distribution to compare) rather than dividing by zero.
+    */
+  def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    def tokCounts(df: DataFrame, cName: String) = df
+      .select(col("source"), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).cast(DecimalType(18, 0)).as(cName))
+    val ca = tokCounts(oldDocs, "c_a")
+    val cb = tokCounts(newDocs, "c_b")
+    // token totals sum the SAME count frames the distribution uses, so
+    // Σc = N by construction (one tokenization basis, not two)
+    val ta = oldDocs.groupBy("source").agg(count(lit(1)).as("docs_old"))
+      .join(ca.groupBy("source").agg(sum("c_a").cast(DecimalType(18, 0)).as("toks_a")),
+        Seq("source"), "left")
+    val tb = newDocs.groupBy("source").agg(count(lit(1)).as("docs_new"))
+      .join(cb.groupBy("source").agg(sum("c_b").cast(DecimalType(18, 0)).as("toks_b")),
+        Seq("source"), "left")
+    val joined = ca.join(cb, Seq("source", "tok"), "full_outer")
+      .na.fill(0, Seq("c_a", "c_b"))
+      .join(broadcast(ta.select("source", "toks_a")), Seq("source"))
+      .join(broadcast(tb.select("source", "toks_b")), Seq("source"))
+    val tv = joined
+      .groupBy("source")
+      .agg(sum(abs(col("c_a") * col("toks_b") - col("c_b") * col("toks_a")))
+        .as("tv_num"))
+    ta.join(tb, Seq("source"), "full_outer")
+      .join(tv, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+        coalesce(col("toks_a"), lit(0)).cast("long").as("tokens_old"),
+        coalesce(col("toks_b"), lit(0)).cast("long").as("tokens_new"),
+        (col("tv_num").cast("double") /
+          nullif(lit(2.0) * col("toks_a").cast("double") * col("toks_b").cast("double"),
+            lit(0.0))).as("tv_unigram"))
+  }
 }

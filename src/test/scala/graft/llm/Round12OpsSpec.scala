@@ -121,6 +121,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(cos == Seq(1L, 2L, 3L), "cosine must rank the aligned vector first")
   }
 
+  // ------------------------------------------------------- corpusDrift
+
+  test("corpusDrift: TV = 0 on identical distributions, 1 on disjoint vocab, null for one-sided sources") {
+    val oldDocs = Seq(
+      (1L, "srcA", "a a b"),
+      (2L, "srcB", "x y"),
+      (3L, "srcC", "only old")
+    ).toDF("doc_id", "source", "text")
+    val newDocs = Seq(
+      (4L, "srcA", "a a b"),   // identical distribution → TV 0
+      (5L, "srcB", "p q q")    // disjoint vocabulary → TV 1
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.corpusDrift(oldDocs, newDocs).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 1L, 3L, 3L, Some(0.0)),
+      ("srcB", 1L, 1L, 2L, 3L, Some(1.0)),
+      ("srcC", 1L, 0L, 2L, 0L, None)))
+  }
+
+  test("corpusDrift: a half-shifted distribution lands at the hand-computed TV") {
+    // old: a,a,b,b (p = .5/.5); new: a,b,b,b (q = .25/.75) → TV = .25
+    val oldDocs = Seq((1L, "s", "a a b b")).toDF("doc_id", "source", "text")
+    val newDocs = Seq((2L, "s", "a b b b")).toDF("doc_id", "source", "text")
+    val tv = TextAnalysis.corpusDrift(oldDocs, newDocs)
+      .select("tv_unigram").as[Double].collect().head
+    assert(tv == 0.25)
+  }
+
   // ------------------------------------------- multiTouchAttribution
 
   test("multiTouchAttribution: every credit arm + window exclusion (hand-computed)") {
