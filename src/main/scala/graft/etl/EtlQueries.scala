@@ -458,6 +458,30 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  // c06 — COMPRESSED ingestion: the same JSONL corpus gzipped (the wire
+  // format crawl dumps actually arrive in). Spark's text source
+  // auto-decompresses by extension through the identical extract path —
+  // same schema, quarantine, and normalization as c03 — and the oracle
+  // reads the same .gz with DuckDB's transparent decompression, so a
+  // codec-path divergence (truncated stream, wrong charset) hash-fails.
+  // Gzip is NOT splittable — one file = one task however large — so at
+  // 100 TB the layout contract is many shard files (or zstd/bzip2);
+  // noted here because the plumbing, not the codec, is the operator.
+  private val fixtureJsonlGz = "/root/repo/fixtures/documents_a.jsonl.gz"
+  private val c06 = q("c06_jsonl_gz_extract",
+    s"""SELECT doc_id, text, coalesce(lang, 'und') AS lang, source,
+          meta.url AS url, meta.crawl AS crawl,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
+        FROM read_json('$fixtureJsonlGz', format='newline_delimited', ignore_errors=true,
+             columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+                      source: 'VARCHAR', meta: 'STRUCT(url VARCHAR, crawl VARCHAR)'})
+        WHERE doc_id IS NOT NULL
+        ORDER BY doc_id""") { t =>
+    JsonlExtract.normalizeDocuments(JsonlExtract.readDocuments(t.spark, fixtureJsonlGz))
+      .orderBy("doc_id")
+  }
+
   private val fixtureQuoted = "/root/repo/fixtures/transactions_quoted.csv"
 
   // c04 — RFC-4180 CSV ingestion: quoted delimiters, doubled-quote
@@ -971,5 +995,5 @@ object EtlQueries {
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
-      c01, c02, c03, c04, c05)
+      c01, c02, c03, c04, c05, c06)
 }

@@ -1089,6 +1089,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs by BANDED Hamming search (Manku et al. 2007 —
+    * Google's web-dedup shape): documents whose 64-bit SimHash fingerprints
+    * differ in ≤ `maxHamming` bits, found by splitting the fingerprint into
+    * maxHamming+1 bands and equi-joining on (band, band value) — by
+    * pigeonhole, any pair within the radius matches EXACTLY on at least one
+    * band, so banding has recall 1.0 and the exact popcount verify prunes
+    * the false candidates. Rides the SAME banded machinery as the image
+    * (m02) and audio (m03) perceptual tiers — one implementation, three
+    * modalities plus text.
+    *
+    * vs [[simhashPairs]] (which Hamming-scores MinHash-LSH candidates):
+    * this one needs no shingle pass at all — the candidate generation IS
+    * the fingerprint — so the exchange carries 8-byte hashes, never
+    * shingles. The structural-similarity semantics differ from Jaccard
+    * (SimHash weights token multiplicity); rows-only in the gate (xxhash64
+    * has no DuckDB twin), radius behavior spec-pinned.
+    */
+  def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.llm.Multimodal.bandedHammingPairs(
+      simhash(documents).select(col("doc_id").as("asset_id"), col("simhash")),
+      "simhash", maxHamming)
+      .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"), col("hamming"))
+
   /** Canonical dedup key for a URL: strip the query string and fragment,
     * lowercase the scheme+authority (RFC 3986 §6.2.2.1 — scheme and host
     * are case-insensitive, the path is NOT), strip one trailing slash.

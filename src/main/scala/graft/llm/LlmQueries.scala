@@ -2893,8 +2893,20 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  // d23 — SimHash near-dup pairs by banded Hamming search (Manku et al.
+  // 2007; rows-only like d03 — xxhash64 has no DuckDB twin): candidate
+  // generation IS the 8-byte fingerprint (no shingle pass, the cheapest
+  // near-dup exchange in the tier), pigeonhole banding recall 1.0, exact
+  // popcount verify; one banded-Hamming implementation now serves text +
+  // image + audio. Radius behavior and twin recovery spec-pinned in
+  // Round12OpsSpec.
+  private val d23 = q("d23_simhash_neardup", None) { t =>
+    Dedup.simhashNearDupPairs(t.documents, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,

@@ -121,6 +121,26 @@ class Round12OpsSpec extends SparkSpec {
     assert(cos == Seq(1L, 2L, 3L), "cosine must rank the aligned vector first")
   }
 
+  // ------------------------------------------------- simhashNearDupPairs
+
+  test("simhashNearDupPairs: identical docs at Hamming 0, radius respected, no self/dup pairs") {
+    val docs = Seq(
+      (1L, "spark merge window table scan filter join group"),
+      (2L, "spark merge window table scan filter join group"),   // exact twin → 0
+      (3L, "spark merge window table scan filter join order"),   // near twin
+      (4L, "completely different words entirely here now today") // far
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.contains((1L, 2L, 0)), "exact twins must pair at Hamming 0")
+    assert(got.forall { case (a, b, h) => a < b && h <= 3 },
+      "ordered pairs inside the radius only")
+    assert(got.map(p => (p._1, p._2)).distinct.size == got.size, "no duplicate pairs")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "an unrelated document must not pair at radius 3")
+  }
+
   // ------------------------------------------------------- corpusDrift
 
   test("corpusDrift: TV = 0 on identical distributions, 1 on disjoint vocab, null for one-sided sources") {
