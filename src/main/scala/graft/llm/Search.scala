@@ -72,14 +72,34 @@ object Search {
   /** Build and persist the index at `path`: postings partitioned by term
     * bucket. The pre-write `repartition(bucket)` makes each task own whole
     * buckets, so the layout lands as one file per bucket directory instead
-    * of |tasks|×|buckets| fragments.
+    * of |tasks|×|buckets| fragments. The bucket count is persisted beside
+    * the data (BUCKETS) — the serve path verifies against it, because a
+    * mismatched count would not error, it would silently prune MATCHING
+    * buckets away.
     */
   def writeIndex(documents: DataFrame, path: String,
-                 buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+                 buckets: Int = DefaultBuckets, textCol: String = "text"): Unit = {
     postings(documents, textCol)
       .withColumn("bucket", termBucket(col("term"), buckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.warehouse.AtomicPointer.write(s"$path/$BucketsFile", buckets.toString)
+  }
+
+  // underscore prefix: Spark's file index skips _-prefixed names, so the
+  // sidecar can live inside the flat index's parquet directory
+  private val BucketsFile = "_BUCKETS"
+
+  /** Fail fast when the caller's bucket count disagrees with the one the
+    * index was BUILT with (stored in BUCKETS): the wrong count doesn't
+    * error downstream — it prunes matching buckets away silently. Legacy
+    * indexes without the file pass through on the caller's word.
+    */
+  private def checkBuckets(path: String, buckets: Int): Unit =
+    graft.warehouse.AtomicPointer.read(s"$path/$BucketsFile").map(_.trim.toInt)
+      .foreach(stored => require(stored == buckets,
+        s"index at $path was built with $stored buckets, queried with $buckets " +
+          "— pruning would silently drop matches"))
 
   /** Conjunctive keyword serve: documents containing EVERY query term, with
     * the exact total term frequency as the ranking signal. Reads only the
@@ -89,6 +109,7 @@ object Search {
   def searchAll(spark: SparkSession, path: String, terms: Seq[String],
                 buckets: Int = DefaultBuckets): DataFrame = {
     require(terms.nonEmpty, "searchAll: empty query")
+    checkBuckets(path, buckets)
     val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val bks = lowered.map(termBucketLocal(_, buckets)).distinct
     spark.read.parquet(path)
@@ -146,6 +167,8 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/postings")
     tag.foreach(t => graft.warehouse.AtomicPointer.write(s"$staging/TAG", t))
     graft.warehouse.AtomicPointer.publishDir(staging, s"$path/$next")
+    checkBuckets(path, buckets)
+    graft.warehouse.AtomicPointer.write(s"$path/$BucketsFile", buckets.toString)
     graft.warehouse.AtomicPointer.write(s"$path/$Pointer",
       ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
   }
@@ -188,6 +211,7 @@ object Search {
                        buckets: Int = DefaultBuckets): DataFrame = {
     val vs = committedVersions(path)
     require(vs.nonEmpty, s"searchAllIndexed: no committed versions under $path")
+    checkBuckets(path, buckets)
     val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(lowered.nonEmpty, "searchAllIndexed: empty query")
     val bks = lowered.map(termBucketLocal(_, buckets)).distinct

@@ -107,6 +107,22 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((1L, 5L)))
   }
 
+  test("serve fails fast on a bucket-count mismatch (silent mis-pruning guard)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search-bk").toString
+    Search.writeIndex(corpus, idx, buckets = 8)
+    intercept[IllegalArgumentException] {
+      Search.searchAll(spark, idx, Seq("spark"), buckets = 16)
+    }
+    val inc = java.nio.file.Files.createTempDirectory("graft-search-bk2").toString
+    Search.initIndex(corpus, inc, buckets = 8)
+    intercept[IllegalArgumentException] {
+      Search.appendToIndex(corpus, inc, buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Search.searchAllIndexed(spark, inc, Seq("spark"), buckets = 16)
+    }
+  }
+
   test("versioned index: serve fails fast on an uninitialized store") {
     val empty = java.nio.file.Files.createTempDirectory("graft-search-empty").toString
     intercept[IllegalArgumentException] {
