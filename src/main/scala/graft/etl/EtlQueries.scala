@@ -969,6 +969,42 @@ object EtlQueries {
       .withColumn("n_vacuumed", lit(n.toLong))
   }
 
+  // t30 — CO-BUCKETED JOIN through the correctness gate (t16 proves the
+  // bucketed AGGREGATION plans exchange-free; this proves the join): both
+  // orders and customer land bucketed+sorted on custkey, the per-customer
+  // enriched rollup joins them with auto-broadcast disabled — the layout,
+  // not the optimizer's size estimate, eliminates both exchanges
+  // (ScaleOpsSpec pins the zero-exchange plan; at 100 TB this is the
+  // fact⋈fact shape where neither side broadcasts and a runtime shuffle
+  // of either is the job's dominant cost). The oracle recomputes the
+  // join+rollup from raw parquet, so a row misrouted by either bucketed
+  // write hash-fails.
+  private val t30 = q("t30_cobucketed_join",
+    s"""SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               ${sqlDsum("o.o_totalprice")} AS total_spent
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1 ORDER BY c_custkey""") { t =>
+    val owner = s"graft_t30_${java.lang.Long.toHexString(System.nanoTime())}"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cobkt").toString
+    ParquetWarehouse.writeFactBucketed(
+      t.orders, s"${owner}_orders", "o_custkey", 16, Some(s"$dir/orders"))
+    ParquetWarehouse.writeFactBucketed(
+      t.customer, s"${owner}_cust", "c_custkey", 16, Some(s"$dir/cust"))
+    // the def proves the bucketed write/read cycle loses nothing through
+    // the join; the zero-exchange PLAN (with auto-broadcast disabled at
+    // action time) is pinned in ScaleOpsSpec, where the conf scope can
+    // bracket the action rather than this lazily-executed frame
+    t.spark.table(s"${owner}_cust")
+      .join(t.spark.table(s"${owner}_orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(first(col("c_name")).as("c_name"),
+        count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
   // c05 — ORC source/sink round-trip: orders written as ORC partitioned by
   // o_orderstatus, read back through the partition-pruned path (only the
   // status='F' directory is listed — plan-pinned in Round12OpsSpec), rolled
@@ -994,6 +1030,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
       c01, c02, c03, c04, c05, c06)
 }
