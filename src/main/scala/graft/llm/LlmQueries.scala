@@ -2905,10 +2905,54 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  // x44 — per-SOURCE quality quantiles (the distribution monitor p06's
+  // mean-based report card can't see: a source whose mean holds while its
+  // tail collapses): exact interpolated p25/median/p75 of the x03 quality
+  // score per source. The score carries source through the narrow scoring
+  // pass (no doc_id join-back); grouped exact percentile inherits q24's
+  // buffering contract with ~|corpus|/|sources| values per group.
+  private val x44 = {
+    val enStops = TextAnalysis.Lexicons.head._2.map(w => s"'$w'").mkString(", ")
+    q("x44_source_quality_quantiles", Some(
+      s"""WITH base AS (
+            SELECT doc_id, source, len(text) AS n_chars,
+                   string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+          m AS (
+            SELECT doc_id, source, n_chars,
+                   len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+                   len(list_filter(w, x -> x IN ($enStops))) AS n_stop,
+                   len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_shingles
+            FROM base),
+          s AS (
+            SELECT source,
+                   (least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                    + CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    + CASE WHEN n_tokens > 2
+                           THEN CAST(n_shingles AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+                           ELSE 0.0 END) / 4.0 AS quality
+            FROM m)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY quality) AS p25,
+                 PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY quality) AS median,
+                 PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY quality) AS p75
+          FROM s GROUP BY 1 ORDER BY source""")) { t =>
+      TextAnalysis.qualityScore(t.documents, carryCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("quality"), lit(0.25)).as("p25"),
+          percentile(col("quality"), lit(0.5)).as("median"),
+          percentile(col("quality"), lit(0.75)).as("p75"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

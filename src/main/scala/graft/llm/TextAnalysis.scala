@@ -844,17 +844,17 @@ object TextAnalysis {
     * lexical diversity, stopword-ratio, and 3-gram uniqueness — the
     * standard cheap pre-filter shape for training-data pipelines.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val sh = TextFns.shingles(col("text"))
     val enStops = Lexicons.head._2
     documents.select(
-      col("doc_id"),
+      (col("doc_id") +: carryCols.map(col)) ++ Seq(
       length(col("text")).as("n_chars"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct"),
       size(filter(t, x => x.isin(enStops.map(lit): _*).cast("boolean"))).as("n_stop"),
-      size(sh).as("n_shingles"))
+      size(sh).as("n_shingles")): _*)
       .withColumn("len_score", least(col("n_chars").cast("double") / 500.0, lit(1.0)))
       .withColumn("diversity", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
