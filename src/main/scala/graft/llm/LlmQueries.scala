@@ -2949,10 +2949,54 @@ object LlmQueries {
     }
   }
 
+  // x45 — BM25 top-k RETRIEVAL from the persisted ranked index: x26's
+  // scorer served from x39's store (OR semantics — the ranked complement
+  // of the conjunctive serve). Postings carry their document's length
+  // (the search-engine denormalization: no corpus-sized doc-length join
+  // at query time), corpus stats live in an exact-integer sidecar, df
+  // recounts over the pruned matching-rows scan, and the top-k is a
+  // TakeOrderedAndProject totally ordered by (score desc, doc_id). The
+  // oracle recomputes BM25 from the raw corpus with x26's exact treatment
+  // (quantized DECIMAL(18,8) idf × saturation, exact decimal cross-term
+  // sum, ROUND(4)) and takes the same totally-ordered top-k — so a lost
+  // posting, wrong dl, stale sidecar, or mispruned bucket all hash-fail.
+  private val x45 = q("x45_bm25_search", Some(
+    """WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl FROM base),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS f
+               FROM (SELECT doc_id, unnest(w) AS tok FROM base) z
+               WHERE tok IN ('spark', 'join', 'window', 'shuffle')
+               GROUP BY 1, 2),
+        dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM dt GROUP BY 1),
+        idf AS (SELECT tok,
+                  CAST(ln((CAST(n_docs AS DOUBLE) - CAST(n_t AS DOUBLE) + 0.5)
+                          / (CAST(n_t AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(18,8)) AS idf
+                FROM dft CROSS JOIN stats),
+        sc AS (SELECT dt.doc_id,
+                 SUM(idf * CAST(
+                   (CAST(f AS DOUBLE) * 2.25)
+                   / (CAST(f AS DOUBLE)
+                      + 1.25 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   AS DECIMAL(18,8))) AS sdec
+               FROM dt JOIN dl USING (doc_id) JOIN idf USING (tok)
+               CROSS JOIN stats GROUP BY 1)
+        SELECT doc_id, ROUND(CAST(sdec AS DOUBLE), 4) AS bm25
+        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25""")) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-idx").toString
+    Search.writeRankedIndex(t.documents, idx)
+    Search.searchRanked(t.spark, idx,
+      Seq("spark", "join", "window", "shuffle"), k = 25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -136,6 +136,91 @@ object Search {
       .select(col("doc_id"), col("total_tf"))
   }
 
+  // ------------------------------------------------------- ranked (BM25)
+
+  // corpus stats sidecar (n_docs, total_tokens as exact integers): BM25's
+  // idf/avgdl need corpus-wide denominators the pruned per-query scan
+  // cannot see; _-prefixed like _BUCKETS so Spark's file index skips it
+  private val StatsFile = "_STATS"
+
+  /** Build + persist the RANKED index: x39's bucket layout with each
+    * posting carrying its document's token length (the classic
+    * search-engine denormalization — dl rides the posting, so the serve
+    * path never joins a corpus-sized doc-length table), plus a corpus
+    * stats sidecar (doc count, total tokens — exact integers; avgdl
+    * derives at serve time so both engines divide the same longs).
+    * Document frequencies are NOT persisted: a term's postings all live in
+    * its bucket, so the serve's pruned scan recounts df exactly.
+    *
+    * NOTE: runs one extra corpus aggregate (the 1-row stats action) at
+    * build time, eagerly.
+    */
+  def writeRankedIndex(documents: DataFrame, path: String,
+                       buckets: Int = DefaultBuckets, textCol: String = "text"): Unit = {
+    val toks = TextFns.tokens(col(textCol))
+    // dl = size BEFORE the empty-term drop, matching bm25Score's |d|
+    val base = documents.select(col("doc_id"), size(toks).as("dl"), toks.as("w"))
+    base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val st = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl").cast("long")).as("tot")).collect()(0)
+    graft.warehouse.AtomicPointer.write(s"$path/$StatsFile",
+      s"${st.getLong(0)}\n${st.getLong(1)}\n")
+    graft.warehouse.AtomicPointer.write(s"$path/$BucketsFile", buckets.toString)
+  }
+
+  /** BM25 top-k serve from a [[writeRankedIndex]] store — the ranked
+    * (OR-semantics) retrieval the conjunctive [[searchAll]] can't express,
+    * with [[TextAnalysis.bm25Score]]'s exact scoring treatment (quantized
+    * DECIMAL(18,8) idf × saturation, exact decimal cross-term sum, one
+    * final ROUND(4)) so the two paths agree bit-for-bit on matching docs.
+    * Zero-match documents never appear (the index only knows matches —
+    * unlike the corpus-scan scorer, which emits 0.0 rows).
+    *
+    * Scale shape: reads ONLY the query terms' buckets (partition pruning)
+    * with the term equalities pushed to parquet; df recounts over that
+    * pruned, matching-rows-sized scan; the |Q|-row idf LUT broadcasts;
+    * top-k is a TakeOrderedAndProject (per-partition heads, never a global
+    * sort), totally ordered by (score desc, doc_id) so the k-boundary is
+    * deterministic.
+    */
+  def searchRanked(spark: SparkSession, path: String, terms: Seq[String],
+                   k: Int, buckets: Int = DefaultBuckets,
+                   k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchRanked: empty query")
+    checkBuckets(path, buckets)
+    val Array(nDocs, totTokens) =
+      graft.warehouse.AtomicPointer.read(s"$path/$StatsFile")
+        .map(_.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong))
+        .getOrElse(sys.error(s"searchRanked: no $StatsFile under $path — " +
+          "built with writeIndex instead of writeRankedIndex?"))
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val bks = lowered.map(termBucketLocal(_, buckets)).distinct
+    val posts = spark.read.parquet(path)
+      .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+      .filter(col("term").isin(lowered: _*))
+    val idf = posts.groupBy("term").agg(count(lit(1)).as("n_t"))
+      .select(col("term"),
+        log((lit(nDocs.toDouble) - col("n_t").cast("double") + 0.5) /
+            (col("n_t").cast("double") + 0.5) + 1.0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("idf"))
+    val avgdl = totTokens.toDouble / nDocs.toDouble
+    posts.join(broadcast(idf), Seq("term"))
+      .withColumn("frac",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .withColumn("contrib",
+        col("idf") * col("frac").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .groupBy("doc_id").agg(sum("contrib").as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   // ------------------------------------------------- versioned incremental
 
   private val Pointer = "CURRENT"

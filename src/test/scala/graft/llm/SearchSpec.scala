@@ -130,6 +130,58 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("searchRanked ≡ bm25Score on matching docs, bit-for-bit; zero-match docs absent") {
+    val withMiss = corpus.union(Seq((6L, "nothing relevant here")).toDF("doc_id", "text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked").toString
+    Search.writeRankedIndex(withMiss, idx, buckets = 8)
+    val terms = Seq("spark", "merge", "absentterm")
+    val served = Search.searchRanked(spark, idx, terms, k = 10, buckets = 8)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val direct = TextAnalysis.bm25Score(withMiss, terms)
+      .filter(col("bm25") > 0.0)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(served == direct)
+    assert(!served.exists(_._1 == 6L), "zero-match doc leaked into the ranked serve")
+  }
+
+  test("searchRanked top-k boundary: total order (score desc, doc_id) decides ties") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-k").toString
+    Search.writeRankedIndex(corpus, idx, buckets = 8)
+    val all = Search.searchRanked(spark, idx, Seq("spark", "window"), k = 100, buckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    val expectedTop2 = all.sortBy { case (id, s) => (-s, id) }.take(2).toSet
+    val top2 = Search.searchRanked(spark, idx, Seq("spark", "window"), k = 2, buckets = 8)
+      .as[(Long, Double)].collect().toSet
+    assert(top2 == expectedTop2)
+  }
+
+  test("searchRanked plan prunes to the query terms' bucket partitions") {
+    withConf("spark.sql.adaptive.enabled", "false") {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ranked-pr").toString
+      Search.writeRankedIndex(corpus, idx, buckets = 16)
+      val df = Search.searchRanked(spark, idx, Seq("spark", "merge"), k = 10, buckets = 16)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no file scan in ranked serve plan")
+      val expected = Seq("spark", "merge").map(Search.termBucketLocal(_, 16)).distinct
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.nonEmpty, "ranked serve scan has no partition filters")
+        assert(scan.metrics("numFiles").value == expected.length,
+          s"read ${scan.metrics("numFiles").value} bucket files, expected ${expected.length} of 16")
+      }
+    }
+  }
+
+  test("searchRanked fails fast on a store without the stats sidecar") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-ns").toString
+    Search.writeIndex(corpus, idx, buckets = 8)
+    intercept[RuntimeException] {
+      Search.searchRanked(spark, idx, Seq("spark"), k = 5, buckets = 8)
+    }
+  }
+
   test("writeIndex overwrite is idempotent: rebuild serves identical results") {
     val idx = java.nio.file.Files.createTempDirectory("graft-search").toString
     Search.writeIndex(corpus, idx, buckets = 8)
