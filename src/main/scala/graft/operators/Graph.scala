@@ -233,9 +233,70 @@ object Graph {
     (p0 +: iters).mkString(",\n")
   }
 
-  /** Min-label-propagation oracle fragment: unrolled `l0 .. l{iterations}`
-    * over a caller-provided `edges(src,dst)` CTE.
+  /** Multi-source BFS: unweighted shortest-path distance from the nearest
+    * seed, by frontier expansion — round d joins ONLY the frontier (nodes
+    * first reached at d−1) against the edge table and anti-joins the
+    * already-reached set, so total work is O(Σ frontier-adjacent edges),
+    * never |V|·rounds. Returns (node, dist) for every node within
+    * `maxDepth` hops of a seed; unreached nodes are absent (the caller
+    * left-joins if it wants ∞ rows). Seeds outside the graph still report
+    * dist 0 — they are valid single-node reachable sets.
+    *
+    * Fixed `maxDepth` keeps the recurrence oracle-replayable
+    * ([[bfsOracleCtes]]); [[bfsConverged]] proves a fixpoint when the
+    * caller wants full-reachability semantics. Directed as given —
+    * [[symmetrize]] first for undirected graphs.
+    *
+    * Scale shape per round: one frontier-sized equi-join on `src` (the
+    * 100 TB edge table's join key — bucketing edges by src co-locates every
+    * round), one distinct, one anti-join against the node-sized reached
+    * set; state [[Materialize.cut]] so lineage stays flat and executor
+    * loss replays one round. No driver actions — empty late rounds cost
+    * empty joins, not a per-round count.
     */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0)
+    var reached = Materialize.cut(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0)))
+    var frontier = reached.select("node")
+    for (d <- 1 to maxDepth) {
+      val nbrs = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = Materialize.cut(
+        nbrs.join(reached, Seq("node"), "left_anti").withColumn("dist", lit(d)))
+      reached = Materialize.cut(reached.unionByName(fresh))
+      frontier = fresh.select("node")
+    }
+    reached
+  }
+
+  /** True when one more BFS round reaches nothing new — i.e. `maxDepth`
+    * already covers the seeds' full reachable set.
+    */
+  def bfsConverged(edges: DataFrame, seeds: DataFrame, maxDepth: Int): Boolean =
+    bfsDistances(edges, seeds, maxDepth + 1)
+      .filter(col("dist") === maxDepth + 1).isEmpty
+
+  /** DuckDB unroll of [[bfsDistances]]: `b0 .. b{maxDepth}` over
+    * caller-provided `edges(src,dst)` and `seeds(node)` CTEs; the served
+    * result reads `b{maxDepth}`. Each b_d carries every node reached
+    * within d hops exactly once, at its minimum distance.
+    */
+  def bfsOracleCtes(maxDepth: Int): String = {
+    val b0 = "b0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS dist FROM seeds)"
+    val iters = (1 to maxDepth).map { d =>
+      s"""b$d AS MATERIALIZED (
+            SELECT node, dist FROM b${d - 1}
+            UNION ALL
+            SELECT f.node, $d AS dist FROM (
+              SELECT DISTINCT e.dst AS node FROM edges e
+              JOIN b${d - 1} p ON e.src = p.node AND p.dist = ${d - 1}) f
+            WHERE NOT EXISTS (SELECT 1 FROM b${d - 1} r WHERE r.node = f.node))"""
+    }
+    (b0 +: iters).mkString(",\n")
+  }
+
   /** Synchronous LABEL PROPAGATION communities (Raghavan et al. 2007), the
     * modularity-flavored sibling of [[connectedComponents]]: each round,
     * every node adopts the label carried by the PLURALITY of its

@@ -130,5 +130,25 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
+  // g06 — multi-source BFS over the sparse purchase graph: exact hop
+  // distance from the nearest seeded customer (every 100th custkey) by
+  // frontier expansion, 6 fixed rounds both engines (GraphSpec proves 6
+  // reaches the fixpoint on the testdata graph — the sparse components
+  // are shallow). Unreached nodes are absent by contract; the oracle
+  // unrolls the same rounds, so a node reached late, twice, or at the
+  // wrong distance hash-fails.
+  private val g06 = q("g06_bfs_distances", Some(
+    s"""WITH ${edgesCte(Some(48))},
+        seeds AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS node
+          FROM orders WHERE o_custkey % 100 = 0),
+        ${Graph.bfsOracleCtes(maxDepth = 6)}
+        SELECT node, CAST(dist AS INT) AS dist FROM b6 ORDER BY node""")) { t =>
+    val seeds = t.orders.filter(col("o_custkey") % 100 === 0)
+      .select((col("o_custkey") * 2).cast("long").as("node"))
+    Graph.bfsDistances(purchaseEdges(t, Some(48)), seeds, maxDepth = 6)
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
 }

@@ -131,6 +131,51 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("bfsDistances: min distance from nearest seed; unreached absent; off-graph seed at 0") {
+    // chain 1-2-3-4-5, pair 10-11, seeds {1, 5, 99}: node 3 is 2 hops from
+    // BOTH seeds (min, not first-found); 10/11 unreached; 99 not in the
+    // graph but still dist 0
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val seeds = Seq(1L, 5L, 99L).toDF("node")
+    val got = Graph.bfsDistances(chain, seeds, maxDepth = 4)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0), (99L, 0)))
+  }
+
+  test("bfsDistances: maxDepth truncates the frontier, not the distances already found") {
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.bfsDistances(chain, Seq(1L).toDF("node"), maxDepth = 2)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2))) // 4 is 3 hops out — absent
+  }
+
+  test("bfsConverged: true at eccentricity, false below it") {
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(!Graph.bfsConverged(chain, Seq(1L).toDF("node"), maxDepth = 3))
+    assert(Graph.bfsConverged(chain, Seq(1L).toDF("node"), maxDepth = 4))
+  }
+
+  test("bfsDistances is deterministic under repartitioning") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val a = Graph.bfsDistances(e, Seq(1L, 10L).toDF("node"), 4)
+      .orderBy("node").collect().toSeq
+    val b = Graph.bfsDistances(e.repartition(7), Seq(1L, 10L).toDF("node"), 4)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
+  test("g06's fixed depth reaches the fixpoint on the testdata graph") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.filter(col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    val seeds = t.orders.filter(col("o_custkey") % 100 === 0)
+      .select((col("o_custkey") * 2).cast("long").as("node"))
+    assert(Graph.bfsConverged(Graph.symmetrize(pairs, "c", "s"), seeds, maxDepth = 6))
+  }
+
   test("labelPropagation is deterministic under repartitioning") {
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
     val a = Graph.labelPropagation(e, iterations = 3).orderBy("node").collect().toSeq
