@@ -828,8 +828,69 @@ object StarQueries {
       .orderBy("o_orderstatus")
   }
 
+  // q30 — PIVOT: per-priority rows widened by order status (the
+  // report-shaped rotation CUBE can't express — measures become columns,
+  // not subtotal rows). The status values are EXPLICIT (Seq("F","O","P")),
+  // which matters at 100 TB: an implicit pivot runs a distinct-discovery
+  // job over the fact first; the explicit list plans one Expand-free
+  // single-pass aggregate with FILTER-style conditional measures. Spark
+  // leaves empty cells null (count included) — counts coalesce to 0 to
+  // match COUNT FILTER, spends stay null to match SUM FILTER, pinning the
+  // empty-cell semantics cross-engine.
+  private val q30 = q(
+    "q30_status_pivot",
+    s"""SELECT o_orderpriority AS priority,
+        CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS f_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_spend,
+        CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS o_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_spend,
+        CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS p_n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_spend
+        FROM orders GROUP BY 1 ORDER BY priority""") { t =>
+    t.orders.groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+      .select(col("priority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_spend").as("f_spend"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_spend").as("o_spend"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_spend").as("p_spend"))
+      .orderBy("priority")
+  }
+
+  // q31 — UNPIVOT/melt: lineitem's four numeric measures rotated long
+  // (column name → key), then profiled per measure — the wide-to-long
+  // reshape feeding generic per-metric monitoring. Unpivot is a narrow
+  // Expand (4× rows, ZERO exchanges until the 4-key rollup, which
+  // map-side-combines); measures unify through DECIMAL(18,6) so the 4×
+  // sums stay exact and order-independent in both engines.
+  private val q31 = q(
+    "q31_measure_unpivot",
+    """WITH m AS (
+         SELECT measure, CAST(v AS DECIMAL(18,6)) AS v FROM (
+           SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+           UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'discount', l_discount FROM lineitem
+           UNION ALL SELECT 'tax', l_tax FROM lineitem) z)
+       SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) AS DOUBLE) AS total,
+              CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
+       FROM m GROUP BY 1 ORDER BY measure""") { t =>
+    t.lineitem.select(col("l_orderkey"),
+        col("l_quantity").cast(DecimalType(18, 6)).as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 6)).as("extendedprice"),
+        col("l_discount").cast(DecimalType(18, 6)).as("discount"),
+        col("l_tax").cast(DecimalType(18, 6)).as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("total"),
+        min("v").cast("double").as("min_v"), max("v").cast("double").as("max_v"))
+      .orderBy("measure")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }
