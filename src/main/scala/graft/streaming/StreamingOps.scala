@@ -15,6 +15,14 @@ final case class EventRow(
 /** Per-user running aggregate maintained by the stateful operator. */
 final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+/** A closed session emitted by [[StreamingOps.sessionsWithState]]. */
+final case class SessionOut(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+/** In-flight session state (epoch millis — timestamps don't encode well in
+  * state stores across timezones). */
+final case class SessionAcc(start: Long, last: Long, n: Long)
+
 /** Structured-Streaming twins of the batch event operators
   * (graft.llm.Events): the SAME logical transformations run incrementally —
   * `readStream → transform → writeStream` with watermarks bounding state.
@@ -656,6 +664,71 @@ object StreamingOps {
           val next = UserAgg(userId, n, cents / 100.0)
           state.update(next)
           next
+      }
+  }
+
+  /** Gap-based sessionization as CUSTOM KEYED STATE with EVENT-TIME
+    * TIMEOUTS via flatMapGroupsWithState — the session-emission semantics
+    * the built-in `session_window` aggregate can't give you: a session row
+    * is emitted EXACTLY ONCE, exactly when the watermark proves it closed
+    * (either a later event opened the next session, or the event-time
+    * timeout fired gap-after its last event). [[sessionWindowStream]] is
+    * the built-in twin; this is the escape hatch for when the per-session
+    * output needs custom shape or side effects.
+    *
+    * Semantics contract: events are folded in (ts, event_id) order within
+    * each micro-batch; a late event that belongs BEFORE the open session's
+    * start (possible inside the watermark horizon) starts/extends sessions
+    * as if it were current — exactly-ordered replay is the batch path's
+    * job (e02), not a streaming guarantee.
+    *
+    * Scale shape: state is ONE small case class per ACTIVE user (closed
+    * sessions leave the store via the timeout), partitioned by user like
+    * any keyed shuffle; emission is append-mode, so downstream sinks never
+    * see a session twice.
+    */
+  def sessionsWithState(events: Dataset[EventRow],
+                        gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId,
+              new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionAcc(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId,
+                    new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit beyond the current watermark — a
+              // session whose last event is already near the horizon
+              // closes at the next possible instant instead of erroring
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
       }
   }
 }

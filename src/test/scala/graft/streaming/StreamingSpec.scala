@@ -68,6 +68,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions: emitted once, closed by gap or event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.sessionsWithState(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fs").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), user 2: one event
+      stream.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "view", 1.0),
+        ev(3, "2024-01-01 10:05:00", 2, "click", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("fs").isEmpty, "nothing closed yet — no session may emit")
+      // user 1 again 40 min after their last event: gap exceeded → the
+      // first session closes on arrival of the next one
+      stream.addData(Seq(ev(4, "2024-01-01 10:50:00", 1, "view", 1.0)))
+      q.processAllAvailable()
+      val afterGap = spark.table("fs").as[SessionOut].collect().toSet
+      assert(afterGap == Set(SessionOut(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:10:00"), 2L)))
+      // advance the watermark far past everyone: both open sessions close
+      // by EVENT-TIME TIMEOUT, not by a successor event
+      stream.addData(Seq(ev(5, "2024-01-01 23:00:00", 99, "view", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(6, "2024-01-01 23:59:00", 99, "view", 1.0)))
+      q.processAllAvailable()
+      val closed = spark.table("fs").as[SessionOut].collect()
+      assert(closed.length == closed.toSet.size, "a session emitted twice")
+      val byUser = closed.groupBy(_.user_id)
+      assert(byUser(1L).toSet == Set(
+        SessionOut(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          Timestamp.valueOf("2024-01-01 10:10:00"), 2L),
+        SessionOut(1L, Timestamp.valueOf("2024-01-01 10:50:00"),
+          Timestamp.valueOf("2024-01-01 10:50:00"), 1L)))
+      assert(byUser(2L).toSet == Set(
+        SessionOut(2L, Timestamp.valueOf("2024-01-01 10:05:00"),
+          Timestamp.valueOf("2024-01-01 10:05:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionsWithState agrees with the batch session rollup on in-order data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 08:20:00", 1, "view", 1.0),
+      ev(3, "2024-01-01 09:30:00", 1, "view", 1.0),
+      ev(4, "2024-01-01 08:05:00", 2, "click", 1.0),
+      ev(5, "2024-01-01 09:00:00", 2, "click", 1.0),
+      ev(6, "2024-01-01 09:10:00", 2, "click", 1.0))
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.sessionsWithState(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fsb").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      stream.addData(Seq(ev(7, "2024-01-02 12:00:00", 99, "view", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(8, "2024-01-02 13:00:00", 99, "view", 1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("fsb").as[SessionOut].collect()
+        .filter(_.user_id != 99L) // the watermark-pusher's own sessions
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n_events))
+        .toSet
+      // batch twin: 30-min-gap sessionization of the same rows
+      val batch = graft.llm.Events.sessionize(data.toDF(), gapMinutes = 30)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
