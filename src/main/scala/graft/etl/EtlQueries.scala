@@ -804,10 +804,14 @@ object EtlQueries {
   // t26 — WRITE-AUDIT-PUBLISH through the correctness gate: the full star
   // stages as an unpublished version, the StarIntegrity audit runs ON THE
   // STAGED FILES, and only a clean audit swaps the pointer; a poisoned
-  // second batch (every category key orphaned) stages, FAILS the audit,
-  // and must leave the good version live — the def reads the CURRENT
-  // snapshot after both attempts, so a premature pointer swap (serving
-  // the corrupt batch) hash-fails against the clean-star oracle.
+  // second batch (every category key orphaned) stages INCREMENTALLY —
+  // only the fact is written, the five dims carry forward by .base
+  // pointer (the 100 TB WAP shape: re-publishing a fact never rewrites
+  // unchanged dims) — FAILS the audit (which must see the carried dims to
+  // catch the orphaned keys), and must leave the good version live. The
+  // def reads the CURRENT snapshot after both attempts, so a premature
+  // pointer swap (serving the corrupt batch) hash-fails against the
+  // clean-star oracle.
   private val t26 = q("t26_wap_publish",
     s"""$withPrefix
        SELECT CAST(COUNT(*) AS BIGINT) AS n_facts,
@@ -830,10 +834,13 @@ object EtlQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
     val good = ParquetWarehouse.publishAudited(root, star, StarIntegrity.allClean)
     require(good.isRight, s"clean star must publish, got $good")
-    // poison batch: every fact category key orphaned — must NOT publish
-    val poisoned = star + ("fact_transactions" ->
-      fact.withColumn("category_key", col("category_key") + 999999))
-    val bad = ParquetWarehouse.publishAudited(root, poisoned, StarIntegrity.allClean)
+    // poison batch: every fact category key orphaned — must NOT publish.
+    // Staged incrementally: ONLY the fact writes; the audit catches the
+    // orphans against the CARRIED dims.
+    val bad = ParquetWarehouse.publishAuditedIncremental(root,
+      Map("fact_transactions" ->
+        fact.withColumn("category_key", col("category_key") + 999999)),
+      StarIntegrity.allClean)
     require(bad.isLeft, "poisoned star must fail the audit")
     require(ParquetWarehouse.currentVersion(root) == good.toOption,
       "failed audit must leave the good version live")

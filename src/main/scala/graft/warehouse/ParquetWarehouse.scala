@@ -89,6 +89,38 @@ object ParquetWarehouse {
     else Left(next)
   }
 
+  /** INCREMENTAL write-audit-publish: stage only the tables that CHANGED;
+    * every other table in the current snapshot carries forward by `.base`
+    * pointer (metadata, zero data copied — tombstones rewritten so the
+    * staged version stays self-contained). The audit sees the staged
+    * SNAPSHOT VIEW — staged files for changed tables, carried tables
+    * resolved exactly as a reader of the new version would — so
+    * cross-table invariants (fact keys ⊆ carried dim keys) still audit.
+    * At 100 TB this is the WAP shape that matters: re-publishing a
+    * corrected fact must not rewrite the unchanged dimensions, and a
+    * failed audit still leaves the prior version live ([[vacuumSnapshots]]
+    * never reclaims a version a live `.base` pointer reaches).
+    */
+  def publishAuditedIncremental(root: String, changed: Map[String, DataFrame],
+                                audit: Map[String, DataFrame] => Boolean): Either[String, String] = {
+    require(changed.nonEmpty, "publishAuditedIncremental: no changed tables")
+    val cur = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"publishAuditedIncremental needs a published snapshot under $root to carry from"))
+    var n = cur.drop(1).toLong + 1
+    while (AtomicPointer.exists(s"$root/v$n")) n += 1
+    val next = s"v$n"
+    changed.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$next/$name")
+    }
+    val spark = changed.head._2.sparkSession
+    val carried = tablesIn(root, cur).filterNot(changed.contains)
+    carryForward(spark, root, cur, next, carried)
+    val staged = (changed.keys.toSeq ++ carried)
+      .map(t => t -> readTableAt(spark, root, t, next)).toMap
+    if (audit(staged)) { AtomicPointer.write(s"$root/$Pointer", next); Right(next) }
+    else Left(next)
+  }
+
   /** Read a table from the currently-published snapshot, resolving the two
     * metadata-only indirections a version may carry:
     *   - a `<table>.base` pointer file (the version holding the actual data

@@ -261,6 +261,36 @@ class WarehouseSpec extends SparkSpec {
     assert(!StarIntegrity.allClean(corrupted))
   }
 
+  test("checksFused ≡ checks on a clean star and on every planted violation class") {
+    import graft.etl.{DirtyTxns, TxnPipeline}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val star = TxnPipeline.buildStar(DirtyTxns(orders)) - "valid"
+    assert(StarIntegrity.checksFused(star) === StarIntegrity.checks(star))
+    val fact = star("fact_transactions")
+    val corruptions = Seq[(String, Map[String, org.apache.spark.sql.DataFrame])](
+      // orphan: drop half a dim
+      "orphan_user" -> (star + ("dim_user" ->
+        star("dim_user").filter(col("user_key") % 2 === 0))),
+      // duplicate ids AND keys: double a slice of the fact
+      "duplicate_transaction_ids" -> (star + ("fact_transactions" ->
+        fact.unionByName(fact.filter(col("transaction_key") % 10 === 0)))),
+      // nulls + range: poison amount on a slice
+      "amount_out_of_range" -> (star + ("fact_transactions" ->
+        fact.withColumn("amount",
+          when(col("transaction_key") % 7 === 0, lit(-1.0))
+            .when(col("transaction_key") % 7 === 1, lit(null))
+            .otherwise(col("amount"))))),
+      // dim natural-key dupes
+      "dim_natural_key_dupes" -> (star + ("dim_category" ->
+        star("dim_category").unionByName(star("dim_category").limit(2)))))
+    corruptions.foreach { case (expected, corrupted) =>
+      val slow = StarIntegrity.checks(corrupted)
+      val fast = StarIntegrity.checksFused(corrupted)
+      assert(fast === slow, s"fused diverged on $expected")
+      assert(slow.toMap.apply(expected) > 0, s"$expected violation did not plant")
+    }
+  }
+
   test("date-partitioned fact: a one-month query prunes to matching partition dirs") {
     import graft.etl.{DirtyTxns, TxnPipeline}
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
@@ -406,6 +436,54 @@ class WarehouseSpec extends SparkSpec {
     assert(r3 === Right("v3"))
     assert(ParquetWarehouse.currentVersion(root).contains("v3"))
     assert(spark.read.parquet(s"$root/v2/t").count() === 1, "failed stage intact")
+  }
+
+  test("publishAuditedIncremental: only changed tables write; dims carry by base pointer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wap-inc").toString
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("k", "dim_k")
+    val dim = Seq((10L, "a"), (20L, "b")).toDF("dim_k", "name")
+    // cross-table audit: every fact dim_k must resolve in the dim
+    def audit(s: Map[String, org.apache.spark.sql.DataFrame]): Boolean =
+      s("fact").join(s("dim"), Seq("dim_k"), "left_anti").isEmpty
+    assert(ParquetWarehouse.publishAudited(root, Map("fact" -> fact, "dim" -> dim), audit)
+      === Right("v1"))
+    // incremental: stage ONLY the corrected fact; the dim carries forward
+    val fact2 = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("k", "dim_k")
+    assert(ParquetWarehouse.publishAuditedIncremental(root, Map("fact" -> fact2), audit)
+      === Right("v2"))
+    assert(!new java.io.File(s"$root/v2/dim").exists, "carried dim must not rewrite")
+    assert(new java.io.File(s"$root/v2/dim.base").exists)
+    assert(ParquetWarehouse.readTable(spark, root, "fact").count() === 3)
+    assert(ParquetWarehouse.readTable(spark, root, "dim")
+      .orderBy("dim_k").as[(Long, String)].collect().toSeq
+      === Seq((10L, "a"), (20L, "b")))
+    // a poisoned incremental fact (orphan key 99) must FAIL against the
+    // CARRIED dim — proving the audit sees the full snapshot view
+    val bad = Seq((4L, 99L)).toDF("k", "dim_k")
+    assert(ParquetWarehouse.publishAuditedIncremental(root, Map("fact" -> bad), audit)
+      === Left("v3"))
+    assert(ParquetWarehouse.currentVersion(root).contains("v2"))
+    // vacuum never reclaims v1: v2's dim.base still reaches it
+    ParquetWarehouse.vacuumSnapshots(root)
+    assert(ParquetWarehouse.readTable(spark, root, "dim").count() === 2,
+      "vacuum reclaimed a version a live base pointer reaches")
+  }
+
+  test("publishAuditedIncremental: carried tombstones keep MoR deletes visible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wap-inc-ts").toString
+    val t1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val other = Seq((1L, 1.0)).toDF("k", "w")
+    ParquetWarehouse.publishSnapshot(root, Map("t" -> t1, "other" -> other))
+    ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(2L).toDF("k"), "k")
+    assert(ParquetWarehouse.readTable(spark, root, "t").count() === 2)
+    // incrementally replace `other`; `t` (base + tombstones) carries
+    assert(ParquetWarehouse.publishAuditedIncremental(root,
+      Map("other" -> Seq((1L, 2.0)).toDF("k", "w")), _ => true).isRight)
+    val served = ParquetWarehouse.readTable(spark, root, "t")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(served === Seq((1L, "x"), (3L, "z")), "carried tombstone lost")
   }
 
   test("multimodal: chunk sampling keeps every k-th fixed-size chunk") {
