@@ -170,6 +170,28 @@ object Recall {
       else base)
     }
 
+    // sign-bit binary quantization (s17): the 1-bit end of the compression
+    // ladder — candidate fraction 1.0 (the 8-byte-code scan touches every
+    // row); the graded number is how much of the float ranking the Hamming
+    // shortlist + exact re-rank keeps at 32× compression with zero trained
+    // state.
+    val binaryEntries = {
+      def entry(name: String, shortlist: Int, twinProbe: Boolean) = {
+        val recall = Similarity.recallAtK(exact,
+          Similarity.knnBinaryReranked(embs, pred, 10, shortlist))
+        val base = Seq("shortlist" -> shortlist.toDouble,
+          "candidate_fraction" -> 1.0, "recall_at_10" -> recall)
+        (name + suffix) -> (if (twins && twinProbe)
+          base :+ ("twin_recall_at_1" -> twinRecall(
+            Similarity.knnBinaryReranked(corpus, twinPred, 10, shortlist)))
+        else base)
+      }
+      Seq(entry("s17_knn_binary", Similarity.BinaryShortlist, twinProbe = true),
+        // the depth axis: 1-bit codes are coarse, so re-rank depth is the
+        // knob — the sl200 point shows what doubling the pool buys back
+        entry("s17_knn_binary_sl200", 200, twinProbe = false))
+    }
+
     // product quantization (s08): like s05 a compression path (the ADC
     // scan touches every code, candidate fraction 1.0) — the graded
     // numbers are how much ranking quality the 64× compression costs raw
@@ -334,7 +356,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
+      quantEntry) ++ binaryEntries ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

@@ -2797,6 +2797,16 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s17 — sign-bit BINARY-quantized ANN (rows-only like the other
+  // approximate tiers — recall priced in RECALL): one long per 64-dim
+  // vector (32× compression, no trained state), xor+popcount Hamming
+  // shortlist, exact cosine re-rank. The 1-bit end of the compression
+  // ladder s04 (int8) and s08 (PQ) started.
+  private val s17 = q("s17_knn_binary", None) { t =>
+    Similarity.knnBinaryReranked(t.embeddings, col("vec_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // m04 — video FRAME SAMPLING plumbing (rows-only, like the rest of the
   // m tier: the container is the deterministic GVID stand-in — no video
   // codec ships with the JDK — but the Spark-side schema, per-partition
@@ -2995,7 +3005,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)

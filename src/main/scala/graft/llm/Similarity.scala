@@ -869,6 +869,55 @@ object Similarity {
     rankTopK(scored, "ascore", k)
   }
 
+  /** Binary shortlist size: BQ's 1-bit distances are coarser than ADC's
+    * (64 discrete levels), so the re-rank pool runs deeper than PQ's 50.
+    */
+  val BinaryShortlist = 100
+
+  /** Sign-bit code expression over an array column named `colName`: bit i
+    * = (dim i > 0), folded with `|` over shiftleft so no step can overflow
+    * (ANSI-safe — an acc·2 formulation would trap on bit 63). One fused
+    * whole-stage-codegen aggregate, zero UDFs.
+    */
+  private def signCode(colName: String): Column =
+    expr(s"aggregate(sequence(0, ${Dim - 1}), bigint(0), (acc, i) -> " +
+      s"acc | IF($colName[i] > 0D, shiftleft(bigint(1), i), bigint(0)))")
+
+  /** Sign-bit BINARY quantization (the Lucene/Elasticsearch BQ tier, the
+    * 1-bit end of the compression ladder: float32 → int8 (s04, 4×) →
+    * PQ 8-byte codes (s08, 32×) → ONE long per 64-dim vector (32× with a
+    * plain xor+popcount kernel — no codebooks, no LUTs)). Hamming distance
+    * between sign codes is a monotone proxy for angle (Charikar 2002:
+    * P[bit differs] = θ/π per random hyperplane; identity planes trade the
+    * guarantee for zero trained state — the measured recall is priced in
+    * RECALL like every approximate tier).
+    */
+  def binaryQuantize(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), signCode("embedding").as("bcode"))
+
+  /** BQ ANN: xor+popcount Hamming shortlist over the 8-byte sign codes,
+    * exact cosine re-rank of the shortlist — [[pqTopKReranked]]'s serving
+    * shape with the cheapest possible compressed kernel. At 100 TB the
+    * compressed scan touches 1/32nd of the float bytes and the kernel is
+    * two ALU ops per candidate; shortlist ties break (hamming asc,
+    * neighbor_id), so the pool and therefore the result are deterministic.
+    */
+  def knnBinaryReranked(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                        shortlist: Int = BinaryShortlist): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be ≥ k=$k")
+    val qcodes = binaryQuantize(embeddings.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("bcode").as("qcode"))
+    val c = binaryQuantize(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("bcode"))
+    val scored = broadcast(qcodes).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bit_count(col("qcode").bitwiseXOR(col("bcode")))).as("nham"))
+    val cand = rankTopK(scored, "nham", shortlist)
+      .select("query_id", "neighbor_id")
+    exactRerank(embeddings, cand, queryPred, k)
+  }
+
   /** PQ shortlist + exact re-rank — the production PQ serving shape: the
     * compressed scan shortlists `shortlist` candidates per query by ADC
     * score, and ONLY those rows re-attach their float embeddings for the

@@ -184,6 +184,46 @@ class Round11OpsSpec extends SparkSpec {
       "every query's exact twin must surface at rank 1 after the exact re-rank")
   }
 
+  // --------------------------------- sign-bit binary quantization (s17)
+
+  test("binaryQuantize: hand-computed sign bits, one long per vector") {
+    // dims 0 and 2 positive → bits 0 and 2; zero is NOT positive
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 2.5f; v(2) = 0.1f; v(5) = 0.0f
+    val got = Seq((7L, v.toSeq)).toDF("vec_id", "embedding")
+    val code = Similarity.binaryQuantize(got).head().getLong(1)
+    assert(code == ((1L << 0) | (1L << 2)), s"got bits ${code.toBinaryString}")
+    // all-positive vector sets every bit including the sign bit (no
+    // overflow trap under ANSI — the fold is | over shiftleft, not acc·2)
+    val all = Seq((8L, Array.fill(64)(1.0f).toSeq)).toDF("vec_id", "embedding")
+    assert(Similarity.binaryQuantize(all).head().getLong(1) == -1L)
+  }
+
+  test("binaryQuantize is a narrow map; knnBinaryReranked recovers planted twins") {
+    val base = corpus.select("vec_id", "embedding")
+    val plan = Similarity.binaryQuantize(base)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must be narrow:\n$plan")
+    val twins = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + TwinOffset).as("vec_id"), col("embedding"))
+    val planted = base.unionByName(twins)
+    val pred = col("vec_id") % 50 === 0 && col("vec_id") < TwinOffset
+    val top1 = Similarity.knnBinaryReranked(planted, pred, k = 10)
+      .filter(col("rank") === 1)
+    val hits = top1.filter(col("neighbor_id") === col("query_id") + TwinOffset).count()
+    assert(hits == top1.count(),
+      "an identical twin has Hamming 0 — it must survive the shortlist and win the re-rank")
+  }
+
+  test("knnBinaryReranked is deterministic under repartitioning") {
+    val pred = col("vec_id") % 100 === 0
+    val a = Similarity.knnBinaryReranked(corpus, pred, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.knnBinaryReranked(corpus.repartition(13), pred, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
   // ------------------------------------- event transitions (e17, Markov)
 
   test("eventTransitions: per-user ordered pairs, counts and probabilities") {
