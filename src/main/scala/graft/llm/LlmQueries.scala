@@ -3003,10 +3003,46 @@ object LlmQueries {
       Seq("spark", "join", "window", "shuffle"), k = 25)
   }
 
+  // x46 — readability battery (Flesch reading ease + FK grade): exact
+  // integer sentence/word/vowel-group counts, fixed-order double formula,
+  // ROUND(4) — the oracle replays the identical heuristics, so a regex
+  // divergence, a different floor, or a reassociated multiply hash-fails.
+  // The corpus is punctuation-light word salad, so most docs floor at one
+  // sentence — the word/syllable ratios carry the signal; the injected
+  // '. ' suffix on every 6th doc exercises the sentence counter.
+  private val x46 = q("x46_readability", Some(
+    """WITH noisy AS (
+         SELECT doc_id,
+           text || CASE WHEN doc_id % 6 = 0 THEN ' end. Really end! ok?' ELSE '' END AS nt
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           GREATEST(len(regexp_extract_all(nt, '[.!?]+')), 1) AS n_sentences,
+           len(string_split_regex(lower(nt), '\s+')) AS n_words,
+           list_sum(list_transform(string_split_regex(lower(nt), '\s+'),
+             x -> GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS n_syllables
+         FROM noisy)
+       SELECT doc_id,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_syllables AS BIGINT) AS n_syllables,
+         ROUND(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch,
+         ROUND(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - CAST(15.59 AS DOUBLE), 4) AS fk_grade
+       FROM c ORDER BY doc_id""")) { t =>
+    val noisy = t.documents.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 6 === 0, lit(" end. Really end! ok?")).otherwise(""))
+      .as("nt"))
+    TextAnalysis.readability(noisy, "nt").orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

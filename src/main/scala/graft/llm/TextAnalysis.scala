@@ -966,6 +966,41 @@ object TextAnalysis {
       .withColumn("dup_3gram_frac", dupFrac(col("tot_3grams"), col("dist_3grams")))
   }
 
+  /** Flesch reading ease + Flesch–Kincaid grade level — the classic
+    * readability pre-filter (too-hard AND too-trivial text both correlate
+    * with low training value). Counting is exact-integer and heuristic in
+    * the standard way: sentences = `[.!?]+` runs (floored at 1), words =
+    * whitespace tokens, syllables = vowel GROUPS (`[aeiouy]+`) per word
+    * floored at 1. The scores are fixed-order double arithmetic over those
+    * integers — both engines parse the same decimal literals to the same
+    * IEEE doubles and evaluate the same expression tree, so one final
+    * ROUND(4) is bit-stable cross-engine (the q19 treatment). Pure narrow
+    * map: one regex pass per doc + one fused per-token aggregate, zero
+    * exchanges at any scale.
+    */
+  def readability(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = TextFns.tokens(col(textCol))
+    val nSentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val nSyllables = aggregate(
+      transform(t, x =>
+        greatest(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    documents.select(
+        col("doc_id"),
+        nSentences.cast("long").as("n_sentences"),
+        size(t).cast("long").as("n_words"),
+        nSyllables.as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
+          .as("flesch"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
+          .as("fk_grade"))
+  }
+
   // PII scrubbing patterns — the common subset of java.util.regex and RE2
   // so the DuckDB oracle applies byte-identical semantics.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
