@@ -373,6 +373,40 @@ object Events {
     * each probability is ONE double division of exact counts —
     * bit-stable cross-engine.
     */
+  /** HOUR-OF-DAY SEASONALITY per event type: the 24-bin hour histogram
+    * collapsed to (n, χ² against uniform, peak hour, peak share) — the
+    * traffic-shape detector behind "is this event type diurnal or flat?".
+    * χ² = Σ(obs−n/24)²/(n/24) computed EXACTLY by clearing denominators:
+    * (24·Σobs² − n²)/n has an exact-integer numerator (the x43 treatment),
+    * accumulated in DECIMAL(38,0) so per-type counts up to ~10¹² never
+    * overflow (a long Σobs² dies at n≈6·10⁸) — ONE double division per
+    * type at the end, bit-stable cross-engine. Zero-count hours contribute
+    * 0 to Σobs², which the cleared form already prices — no densify join.
+    * Peak = max(struct(count, −hour)), ties to the smaller hour — a plain
+    * partial-merged aggregate, no window.
+    *
+    * Scale shape: one map-side-combined (type, hour) count (≤ |types|·24
+    * rows out of the exchange), then a |types|-keyed rollup. The event log
+    * is read once; nothing event-sized shuffles.
+    */
+  def hourlySeasonality(events: DataFrame): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val byHour = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    byHour.groupBy("event_type")
+      .agg(sum("c").as("n_events"),
+        sum(col("c").cast(d19) * col("c").cast(d19)).as("sum_sq"),
+        max(struct(col("c"), (-col("hr")).as("nh"))).as("pk"))
+      .select(col("event_type"), col("n_events"),
+        round((lit(24).cast(d19) * col("sum_sq")
+            - col("n_events").cast(d19) * col("n_events").cast(d19)).cast("double")
+          / col("n_events").cast("double"), 4).as("chi2"),
+        (-col("pk.nh")).cast("long").as("peak_hour"),
+        round(col("pk.c").cast("double") / col("n_events").cast("double"), 4)
+          .as("peak_share"))
+  }
+
   def eventTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val pairs = events

@@ -3003,6 +3003,31 @@ object LlmQueries {
       Seq("spark", "join", "window", "shuffle"), k = 25)
   }
 
+  // e22 — hour-of-day seasonality per event type: 24-bin histogram
+  // collapsed to (n, exact χ² vs uniform, peak hour, peak share). The χ²
+  // numerator (24·Σobs² − n²) is exact DECIMAL(38,0) integer arithmetic
+  // (x43's cleared-denominator treatment — a float Σ(obs−e)²/e would be
+  // accumulation-order-dependent), one double division per type; peak via
+  // max(struct), ties to the smaller hour. The oracle replays the same
+  // cleared form in HUGEINT.
+  private val e22 = q("e22_hourly_seasonality", Some(
+    """WITH h AS (
+         SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+                CAST(COUNT(*) AS HUGEINT) AS c
+         FROM events GROUP BY 1, 2),
+       s AS (SELECT event_type, SUM(c) AS n, SUM(c * c) AS sum_sq
+             FROM h GROUP BY 1),
+       p AS (SELECT event_type, hr AS peak_hour, c AS peak_c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, hr) AS rn
+             FROM h)
+       SELECT s.event_type, CAST(n AS BIGINT) AS n_events,
+              ROUND(CAST(24 * sum_sq - n * n AS DOUBLE) / CAST(n AS DOUBLE), 4) AS chi2,
+              CAST(p.peak_hour AS BIGINT) AS peak_hour,
+              ROUND(CAST(peak_c AS DOUBLE) / CAST(n AS DOUBLE), 4) AS peak_share
+       FROM s JOIN p USING (event_type) WHERE rn = 1 ORDER BY event_type""")) { t =>
+    Events.hourlySeasonality(eventsTs(t)).orderBy("event_type")
+  }
+
   // x46 — readability battery (Flesch reading ease + FK grade): exact
   // integer sentence/word/vowel-group counts, fixed-order double formula,
   // ROUND(4) — the oracle replays the identical heuristics, so a regex
@@ -3043,6 +3068,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

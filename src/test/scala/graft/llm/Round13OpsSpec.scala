@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 operators: hourly seasonality (e22) and readability (x46) —
+  * hand-computed values, exact-arithmetic contracts, tie-breaks.
+  */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlySeasonality: hand-computed chi2, peak ties to the smaller hour") {
+    // type A: hours 1,1,2 → n=3, Σobs²=5, chi2=(24·5−9)/3=37; peak hour 1 (c=2)
+    // type B: hours 3,5 → counts 1,1 tie → peak hour 3; chi2=(24·2−4)/2=22
+    val ev = Seq(
+      ("A", "2024-01-01 01:10:00"), ("A", "2024-01-01 01:20:00"),
+      ("A", "2024-01-01 02:00:00"),
+      ("B", "2024-01-01 05:00:00"), ("B", "2024-01-01 03:00:00"))
+      .toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.hourlySeasonality(ev).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("A", 3L, 37.0, 1L, 0.6667),
+      ("B", 2L, 22.0, 3L, 0.5)))
+  }
+
+  test("hourlySeasonality: uniform traffic scores chi2 = 0") {
+    val ev = (0 until 24).map(h => ("U", f"2024-01-01 $h%02d:00:00"))
+      .toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val r = Events.hourlySeasonality(ev).head()
+    assert(r.getDouble(2) == 0.0, s"uniform chi2: ${r.getDouble(2)}")
+    assert(r.getLong(3) == 0L, "uniform peak ties to hour 0")
+  }
+
+  test("readability: hand-computed Flesch/FK on known sentences") {
+    // "the cat sat. it ran!" → 2 sentence runs, 5 words,
+    // syllables: the=1(e), cat=1(a), sat=1(a), it=1(i), ran=1(a) → 5
+    // wps=2.5, spw=1.0 → flesch=206.835−1.015·2.5−84.6 = 119.6975
+    // fk = 0.39·2.5 + 11.8·1.0 − 15.59 = −2.815
+    val docs = Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 5L, 5L)))
+    assert(r.getDouble(4) == 119.6975, s"flesch ${r.getDouble(4)}")
+    assert(r.getDouble(5) == -2.815, s"fk ${r.getDouble(5)}")
+  }
+
+  test("readability: no punctuation floors at one sentence; vowelless words floor at one syllable") {
+    val docs = Seq((1L, "xyz qrst")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 2L, 2L)))
+  }
+
+  test("readability plans zero exchanges (narrow map)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.readability(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must be narrow:\n$plan")
+  }
+}
