@@ -1035,8 +1035,46 @@ object EtlQueries {
       .orderBy("year", "month")
   }
 
+  // t31 — incremental publish SUCCESS path through the gate (t26 proves
+  // the failing incremental attempt leaves the prior version live; this
+  // proves a CLEAN partial correction publishes and SERVES): orders +
+  // customer publish as v1, a corrected orders batch (every %10=4 price
+  // doubled) stages incrementally — customer carries by .base pointer,
+  // zero dim bytes rewritten — the orphan audit re-checks against the
+  // CARRIED dim, v2 publishes, and the served rollup joins the new orders
+  // with the carried customer. The oracle recomputes from raw parquet, so
+  // a broken base pointer, a stale CURRENT, or a lost correction
+  // hash-fails.
+  private val t31 = q("t31_incremental_publish",
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2 ELSE o_totalprice END")}
+          AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY segment""") { t =>
+    val root = java.nio.file.Files.createTempDirectory("graft-incpub").toString
+    def noOrphans(s: Map[String, org.apache.spark.sql.DataFrame]): Boolean =
+      s("orders").select("o_custkey")
+        .join(s("customer").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti").isEmpty
+    val v1 = ParquetWarehouse.publishAudited(root,
+      Map("orders" -> t.orders, "customer" -> t.customer), noOrphans)
+    require(v1.isRight, s"base star must publish, got $v1")
+    val corrected = t.orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 4, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    val v2 = ParquetWarehouse.publishAuditedIncremental(root,
+      Map("orders" -> corrected), noOrphans)
+    require(v2.isRight, s"clean incremental correction must publish, got $v2")
+    ParquetWarehouse.readTable(t.spark, root, "orders")
+      .join(ParquetWarehouse.readTable(t.spark, root, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      c01, c02, c03, c04, c05, c06)
+      t31, c01, c02, c03, c04, c05, c06)
 }

@@ -407,6 +407,37 @@ object Events {
           .as("peak_share"))
   }
 
+  /** AUDIENCE OVERLAP matrix: |users(A) ∩ users(B)|, the two audience
+    * sizes, and the Jaccard for every event-type pair A < B — the
+    * co-engagement matrix behind "do purchasers also view?" (and the exact
+    * baseline the sketch tier structurally can't give: HLL unions merge,
+    * but intersections need inclusion–exclusion with compounding error).
+    *
+    * Scale shape: ONE distinct (user, type) pass collapses the event log
+    * (map-side combined, ≤ |users|·|types| rows out); the pair join is
+    * keyed on user_id — each user contributes (their types choose 2)
+    * pairs, bounded by |types|², never a cross join; the rollup is
+    * ≤ |types|²-keyed. Audience sizes join back as a |types|-row broadcast.
+    * Jaccard = one double division of exact longs, bit-stable.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 4).as("jaccard"))
+  }
+
   def eventTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val pairs = events

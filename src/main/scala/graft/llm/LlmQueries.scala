@@ -3028,6 +3028,30 @@ object LlmQueries {
     Events.hourlySeasonality(eventsTs(t)).orderBy("event_type")
   }
 
+  // e23 — audience overlap matrix: exact |users(A) ∩ users(B)| + Jaccard
+  // per event-type pair (the co-engagement matrix; the exact baseline the
+  // HLL sketch tier can't intersect without compounding
+  // inclusion–exclusion error). One distinct (user, type) pass, a
+  // user-keyed pair join bounded by |types|² per user, a |types|²-keyed
+  // rollup; the oracle recomputes audiences, intersections, and the
+  // division.
+  private val e23 = q("e23_audience_overlap", Some(
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+             FROM ut a JOIN ut b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+             GROUP BY 1, 2),
+       s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+       SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+              ROUND(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 4)
+                AS jaccard
+       FROM p JOIN s sa ON p.type_a = sa.event_type
+              JOIN s sb ON p.type_b = sb.event_type
+       ORDER BY type_a, type_b""")) { t =>
+    Events.audienceOverlap(eventsTs(t)).orderBy("type_a", "type_b")
+  }
+
   // x46 — readability battery (Flesch reading ease + FK grade): exact
   // integer sentence/word/vowel-group counts, fixed-order double formula,
   // ROUND(4) — the oracle replays the identical heuristics, so a regex
@@ -3068,6 +3092,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

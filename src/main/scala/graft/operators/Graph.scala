@@ -263,10 +263,12 @@ object Graph {
     for (d <- 1 to maxDepth) {
       val nbrs = edges.join(frontier, edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-      val fresh = Materialize.cut(
-        nbrs.join(reached, Seq("node"), "left_anti").withColumn("dist", lit(d)))
+      val fresh = nbrs.join(reached, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+      // ONE materialization per round: the next frontier re-derives from
+      // the cut union by a narrow dist filter instead of its own cut
       reached = Materialize.cut(reached.unionByName(fresh))
-      frontier = fresh.select("node")
+      frontier = reached.filter(col("dist") === d).select("node")
     }
     reached
   }
