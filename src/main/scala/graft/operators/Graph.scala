@@ -104,6 +104,79 @@ object Graph {
     (r0 +: iters).mkString(",\n")
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002): the teleport mass lands only
+    * on the SEED set instead of uniformly — rank becomes proximity to the
+    * seeds, the random-walk-with-restart behind "related items" and seed
+    * expansion. Same exact fixed-point integer recurrence as [[pageRank]]
+    * (so the oracle unrolls it bit-for-bit), with the teleport term gated
+    * by seed membership:
+    * {{{
+    *   r0(v)   = [v∈S] · (Scale div |S|)
+    *   r'(v)   = [v∈S] · ((100−d)·Scale div (100·|S|))
+    *             + d · Σ_{u→v} share(u) div 100
+    * }}}
+    * Seeds outside the graph carry no mass and are dropped (|S| counts
+    * seeds IN the graph — otherwise the walk would silently leak teleport
+    * mass). Same per-iteration scale shape as [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           dampNum: Long = 85): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val s = seeds.select(col("node").cast("long").as("node")).distinct()
+      .join(deg.select("node"), Seq("node"), "left_semi")
+    val ns = s.agg(count(lit(1)).as("n_seeds"))
+    val degN = Materialize.cut(deg
+      .join(s.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .na.fill(0L, Seq("is_seed"))
+      .crossJoin(broadcast(ns)))
+    var ranks = degN.select(col("node"),
+      expr(s"is_seed * (${Scale}L div n_seeds)").as("r"))
+    for (_ <- 1 to iterations) {
+      val share = ranks.join(degN, "node")
+        .select(col("node"), expr("r div outdeg").as("share"))
+      val contrib = edges.join(share, edges("src") === share("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("share").as("contrib"))
+      ranks = Materialize.cut(
+        degN.join(contrib, Seq("node"), "left")
+          .select(col("node"), (
+            expr(s"is_seed * ((${100 - dampNum} * ${Scale}L) div (100 * n_seeds))") +
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** DuckDB unroll of [[personalizedPageRank]] over caller-provided
+    * `edges(src,dst)`, `deg(node,outdeg)`, and `seeds(node)` CTEs (seeds
+    * must already be restricted to graph nodes, as the runtime does).
+    */
+  def pprOracleCtes(iterations: Int, dampNum: Long = 85): String = {
+    val ns = "(SELECT CAST(COUNT(*) AS BIGINT) FROM seeds)"
+    val r0 = s"""r0 AS MATERIALIZED (
+      SELECT d.node,
+             CASE WHEN s.node IS NULL THEN 0 ELSE $Scale // $ns END AS r
+      FROM deg d LEFT JOIN seeds s ON d.node = s.node)"""
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+            SELECT d.node,
+                   CASE WHEN s.node IS NULL THEN 0
+                        ELSE (${100 - dampNum} * $Scale) // (100 * $ns) END
+                   + (($dampNum * COALESCE(c.contrib, 0)) // 100) AS r
+            FROM deg d
+            LEFT JOIN seeds s ON d.node = s.node
+            LEFT JOIN (
+              SELECT e.dst AS node, SUM(sh.share) AS contrib
+              FROM edges e JOIN (
+                SELECT r.node, r.r // d2.outdeg AS share
+                FROM r${i - 1} r JOIN deg d2 ON r.node = d2.node) sh
+                ON e.src = sh.node
+              GROUP BY 1) c ON d.node = c.node)"""
+    }
+    (r0 +: iters).mkString(",\n")
+  }
+
   /** Connected components by min-label propagation: every node starts
     * labeled with its own id; each iteration every node takes the minimum
     * of its label and its neighbors' labels. After ≥ diameter iterations

@@ -150,5 +150,30 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
+  // g07 — PERSONALIZED PageRank over the sparse purchase graph: teleport
+  // mass restricted to the seeded customers (every 100th custkey,
+  // graph-members only — the runtime semi-joins, the oracle's seeds CTE
+  // mirrors it), 5 iterations of the same exact integer recurrence as
+  // g01. Rank = proximity to the seed set; the oracle unrolls the gated
+  // recurrence, so a leaked teleport, wrong |S|, or missing seed gate
+  // hash-fails on rank_fp.
+  private val g07 = q("g07_personalized_pagerank", Some(
+    s"""WITH ${edgesCte(Some(48))},
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY 1),
+        seeds AS MATERIALIZED (
+          SELECT node FROM deg
+          WHERE node IN (SELECT CAST(o_custkey * 2 AS BIGINT)
+                         FROM orders WHERE o_custkey % 100 = 0)),
+        ${Graph.pprOracleCtes(iterations = 5)}
+        SELECT node, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r5 ORDER BY node""")) { t =>
+    val seeds = t.orders.filter(col("o_custkey") % 100 === 0)
+      .select((col("o_custkey") * 2).cast("long").as("node"))
+    Graph.personalizedPageRank(purchaseEdges(t, Some(48)), seeds, iterations = 5)
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
 }

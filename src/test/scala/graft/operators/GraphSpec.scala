@@ -131,6 +131,36 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)))
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; off-graph seeds carry no mass") {
+    // path 1-2-3 with far pair 10-11; seed {1} (and 99, not in the graph)
+    val e = edges((1L, 2L), (2L, 3L), (10L, 11L))
+    val got = Graph.personalizedPageRank(e, Seq(1L, 99L).toDF("node"), iterations = 3)
+      .orderBy("node").as[(Long, Long, Double)].collect().toSeq
+    val byNode = got.map(r => r._1 -> r._2).toMap
+    // r0: node1 = Scale (|S|=1 — 99 must NOT count), others 0
+    // walk mass decays with distance from the seed; 10/11 never reached
+    assert(byNode(10L) == 0L && byNode(11L) == 0L,
+      "teleport leaked outside the seed's component")
+    // the seed keeps its teleport floor every iteration; non-seeds hold
+    // only walk mass (node 2, the hub, may legitimately outrank the seed)
+    assert(byNode(1L) >= 15L * Graph.Scale / 100L, s"seed lost its teleport floor: $byNode")
+    assert(byNode(3L) > 0L && byNode(3L) < byNode(2L),
+      s"walk mass reaches 3 only through 2: $byNode")
+    assert(!got.exists(_._1 == 99L), "off-graph seed must not appear")
+    // hand value for iteration 1 at node 1: teleport 0.15·Scale + damp·(share of 2)
+    // r0 = (Scale, 0, 0); share(2) = 0 div 2 = 0 → r1(1) = 0.15·Scale
+    val oneIter = Graph.personalizedPageRank(e, Seq(1L).toDF("node"), iterations = 1)
+      .filter(col("node") === 1L).head().getLong(1)
+    assert(oneIter == 15L * Graph.Scale / 100L, s"r1(seed) = $oneIter")
+  }
+
+  test("personalizedPageRank is partitioning-independent (exact integers)") {
+    val e = twoComponents
+    val a = Graph.personalizedPageRank(e, Seq(1L, 10L).toDF("node"), 3)
+    val b = Graph.personalizedPageRank(e.repartition(7), Seq(1L, 10L).toDF("node"), 3)
+    assert(a.orderBy("node").collect().toSeq === b.orderBy("node").collect().toSeq)
+  }
+
   test("bfsDistances: min distance from nearest seed; unreached absent; off-graph seed at 0") {
     // chain 1-2-3-4-5, pair 10-11, seeds {1, 5, 99}: node 3 is 2 hops from
     // BOTH seeds (min, not first-found); 10/11 unreached; 99 not in the
