@@ -373,6 +373,37 @@ object Events {
     * each probability is ONE double division of exact counts —
     * bit-stable cross-engine.
     */
+  /** Exponentially-DECAYED event counts per type (trending score): each
+    * event weighs 0.5^(age_days/halfLife) against the corpus's newest day,
+    * so a type spiking THIS week outranks one with more but older volume —
+    * the standard recency-weighted leaderboard. Day-granularity ages make
+    * the weight set small and discrete; each weight is ONE pow of exact
+    * integer-derived doubles quantized to DECIMAL(18,12) (the x16
+    * treatment: both engines compute pow on identical doubles, then the
+    * quantized decimals accumulate EXACTLY — sum order can't move the
+    * result). Counts narrow to DECIMAL(12,0) before the product so the
+    * (12,0)×(18,12) precision stays under 38 (the x16 scale-drop trap).
+    *
+    * Scale shape: one map-side-combined (type, day) count collapses the
+    * log (≤ |types|·|days| rows out), the reference day is a broadcast
+    * 1-row scalar of that same frame, the rollup is |types|-keyed. The
+    * event log is read once.
+    */
+  def trendingDecay(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 12)
+    val byDay = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ref = byDay.agg(max("day").as("ref_day"))
+    byDay.crossJoin(broadcast(ref))
+      .withColumn("w",
+        pow(lit(0.5), datediff(col("ref_day"), col("day")).cast("double")
+          / lit(halfLifeDays.toDouble)).cast(d18))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_events"),
+        round(sum(col("c").cast(d12) * col("w")).cast("double"), 4).as("decayed"))
+  }
+
   /** HOUR-OF-DAY SEASONALITY per event type: the 24-bin hour histogram
     * collapsed to (n, χ² against uniform, peak hour, peak share) — the
     * traffic-shape detector behind "is this event type diurnal or flat?".

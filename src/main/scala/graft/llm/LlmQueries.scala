@@ -3052,6 +3052,26 @@ object LlmQueries {
     Events.audienceOverlap(eventsTs(t)).orderBy("type_a", "type_b")
   }
 
+  // e24 — recency-weighted trending score per event type: counts decayed
+  // by 0.5^(age_days/7) against the corpus's newest day. Weights are
+  // pow-of-identical-doubles quantized to DECIMAL(18,12) (the x16
+  // treatment), accumulation exact decimal — the oracle replays the same
+  // quantize-then-sum, so a float Σ would hash-fail on accumulation order.
+  private val e24 = q("e24_trending_decay", Some(
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+       r AS (SELECT MAX(day) AS ref_day FROM d),
+       w AS (SELECT event_type, c,
+               CAST(pow(0.5, CAST(datediff('day', day, ref_day) AS DOUBLE) / 7.0)
+                    AS DECIMAL(18,12)) AS w
+             FROM d CROSS JOIN r)
+       SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+              ROUND(CAST(SUM(CAST(c AS DECIMAL(12,0)) * w) AS DOUBLE), 4) AS decayed
+       FROM w GROUP BY 1 ORDER BY event_type""")) { t =>
+    Events.trendingDecay(eventsTs(t)).orderBy("event_type")
+  }
+
   // x46 — readability battery (Flesch reading ease + FK grade): exact
   // integer sentence/word/vowel-group counts, fixed-order double formula,
   // ROUND(4) — the oracle replays the identical heuristics, so a regex
@@ -3092,6 +3112,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

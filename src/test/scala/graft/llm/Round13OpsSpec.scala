@@ -35,6 +35,31 @@ class Round13OpsSpec extends SparkSpec {
     assert(r.getLong(3) == 0L, "uniform peak ties to hour 0")
   }
 
+  test("trendingDecay: hand-computed half-life weights against the newest day") {
+    // type A: 2 events on the newest day (w=1) + 1 exactly one half-life
+    // back (w=0.5) → decayed 2.5; type B: 1 event 14 days back → 0.25
+    val ev = Seq(
+      ("A", "2024-01-15 10:00:00"), ("A", "2024-01-15 11:00:00"),
+      ("A", "2024-01-08 10:00:00"),
+      ("B", "2024-01-01 10:00:00"))
+      .toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.trendingDecay(ev, halfLifeDays = 7).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("A", 3L, 2.5), ("B", 1L, 0.25)))
+  }
+
+  test("trendingDecay: recency beats volume across a long gap") {
+    val ev = (Seq.fill(10)(("old", "2024-01-01 10:00:00")) ++
+      Seq(("new", "2024-03-01 10:00:00")))
+      .toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val byType = Events.trendingDecay(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byType("new") > byType("old"),
+      s"a fresh event must outscore 10 stale ones: $byType")
+  }
+
   test("readability: hand-computed Flesch/FK on known sentences") {
     // "the cat sat. it ran!" → 2 sentence runs, 5 words,
     // syllables: the=1(e), cat=1(a), sat=1(a), it=1(i), ran=1(a) → 5
