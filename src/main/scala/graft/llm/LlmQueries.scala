@@ -3108,10 +3108,37 @@ object LlmQueries {
     TextAnalysis.readability(noisy, "nt").orderBy("doc_id")
   }
 
+  // x47 — vocabulary profile: corpus Zipf-concentration diagnostics
+  // (token total, vocab size, hapax count/fraction, top-10/top-100 token
+  // share) — all exact integer counts with one double division each; the
+  // top-k boundary is totally ordered (count desc, term) in both engines,
+  // so a tie at rank 100 can't diverge.
+  private val x47 = q("x47_vocab_profile", Some(
+    """WITH tc AS (
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_w
+         FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+               FROM documents) z
+         GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                 CAST(SUM(CASE WHEN n_w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+               FROM tc),
+       t10 AS (SELECT CAST(SUM(n_w) AS BIGINT) AS top10 FROM
+                 (SELECT n_w FROM tc ORDER BY n_w DESC, tok LIMIT 10) a),
+       t100 AS (SELECT CAST(SUM(n_w) AS BIGINT) AS top100 FROM
+                 (SELECT n_w FROM tc ORDER BY n_w DESC, tok LIMIT 100) b)
+       SELECT n_tokens, n_vocab, n_hapax,
+              ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE), 4) AS hapax_frac,
+              ROUND(CAST(top10 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS top10_share,
+              ROUND(CAST(top100 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS top100_share
+       FROM tot CROSS JOIN t10 CROSS JOIN t100""")) { t =>
+    TextAnalysis.vocabularyProfile(t.documents)
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -966,6 +966,41 @@ object TextAnalysis {
       .withColumn("dup_3gram_frac", dupFrac(col("tot_3grams"), col("dist_3grams")))
   }
 
+  /** VOCABULARY PROFILE — the corpus-level Zipf-concentration diagnostics
+    * (a natural-language corpus concentrates: top-10 terms carry a large
+    * token share, and a long hapax tail exists; spam/generated text skews
+    * both): total tokens, vocabulary size, hapax count/fraction
+    * (frequency-1 terms — the classic OOV-pressure signal), and the token
+    * share of the top-10 / top-100 terms. ALL exact integer counts + one
+    * double division each — no logs, no float accumulation (a log-log OLS
+    * slope says the same thing but is cross-engine fragile; shares are
+    * not). One row out.
+    *
+    * Scale shape: one map-side-combined term count (vocabulary-sized out
+    * of the exchange), three 1-row aggregates over it, top-k via
+    * TakeOrderedAndProject ordered by the TOTAL (count desc, term) key —
+    * never a global sort, deterministic at the k boundary.
+    */
+  def vocabularyProfile(documents: DataFrame): DataFrame = {
+    val tc = unigramCounts(documents)
+    val totals = tc.agg(
+      sum("n_w").as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("n_w") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    def topShare(k: Int) = tc.orderBy(col("n_w").desc, col("tok")).limit(k)
+      .agg(sum("n_w").as(s"top$k"))
+    totals
+      .crossJoin(broadcast(topShare(10)))
+      .crossJoin(broadcast(topShare(100)))
+      .select(col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_vocab").cast("double"), 4)
+          .as("hapax_frac"),
+        round(col("top10").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("top10_share"),
+        round(col("top100").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("top100_share"))
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade level — the classic
     * readability pre-filter (too-hard AND too-trivial text both correlate
     * with low training value). Counting is exact-integer and heuristic in

@@ -78,6 +78,15 @@ class Round13OpsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 2L, 2L)))
   }
 
+  test("vocabularyProfile: hand-computed counts, hapax fraction, top-k shares") {
+    // tokens: a a a b b c  → vocab {a:3, b:2, c:1}: 6 tokens, 3 terms,
+    // 1 hapax; top-10 covers everything (share 1.0)
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabularyProfile(docs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 1L)))
+    assert(r.getDouble(3) == 0.3333 && r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+  }
+
   test("readability plans zero exchanges (narrow map)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.readability(docs).queryExecution.executedPlan.toString
