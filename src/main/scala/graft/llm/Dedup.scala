@@ -125,6 +125,46 @@ object Dedup {
   def nearDupPairs(documents: DataFrame, threshold: Double = 0.8, shingleN: Int = 3): DataFrame =
     nearDupPairsWithCleanup(documents, threshold, shingleN)._1
 
+  /** MinHash-ESTIMATED near-dup pairs — the at-scale verify path when even
+    * the candidate-restricted exact-Jaccard join is too expensive (exact
+    * verify re-shuffles shingle SETS for every candidate; this re-joins
+    * only the 64-long signatures already computed for banding): est_j =
+    * matching-component fraction of the two signatures, an unbiased
+    * estimator of Jaccard with std-err √(j(1−j)/k) ≈ 0.04 at k=64, j=0.9.
+    * Identical documents estimate exactly 1.0 (identical signatures).
+    * Candidate generation is the same banded-LSH expansion as
+    * [[nearDupPairs]] — recall at the threshold is the banding curve's,
+    * and the measured estimate error is spec-pinned (DedupSpec); the gold
+    * exact path stays [[nearDupPairs]]/[[jaccardPairsExact]].
+    */
+  def estimatedNearDupPairs(documents: DataFrame, threshold: Double = 0.8,
+                            shingleN: Int = 3): DataFrame =
+    estimatedNearDupPairsWithCleanup(documents, threshold, shingleN)._1
+
+  /** [[estimatedNearDupPairs]] plus the release handle for the persisted
+    * signature frame (the house cleanup-handle shape — the signatures feed
+    * candidate generation AND both pair-side joins, so they persist for
+    * the computation and release after the caller materializes).
+    */
+  def estimatedNearDupPairsWithCleanup(documents: DataFrame, threshold: Double = 0.8,
+                                       shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val k = MinhashBands * MinhashRows
+    val sigs = minhashSignature(documents, shingleN)
+      .select(col("doc_id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(sigs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+          .as("est_j"))
+      .filter(col("est_j") >= threshold)
+    (pairs, () => { sigs.unpersist(); () })
+  }
+
   /** [[nearDupPairs]] plus a cleanup handle that unpersists the pipeline's
     * internal cut-points (shingle + candidate frames) — callers that
     * MATERIALIZE the pair set (e.g. the clustering loop) invoke it so the

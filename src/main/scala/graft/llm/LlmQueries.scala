@@ -3052,6 +3052,17 @@ object LlmQueries {
     Events.audienceOverlap(eventsTs(t)).orderBy("type_a", "type_b")
   }
 
+  // d24 — MinHash-ESTIMATED near-dup pairs (rows-only like d03/d23: the
+  // xxhash64 signature family has no DuckDB twin): the at-scale verify
+  // path when even candidate-restricted exact-Jaccard is too expensive —
+  // est_j = matching-signature-component fraction, unbiased with std-err
+  // √(j(1−j)/64); the measured estimate error and the identical-doc
+  // est=1.0 guarantee are spec-pinned in LlmSpec against exact Jaccard.
+  private val d24 = q("d24_neardup_estimated", None) { t =>
+    Dedup.estimatedNearDupPairs(t.documents, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // e24 — recency-weighted trending score per event type: counts decayed
   // by 0.5^(age_days/7) against the corpus's newest day. Weights are
   // pow-of-identical-doubles quantized to DECIMAL(18,12) (the x16
@@ -3136,7 +3147,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,

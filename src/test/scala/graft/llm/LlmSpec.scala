@@ -27,6 +27,45 @@ class LlmSpec extends SparkSpec {
     assert(lsh == truth, s"LSH missed ${truth -- lsh}, invented ${lsh -- truth}")
   }
 
+  test("estimated near-dup pairs: identical twins estimate exactly 1.0; error vs exact bounded") {
+    import spark.implicits._
+    // measured estimate quality on every banded candidate: threshold 0.0
+    // keeps all candidates, so we compare est_j against exact Jaccard
+    val (est, release) = Dedup.estimatedNearDupPairsWithCleanup(docs, threshold = 0.0)
+    val sh = docs.select(col("doc_id"), TextFns.shingles(col("text")).as("sh"))
+    val exact = est.select("doc_a", "doc_b", "est_j")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        TextFns.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .collect()
+    release()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (e, j) = (r.getDouble(2), r.getDouble(3))
+      assert(e >= 0.0 && e <= 1.0)
+      assert(math.abs(e - j) <= 0.3,
+        s"estimate $e too far from exact $j for (${r.getLong(0)}, ${r.getLong(1)})")
+      if (j == 1.0) assert(e == 1.0, "identical docs must estimate exactly 1.0")
+    }
+    val meanErr = exact.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).sum / exact.length
+    assert(meanErr <= 0.08, s"mean |est − exact| = $meanErr exceeds the k=64 error budget")
+    // every j≥0.8 truth pair survives the 0.8-thresholded ESTIMATE within
+    // the estimator's own noise floor at 0.7 (recall knob: lower the serve
+    // threshold by the std-err margin when exact verify is skipped)
+    val hi = exact.filter(_.getDouble(3) >= 0.8)
+    assert(hi.forall(_.getDouble(2) >= 0.7),
+      "a true near-dup fell more than the error budget below the threshold")
+  }
+
+  test("estimated near-dup pairs are deterministic under repartitioning") {
+    val a = Dedup.estimatedNearDupPairs(docs, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.estimatedNearDupPairs(docs.repartition(13), threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a == b)
+  }
+
   test("LSH candidate generation is sub-quadratic (bucketed, not all-pairs)") {
     val n = docs.count()
     val candidates = Dedup.candidatePairs(Dedup.minhashSignature(docs)).count()
