@@ -2970,7 +2970,7 @@ object LlmQueries {
   // (quantized DECIMAL(18,8) idf × saturation, exact decimal cross-term
   // sum, ROUND(4)) and takes the same totally-ordered top-k — so a lost
   // posting, wrong dl, stale sidecar, or mispruned bucket all hash-fail.
-  private val x45 = q("x45_bm25_search", Some(
+  private val bm25SearchOracleSql: String =
     """WITH base AS (
           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
           FROM documents),
@@ -2996,10 +2996,28 @@ object LlmQueries {
                FROM dt JOIN dl USING (doc_id) JOIN idf USING (tok)
                CROSS JOIN stats GROUP BY 1)
         SELECT doc_id, ROUND(CAST(sdec AS DOUBLE), 4) AS bm25
-        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25""")) { t =>
+        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25"""
+
+  private val x45 = q("x45_bm25_search", Some(bm25SearchOracleSql)) { t =>
     val idx = java.nio.file.Files.createTempDirectory("graft-ranked-idx").toString
     Search.writeRankedIndex(t.documents, idx)
     Search.searchRanked(t.spark, idx,
+      Seq("spark", "join", "window", "shuffle"), k = 25)
+  }
+
+  // x48 — INCREMENTAL maintenance of the x45 ranked store: the corpus
+  // lands in two appends (even/odd doc halves — documents arrive WHOLE,
+  // the ranked store's batch contract) under the staged-version +
+  // CURRENT-pointer protocol; serve merges postings by additive tf and
+  // corpus stats by exact-integer Σ of the per-version sidecars. x45's
+  // VERBATIM oracle hash-proves incremental ≡ from-scratch — the x42
+  // pattern, now for RANKED retrieval (idf/avgdl must come out identical
+  // from merged stats, not just the tf sums).
+  private val x48 = q("x48_bm25_incremental", Some(bm25SearchOracleSql)) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-inc").toString
+    Search.initRankedIndex(t.documents.filter(col("doc_id") % 2 === 0), idx)
+    Search.appendToRankedIndex(t.documents.filter(col("doc_id") % 2 === 1), idx)
+    Search.searchRankedIndexed(t.spark, idx,
       Seq("spark", "join", "window", "shuffle"), k = 25)
   }
 
@@ -3149,7 +3167,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -286,6 +286,107 @@ object Search {
     committedVersions(path).exists(v =>
       graft.warehouse.AtomicPointer.read(s"$path/$v/TAG").map(_.trim).contains(tag))
 
+  // ------------------------------------------- versioned ranked (BM25)
+
+  /** Per-version stats sidecar name (inside the version dir). */
+  private def versionStats(path: String, v: String) = s"$path/$v/STATS"
+
+  /** Commit one batch's RANKED postings (term, doc_id, dl, tf) as the next
+    * version, with the batch's own exact-integer stats beside it — the
+    * additive unit: corpus stats are Σ over committed versions, so appends
+    * stay O(batch) like the conjunctive store. Contract: documents arrive
+    * WHOLE in one batch (dl rides the posting; a doc split across batches
+    * would carry inconsistent lengths — the tf-additive split-doc tolerance
+    * of the conjunctive store does not extend here).
+    */
+  private def commitRankedVersion(documents: DataFrame, path: String,
+                                  replace: Boolean, buckets: Int,
+                                  textCol: String): Unit = {
+    val committed = committedVersions(path)
+    val next = "v" + (committed.filter(_.matches("v\\d+"))
+      .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val staging = s"$path/.staging-$next"
+    val toks = TextFns.tokens(col(textCol))
+    val base = documents.select(col("doc_id"), size(toks).as("dl"), toks.as("w"))
+    base.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/postings")
+    val st = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl").cast("long")).as("tot")).collect()(0)
+    graft.warehouse.AtomicPointer.write(s"$staging/STATS",
+      s"${st.getLong(0)}\n${st.getLong(1)}\n")
+    graft.warehouse.AtomicPointer.publishDir(staging, s"$path/$next")
+    checkBuckets(path, buckets)
+    graft.warehouse.AtomicPointer.write(s"$path/$BucketsFile", buckets.toString)
+    graft.warehouse.AtomicPointer.write(s"$path/$Pointer",
+      ((if (replace) Seq.empty else committed) :+ next).mkString("", "\n", "\n"))
+  }
+
+  /** Bootstrap the versioned RANKED index. */
+  def initRankedIndex(documents: DataFrame, path: String,
+                      buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+    commitRankedVersion(documents, path, replace = true, buckets, textCol)
+
+  /** Append a batch of WHOLE documents to the versioned ranked index
+    * without reading existing state (stats merge additively, postings by
+    * union — O(batch) however large the index has grown).
+    */
+  def appendToRankedIndex(documents: DataFrame, path: String,
+                          buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
+    commitRankedVersion(documents, path, replace = false, buckets, textCol)
+
+  /** [[searchRanked]] against the VERSIONED ranked index: postings of the
+    * query's buckets merge across versions by additive tf on
+    * (term, doc_id, dl); corpus stats are the exact-integer Σ of the
+    * per-version sidecars; scoring is identical to the one-shot serve, so
+    * incremental ≡ from-scratch hash-exactly (x48 pins it against x45's
+    * verbatim oracle). The merge exchange carries only the queried terms'
+    * postings.
+    */
+  def searchRankedIndexed(spark: SparkSession, path: String, terms: Seq[String],
+                          k: Int, buckets: Int = DefaultBuckets,
+                          k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val vs = committedVersions(path)
+    require(vs.nonEmpty, s"searchRankedIndexed: no committed versions under $path")
+    checkBuckets(path, buckets)
+    require(terms.nonEmpty, "searchRankedIndexed: empty query")
+    val stats = vs.map { v =>
+      graft.warehouse.AtomicPointer.read(versionStats(path, v))
+        .map(_.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong))
+        .getOrElse(sys.error(s"searchRankedIndexed: version $v has no STATS " +
+          "— built with initIndex instead of initRankedIndex?"))
+    }
+    val (nDocs, totTokens) = (stats.map(_(0)).sum, stats.map(_(1)).sum)
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val bks = lowered.map(termBucketLocal(_, buckets)).distinct
+    val posts = vs.map { v =>
+      spark.read.parquet(s"$path/$v/postings")
+        .filter(col("bucket").isin(bks.map(Integer.valueOf): _*))
+        .filter(col("term").isin(lowered: _*))
+        .select("term", "doc_id", "dl", "tf")
+    }.reduce(_.unionByName(_))
+      .groupBy("term", "doc_id", "dl").agg(sum("tf").as("tf"))
+    val idf = posts.groupBy("term").agg(count(lit(1)).as("n_t"))
+      .select(col("term"),
+        log((lit(nDocs.toDouble) - col("n_t").cast("double") + 0.5) /
+            (col("n_t").cast("double") + 0.5) + 1.0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("idf"))
+    val avgdl = totTokens.toDouble / nDocs.toDouble
+    posts.join(broadcast(idf), Seq("term"))
+      .withColumn("frac",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .withColumn("contrib",
+        col("idf") * col("frac").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+      .groupBy("doc_id").agg(sum("contrib").as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** [[searchAll]] against the VERSIONED index: every committed version is
     * read through the same bucket-pruned, term-pushed scan, postings merge
     * by additive tf on (term, doc_id), then the conjunctive intersection.

@@ -174,6 +174,28 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("versioned ranked index: init + append over doc halves ≡ one-shot ranked build") {
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ranked-1s").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-ranked-inc").toString
+    Search.writeRankedIndex(corpus, oneShot, buckets = 8)
+    Search.initRankedIndex(corpus.filter(col("doc_id") % 2 === 0), inc, buckets = 8)
+    Search.appendToRankedIndex(corpus.filter(col("doc_id") % 2 === 1), inc, buckets = 8)
+    val terms = Seq("spark", "window")
+    val one = Search.searchRanked(spark, oneShot, terms, k = 10, buckets = 8)
+      .orderBy("doc_id").collect().toSeq
+    val merged = Search.searchRankedIndexed(spark, inc, terms, k = 10, buckets = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(one == merged, "incremental ranked serve must match the one-shot build bit-for-bit")
+  }
+
+  test("searchRankedIndexed fails fast on a version without the stats sidecar") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-nost").toString
+    Search.initIndex(corpus, idx, buckets = 8) // conjunctive init: no STATS
+    intercept[RuntimeException] {
+      Search.searchRankedIndexed(spark, idx, Seq("spark"), k = 5, buckets = 8)
+    }
+  }
+
   test("searchRanked fails fast on a store without the stats sidecar") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ranked-ns").toString
     Search.writeIndex(corpus, idx, buckets = 8)
