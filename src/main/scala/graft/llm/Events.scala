@@ -373,6 +373,47 @@ object Events {
     * each probability is ONE double division of exact counts —
     * bit-stable cross-engine.
     */
+  /** CUSUM CHANGE-POINT detection on daily volumes per event type: the day
+    * where the cumulative deviation from the type's mean daily count peaks
+    * — the classic "when did the level shift" detector (Page 1954),
+    * complementing e13's pointwise z-scores (a gradual level change never
+    * trips a single-day z-score; its CUSUM grows linearly).
+    *
+    * Exactness by clearing denominators: with D observed days and T total
+    * events, S_t = Σ_{i≤t}(c_i − T/D) scaled by D is
+    * D·cum_t − t·T — EXACT integers (the x43 treatment; D·cum stays under
+    * 2⁶³ for D ≤ 10⁵ days and T ≤ 10¹³). The change point is the max
+    * |S_t| (ties → earliest day); `score` normalizes by D·T for a
+    * comparable [0,1) magnitude, ONE double division per type.
+    *
+    * Scale shape: the window (row_number + running sum per type, ordered
+    * by day) runs over the PRE-AGGREGATED (type, day) frame — ≤ |days|
+    * rows per group however large the event log (the e13/q20 treatment);
+    * the argmax is a max(struct), no second window.
+    */
+  def changePoints(events: DataFrame): DataFrame = {
+    val byDay = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tot = Window.partitionBy("event_type")
+    val scored = byDay
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("total", sum("c").over(tot))
+      .withColumn("s", col("n_days") * col("cum") - col("t") * col("total"))
+    scored
+      .groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("total").as("n_events"),
+        max(struct(abs(col("s")).as("a"),
+          (-unix_date(col("day"))).as("nd"), col("s").as("s"))).as("pk"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        date_from_unix_date((-col("pk.nd")).cast("int")).as("cp_day"),
+        col("pk.s").as("s_at_peak"),
+        round(col("pk.a").cast("double") /
+          (col("n_days") * col("n_events")).cast("double"), 6).as("score"))
+  }
+
   /** Exponentially-DECAYED event counts per type (trending score): each
     * event weighs 0.5^(age_days/halfLife) against the corpus's newest day,
     * so a type spiking THIS week outranks one with more but older volume —

@@ -3070,6 +3070,41 @@ object LlmQueries {
     Events.audienceOverlap(eventsTs(t)).orderBy("type_a", "type_b")
   }
 
+  // e25 — CUSUM change-point per event type: the day where the cumulative
+  // deviation from the mean daily volume peaks (Page 1954 — the
+  // level-shift detector e13's pointwise z-scores can't see). Exact by
+  // clearing denominators: S_t = D·cum_t − t·T is pure integers (the x43
+  // treatment); argmax |S_t| ties to the earliest day via max(struct)
+  // with a negated epoch-day key; ONE double division per type at the
+  // end. The oracle replays the windowed integer recurrence.
+  private val e25 = q("e25_changepoint", Some(
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+       s AS (SELECT event_type, day, c,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+               SUM(c) OVER w AS cum,
+               COUNT(*) OVER p AS n_days,
+               SUM(c) OVER p AS total
+             FROM d
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING),
+                    p AS (PARTITION BY event_type)),
+       v AS (SELECT event_type, day, n_days, total,
+               n_days * cum - t * total AS sdev
+             FROM s),
+       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY ABS(sdev) DESC, day) AS rn
+             FROM v)
+       SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              CAST(total AS BIGINT) AS n_events, day AS cp_day,
+              CAST(sdev AS BIGINT) AS s_at_peak,
+              ROUND(CAST(ABS(sdev) AS DOUBLE)
+                    / CAST(n_days * total AS DOUBLE), 6) AS score
+       FROM r WHERE rn = 1 ORDER BY event_type""")) { t =>
+    Events.changePoints(eventsTs(t)).orderBy("event_type")
+  }
+
   // d24 — MinHash-ESTIMATED near-dup pairs (rows-only like d03/d23: the
   // xxhash64 signature family has no DuckDB twin): the at-scale verify
   // path when even candidate-restricted exact-Jaccard is too expensive —
@@ -3168,6 +3203,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -60,6 +60,25 @@ class Round13OpsSpec extends SparkSpec {
       s"a fresh event must outscore 10 stale ones: $byType")
   }
 
+  test("changePoints: hand-computed CUSUM peak at the level shift; flat series scores 0") {
+    // type A: 3 days at 1/day then 3 days at 5/day — the CUSUM valley
+    // bottoms at day 3 (the last old-level day): S = -12,-24,-36,-24,-12,0
+    // → |S| peak 36, score 36/(6·18) = 0.333333
+    def day(d: Int, n: Int, typ: String) =
+      Seq.fill(n)((typ, f"2024-01-$d%02d 10:00:00"))
+    val ev = ((1 to 3).flatMap(day(_, 1, "A")) ++ (4 to 6).flatMap(day(_, 5, "A")) ++
+      (1 to 4).flatMap(day(_, 2, "F")))
+      .toDF("event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.changePoints(ev).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toString, r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("A", 6L, 18L, "2024-01-03", -36L, 0.333333),
+      // flat series: every S_t = 0; tie → earliest day, score 0
+      ("F", 4L, 8L, "2024-01-01", 0L, 0.0)))
+  }
+
   test("readability: hand-computed Flesch/FK on known sentences") {
     // "the cat sat. it ran!" → 2 sentence runs, 5 words,
     // syllables: the=1(e), cat=1(a), sat=1(a), it=1(i), ran=1(a) → 5
