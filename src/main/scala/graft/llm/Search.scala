@@ -301,7 +301,8 @@ object Search {
     */
   private def commitRankedVersion(documents: DataFrame, path: String,
                                   replace: Boolean, buckets: Int,
-                                  textCol: String): Unit = {
+                                  textCol: String,
+                                  tag: Option[String] = None): Unit = {
     val committed = committedVersions(path)
     val next = "v" + (committed.filter(_.matches("v\\d+"))
       .lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1)
@@ -318,6 +319,7 @@ object Search {
       sum(col("dl").cast("long")).as("tot")).collect()(0)
     graft.warehouse.AtomicPointer.write(s"$staging/STATS",
       s"${st.getLong(0)}\n${st.getLong(1)}\n")
+    tag.foreach(t => graft.warehouse.AtomicPointer.write(s"$staging/TAG", t))
     graft.warehouse.AtomicPointer.publishDir(staging, s"$path/$next")
     checkBuckets(path, buckets)
     graft.warehouse.AtomicPointer.write(s"$path/$BucketsFile", buckets.toString)
@@ -327,16 +329,18 @@ object Search {
 
   /** Bootstrap the versioned RANKED index. */
   def initRankedIndex(documents: DataFrame, path: String,
-                      buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
-    commitRankedVersion(documents, path, replace = true, buckets, textCol)
+                      buckets: Int = DefaultBuckets, textCol: String = "text",
+                      tag: Option[String] = None): Unit =
+    commitRankedVersion(documents, path, replace = true, buckets, textCol, tag)
 
   /** Append a batch of WHOLE documents to the versioned ranked index
     * without reading existing state (stats merge additively, postings by
     * union — O(batch) however large the index has grown).
     */
   def appendToRankedIndex(documents: DataFrame, path: String,
-                          buckets: Int = DefaultBuckets, textCol: String = "text"): Unit =
-    commitRankedVersion(documents, path, replace = false, buckets, textCol)
+                          buckets: Int = DefaultBuckets, textCol: String = "text",
+                          tag: Option[String] = None): Unit =
+    commitRankedVersion(documents, path, replace = false, buckets, textCol, tag)
 
   /** [[searchRanked]] against the VERSIONED ranked index: postings of the
     * query's buckets merge across versions by additive tf on

@@ -423,6 +423,40 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous RANKED-index maintenance — [[ingestPostingsStream]]'s twin
+    * for the BM25 store (x48's versioned protocol driven by a stream):
+    * each micro-batch of WHOLE documents appends dl-carrying postings plus
+    * its exact-integer stats sidecar, and ranked serves
+    * ([[graft.llm.Search.searchRankedIndexed]]) see the batch as soon as
+    * its pointer swap lands — idf/avgdl move with every commit because the
+    * per-version stats merge additively at query time. Same replay posture
+    * as the conjunctive maintainer: O(1) mark skip + committed-TAG check
+    * on the one straddling batch (a double-append would inflate BOTH tf
+    * and the corpus stats — doubly unrepairable downstream).
+    */
+  def ingestRankedPostingsStream(docs: DataFrame, indexPath: String, checkpoint: String,
+                                 buckets: Int = graft.llm.Search.DefaultBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(indexPath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyAppended =
+            p == Recover && graft.llm.Search.hasTag(indexPath, tag)
+          if (!alreadyAppended)
+            graft.llm.Search.appendToRankedIndex(batch, indexPath, buckets,
+              tag = Some(tag))
+          guard.commit(batchId)
+      }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous sketch-materialized-view maintenance — the sketch twin of
     * [[ingestDsirCountsStream]]: each micro-batch of events is sketched
     * per day ([[graft.llm.Events.dailyUserSketches]], |batch days| rows)

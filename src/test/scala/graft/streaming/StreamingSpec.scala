@@ -929,6 +929,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ranked postings ingest: streamed BM25 store equals one-shot; replays never inflate stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val terms = Seq("spark", "join", "window")
+    val root = java.nio.file.Files.createTempDirectory("graft-ranked-stream").toString
+    val stream = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestRankedPostingsStream(
+        stream.toDF().toDF("doc_id", "text"), s"$root/idx", s"$root/ckpt",
+        buckets = 32)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    def served(): Seq[(Long, Double)] =
+      graft.llm.Search.searchRankedIndexed(spark, s"$root/idx", terms, k = 20, buckets = 32)
+        .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a); run()
+    stream.addData(b); run()
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ranked-1shot").toString
+    graft.llm.Search.writeRankedIndex(docs, oneShot, buckets = 32)
+    val expected = graft.llm.Search.searchRanked(spark, oneShot, terms, k = 20, buckets = 32)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(expected.nonEmpty)
+    assert(served() == expected, "two streamed appends must equal the one-shot ranked index")
+    // crash window A: mark committed, Spark commit log lost — guard skips
+    uncommit(1)
+    run()
+    assert(served() == expected, "a mark-skipped replay must not re-append")
+    // crash window B: append landed, process died before the mark — a
+    // double-append would inflate tf AND the stats sidecar (idf/avgdl
+    // would silently shift for every query); the committed TAG detects it
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/idx/_streaming_hwm"))
+    run()
+    assert(served() == expected, "a tag-detected replay must not inflate the ranked store")
+  }
+
   test("postings ingest: streamed index equals one-shot build; replays never double tf") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
