@@ -373,6 +373,41 @@ object Events {
     * each probability is ONE double division of exact counts —
     * bit-stable cross-engine.
     */
+  /** WINDOWED conversion funnel: of the users whose FIRST `fromType` event
+    * lands on cohort day D, how many fire a `toType` event within
+    * `windowDays` — the "converted within 7 days" industry metric e04's
+    * unbounded ordered funnel can't express (an eventual conversion a
+    * year later is not a conversion HERE). Boundary closed on both ends
+    * in integer microseconds, so the window edge is exact cross-engine.
+    *
+    * Scale shape: one map-side-combined first-event aggregate per user,
+    * one user_id equi-join carrying the interval predicate (never an
+    * inequality-only join), a distinct on converted users, and a
+    * |cohort-days|-keyed rollup; conversion rate is one double division
+    * of exact longs.
+    */
+  def windowedConversion(events: DataFrame, fromType: String = "signup",
+                         toType: String = "purchase",
+                         windowDays: Int = 7): DataFrame = {
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+    val horizon = windowDays * 86400000000L
+    val converted = events.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(first, Seq("user_id"))
+      .filter(col("p_us") >= col("s_us") && col("p_us") <= col("s_us") + lit(horizon))
+      .select("user_id").distinct()
+      .withColumn("converted", lit(1L))
+    first
+      .withColumn("cohort_day", to_date(timestamp_micros(col("s_us"))))
+      .join(converted, Seq("user_id"), "left")
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"),
+        round(sum(coalesce(col("converted"), lit(0L))).cast("double")
+          / count(lit(1)).cast("double"), 4).as("cvr"))
+  }
+
   /** CUSUM CHANGE-POINT detection on daily volumes per event type: the day
     * where the cumulative deviation from the type's mean daily count peaks
     * — the classic "when did the level shift" detector (Page 1954),

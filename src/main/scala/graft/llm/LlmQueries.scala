@@ -3105,6 +3105,28 @@ object LlmQueries {
     Events.changePoints(eventsTs(t)).orderBy("event_type")
   }
 
+  // e26 — WINDOWED conversion funnel: per signup cohort day, the fraction
+  // of first-signup users who purchase within 7 days (e04's unbounded
+  // funnel bounded — a conversion a year later doesn't count). Interval
+  // closed on both ends in exact integer microseconds; the oracle replays
+  // first-signup, the bounded join, and the distinct-conversion rollup.
+  private val e26 = q("e26_windowed_conversion", Some(
+    """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+       c AS (SELECT DISTINCT e.user_id
+             FROM events e JOIN f ON e.user_id = f.user_id
+             WHERE e.event_type = 'purchase'
+               AND epoch_us(e.ts) >= f.s_us
+               AND epoch_us(e.ts) <= f.s_us + 604800000000)
+       SELECT CAST(make_timestamp(f.s_us) AS DATE) AS cohort_day,
+              CAST(COUNT(*) AS BIGINT) AS n_signups,
+              CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+              ROUND(CAST(COUNT(c.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS cvr
+       FROM f LEFT JOIN c ON f.user_id = c.user_id
+       GROUP BY 1 ORDER BY cohort_day""")) { t =>
+    Events.windowedConversion(eventsTs(t)).orderBy("cohort_day")
+  }
+
   // d24 — MinHash-ESTIMATED near-dup pairs (rows-only like d03/d23: the
   // xxhash64 signature family has no DuckDB twin): the at-scale verify
   // path when even candidate-restricted exact-Jaccard is too expensive —
@@ -3203,6 +3225,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -889,8 +889,40 @@ object StarQueries {
       .orderBy("measure")
   }
 
+  // q32 — ASYMMETRIC GROUPING SETS: exactly ((status, priority), (status),
+  // ()) — the detail, one marginal, and the grand total in ONE
+  // Expand+Aggregate pass, WITHOUT the (priority) marginal a CUBE (q25)
+  // would force (and at 100 TB would pay an extra expanded replica of the
+  // fact for). GROUPING() flags disambiguate subtotal rows exactly as in
+  // q25; the DataFrame groupingSets API (Spark 4) is the surface under
+  // test, the oracle the literal SQL form.
+  private val q32 = q(
+    "q32_grouping_sets",
+    s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_status, g_priority, status, priority""") { t =>
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_orderpriority", "priority")
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

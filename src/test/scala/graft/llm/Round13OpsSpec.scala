@@ -79,6 +79,27 @@ class Round13OpsSpec extends SparkSpec {
       ("F", 4L, 8L, "2024-01-01", 0L, 0.0)))
   }
 
+  test("windowedConversion: inside-window converts, outside/before/never do not") {
+    // u1: purchase 3 days after signup → converts
+    // u2: purchase 8 days after → outside the 7-day window
+    // u3: purchase BEFORE the signup only → no conversion
+    // u4: signup, never purchases
+    // u5: purchase exactly AT the 7-day boundary → converts (closed edge)
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "purchase", "2024-01-04 10:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"), (2L, "purchase", "2024-01-09 10:00:01"),
+      (3L, "purchase", "2024-01-01 09:00:00"), (3L, "signup", "2024-01-01 10:00:00"),
+      (4L, "signup", "2024-01-02 10:00:00"),
+      (5L, "signup", "2024-01-02 10:00:00"), (5L, "purchase", "2024-01-09 10:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.windowedConversion(ev).orderBy("cohort_day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 3L, 1L, 0.3333), // u1 converts; u2 late; u3 pre-signup only
+      ("2024-01-02", 2L, 1L, 0.5)))   // u5 boundary-exact converts; u4 never
+  }
+
   test("readability: hand-computed Flesch/FK on known sentences") {
     // "the cat sat. it ran!" → 2 sentence runs, 5 words,
     // syllables: the=1(e), cat=1(a), sat=1(a), it=1(i), ran=1(a) → 5
