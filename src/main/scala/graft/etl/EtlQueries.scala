@@ -482,6 +482,35 @@ object EtlQueries {
       .orderBy("doc_id")
   }
 
+  // c07 — RAW TEXT-LINE ingestion (the crawl .txt shard reader — the one
+  // source shape left after CSV/JSONL/gzip/parquet/ORC): spark.read.text
+  // through a content-keyed line profile (per distinct line: occurrences
+  // and length; blank interior lines are data). Content-keyed because the
+  // text source guarantees no row ORDER across partitions — a positional
+  // output would be partitioning-dependent. The newline contract is
+  // pinned cross-engine: Hadoop's reader strips a trailing \r (CRLF
+  // files) and emits no empty row for the final \n; the oracle rtrims
+  // chr(13) and drops the trailing empty split element to match — so a
+  // codec or line-split divergence hash-fails.
+  private val fixtureLines = "/root/repo/fixtures/corpus_lines.txt"
+  private val c07 = q("c07_text_lines",
+    s"""WITH raw AS (SELECT content FROM read_text('$fixtureLines')),
+        parts AS (SELECT string_split(content, chr(10)) AS p FROM raw),
+        lines AS (
+          SELECT rtrim(unnest(CASE WHEN p[-1] = '' THEN p[1:len(p)-1] ELSE p END),
+                       chr(13)) AS line
+          FROM parts)
+        SELECT line, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(length(line) AS INT) AS n_chars
+        FROM lines GROUP BY line ORDER BY line""") { t =>
+    t.spark.read.text(fixtureLines)
+      .groupBy(col("value").as("line"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("line"), col("n_occurrences"),
+        length(col("line")).as("n_chars"))
+      .orderBy("line")
+  }
+
   private val fixtureQuoted = "/root/repo/fixtures/transactions_quoted.csv"
 
   // c04 — RFC-4180 CSV ingestion: quoted delimiters, doubled-quote
@@ -1076,5 +1105,5 @@ object EtlQueries {
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, c01, c02, c03, c04, c05, c06)
+      t31, c01, c02, c03, c04, c05, c06, c07)
 }
