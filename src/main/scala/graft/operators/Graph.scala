@@ -57,7 +57,11 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int, dampNum: Long = 85): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // the edge frame is consumed once per iteration plus the degree pass —
+    // cut it ONCE so the (possibly join-derived) edge pipeline doesn't
+    // replan and re-execute every round
+    val e = Materialize.cut(edges)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     // node count as a broadcast scalar: no driver action, no collect
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
@@ -66,7 +70,7 @@ object Graph {
     for (_ <- 1 to iterations) {
       val share = ranks.join(degN, "node")
         .select(col("node"), expr("r div outdeg").as("share"))
-      val contrib = edges.join(share, edges("src") === share("node"))
+      val contrib = e.join(share, e("src") === share("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum("share").as("contrib"))
       ranks = Materialize.cut(
@@ -122,7 +126,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
                            dampNum: Long = 85): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val e = Materialize.cut(edges)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val s = seeds.select(col("node").cast("long").as("node")).distinct()
       .join(deg.select("node"), Seq("node"), "left_semi")
     val ns = s.agg(count(lit(1)).as("n_seeds"))
@@ -135,7 +140,7 @@ object Graph {
     for (_ <- 1 to iterations) {
       val share = ranks.join(degN, "node")
         .select(col("node"), expr("r div outdeg").as("share"))
-      val contrib = edges.join(share, edges("src") === share("node"))
+      val contrib = e.join(share, e("src") === share("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum("share").as("contrib"))
       ranks = Materialize.cut(
@@ -186,10 +191,11 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1)
-    val nodes = Materialize.cut(edges.select("src").distinct())
+    val e = Materialize.cut(edges)
+    val nodes = Materialize.cut(e.select("src").distinct())
     var labels = nodes.select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to iterations) {
-      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+      val nbrMin = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nbr_label"))
       labels = Materialize.cut(
@@ -329,12 +335,13 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0)
+    val e = Materialize.cut(edges)
     var reached = Materialize.cut(
       seeds.select(col("node").cast("long").as("node")).distinct()
         .withColumn("dist", lit(0)))
     var frontier = reached.select("node")
     for (d <- 1 to maxDepth) {
-      val nbrs = edges.join(frontier, edges("src") === frontier("node"))
+      val nbrs = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
       val fresh = nbrs.join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
@@ -395,10 +402,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1)
-    val nodes = Materialize.cut(edges.select("src").distinct())
+    val e = Materialize.cut(edges)
+    val nodes = Materialize.cut(e.select("src").distinct())
     var labels = nodes.select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to iterations) {
-      val counts = edges.join(labels, edges("src") === labels("node"))
+      val counts = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
       val best = counts
