@@ -17,4 +17,15 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** queries included in the per-round benchmark headline set */
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Late-bound oracle, resolved only when READ. [[graft.Verify]] runs
+      * every query before it dumps `oracle_sql.json`, so a def whose
+      * iteration count is data-derived (the run-to-convergence graph ops)
+      * can record the reached round count R during its run and have the
+      * oracle unroll exactly R rounds. Wins over `oracle` when set.
+      */
+    oracleGen: Option[() => String] = None) {
+
+  /** The oracle SQL as the driver should see it right now. */
+  def oracleText: Option[String] = oracleGen.map(_()).orElse(oracle)
+}

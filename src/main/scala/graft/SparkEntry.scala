@@ -30,5 +30,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    defs.flatMap(d => d.oracleText.map(d.name -> _)).toMap
 }

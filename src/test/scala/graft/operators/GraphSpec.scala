@@ -206,6 +206,75 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsConverged(Graph.symmetrize(pairs, "c", "s"), seeds, maxDepth = 6))
   }
 
+  // ---- run-to-convergence variants (VERDICT r11 #1): on graphs DEEPER
+  // than the old fixed round counts, the fixed form returns wrong answers
+  // silently; the converged form reaches the true fixpoint and the
+  // maxRounds backstop THROWS instead of under-iterating.
+
+  private def chainEdges(n: Int): DataFrame =
+    edges((1 until n).map(i => (i.toLong, (i + 1).toLong)): _*)
+
+  test("connectedComponentsConverged: 40-chain where the old fixed 15 rounds are wrong") {
+    val chain = chainEdges(40) // diameter 39 > the 15 rounds g02 used to run
+    val (cc, r) = Graph.connectedComponentsConverged(chain)
+    val labels = cc.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(labels === (1L to 40L).map(_ -> 1L)) // one component, min id 1
+    assert(r >= 39 && r <= 41, s"rounds=$r")
+    // the fixed-15 form silently returns a partial propagation here
+    val fixed = Graph.connectedComponents(chain, iterations = 15)
+      .filter(col("component") =!= 1L)
+    assert(!fixed.isEmpty, "fixed 15 rounds should NOT have converged on a 40-chain")
+    // the backstop fails fast rather than emitting unconverged labels
+    assertThrows[IllegalStateException] {
+      Graph.connectedComponentsConverged(chain, maxRounds = 10)
+    }
+  }
+
+  test("kCoreConvergedRun: pendant path deeper than the old fixed 10 peels") {
+    // triangle {1,2,3} with a 30-node pendant path off node 3: k=2 peeling
+    // eats the path one node per round (~30 rounds ≫ the 10 g04 used)
+    val path = (0 until 30).map(i => (100L + i, 101L + i))
+    val g = edges(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 100L)) ++ path: _*)
+    val (core, r) = Graph.kCoreConvergedRun(g, k = 2)
+    assert(core.orderBy("node").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(r > 10, s"cascade should need >10 rounds, got $r")
+    // the fixed-10 form leaves path remnants in the "core"
+    assert(Graph.kCore(g, k = 2, rounds = 10).count() > 3)
+    assertThrows[IllegalStateException] { Graph.kCoreConvergedRun(g, k = 2, maxRounds = 5) }
+  }
+
+  test("bfsDistancesConverged: full reachability on a chain deeper than the old fixed 6") {
+    val chain = chainEdges(20) // eccentricity 19 from node 1 > the 6 g06 used
+    val (reached, r) = Graph.bfsDistancesConverged(chain, Seq(1L).toDF("node"))
+    assert(reached.orderBy("node").as[(Long, Int)].collect().toSeq ===
+      (1 to 20).map(i => (i.toLong, i - 1)))
+    assert(r === 20, s"19 expanding rounds + 1 empty closing round, got $r")
+    // the fixed-6 form silently stops 13 nodes short
+    assert(Graph.bfsDistances(chain, Seq(1L).toDF("node"), maxDepth = 6).count() === 7)
+    assertThrows[IllegalStateException] {
+      Graph.bfsDistancesConverged(chain, Seq(1L).toDF("node"), maxRounds = 5)
+    }
+  }
+
+  test("labelPropagationConverged: fixpoint on a stable graph; 2-cycle detected on an edge") {
+    // triangle+satellite (the hand-computed LPA graph): reaches a fixpoint
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 2L), (4L, 3L))
+    val (stable, r) = Graph.labelPropagationConverged(e)
+    assert(stable.count() === 4 && r >= 2)
+    // replaying the recorded R rounds through the fixed form is identical
+    // (this is exactly what the generated oracle does)
+    val replay = Graph.labelPropagation(e, iterations = r)
+      .withColumnRenamed("community", "c2")
+    assert(stable.join(replay, "node").filter(col("community") =!= col("c2")).isEmpty)
+    // a single edge oscillates with period 2: 1→2,2→1 then back — the
+    // cycle probe must terminate the loop (a fixpoint never arrives)
+    val pair = edges((1L, 2L))
+    val (osc, r2) = Graph.labelPropagationConverged(pair)
+    assert(r2 <= 3, s"period-2 oscillation should stop by round 3, got $r2")
+    assert(osc.count() === 2)
+  }
+
   test("labelPropagation is deterministic under repartitioning") {
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
     val a = Graph.labelPropagation(e, iterations = 3).orderBy("node").collect().toSeq
