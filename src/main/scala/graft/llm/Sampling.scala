@@ -285,8 +285,12 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < weightThreshold(col(weightCol)))
 
   private def weightThreshold(w: Column): Column =
+    // clamp below at 0: a (contract-violating) negative weight would
+    // floor to a negative long whose hex lpad-TRUNCATES to 'ffff' —
+    // keeping nearly every row instead of none (ADVICE r11)
     when(w >= 1.0, lit("g000"))
-      .otherwise(lpad(lower(hex(floor(w * 65536).cast("long"))), 4, "0"))
+      .otherwise(lpad(lower(hex(
+        floor(greatest(w, lit(0.0)) * 65536).cast("long"))), 4, "0"))
 
   /** Exact-size weighted sample WITHOUT replacement — Efraimidis–Spirakis
     * priority sampling (Efraimidis & Spirakis 2006, "Weighted random

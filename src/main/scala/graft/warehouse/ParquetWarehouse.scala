@@ -43,6 +43,20 @@ object ParquetWarehouse {
 
   private val Pointer = "CURRENT"
 
+  /** Allocate the next UNOCCUPIED version number: past the current pointer
+    * AND past any existing dir. A failed [[publishAudited]] attempt
+    * intentionally leaves its staged dir at cur+1 as inspection evidence;
+    * a mutator that allocated blindly would stage INTO that dir and then
+    * publish the failed attempt's unaudited tables alongside its own
+    * (they become visible through tablesIn/readSnapshot) while clobbering
+    * the evidence — ADVICE r11. Every snapshot mutator allocates here.
+    */
+  private def nextVersion(root: String, cur: Long): String = {
+    var n = cur + 1
+    while (AtomicPointer.exists(s"$root/v$n")) n += 1
+    s"v$n"
+  }
+
   /** P23 — atomic multi-table publish: write every table under
     * `root/v<next>/<table>/`, then swap the CURRENT pointer with an atomic
     * file move ([[AtomicPointer]], so the same snapshot machinery serves
@@ -50,7 +64,7 @@ object ParquetWarehouse {
     * version live.
     */
   def publishSnapshot(root: String, tables: Map[String, DataFrame]): String = {
-    val next = "v" + (currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1)
+    val next = nextVersion(root, currentVersion(root).map(_.drop(1).toLong).getOrElse(0L))
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$next/$name")
     }
@@ -77,9 +91,7 @@ object ParquetWarehouse {
     // allocate past any EXISTING dir, not just past the pointer — a failed
     // stage keeps its number (and its files) until vacuumed, so the next
     // attempt never overwrites the evidence
-    var n = currentVersion(root).map(_.drop(1).toLong).getOrElse(0L) + 1
-    while (AtomicPointer.exists(s"$root/v$n")) n += 1
-    val next = s"v$n"
+    val next = nextVersion(root, currentVersion(root).map(_.drop(1).toLong).getOrElse(0L))
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$next/$name")
     }
@@ -106,9 +118,7 @@ object ParquetWarehouse {
     require(changed.nonEmpty, "publishAuditedIncremental: no changed tables")
     val cur = currentVersion(root).getOrElse(throw new IllegalStateException(
       s"publishAuditedIncremental needs a published snapshot under $root to carry from"))
-    var n = cur.drop(1).toLong + 1
-    while (AtomicPointer.exists(s"$root/v$n")) n += 1
-    val next = s"v$n"
+    val next = nextVersion(root, cur.drop(1).toLong)
     changed.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$next/$name")
     }
@@ -253,7 +263,7 @@ object ParquetWarehouse {
       throw new IllegalStateException(s"no published snapshot under $root"))
     require(tablesIn(root, cur).contains(table),
       s"deleteFromSnapshot: no table '$table' in snapshot $cur under $root")
-    val next = "v" + (cur.drop(1).toLong + 1)
+    val next = nextVersion(root, cur.drop(1).toLong)
     carryForward(spark, root, cur, next,
       tablesIn(root, cur).filterNot(_ == table))
     val prior = tombstones(spark, root, cur, table)
@@ -280,7 +290,7 @@ object ParquetWarehouse {
                              table: String): String = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    val next = "v" + (cur.drop(1).toLong + 1)
+    val next = nextVersion(root, cur.drop(1).toLong)
     carryForward(spark, root, cur, next,
       tablesIn(root, cur).filterNot(_ == table))
     readTable(spark, root, table).write.mode("overwrite")
@@ -353,7 +363,7 @@ object ParquetWarehouse {
           else readTable(spark, root, table)
             .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
             .unionByName(updates)
-        val next = "v" + (cur.drop(1).toLong + 1)
+        val next = nextVersion(root, cur.drop(1).toLong)
         carryForward(spark, root, cur, next,
           tablesIn(root, cur).filterNot(_ == table))
         merged.write.mode("overwrite").parquet(s"$root/$next/$table")

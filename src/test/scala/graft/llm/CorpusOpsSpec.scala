@@ -98,6 +98,12 @@ class CorpusOpsSpec extends SparkSpec {
       assert(kept.filter(col("w") === 1.0).count() == rows.filter(col("w") === 1.0).count(),
         "weight 1.0 must keep unconditionally (the g000 sentinel)")
       assert(kept.filter(col("w") === 0.0).count() == 0, "weight 0.0 must keep nothing")
+      // out-of-contract NEGATIVE weights clamp to keep-nothing — unclamped,
+      // floor(w*65536) is a negative long whose hex truncates to 'ffff'
+      // and keeps nearly everything (ADVICE r11)
+      val neg = Sampling.weightedSample(
+        rows.withColumn("w", lit(-0.25)), "doc_id", "w")
+      assert(neg.count() == 0, "negative weight must keep nothing, not everything")
       val half = kept.filter(col("w") === 0.5).count().toDouble /
         rows.filter(col("w") === 0.5).count().toDouble
       assert(math.abs(half - 0.5) < 0.05, s"mid-rate kept $half, expected ~0.5")

@@ -438,6 +438,47 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/v2/t").count() === 1, "failed stage intact")
   }
 
+  test("every snapshot mutator skips a failed-audit staged dir (ADVICE r11)") {
+    import spark.implicits._
+    // a failed publishAudited leaves its UNAUDITED stage at cur+1; the
+    // next mutation must allocate past it — staging into it would both
+    // publish the failed attempt's tables and clobber the evidence
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val poisoned = Map("t" -> Seq((3L, -5.0)).toDF("k", "v"),
+      "smuggled" -> Seq((99L, 1.0)).toDF("k", "v"))
+    def failStage(root: String): Unit = {
+      assert(ParquetWarehouse.publishAudited(root, poisoned, _ => false) === Left("v2"))
+      assert(ParquetWarehouse.currentVersion(root).contains("v1"))
+    }
+    def assertClean(root: String, v: String): Unit = {
+      assert(ParquetWarehouse.currentVersion(root).contains(v))
+      assert(!new java.io.File(s"$root/$v/smuggled").exists,
+        "failed stage's unaudited table leaked into the published snapshot")
+      assert(spark.read.parquet(s"$root/v2/t").count() === 1, "failed-stage evidence clobbered")
+    }
+    locally { // deleteFromSnapshot
+      val root = tmpDir()
+      ParquetWarehouse.publishSnapshot(root, Map("t" -> good)); failStage(root)
+      ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(1L).toDF("k"), "k")
+      assertClean(root, "v3")
+      assert(ParquetWarehouse.readTable(spark, root, "t").count() === 1)
+    }
+    locally { // upsertSnapshot
+      val root = tmpDir()
+      ParquetWarehouse.publishSnapshot(root, Map("t" -> good)); failStage(root)
+      ParquetWarehouse.upsertSnapshot(root, "t", Seq((2L, 99.0)).toDF("k", "v"), "k")
+      assertClean(root, "v3")
+    }
+    locally { // compactSnapshotDeletes
+      val root = tmpDir()
+      ParquetWarehouse.publishSnapshot(root, Map("t" -> good)); failStage(root)
+      ParquetWarehouse.deleteFromSnapshot(root, "t", Seq(1L).toDF("k"), "k") // v3
+      ParquetWarehouse.compactSnapshotDeletes(spark, root, "t")
+      assertClean(root, "v4")
+      assert(ParquetWarehouse.readTable(spark, root, "t").count() === 1)
+    }
+  }
+
   test("publishAuditedIncremental: only changed tables write; dims carry by base pointer") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-wap-inc").toString
