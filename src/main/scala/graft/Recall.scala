@@ -239,6 +239,34 @@ object Recall {
         })
     }
 
+    // ANN MIPS via norm-augmentation (s18): exact ground truth is the
+    // INNER-PRODUCT top-10 (s16's ranking, not the cosine `exact` frame —
+    // MIPS is a different ordering); the candidate fraction is the probe
+    // fan-out measured over the AUGMENTED geometry the operator actually
+    // searches (Similarity.mipsAugmented), at the registered and lowcost
+    // probe depths.
+    val mipsEntries = {
+      val exactMips = Similarity.mipsTopK(embs, pred, 10).localCheckpoint(true)
+      val aug = Similarity.mipsAugmented(embs)
+      val augCents = memo(Similarity.ivfCentroids(aug))
+      val augIds = Similarity.ivfAssign(aug, augCents).select("vec_id", "cell")
+      val augQ = Similarity.mipsAugmentedQueries(embs, pred)
+      def entry(name: String, nProbe: Int) = {
+        val probes = Similarity.ivfProbes(augQ, augCents, lit(true), nProbe)
+          .select("query_id", "cell")
+        val nCand = probes.join(augIds, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id")).count()
+        val recall = Similarity.recallAtK(exactMips,
+          Similarity.mipsTopKIvf(embs, pred, 10, nProbe))
+        (name + suffix) -> Seq(
+          "n_probe" -> nProbe.toDouble,
+          "recall_at_10" -> recall,
+          "candidate_fraction" -> nCand / allPairs)
+      }
+      Seq(entry("s18_knn_mips_ivf", Similarity.IvfProbesRegistered),
+        entry("s18_knn_mips_ivf_lowcost", Similarity.IvfProbes))
+    }
+
     // PCA-reduced shortlist + exact re-rank (s13): like PQ a compression
     // path (full candidate fraction, 4× fewer bytes per scanned row at
     // 64→16) — the graded number is how much ranking quality the float
@@ -356,7 +384,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ binaryEntries ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
+      quantEntry) ++ binaryEntries ++ mipsEntries ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

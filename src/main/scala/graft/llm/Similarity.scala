@@ -90,6 +90,85 @@ object Similarity {
     rankTopK(scored, "ip", k)
   }
 
+  /** Corpus side of the norm-augmentation MIPS reduction: each vector gains
+    * the component √(M²−‖x‖²) (M² = `m2`, the corpus max squared norm), so
+    * every augmented vector has norm exactly M and the cosine against a
+    * zero-augmented query is (q·x)/(‖q‖·M) — MONOTONE in the true inner
+    * product. `greatest(…, 0)` guards the float-vs-double rounding at the
+    * max-norm vector itself (its augmented component is exactly 0).
+    */
+  private def augmentMips(emb: Column, m2: Double): Column =
+    concat(emb, array(
+      sqrt(greatest(lit(m2) - dot(emb, emb), lit(0.0))).cast("float")))
+
+  /** The augmented corpus frame (vec_id, embedding float[d+1]) — exposed so
+    * the RECALL report can count probed-cell candidates with the standard
+    * IVF machinery over exactly the geometry [[mipsTopKIvf]] searches.
+    */
+  def mipsAugmented(embeddings: DataFrame): DataFrame = {
+    val m2Row = embeddings
+      .agg(max(dot(col("embedding"), col("embedding"))).as("m2")).head()
+    require(!m2Row.isNullAt(0), "mipsAugmented: empty or all-null corpus")
+    embeddings.select(col("vec_id"),
+      augmentMips(col("embedding"), m2Row.getDouble(0)).as("embedding"))
+  }
+
+  /** Zero-augmented query frame: q⁺ = [q; 0], so q⁺·x⁺ = q·x exactly and
+    * the augmented-space cosine ranking is the inner-product ranking.
+    */
+  def mipsAugmentedQueries(embeddings: DataFrame, queryPred: Column): DataFrame =
+    embeddings.filter(queryPred).select(col("vec_id"),
+      concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+
+  /** ANN MIPS — [[mipsTopK]]'s sublinear form (VERDICT r11 #3): the classic
+    * norm-augmentation reduction (Bachrach et al. 2014; Neyshabur & Srebro
+    * 2015) maps inner-product search ONTO the cosine IVF tier. One 1-row
+    * corpus aggregate finds M² = max ‖x‖²; corpus vectors augment to norm
+    * exactly M ([[mipsAugmented]]) and queries zero-pad, making the
+    * augmented-space cosine monotone in the TRUE inner product — so the IVF
+    * coarse cells (built over the augmented geometry) prune the scan to
+    * ~nProbe/C of the corpus exactly as the cosine tier does. Candidates in
+    * probed cells score by the true inner product over the ORIGINAL float
+    * embeddings (carried through the one narrow assignment pass — no corpus
+    * self-join to re-attach), with s16's exact (ip desc, neighbor_id) tie
+    * order; probing every cell (`nProbe = cells`) reproduces [[mipsTopK]]
+    * bit-exactly (spec-pinned). Rows-only: recall vs the exact s16 answer
+    * is graded in RECALL at two probe depths on both geometries.
+    */
+  def mipsTopKIvf(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                  nProbe: Int = IvfProbes): DataFrame = {
+    val m2Row = embeddings
+      .agg(max(dot(col("embedding"), col("embedding"))).as("m2")).head()
+    require(!m2Row.isNullAt(0), "mipsTopKIvf: empty or all-null corpus")
+    val m2 = m2Row.getDouble(0)
+    val augC = embeddings.select(col("vec_id"),
+      augmentMips(col("embedding"), m2).as("embedding"))
+    val centroids = ivfCentroids(augC)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = centroids.select(col("cell").cast("long"), col("c_emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      require(cents.nonEmpty, "mipsTopKIvf: empty centroid set")
+      // ONE narrow corpus pass: augmented-space cell assignment fused with
+      // the original embedding for the exact inner-product ranking
+      val assigned = embeddings.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_embv"),
+        graft.functions.IvfFns.ivfArgmax(
+          augmentMips(col("embedding"), m2), cents.toIndexedSeq).as("cell"))
+      val probes = ivfProbes(
+          mipsAugmentedQueries(embeddings, queryPred), centroids, lit(true), nProbe)
+        .select("query_id", "cell")
+      val q = embeddings.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val probeQ = probes.join(q, Seq("query_id"))
+      val scored = broadcast(probeQ).join(assigned, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("q_emb"), col("c_embv")).as("ip"))
+      graft.operators.Materialize.cut(rankTopK(scored, "ip", k))
+    } finally { centroids.unpersist(); () }
+  }
+
   /** Exact cosine RANGE search (radius query): every corpus neighbor with
     * cosine ≥ `threshold` for each query vector — the link-discovery /
     * retrieval-audit complement of top-k (top-k bounds the COUNT, range

@@ -41,4 +41,42 @@ class Round12OpsSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(got == Seq((3, "m n o x")))
   }
+
+  // ---------------------------------------- ANN MIPS via IVF (s18)
+
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val qPred = col("vec_id") % 100 === 0
+
+  test("mipsTopKIvf with full probe fan-out ≡ exact mipsTopK (reduction is lossless)") {
+    // probing every cell removes the pruning, leaving the reduction itself:
+    // any divergence from the exact inner-product ranking is a bug in the
+    // augmentation or tie order, not a recall artifact
+    val exact = Similarity.mipsTopK(embs, qPred, k = 10)
+      .orderBy("query_id", "rank").collect()
+    val full = Similarity.mipsTopKIvf(embs, qPred, k = 10,
+        nProbe = Similarity.IvfCells)
+      .orderBy("query_id", "rank").collect()
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("mipsTopKIvf is deterministic across runs") {
+    val a = Similarity.mipsTopKIvf(embs, qPred, k = 10, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.mipsTopKIvf(embs, qPred, k = 10, nProbe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("mipsAugmented: every augmented vector has squared norm = corpus max") {
+    val aug = Similarity.mipsAugmented(embs)
+    val norms = aug.select(
+      graft.functions.VecMath.vecDot(col("embedding"), col("embedding")).as("n2"))
+      .agg(min("n2").as("lo"), max("n2").as("hi")).head()
+    // float augmentation rounds: the augmented component is the float
+    // nearest to sqrt(M^2 - |x|^2), so norms agree to float precision
+    assert(math.abs(norms.getDouble(0) - norms.getDouble(1)) <
+      1e-5 * norms.getDouble(1),
+      s"augmented norms must be ~constant, got ${norms.getDouble(0)} vs ${norms.getDouble(1)}")
+  }
 }
