@@ -74,6 +74,30 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** One fold applying a whole batch of SYMBOL-DISJOINT merges — exactly
+    * equivalent to applying them sequentially (each [[applyMerge]] over the
+    * previous result): disjointness means no merge can create, destroy, or
+    * claim another's (l, r) adjacency (merging replaces two symbols with
+    * one new symbol, never removes one), so the interleaved single-pass
+    * consumption decisions match the sequential passes one-for-one. An
+    * adjacency matches at most one batch pair (pairs are distinct), so the
+    * when-chain order is immaterial.
+    */
+  private[llm] def applyMerges(syms: Column, ms: Seq[(String, String)]): Column = {
+    require(ms.nonEmpty, "applyMerges: empty batch")
+    aggregate(syms, lit(Array.empty[String]),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        val merged = ms.foldLeft(lit(null).cast("string")) {
+          case (e, (l, r)) =>
+            when(last === lit(l) && x === lit(r), lit(l + r)).otherwise(e)
+        }
+        when(size(acc) > 0 && merged.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x)))
+      })
+  }
+
   /** Weighted adjacent-pair counts over the current symbol table (every
     * adjacent position counts, overlapping included — the classic
     * definition). Map-side combine reduces to |distinct pairs| rows.
@@ -125,6 +149,103 @@ object Bpe {
       }
     }
     Model(merges.result(), vocab.select("word", "n", "syms"))
+  }
+
+  /** [[train]] with BATCHED merge rounds (VERDICT r11 #4): instead of one
+    * Spark job per merge (~32k jobs at a real vocab), each round collects
+    * one ranked candidate slice and accepts a PREFIX of it — pairwise
+    * symbol-disjoint pairs, each guarded so the batched sequence is
+    * BIT-IDENTICAL to [[train]]'s sequential one (spec-pinned; x30/x31's
+    * sequential-unrolled oracles hash-match the batched trainer unchanged).
+    *
+    * Why the guard gives exactness: applying merge p = (l, r) changes only
+    * pair counts that involve l or r — counts of symbol-disjoint pairs are
+    * untouched (no (a, b) adjacency with {a,b}∩{l,r}=∅ is created or
+    * destroyed), pairs sharing a symbol only DECREASE (occurrences are
+    * consumed, never added), and every pair p CREATES — (x, lr) / (lr, y) /
+    * (lr, lr) — is count-bounded by an existing pair sharing a symbol with
+    * p ((x, l), (r, y), (r, l) respectively: each created adjacency
+    * consumed one such original adjacency). So the i-th batched pair is
+    * sequential's i-th argmax provided (a) it is symbol-disjoint from the
+    * batch so far (its own count and consumption set are untouched), (b) it
+    * is the NEXT ranked pair (no skips — a skipped conflicting pair might
+    * survive with its count intact and win), and (c) its count STRICTLY
+    * exceeds every non-batch pair sharing a symbol with the batch so far —
+    * the only pairs whose successors could newly outrank it (strictness
+    * kills lex-order tie upsets). Pairs below the collect horizon are
+    * bounded by the last collected count, so the guard closes over them
+    * too. The batch stops at the first pair failing the guard — worst case
+    * (every round degenerates to 1 merge) this IS sequential training with
+    * a wider TakeOrdered; best case it cuts driver round-trips ~batch×.
+    */
+  def trainBatched(documents: DataFrame, numMerges: Int, batch: Int = 16,
+                   textCol: String = "text"): Model =
+    trainBatchedCounted(documents, numMerges, batch, textCol)._1
+
+  /** [[trainBatched]] plus the measured round count (Spark job rounds spent
+    * learning — the jobs/merge reduction is `merges.size / rounds`).
+    */
+  def trainBatchedCounted(documents: DataFrame, numMerges: Int,
+                          batch: Int = 16,
+                          textCol: String = "text"): (Model, Int) = {
+    require(numMerges > 0 && numMerges <= 65536,
+      s"numMerges $numMerges outside [1, 65536]")
+    require(batch >= 1 && batch <= 1024, s"batch $batch outside [1, 1024]")
+    var vocab = graft.operators.Materialize.cut(
+      wordVocab(documents, textCol)
+        .withColumn("syms", split(col("word"), "")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var rounds = 0
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - rank + 1)
+      // 4× headroom so threat witnesses for a full batch usually sit inside
+      // the collect; +1 detects truncation (→ the last count bounds every
+      // uncollected pair). Still one bounded TakeOrdered per round.
+      val horizon = 4 * want + 1
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(horizon).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val truncated = top.length == horizon
+        val horizonCnt = if (truncated) top.last._3 else Long.MinValue
+        val sel = Seq.newBuilder[(String, String, Long)]
+        val batchSyms = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var n = 0
+        var stop = false
+        while (!stop && n < want && i < top.length) {
+          val (l, r, cnt) = top(i)
+          val disjoint = n == 0 || (!batchSyms(l) && !batchSyms(r))
+          lazy val threat = {
+            var t = horizonCnt
+            var j = i + 1
+            while (j < top.length) {
+              val (tl, tr, tc) = top(j)
+              if ((batchSyms(tl) || batchSyms(tr)) && tc > t) t = tc
+              j += 1
+            }
+            t
+          }
+          if (disjoint && (n == 0 || cnt > threat)) {
+            sel += ((l, r, cnt)); batchSyms += l; batchSyms += r
+            n += 1; i += 1
+          } else stop = true
+        }
+        val selected = sel.result()
+        selected.foreach { case (l, r, cnt) =>
+          merges += Merge(rank, l, r, cnt); rank += 1
+        }
+        vocab = graft.operators.Materialize.cut(
+          vocab.withColumn("syms",
+            applyMerges(col("syms"), selected.map(t => (t._1, t._2)))))
+      }
+    }
+    (Model(merges.result(), vocab.select("word", "n", "syms")), rounds)
   }
 
   /** Tokenize a corpus with a trained model: per-document BPE symbol count

@@ -2283,23 +2283,29 @@ object LlmQueries {
   // x30 — BPE vocabulary learning (Sennrich et al. 2016): the first 10
   // merges trained from the corpus word-frequency table (the classic scale
   // trick — iterations run over |vocab| rows, the corpus shuffles once).
-  // The oracle replays the ENTIRE training loop as an unrolled CTE chain —
-  // pair counts, (cnt desc, l, r) argmax, greedy left-to-right fold — so a
-  // single divergent merge anywhere in the sequence hash-fails.
+  // Registered through the BATCHED trainer (VERDICT r11 #4: top-B
+  // symbol-disjoint merges per driver round-trip, guard-proven equal to
+  // sequential) — the oracle still replays SEQUENTIAL training as an
+  // unrolled CTE chain (pair counts, (cnt desc, l, r) argmax, greedy
+  // left-to-right fold), so the batching exactness claim itself is what
+  // hash-verifies here; a single divergent merge anywhere hash-fails.
   private val x30 = q("x30_bpe_merges",
     Some(Bpe.sqlMerges("documents", "text", numMerges = 10))) { t =>
-    Bpe.train(t.documents, numMerges = 10).mergesDf(t.documents.sparkSession)
+    Bpe.trainBatched(t.documents, numMerges = 10, batch = 8)
+      .mergesDf(t.documents.sparkSession)
       .orderBy("merge_rank")
   }
 
   // x31 — BPE tokenization through the trained vocabulary CACHE: per-doc
   // symbol counts come from one word explode + a broadcast join against
   // the |vocab|-row final symbol table — the corpus never runs the merge
-  // fold (production tokenizer-application shape). Oracle: replay training,
-  // join the final symbol stage.
+  // fold (production tokenizer-application shape). Oracle: replay
+  // sequential training, join the final symbol stage (the batched
+  // trainer's final vocab must agree symbol-for-symbol).
   private val x31 = q("x31_bpe_tokenize",
     Some(Bpe.sqlTokenCounts("documents", "text", numMerges = 10))) { t =>
-    Bpe.tokenCounts(t.documents, Bpe.train(t.documents, numMerges = 10))
+    Bpe.tokenCounts(t.documents,
+      Bpe.trainBatched(t.documents, numMerges = 10, batch = 8))
       .orderBy("doc_id")
   }
 

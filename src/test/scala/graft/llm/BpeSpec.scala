@@ -78,6 +78,55 @@ class BpeSpec extends SparkSpec {
     assert(a == b, "merge sequence is a pure function of the corpus")
   }
 
+  // -------------------------------------------- batched rounds (VERDICT r11 #4)
+
+  private def modelSignature(m: Bpe.Model) = (
+    m.merges,
+    m.vocab.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSeq)
+
+  test("trainBatched(batch=1) ≡ train bit-for-bit (merges AND final vocab)") {
+    val docs = Seq((1L, "low low low lower"), (2L, "newest widest low")).toDF("doc_id", "text")
+    assert(modelSignature(Bpe.trainBatched(docs, numMerges = 6, batch = 1))
+      == modelSignature(Bpe.train(docs, numMerges = 6)))
+  }
+
+  test("trainBatched ≡ train at every batch width (the exactness guard)") {
+    val docs = Seq(
+      (1L, "low low low lower"),
+      (2L, "newest widest lowest"),
+      (3L, "he she the then them")).toDF("doc_id", "text")
+    val seqSig = modelSignature(Bpe.train(docs, numMerges = 8))
+    for (b <- Seq(2, 4, 8, 16))
+      assert(modelSignature(Bpe.trainBatched(docs, numMerges = 8, batch = b)) == seqSig,
+        s"batch=$b diverged from the sequential merge sequence")
+  }
+
+  test("trainBatched ≡ train on the real corpus, with measured round reduction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqModel = Bpe.train(docs, numMerges = 10)
+    val (batched, rounds) = Bpe.trainBatchedCounted(docs, numMerges = 10, batch = 8)
+    assert(batched.merges == seqModel.merges,
+      "batched merge sequence must be bit-identical to sequential")
+    assert(rounds < 10,
+      s"batching must cut driver round-trips below one-per-merge, got $rounds/10")
+    info(s"rounds=$rounds for 10 merges (jobs/merge = ${rounds / 10.0})")
+  }
+
+  test("applyMerges on disjoint pairs ≡ sequential applyMerge composition") {
+    val words = Seq(
+      Seq("a", "b", "c", "d"), Seq("a", "b", "a", "b"),
+      Seq("c", "d", "a", "b", "x"), Seq("a", "a", "b", "b"),
+      Seq("x", "c", "d", "c", "d")).toDF("syms")
+    val batched = words.select(
+        Bpe.applyMerges(col("syms"), Seq(("a", "b"), ("c", "d"))).as("m"))
+      .as[Seq[String]].collect().toSeq
+    val sequential = words.select(
+        Bpe.applyMerge(Bpe.applyMerge(col("syms"), "a", "b"), "c", "d").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(batched == sequential)
+  }
+
   test("tokenization plans as a broadcast join, not a corpus merge fold") {
     val docs = Seq((1L, "low lower")).toDF("doc_id", "text")
     val model = Bpe.train(docs, numMerges = 2)
