@@ -106,6 +106,98 @@ object StreamingOps {
       .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
   }
 
+  /** Stream-stream WATERMARKED interval join at the e26 horizon — the
+    * streaming twin of [[graft.llm.Events.windowedConversion]]'s join stage
+    * (VERDICT r11 #5): each signup matched to the same user's purchases
+    * within `[signup_ts, signup_ts + horizon]` (closed interval — e26's
+    * integer-microsecond boundary contract; the default horizon is e26's 7
+    * days where [[viewPurchaseJoin]] runs the 1-hour view-attribution
+    * shape). The FIRST-signup contract is the caller's: feed first
+    * signups, exactly the per-user min e26's aggregate derives — a stream
+    * cannot retroactively un-match a non-first signup.
+    *
+    * Both sides carry `horizon` watermarks and the predicate bounds
+    * event-time distance, so buffered state evicts once the other side's
+    * watermark passes the window — O(events per horizon), runnable
+    * forever. APPEND-mode: a pair is emitted exactly once, when matched;
+    * a LATE purchase (arriving after the watermark passed its signup's
+    * window) is DROPPED, never retro-matched (spec-pinned — the batch
+    * path is the replay for late data, the standard lambda split).
+    */
+  def conversionPairsStream(signups: DataFrame, purchases: DataFrame,
+                            horizon: String = "7 days"): DataFrame = {
+    val s = signups
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    s.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"interval $horizon"))
+      .select("user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts")
+  }
+
+  /** Persisted conversion-pair store fed by [[conversionPairsStream]] — the
+    * serving layout for windowed-conversion attribution on streams (each
+    * pair lands exactly once; the e26 cohort rollup is one |days|-keyed
+    * aggregate over the store plus the signup log). Replay safety is the
+    * engine-standard [[ReplayGuard]] protocol: steady-state batches append
+    * with NO scan of the store; a replayed fully-committed batch (crash
+    * between the mark write and Spark's commit) is skipped outright; only
+    * the one batch that can straddle a crash (first delivery after
+    * restart) pays a defensive anti-join on the (signup_id, purchase_id)
+    * pair key — the join's output key, unique by the event-id contract.
+    * Both crash windows are fault-injected in StreamingSpec.
+    */
+  def ingestConversionPairsStream(signups: DataFrame, purchases: DataFrame,
+                                  storePath: String, checkpoint: String,
+                                  horizon: String = "7 days"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock() // one writer per sink — checked, not assumed
+    val joined = conversionPairsStream(signups, purchases, horizon)
+      .withColumn("pair_key",
+        concat_ws(":", col("signup_id"), col("purchase_id")))
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip =>
+          // the upstream join is STATEFUL: its state stores only commit
+          // when the batch plan runs over every partition, and Spark 4
+          // validates exactly that — so a skipped sink write must still
+          // drain the batch (unlike the stateless-source maintainers)
+          batch.foreach(_ => ())
+        case p =>
+          val spark = batch.sparkSession
+          // guard files live under storePath — "dir exists" is not "store
+          // has data"; look for data files (first post-start delivery is
+          // ALWAYS Recover posture)
+          val storeHasData = {
+            val hp = new org.apache.hadoop.fs.Path(storePath)
+            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.exists(hp) &&
+              fs.listStatus(hp).exists(_.getPath.getName.startsWith("part-"))
+          }
+          val rows =
+            (if (p == Recover && storeHasData)
+              batch.join(spark.read.parquet(storePath).select("pair_key"),
+                Seq("pair_key"), "left_anti")
+            else batch).persist()
+          try {
+            // full count, not isEmpty: limit(1) would leave join-state
+            // partitions unprocessed (the same Spark 4 commit validation)
+            if (rows.count() > 0) rows.write.mode("append").parquet(storePath)
+            guard.commit(batchId)
+          } finally { rows.unpersist(); () }
+      }
+    joined.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Streaming corpus filter: the STATELESS half of the curation pipeline
     * (quality floor + language filter) applied to a document stream. Both
     * scores come from ONE narrow projection

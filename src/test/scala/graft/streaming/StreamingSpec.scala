@@ -216,6 +216,163 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversion pairs (e26 twin): streamed join equals batch; rollup equals windowedConversion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.microsTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val firstSignups = events.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .select("event_id", "ts", "user_id")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id")
+    val sRows = firstSignups.as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    val pRows = purchases.as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    val sStream = MemoryStream[(Long, Timestamp, Long)]
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.conversionPairsStream(
+        sStream.toDF().toDF("event_id", "ts", "user_id"),
+        pStream.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("convpairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // time-ordered halves: in-order arrival, so nothing is late — the
+      // equality is then exact (late data is spec'd separately below)
+      val (sa, sb) = sRows.splitAt(sRows.length / 2)
+      val (pa, pb) = pRows.splitAt(pRows.length / 2)
+      sStream.addData(sa.toSeq); pStream.addData(pa.toSeq)
+      q.processAllAvailable()
+      sStream.addData(sb.toSeq); pStream.addData(pb.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("convpairs")
+        .select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamingOps.conversionPairsStream(firstSignups, purchases)
+        .select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, "streamed pair set must equal the batch interval join")
+      assert(streamed.nonEmpty)
+      // cohort rollup from the streamed pairs ≡ the registered e26 operator
+      // over the same event subset (first signups ∪ purchases)
+      val converted = spark.table("convpairs").select("user_id").distinct()
+        .withColumn("converted", lit(1L))
+      val fromPairs = firstSignups
+        .select(col("user_id"), to_date(col("ts")).as("cohort_day"))
+        .join(converted, Seq("user_id"), "left")
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_signups"),
+          sum(coalesce(col("converted"), lit(0L))).as("n_converted"),
+          round(sum(coalesce(col("converted"), lit(0L))).cast("double")
+            / count(lit(1)).cast("double"), 4).as("cvr"))
+        .orderBy("cohort_day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val evSubset = firstSignups.withColumn("event_type", lit("signup"))
+        .unionByName(purchases.withColumn("event_type", lit("purchase")))
+      val e26 = graft.llm.Events.windowedConversion(evSubset)
+        .orderBy("cohort_day")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(fromPairs == e26,
+        "cohort rollup over the streamed pair store must equal the e26 operator")
+    } finally q.stop()
+  }
+
+  test("conversion pairs: a purchase later than the watermark is DROPPED, not retro-matched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sStream = MemoryStream[(Long, Timestamp, Long)]
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.conversionPairsStream(
+        sStream.toDF().toDF("event_id", "ts", "user_id"),
+        pStream.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("convlate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 advances BOTH watermarks ~5 weeks past signup 10's window
+      sStream.addData(Seq(
+        (10L, t("2024-01-01 00:00:00"), 1L),
+        (11L, t("2024-02-15 00:00:00"), 2L)))
+      pStream.addData(Seq((20L, t("2024-02-15 00:00:00"), 99L)))
+      q.processAllAvailable()
+      // batch 2: purchase 21 is INSIDE signup 10's 7-day window by event
+      // time but arrives after the watermark passed it → dropped;
+      // purchase 22 is in signup 11's window and on time → emitted
+      pStream.addData(Seq(
+        (21L, t("2024-01-02 00:00:00"), 1L),
+        (22L, t("2024-02-16 00:00:00"), 2L)))
+      q.processAllAvailable()
+      val pairs = spark.table("convlate").select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((11L, 22L)),
+        s"late purchase must drop (append-mode exactness), got $pairs")
+    } finally q.stop()
+  }
+
+  test("conversion-pair ingest: both crash windows leave the store exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val s1 = Seq((10L, t("2024-01-01 10:00:00"), 1L), (11L, t("2024-01-01 11:00:00"), 2L))
+    val p1 = Seq((20L, t("2024-01-02 10:00:00"), 1L), (21L, t("2024-01-03 11:00:00"), 2L))
+    val s2 = Seq((12L, t("2024-01-04 09:00:00"), 3L))
+    val p2 = Seq((22L, t("2024-01-05 09:00:00"), 3L))
+    def pairsIn(path: String): Set[(Long, Long)] =
+      spark.read.parquet(path).select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((10L, 20L), (11L, 21L), (12L, 22L))
+
+    // ---- crash window A: mark committed, Spark's commit log lost → the
+    // replayed delivery is SKIPPED outright
+    val rootA = java.nio.file.Files.createTempDirectory("graft-conv-a").toString
+    val sA = MemoryStream[(Long, Timestamp, Long)]
+    val pA = MemoryStream[(Long, Timestamp, Long)]
+    def runA(): Unit = {
+      val q = StreamingOps.ingestConversionPairsStream(
+        sA.toDF().toDF("event_id", "ts", "user_id"),
+        pA.toDF().toDF("event_id", "ts", "user_id"),
+        s"$rootA/store", s"$rootA/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    sA.addData(s1); pA.addData(p1); runA()
+    sA.addData(s2); pA.addData(p2); runA()
+    assert(pairsIn(s"$rootA/store") == expected)
+    val commits = new java.io.File(s"$rootA/ckpt/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith("."))
+    val last = commits.map(_.toLong).max
+    Seq(s"$last", s".$last.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$rootA/ckpt/commits/$f"))
+    }
+    runA()
+    assert(pairsIn(s"$rootA/store") == expected,
+      "a mark-skipped replay must not re-append")
+
+    // ---- crash window B: the append LANDED but the process died before
+    // the mark write (simulated: store pre-populated, no mark, fresh
+    // lineage) → the first delivery runs Recover and the pair-key
+    // anti-join appends nothing already stored
+    val rootB = java.nio.file.Files.createTempDirectory("graft-conv-b").toString
+    val batch1Pairs = StreamingOps.conversionPairsStream(
+        s1.toDF("event_id", "ts", "user_id"), p1.toDF("event_id", "ts", "user_id"))
+      .withColumn("pair_key", concat_ws(":", col("signup_id"), col("purchase_id")))
+    batch1Pairs.write.parquet(s"$rootB/store")
+    val sB = MemoryStream[(Long, Timestamp, Long)]
+    val pB = MemoryStream[(Long, Timestamp, Long)]
+    def runB(): Unit = {
+      val q = StreamingOps.ingestConversionPairsStream(
+        sB.toDF().toDF("event_id", "ts", "user_id"),
+        pB.toDF().toDF("event_id", "ts", "user_id"),
+        s"$rootB/store", s"$rootB/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    sB.addData(s1); pB.addData(p1); runB() // replayed delivery → Recover, anti-joined
+    assert(pairsIn(s"$rootB/store") == Set((10L, 20L), (11L, 21L)),
+      "a tag-detected replay must not duplicate pairs")
+    sB.addData(s2); pB.addData(p2); runB() // steady state appends
+    assert(pairsIn(s"$rootB/store") == expected)
+  }
+
   test("stateless curation stages run unchanged on a document stream (batch ≡ stream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
