@@ -33,6 +33,30 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Single-thread deterministic spin score (VERDICT r11 #7): ~0.2 s of
+    * pure JVM arithmetic (the PolyHash fold — JIT-warmed, no allocation,
+    * no Spark), reported as `calib_sec` in the artifact. Uniform box-speed
+    * drift (r10 1.2×, r11 1.17×) scales this number the same way it scales
+    * every query, so a reader separates box drift from real regressions by
+    * dividing — no cross-artifact archaeology.
+    */
+  private def calibrate(): Double = {
+    val s = org.apache.spark.unsafe.types.UTF8String
+      .fromString("graft-box-calibration-probe-0123456789abcdef")
+    def pass(): Long = {
+      var i = 0; var acc = 0L
+      while (i < 3000000) {
+        acc ^= graft.functions.PolyHashFns.polyHash(s, 9007199254740881L) + i
+        i += 1
+      }
+      acc
+    }
+    pass() // JIT warm-up, unmeasured
+    median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); pass(); (System.nanoTime() - t0) / 1e9
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -77,8 +101,9 @@ object Bench {
     // are the most expendable and go first (the full line always lands in
     // bench_last.json regardless).
     val nQueries = results.count(_._2.isDefined)
+    val calib = calibrate() // after the measured runs: a fully warmed JVM
     val line =
-      f"""{"spread":$spreads,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"spread":$spreads,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for the repo (the stdout tail is lossy). The
     // path is anchored (env-overridable), not CWD-relative — a run launched
