@@ -260,6 +260,87 @@ object Graph {
     (labels.select(col("node"), col("label").as("component")), rounds)
   }
 
+  /** Connected components by the ALTERNATING large-star / small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the O(log n)-round form of [[connectedComponentsConverged]]:
+    * min-label propagation needs one round per unit of graph DIAMETER (a
+    * 1000-hop chain at 100× scale is 1000 shuffle rounds), while the
+    * star operations contract paths doubly-exponentially fast, so rounds
+    * stay logarithmic on any geometry (GraphSpec pins a 41-node chain:
+    * 40 min-label rounds vs ≤8 here, identical labels).
+    *
+    * Per round over the current directed (larger → smaller) edge set E:
+    *   - LARGE-STAR: each center u computes m = min(Γ(u) ∪ {u}) over its
+    *     full symmetric neighborhood and re-points every STRICTLY LARGER
+    *     neighbor at m — {(v, m) : v ∈ Γ(u), v > u}; each undirected edge
+    *     contributes exactly one output (from its smaller endpoint's
+    *     view), so connectivity is preserved while long paths fold.
+    *   - SMALL-STAR: each center a re-points its smaller neighbors (and
+    *     itself) at m = min(N(a) ∪ {a}) over the DIRECTED smaller
+    *     neighborhood — {(v, m) : v ∈ N(a) ∪ {a}, v ≠ m}.
+    * Every output edge points strictly larger → smaller, so the state
+    * stays canonical; the loop stops when a round leaves the edge SET
+    * unchanged (count + one anti-join on the shrinking frame), at which
+    * point E is a star forest: every node's parent IS its component min.
+    * `maxRounds` is the same throwing backstop as the other converged
+    * forms — 32 covers any graph below ~2^32 path length.
+    *
+    * Output: (node, component) for every endpoint of the input, component
+    * = min node id in the component — bit-identical to
+    * [[connectedComponentsConverged]] (spec-pinned), so the DuckDB oracle
+    * can verify either form with the same round-free reachability query.
+    *
+    * Scale shape per round: two symmetric-neighborhood mins (map-side
+    * combined, node-keyed) + two edge-frame joins, all on a frame that
+    * only SHRINKS (toward one edge per non-root node); state is never
+    * more than the current edge set, materialized once per round.
+    */
+  def connectedComponentsAlternating(edges: DataFrame,
+                                     maxRounds: Int = 32): (DataFrame, Int) = {
+    require(maxRounds >= 1)
+    val nodes = Materialize.cut(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct())
+    // canonical directed start: larger endpoint → smaller, no self loops
+    var e = Materialize.cut(edges.select(
+        greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var rounds = 0
+    var stable = e.isEmpty
+    while (!stable) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsAlternating: no fixpoint within $maxRounds rounds " +
+            "— raise maxRounds (pathological geometry beyond the backstop)")
+      // large-star over the symmetric view
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(lsMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+      // small-star over the directed (larger → smaller) view
+      val ssMins = ls.groupBy("a").agg(min("b").as("m"))
+      val ssNb = ls.join(ssMins, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val next = Materialize.cut(
+        ssNb.union(ssMins.select(col("a"), col("m").as("b"))).distinct())
+      rounds += 1
+      // set equality on the canonical directed pairs: equal counts plus an
+      // empty one-sided difference ⇒ identical sets (both are distinct)
+      stable = next.count() == e.count() &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+    }
+    val labels = nodes
+      .join(e.select(col("a").as("node"), col("b").as("parent")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("parent"), col("node")).as("component"))
+    (labels, rounds)
+  }
+
   /** True when one more propagation step changes no label — i.e. the fixed
     * iteration count already reached the fixpoint.
     */

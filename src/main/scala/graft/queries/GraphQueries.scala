@@ -217,5 +217,29 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
+  // g08 — connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+  // (Kiveris et al. 2014) over g02's edge set: the O(log n)-ROUND form of
+  // g02's min-label propagation (one round per diameter unit there; star
+  // contraction folds paths doubly-exponentially here — GraphSpec pins a
+  // 41-node chain at 40 min-label rounds vs ≤8 alternating, identical
+  // labels). The output contract is identical — component = min node id —
+  // so the oracle needs NO round unroll at all: a recursive reachability
+  // closure (label reaches node, pruned to label < node) whose per-node
+  // MIN is the component, verifying the algorithm's fixpoint rather than
+  // its trajectory. Any wrong star contraction anywhere hash-fails.
+  private val g08 = q("g08_cc_alternating", Some(
+    s"""WITH RECURSIVE ${edgesCte(Some(48))},
+        rr AS (
+          SELECT DISTINCT src AS node, src AS label FROM edges
+          UNION
+          SELECT e.dst AS node, rr.label
+          FROM edges e JOIN rr ON e.src = rr.node
+          WHERE rr.label < e.dst)
+        SELECT node, CAST(MIN(label) AS BIGINT) AS component
+        FROM rr GROUP BY node ORDER BY node""")) { t =>
+    Graph.connectedComponentsAlternating(purchaseEdges(t, Some(48)))._1
+      .orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
 }

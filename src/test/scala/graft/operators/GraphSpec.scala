@@ -275,6 +275,40 @@ class GraphSpec extends SparkSpec {
     assert(osc.count() === 2)
   }
 
+  // ---- alternating large-star/small-star CC (g08): O(log n) rounds
+
+  test("connectedComponentsAlternating ≡ min-label fixpoint on hand graphs") {
+    // two components + an isolated pair + a branch: {1..5 chain}, {10,11},
+    // {20,21,22 triangle with pendant 23}
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L))
+    val (alt, _) = Graph.connectedComponentsAlternating(g)
+    val (ml, _) = Graph.connectedComponentsConverged(g)
+    assert(alt.orderBy("node").collect().toSeq === ml.orderBy("node").collect().toSeq)
+  }
+
+  test("connectedComponentsAlternating: 41-chain in logarithmic rounds (40 for min-label)") {
+    val chain = chainEdges(41) // diameter 40
+    val (alt, rAlt) = Graph.connectedComponentsAlternating(chain)
+    assert(alt.orderBy("node").as[(Long, Long)].collect().toSeq ===
+      (1L to 41L).map(_ -> 1L))
+    val (_, rMl) = Graph.connectedComponentsConverged(chain)
+    assert(rAlt <= 8, s"star contraction must be logarithmic, got $rAlt rounds")
+    assert(rMl >= 40, s"min-label pays the diameter, got $rMl rounds")
+    // the backstop throws rather than emitting a partial contraction
+    assertThrows[IllegalStateException] {
+      Graph.connectedComponentsAlternating(chain, maxRounds = 1)
+    }
+  }
+
+  test("connectedComponentsAlternating is deterministic under repartitioning") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val a = Graph.connectedComponentsAlternating(g)._1.orderBy("node").collect().toSeq
+    val b = Graph.connectedComponentsAlternating(g.repartition(7))._1
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
   test("labelPropagation is deterministic under repartitioning") {
     val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
     val a = Graph.labelPropagation(e, iterations = 3).orderBy("node").collect().toSeq
