@@ -977,6 +977,24 @@ object Dedup {
     coverageSpans(sh.join(dup, Seq("shingle")).select("doc_id", "pos"), k)
   }
 
+  /** [[duplicateSpans]] with the rolling-hash shuffle key (the d25
+    * treatment applied to the AUDIT view): the duplicated-shingle set is
+    * keyed by the 8-byte [[graft.functions.PolyHashFns]] fold instead of
+    * the k-token string, so no exchange carries shingle text — same span
+    * semantics, ~k× less shuffle volume, oracle hash-exact because DuckDB
+    * replays the identical fold (x07 pattern).
+    */
+  def duplicateSpansHashed(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"duplicateSpansHashed: shingle length $k must be >= 2")
+    val sh = positionalShingles(documents, k)
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PolyHashFns.polyHash(col("shingle"), TextAnalysis.RollMod)
+          .as("hsh"))
+    val dup = sh.groupBy("hsh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("hsh")
+    coverageSpans(sh.join(dup, Seq("hsh")).select("doc_id", "pos"), k)
+  }
+
   /** Exact substring dedup as a FILTER (the other half of Lee et al.'s
     * ExactSubstr): remove every REDUNDANT duplicated occurrence, keeping
     * the corpus-first one. An occurrence (doc, pos) of a duplicated
@@ -1093,6 +1111,43 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("okey")).as("first_key"))
       .filter(col("n") > 1)
     val removed = lines.join(firsts, Seq("line"))
+      .filter(col("okey") =!= col("first_key"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("line_no"))).as("rl"))
+    documents
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("rl").isNull, 0).otherwise(size(col("rl")))
+          .as("n_lines_removed"),
+        array_join(
+          filter(col("ls"), (line, i) =>
+            col("rl").isNull || !array_contains(col("rl"), i + 1)), "\n")
+          .as("clean_text"))
+  }
+
+  /** [[dedupLines]] with the rolling-hash shuffle key its scaladoc
+    * promises (the d25 treatment at line granularity): each line hashes
+    * map-side through the codegen'd [[graft.functions.PolyHashFns]] fold
+    * and only the 8-byte key reaches the count/join exchanges — line TEXT
+    * never shuffles. Keep-first semantics and output schema identical to
+    * [[dedupLines]]; the fold is engine-portable, so the oracle stays
+    * hash-exact (collisions ≈n²/2⁵³ would reproduce identically).
+    */
+  def dedupLinesHashed(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"),
+        when(col("pos") + 1 < MaxDocTokens, col("pos") + 1)
+          .otherwise(raise_error(concat(lit("dedupLinesHashed: document "),
+            col("doc_id"), lit(s" exceeds $MaxDocTokens lines")))).as("line_no"),
+        graft.functions.PolyHashFns.polyHash(col("col"), TextAnalysis.RollMod)
+          .as("lh"))
+      .withColumn("okey", col("doc_id") * MaxDocTokens + col("line_no"))
+    val firsts = lines.groupBy("lh")
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("first_key"))
+      .filter(col("n") > 1)
+    val removed = lines.join(firsts, Seq("lh"))
       .filter(col("okey") =!= col("first_key"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("line_no"))).as("rl"))

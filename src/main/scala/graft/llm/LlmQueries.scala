@@ -2046,6 +2046,33 @@ object LlmQueries {
     Dedup.removeDuplicateSpansHashed(t.documents, k = 8).orderBy("doc_id")
   }
 
+  // d26 — d15's 100 TB form (the d25 treatment applied to the AUDIT
+  // view): the duplicated-shingle set keys on the 8-byte rolling hash, so
+  // no exchange carries shingle text; span semantics identical, oracle
+  // hash-exact via the engine-portable fold.
+  private val d26 = q("d26_duplicate_spans_hashed", Some(
+    s"""WITH $sqlPositionalShingles8,
+        occ AS (SELECT doc_id, pos,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) AS hsh
+                FROM s2),
+        dup AS (SELECT hsh FROM occ GROUP BY hsh HAVING COUNT(*) > 1),
+        m AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (hsh)),
+        l AS (SELECT doc_id, pos,
+                LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos FROM m),
+        g AS (SELECT doc_id, pos,
+                SUM(CASE WHEN lagpos IS NULL OR pos - lagpos > 8 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+              FROM l)
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 7 AS INT) AS span_end,
+               CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS n_tokens
+        FROM g GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""")) { t =>
+    Dedup.duplicateSpansHashed(t.documents, k = 8).orderBy("doc_id", "span_start")
+  }
+
   // d17 — EXACT LINE-LEVEL dedup, keep-first (the Dolma/CCNet stage
   // between document and substring dedup), over the multi-line fixture
   // corpus (the synthetic documents table has no newline structure):
@@ -2229,6 +2256,42 @@ object LlmQueries {
                  AS median_lag_us
         FROM c GROUP BY cohort_day ORDER BY cohort_day""")) { t =>
     Events.conversionLag(eventsTs(t)).orderBy("cohort_day")
+  }
+
+  // d27 — d17's 100 TB form (the d25/d26 treatment at LINE granularity):
+  // lines hash map-side through the poly_hash fold and only the 8-byte
+  // key reaches the count/join exchanges — line text never shuffles;
+  // keep-first semantics identical, oracle hash-exact via the same
+  // engine-portable fold over each line.
+  private val d27 = {
+    val fixture = "/root/repo/fixtures/documents_multiline.jsonl"
+    q("d27_line_dedup_hashed", Some(
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM read_json('$fixture', format='newline_delimited',
+                 columns={doc_id: 'BIGINT', text: 'VARCHAR'})),
+          l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS line_no, ls FROM t),
+          o AS (SELECT doc_id, line_no,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(split(ls[line_no], ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, c) -> (h * 31 + c) % ${TextAnalysis.RollMod}) AS lh,
+                       doc_id * 1048576 + line_no AS okey FROM l),
+          f AS (SELECT lh, MIN(okey) AS first_key
+                FROM o GROUP BY lh HAVING COUNT(*) > 1),
+          red AS (SELECT o.doc_id, o.line_no FROM o JOIN f USING (lh)
+                  WHERE o.okey <> f.first_key),
+          rl AS (SELECT doc_id, list_sort(list(line_no)) AS rl FROM red GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(CASE WHEN rl.rl IS NULL THEN 0 ELSE len(rl.rl) END AS INT)
+              AS n_lines_removed,
+            COALESCE(array_to_string(list_filter(t.ls,
+              (x, i) -> rl.rl IS NULL OR NOT list_contains(rl.rl, i)), chr(10)), '')
+              AS clean_text
+          FROM t LEFT JOIN rl USING (doc_id)
+          ORDER BY doc_id""")) { t =>
+      val docs = t.spark.read.schema("doc_id LONG, text STRING").json(fixture)
+      Dedup.dedupLinesHashed(docs).orderBy("doc_id")
+    }
   }
 
   // d18 — embedding-space decontamination (the semantic twin of d06's
@@ -3270,7 +3333,7 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,

@@ -149,6 +149,22 @@ class PlanSpec extends SparkSpec {
       "shingle strings must hash map-side — only the 8-byte key may shuffle")
   }
 
+  test("d26 hashed duplicate spans: no shingle string (or text) in any exchange") {
+    val plan = planOf("d26_duplicate_spans_hashed")
+    assert(plan.contains("poly_hash"), s"expected the native rolling-hash key in:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("shingle#") || l.contains("text#"))),
+      "shingle strings must hash map-side — only the 8-byte key may shuffle")
+  }
+
+  test("d27 hashed line dedup: no line/text string in any exchange") {
+    val plan = planOf("d27_line_dedup_hashed")
+    assert(plan.contains("poly_hash"), s"expected the native rolling-hash key in:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("text#") || l.contains(" col#"))),
+      "line strings must hash map-side — only the 8-byte key may shuffle")
+  }
+
   test("e14 interarrival: ONE user_id exchange feeds both window and rollup") {
     val plan = planOf("e14_interarrival")
     val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq

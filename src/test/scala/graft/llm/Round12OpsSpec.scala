@@ -42,6 +42,24 @@ class Round12OpsSpec extends SparkSpec {
     assert(got == Seq((3, "m n o x")))
   }
 
+  test("duplicateSpansHashed ≡ duplicateSpans on the documents corpus") {
+    val str = Dedup.duplicateSpans(docs, k = 8)
+      .orderBy("doc_id", "span_start").collect()
+    val hsh = Dedup.duplicateSpansHashed(docs, k = 8)
+      .orderBy("doc_id", "span_start").collect()
+    assert(hsh.toSeq == str.toSeq,
+      "hashed dup-set key must not change span semantics")
+  }
+
+  test("dedupLinesHashed ≡ dedupLines on the multi-line fixture") {
+    val docs = spark.read.schema("doc_id LONG, text STRING")
+      .json("/root/repo/fixtures/documents_multiline.jsonl")
+    val str = Dedup.dedupLines(docs).orderBy("doc_id").collect()
+    val hsh = Dedup.dedupLinesHashed(docs).orderBy("doc_id").collect()
+    assert(hsh.toSeq == str.toSeq,
+      "hashed line key must not change keep-first semantics")
+  }
+
   // ---------------------------------------- ANN MIPS via IVF (s18)
 
   private lazy val embs =
