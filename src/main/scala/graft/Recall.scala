@@ -263,8 +263,39 @@ object Recall {
           "recall_at_10" -> recall,
           "candidate_fraction" -> nCand / allPairs)
       }
-      Seq(entry("s18_knn_mips_ivf", Similarity.IvfProbesRegistered),
+      val inMem = Seq(entry("s18_knn_mips_ivf", Similarity.IvfProbesRegistered),
         entry("s18_knn_mips_ivf_lowcost", Similarity.IvfProbes))
+      // persisted MIPS index (s19): same geometry served from the store —
+      // recall additionally pays the int8 rounding of the stored codes
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-recall-mips")
+      val stored = try {
+        Similarity.writeMipsIndex(embs, idxDir.toString)
+        val handle = new Similarity.MipsIndexHandle(spark, idxDir.toString)
+        val storedIds = spark.read.parquet(s"${idxDir.toString}/vectors")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Seq(("s19_knn_mips_indexed", Similarity.IvfProbesRegistered),
+            ("s19_knn_mips_indexed_lowcost", Similarity.IvfProbes)).map {
+            case (name, nProbe) =>
+              val probes = Similarity.ivfProbes(augQ, handle.centroids, lit(true), nProbe)
+                .select("query_id", "cell")
+              val nCand = probes.join(storedIds, Seq("cell"))
+                .filter(col("query_id") =!= col("vec_id")).count()
+              val recall = Similarity.recallAtK(exactMips,
+                handle.topK(embs.filter(pred), 10, nProbe))
+              (name + suffix) -> Seq(
+                "n_probe" -> nProbe.toDouble,
+                "recall_at_10" -> recall,
+                "candidate_fraction" -> nCand / allPairs)
+          }
+        } finally { storedIds.unpersist(); () }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(idxDir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      inMem ++ stored
     }
 
     // PCA-reduced shortlist + exact re-rank (s13): like PQ a compression

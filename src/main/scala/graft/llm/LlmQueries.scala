@@ -2918,6 +2918,24 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s19 — MIPS served from a PERSISTED index (the s06 pattern in the
+  // augmented geometry, completing the MIPS ladder s16→s18→s19): build
+  // once (augmented-space centroids + int8 codes of the original floats,
+  // cell-partitioned; M² anchor frozen in the _M2 sidecar — an append
+  // with a longer vector FAILS FAST instead of silently landing in the
+  // wrong geometry), serve with a literal-pruned cell scan and the
+  // dequantized inner product (scales must NOT cancel — MIPS is
+  // magnitude-sensitive). Rows-only; recall vs exact s16 graded in
+  // RECALL at two probe depths.
+  private val s19 = q("s19_knn_mips_indexed", None) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-mips-idx").toString
+    Similarity.writeMipsIndex(t.embeddings, idx)
+    Similarity.mipsTopKFromIndex(
+      t.embeddings.filter(col("vec_id") % 100 === 0), idx,
+      k = 10, nProbe = Similarity.IvfProbesRegistered)
+      .orderBy("query_id", "rank")
+  }
+
   // m04 — video FRAME SAMPLING plumbing (rows-only, like the rest of the
   // m tier: the container is the deterministic GVID stand-in — no video
   // codec ships with the JDK — but the Spark-side schema, per-partition
@@ -3334,7 +3352,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)

@@ -1489,6 +1489,144 @@ object Similarity {
     }
   }
 
+  /** PERSISTED MIPS index — [[mipsTopKIvf]]'s production serving shape
+    * (build once, serve every batch with no corpus re-scan), completing
+    * the MIPS ladder: exact s16 → in-memory ANN s18 → stored index here.
+    * Same storage kernel as [[writeIvfIndex]] (int8 codes of the ORIGINAL
+    * embeddings, cell-partitioned for planning-time pruning), but the
+    * coarse quantizer lives in the AUGMENTED geometry — centroids are
+    * (d+1)-dim vectors over x⁺ = [x; √(M²−‖x‖²)], so probing is monotone
+    * in the inner product exactly as in [[mipsTopKIvf]].
+    *
+    * Layout under `path`: `centroids` (cell, c_emb float[d+1]),
+    * `vectors` (vec_id, scale, q int[d]) partitioned by `cell`, and the
+    * `_M2` sidecar — the augmentation anchor M², FROZEN at build time.
+    * M² is a real contract, not metadata: a later vector with
+    * ‖x‖² > M² has an imaginary augmented component — no cell can place
+    * it faithfully — so [[appendToMipsIndex]] verifies the batch max
+    * against the sidecar and FAILS FAST (rebuild to admit longer
+    * vectors), the same silent-geometry-mismatch class the Search
+    * index's _BUCKETS sidecar exists to prevent.
+    */
+  def writeMipsIndex(embeddings: DataFrame, path: String,
+                     cells: Int = IvfCells, seed: Long = 42L): Unit = {
+    val m2Row = embeddings
+      .agg(max(dot(col("embedding"), col("embedding"))).as("m2")).head()
+    require(!m2Row.isNullAt(0), "writeMipsIndex: empty or all-null corpus")
+    val m2 = m2Row.getDouble(0)
+    val aug = embeddings.select(col("vec_id"),
+      augmentMips(col("embedding"), m2).as("embedding"))
+    val centroids = ivfCentroids(aug, seed, cells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      // the sidecar must exist before the first append reads it
+      graft.warehouse.AtomicPointer.write(s"$path/_M2", m2.toString)
+      appendToMipsIndex(embeddings, path, overwrite = true)
+    } finally { centroids.unpersist(); () }
+    graft.warehouse.AtomicPointer.delete(s"$path/_streaming_hwm")
+  }
+
+  /** Assign (augmented geometry) + int8-quantize (original floats) a batch
+    * against the STORED centroids and anchor, and add it to the vectors
+    * table — one narrow fused pass then the one by-cell clustering
+    * exchange, exactly [[appendToIvfIndex]]'s shape. Throws when the batch
+    * contains a vector longer than the index's frozen M (see
+    * [[writeMipsIndex]]).
+    */
+  def appendToMipsIndex(batch: DataFrame, path: String,
+                        overwrite: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val m2 = graft.warehouse.AtomicPointer.read(s"$path/_M2")
+      .map(_.trim.toDouble)
+      .getOrElse(throw new IllegalStateException(
+        s"appendToMipsIndex: $path has no _M2 sidecar — not a MIPS index " +
+          "(or a half-built one); build with writeMipsIndex"))
+    val mxRow = batch
+      .agg(max(dot(col("embedding"), col("embedding"))).as("mx")).head()
+    if (!mxRow.isNullAt(0))
+      require(mxRow.getDouble(0) <= m2,
+        f"appendToMipsIndex: batch max squared norm ${mxRow.getDouble(0)}%.6f " +
+          f"exceeds the index anchor M²=$m2%.6f — the augmentation geometry " +
+          "is frozen at build time; rebuild with writeMipsIndex to admit " +
+          "longer vectors")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("long"), col("c_emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.nonEmpty, s"appendToMipsIndex: $path/centroids is empty")
+    val scale = int8Scale
+    batch.select(col("vec_id"),
+        graft.functions.IvfFns.ivfArgmax(
+          augmentMips(col("embedding"), m2), cents.toIndexedSeq).as("cell"),
+        scale.as("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+      .repartition(col("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** One-shot serve from a persisted MIPS index; a serving loop should
+    * hold a [[MipsIndexHandle]] (centroids + anchor read once).
+    */
+  def mipsTopKFromIndex(queries: DataFrame, indexPath: String,
+                        k: Int = 10, nProbe: Int = IvfProbes): DataFrame =
+    new MipsIndexHandle(queries.sparkSession, indexPath).topK(queries, k, nProbe)
+
+  /** Serving handle over a persisted MIPS index: float queries zero-pad
+    * and probe the stored AUGMENTED centroids (driver-localized once); the
+    * probed cell set pushes as a literal partition predicate so the scan
+    * reads only those cells' directories; candidates score by the
+    * DEQUANTIZED inner product — vec_dot(float query, int codes)/scale,
+    * magnitude preserved (MIPS is not cosine: per-row scales must NOT
+    * cancel). Approximate on two axes (probe fan-out + int8 rounding),
+    * graded against exact s16 in RECALL.
+    */
+  final class MipsIndexHandle(spark: org.apache.spark.sql.SparkSession,
+                              val indexPath: String) {
+    private val m2: Double = graft.warehouse.AtomicPointer.read(s"$indexPath/_M2")
+      .map(_.trim.toDouble)
+      .getOrElse(throw new IllegalStateException(
+        s"MipsIndexHandle: $indexPath has no _M2 sidecar — not a MIPS index"))
+    private val centroidRows: Seq[(Long, Seq[Float])] =
+      spark.read.parquet(s"$indexPath/centroids")
+        .select(col("cell").cast("long"), col("c_emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+
+    def anchorM2: Double = m2
+
+    /** The localized augmented-space centroid frame (a LocalRelation). */
+    def centroids: DataFrame = {
+      import spark.implicits._
+      centroidRows.toDF("cell", "c_emb")
+    }
+
+    def topK(queries: DataFrame, k: Int = 10, nProbe: Int = IvfProbes): DataFrame = {
+      import spark.implicits._
+      val augQ = queries.select(col("vec_id"),
+        concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+      // one capped driver collect serves the literal cell list AND the
+      // scored join's query side (the broadcast-small query contract);
+      // the zero pad strips off here so scoring sees the original floats
+      val probeRows = collectCapped(
+        ivfProbes(augQ, centroids, lit(true), nProbe), "MipsIndexHandle.topK")
+        .map(r => (r.getLong(0), r.getSeq[Float](1).dropRight(1), r.getLong(2))).toSeq
+      val probedCells = probeRows.map(_._3).distinct.sorted
+      val probes = probeRows.toDF("query_id", "q_emb", "cell")
+      val stored = spark.read.parquet(s"$indexPath/vectors")
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col("vec_id").as("neighbor_id"),
+          col("cell").cast("long").as("cell"), col("scale"),
+          transform(col("q"), x => x.cast("double")).as("q_c"))
+      val scored = broadcast(probes).join(stored, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("q_emb"), col("q_c")) / col("scale")).as("ip"))
+      rankTopK(scored, "ip", k)
+    }
+  }
+
   /** ANN top-k: candidates = distinct same-bucket (query, corpus) pairs over
     * all L tables; exact cosine re-ranks candidates only.
     *

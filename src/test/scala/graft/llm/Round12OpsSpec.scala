@@ -86,6 +86,73 @@ class Round12OpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ---------------------------------------- persisted MIPS index (s19)
+
+  private def withTmpIndex[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mips-spec")
+    try f(dir.toString) finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("MIPS index: append with a longer vector than the anchor fails fast") {
+    withTmpIndex { idx =>
+      Similarity.writeMipsIndex(embs, idx)
+      // a vector 2× the longest build vector violates the frozen M²
+      val long = embs.limit(1).select(col("vec_id") + 900000000L,
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToMipsIndex(long, idx)
+      }
+      assert(e.getMessage.contains("exceeds the index anchor"),
+        s"unexpected message: ${e.getMessage}")
+      // an in-contract append (existing-scale vectors) lands and serves
+      val ok = embs.limit(5).select(col("vec_id") + 800000000L, col("embedding"))
+        .toDF("vec_id", "embedding")
+      Similarity.appendToMipsIndex(ok, idx)
+      val served = Similarity.mipsTopKFromIndex(
+        embs.filter(qPred).limit(2), idx, k = 5, nProbe = Similarity.IvfCells)
+      assert(served.count() == 10)
+    }
+  }
+
+  test("MIPS index: missing _M2 sidecar is rejected, not silently mis-served") {
+    withTmpIndex { idx =>
+      Similarity.writeMipsIndex(embs, idx)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/_M2"))
+      assertThrows[IllegalStateException] {
+        new Similarity.MipsIndexHandle(spark, idx)
+      }
+    }
+  }
+
+  test("MIPS index: probe scan prunes to the probed cells' partitions") {
+    withTmpIndex { idx =>
+      Similarity.writeMipsIndex(embs, idx)
+      val plan = Similarity.mipsTopKFromIndex(
+        embs.filter(qPred).limit(3), idx, k = 10, nProbe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+        s"probed-cell literal must prune the vectors scan:\n$plan")
+    }
+  }
+
+  test("MIPS index serve is deterministic across handles") {
+    withTmpIndex { idx =>
+      Similarity.writeMipsIndex(embs, idx)
+      val q = embs.filter(qPred)
+      val a = Similarity.mipsTopKFromIndex(q, idx, k = 10, nProbe = 4)
+        .orderBy("query_id", "rank").collect()
+      val b = Similarity.mipsTopKFromIndex(q, idx, k = 10, nProbe = 4)
+        .orderBy("query_id", "rank").collect()
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+
   test("mipsAugmented: every augmented vector has squared norm = corpus max") {
     val aug = Similarity.mipsAugmented(embs)
     val norms = aug.select(
