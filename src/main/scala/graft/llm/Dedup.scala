@@ -961,10 +961,9 @@ object Dedup {
     *      positions whose covered ranges touch (gap ≤ k) into maximal
     *      spans; a break at gap > k is exactly an uncovered token.
     *
-    * Shingle STRINGS shuffle here (k tokens per row) for DuckDB-oracle
-    * exactness — at 100 TB swap the count/join key for a 64-bit rolling
-    * hash (same plan, ~k× less shuffle volume, collisions ~n²/2⁶⁴); the
-    * span semantics are unchanged.
+    * Shingle STRINGS shuffle here (k tokens per row); the rolling-hash
+    * shuffle-key form is [[duplicateSpansHashed]] (registered as d26 —
+    * same plan, ~k× less exchange volume, oracle still hash-exact).
     *
     * Output: (doc_id, span_start, span_end, n_tokens) in 1-based token
     * positions, one row per maximal duplicated span.
@@ -1092,8 +1091,8 @@ object Dedup {
     *
     * `split('\n')` keeps trailing empties in both engines (the
     * [[TextAnalysis.gopherLineRules]] denominator contract). Line
-    * STRINGS shuffle for oracle exactness — at 100 TB swap the
-    * count/join key for xxhash64(line), same plan, text-free shuffle.
+    * STRINGS shuffle here; the text-free rolling-hash form is
+    * [[dedupLinesHashed]] (registered as d27, oracle still hash-exact).
     *
     * Output: (doc_id, n_lines_removed, clean_text) for EVERY input
     * document, surviving lines joined by newline in original order.

@@ -699,6 +699,35 @@ object StreamingOps {
       .start()
   }
 
+  /** [[ingestVectorsStream]] for a persisted MIPS index
+    * ([[graft.llm.Similarity.writeMipsIndex]]): identical ReplayGuard
+    * protocol and recovery anti-join, with ONE extra contract —
+    * [[graft.llm.Similarity.appendToMipsIndex]] verifies each batch's max
+    * squared norm against the index's frozen M² anchor and FAILS the
+    * query rather than landing a longer vector in the wrong cell
+    * geometry. That hard stop is deliberate: the augmentation is only
+    * monotone in the inner product below M, so a violating stream must
+    * surface (rebuild the index with the new corpus) instead of silently
+    * degrading ranking quality forever after.
+    */
+  def ingestMipsVectorsStream(embeddings: DataFrame, indexPath: String,
+                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(indexPath, checkpoint)
+    guard.acquireLock() // one writer per sink — checked, not assumed
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => guard.posture(batchId) match {
+      case Skip => ()
+      case p =>
+        val rows = ingestVectorRows(batch.dropDuplicates("vec_id"), indexPath,
+          recover = p == Recover)
+        if (!rows.isEmpty) graft.llm.Similarity.appendToMipsIndex(rows, indexPath)
+        guard.commit(batchId)
+    }
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous event-log landing into the day-partitioned store (the
     * [[graft.warehouse.ParquetWarehouse.writeEventsPartitioned]] layout,
     * streamed): each micro-batch derives event_date, clusters by it

@@ -1051,6 +1051,60 @@ class StreamingSpec extends SparkSpec {
       "replay must not duplicate, steady state must append")
   }
 
+  test("MIPS vector ingest: streamed index equals batch twin; anchor violation fails the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    // the streamed half scales down 0.9×, so every appended norm sits
+    // inside the anchor M² the build half froze
+    val half2rows = embs.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, e) => (id, e.map(x => x * 0.9f)) }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-mips-ingest").toString
+    graft.llm.Similarity.writeMipsIndex(half1, s"$root/idx_s")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.ingestMipsVectorsStream(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/idx_s", s"$root/ckpt")
+    try {
+      stream.addData(half2rows.take(half2rows.size / 2)); q.processAllAvailable()
+      stream.addData(half2rows.drop(half2rows.size / 2)); q.processAllAvailable()
+    } finally q.stop()
+
+    graft.llm.Similarity.writeMipsIndex(half1, s"$root/idx_b")
+    graft.llm.Similarity.appendToMipsIndex(
+      half2rows.toDF("vec_id", "embedding"), s"$root/idx_b")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"), col("scale"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toString,
+        r.getSeq[Int](3).mkString(","))).toSet
+    val streamed = rows(s"$root/idx_s/vectors")
+    assert(streamed.size == embs.count(), "every vector lands exactly once")
+    assert(streamed == rows(s"$root/idx_b/vectors"),
+      "streamed MIPS index contents must equal the batch-built index")
+
+    // a batch with a vector LONGER than the frozen anchor must fail the
+    // query loudly — silent mis-geometry is the failure mode the sidecar
+    // contract exists to prevent (own index + checkpoint: the writer
+    // lease correctly refuses a second checkpoint on idx_s)
+    graft.llm.Similarity.writeMipsIndex(half1, s"$root/idx_v")
+    val bad = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingOps.ingestMipsVectorsStream(
+      bad.toDF().toDF("vec_id", "embedding"), s"$root/idx_v", s"$root/ckpt2")
+    try {
+      bad.addData(half2rows.take(1).map { case (id, e) =>
+        (id + 900000000L, e.map(x => x * 10f)) })
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(err).exists(m => m != null && m.contains("exceeds the index anchor")),
+        s"expected the anchor violation to surface, got: ${chain(err)}")
+    } finally q2.stop()
+  }
+
   test("session windows merge across micro-batches and finalize past the watermark (e05 streaming twin)") {
     // substantiates the Events.sessionWindows claim that the SAME operator
     // runs stateful under Structured Streaming: a later micro-batch must
