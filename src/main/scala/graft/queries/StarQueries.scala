@@ -921,8 +921,37 @@ object StarQueries {
       .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
   }
 
+  // q33 — TIME-RANGE window frame (the window surface the ROWS-frame
+  // running totals q18/q20 can't express): per customer, each order's
+  // trailing-7-calendar-day spend via RANGE BETWEEN 6 PRECEDING AND
+  // CURRENT ROW over the integer epoch-day key. RANGE includes PEERS —
+  // same-day orders contribute to each other's frame on every row, which
+  // no ROWS frame reproduces. Scale shape: partitions by o_custkey
+  // (unbounded group cardinality — no single-task funnel); the frame sum
+  // rides exact DECIMAL so frame-internal order is immaterial and both
+  // engines agree bit-for-bit.
+  private val q33 = q(
+    "q33_rolling_window_range",
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (PARTITION BY o_custkey
+                ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+        FROM orders ORDER BY orderkey""") { t =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_no")).rangeBetween(-6, 0)
+    t.orders
+      .withColumn("day_no",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("spend_7d"))
+      .orderBy("orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
