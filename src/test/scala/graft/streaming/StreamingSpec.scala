@@ -338,6 +338,17 @@ class StreamingSpec extends SparkSpec {
     sA.addData(s1); pA.addData(p1); runA()
     sA.addData(s2); pA.addData(p2); runA()
     assert(pairsIn(s"$rootA/store") == expected)
+    // day-partitioned on disk (the event-log layout): per-day pruning and
+    // compactPartitioned both hang off this
+    val dayDirs = new java.io.File(s"$rootA/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("conv_day=")).sorted
+    assert(dayDirs.toSeq == Seq("conv_day=2024-01-02", "conv_day=2024-01-03", "conv_day=2024-01-05"))
+    val oneDay = spark.read.parquet(s"$rootA/store")
+      .filter(col("conv_day") === lit(java.sql.Date.valueOf("2024-01-02")))
+    assert(oneDay.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PartitionFilters") && l.contains("conv_day")),
+      "a one-day read must prune at listing time")
+    assert(oneDay.count() == 1)
     val commits = new java.io.File(s"$rootA/ckpt/commits").listFiles()
       .map(_.getName).filterNot(_.startsWith("."))
     val last = commits.map(_.toLong).max
@@ -356,7 +367,8 @@ class StreamingSpec extends SparkSpec {
     val batch1Pairs = StreamingOps.conversionPairsStream(
         s1.toDF("event_id", "ts", "user_id"), p1.toDF("event_id", "ts", "user_id"))
       .withColumn("pair_key", concat_ws(":", col("signup_id"), col("purchase_id")))
-    batch1Pairs.write.parquet(s"$rootB/store")
+      .withColumn("conv_day", to_date(col("purchase_ts")))
+    batch1Pairs.write.partitionBy("conv_day").parquet(s"$rootB/store")
     val sB = MemoryStream[(Long, Timestamp, Long)]
     val pB = MemoryStream[(Long, Timestamp, Long)]
     def runB(): Unit = {
