@@ -1102,8 +1102,37 @@ object EtlQueries {
       .orderBy("segment")
   }
 
+  // t32 — PARTITION-SPEC EVOLUTION (Iceberg's spec-evolution capability;
+  // scale layout #4 after partitioning/bucketing/Z-order): pre-1998 orders
+  // sit under the ORIGINAL year= spec, 1998+ under the EVOLVED
+  // year=/o_orderstatus= spec — history is never rewritten; one logical
+  // read prunes each generation at its own granularity (year at listing
+  // time on both; status at listing time on the new files, as a pushed
+  // parquet data filter on the old — Round12OpsSpec pins both plans).
+  // The oracle recomputes from raw orders, so a row lost, duplicated, or
+  // double-read across the generation boundary hash-fails.
+  private val t32 = q("t32_partition_evolution",
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderstatus AS status,
+        CAST(COUNT(*) AS BIGINT) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spent
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1999) AND o_orderstatus IN ('F', 'O')
+        GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-spec-evo")
+      .toString + "/orders_evolved"
+    val o = t.orders.withColumn("year", year(col("o_orderdate")).cast("int"))
+    ParquetWarehouse.writeSpecEvolved(Seq(
+      (o.filter(col("year") < 1998), Seq("year")),
+      (o.filter(col("year") >= 1998), Seq("year", "o_orderstatus"))), path)
+    ParquetWarehouse.readSpecEvolved(t.spark, path)
+      .filter(col("year").isin(1996, 1999) &&
+        col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("year"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("year", "status")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, c01, c02, c03, c04, c05, c06, c07)
 }

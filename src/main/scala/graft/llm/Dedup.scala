@@ -1045,6 +1045,15 @@ object Dedup {
     * x07 pattern), so the oracle stays hash-exact — even a (≈n²/2⁵³)
     * collision reproduces identically on both engines. Output schema and
     * keep-first semantics match [[removeDuplicateSpans]] exactly.
+    *
+    * Collision budget at TRUE 100 TB: with ~10¹² shingle occurrences the
+    * birthday count in a 2⁵³ space is no longer negligible (each
+    * collision over-deletes one k-token span). The production hardening
+    * is a SECOND independent fold (different base/modulus) carried beside
+    * this one and keyed as the pair — squares the space to ~2¹⁰⁶ at 16
+    * bytes per occurrence, same plan shape, still engine-portable. Not
+    * registered separately: the machinery is this method with one more
+    * column.
     */
   def removeDuplicateSpansHashed(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"removeDuplicateSpansHashed: shingle length $k must be >= 2")

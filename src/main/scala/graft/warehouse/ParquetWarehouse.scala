@@ -481,6 +481,48 @@ object ParquetWarehouse {
       .partitionBy("event_date")
       .parquet(path)
 
+  /** PARTITION-SPEC EVOLUTION (the Iceberg capability a plain directory
+    * layout lacks): a table whose OLDER files sit under a coarser
+    * partition spec serves alongside NEWER files under a finer one, each
+    * spec pruning at ITS OWN granularity in one logical read. The old
+    * data is never rewritten — at 100 TB re-partitioning history is the
+    * operation you cannot afford, so the Iceberg rule applies: evolve the
+    * spec, new files adopt it, old files keep theirs, and predicates on
+    * the newly-added partition column fall back to ordinary pushed data
+    * filters on the old files (they still prune row groups via parquet
+    * stats — just not at listing time).
+    *
+    * Layout: `path/spec0`, `path/spec1`, … — one self-consistent
+    * partitioned parquet table per spec generation (mixing partition
+    * depths under ONE root breaks Spark's partition discovery, which is
+    * exactly why evolution needs this explicit structure).
+    */
+  def writeSpecEvolved(parts: Seq[(DataFrame, Seq[String])], path: String): Unit = {
+    require(parts.nonEmpty, "writeSpecEvolved: at least one spec generation")
+    parts.zipWithIndex.foreach { case ((df, spec), i) =>
+      val clustered =
+        if (spec.nonEmpty) df.hint("rebalance", spec.map(col): _*) else df
+      val w = clustered.write.mode("overwrite")
+      (if (spec.nonEmpty) w.partitionBy(spec: _*) else w).parquet(s"$path/spec$i")
+    }
+  }
+
+  /** One logical frame over every spec generation under `path`: each
+    * generation reads through its own partition discovery (so listing-time
+    * pruning applies per spec) and the generations union BY NAME — the
+    * read-side column order differs between specs because partition
+    * columns append at the end. Fails fast on an empty or non-evolved dir.
+    */
+  def readSpecEvolved(spark: SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"readSpecEvolved: $path does not exist")
+    val specs = fs.listStatus(hp).map(_.getPath.getName)
+      .filter(_.startsWith("spec")).sorted
+    require(specs.nonEmpty, s"readSpecEvolved: no spec directories under $path")
+    specs.map(d => spark.read.parquet(s"$path/$d")).reduce(_.unionByName(_))
+  }
+
   /** Scale layout #2 — bucketed fact: pre-shuffled into N buckets by a join
     * key and sorted within buckets. Every subsequent aggregation or join ON
     * that key plans WITHOUT an exchange (the one-time shuffle at write

@@ -153,6 +153,40 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------ partition-spec evolution (t32)
+
+  test("spec evolution: each generation prunes at its own granularity, no rows lost or doubled") {
+    import graft.warehouse.ParquetWarehouse
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("year", year(col("o_orderdate")).cast("int"))
+    withTmpIndex { root =>
+      val path = s"$root/evolved"
+      ParquetWarehouse.writeSpecEvolved(Seq(
+        (orders.filter(col("year") < 1998), Seq("year")),
+        (orders.filter(col("year") >= 1998), Seq("year", "o_orderstatus"))), path)
+      val read = ParquetWarehouse.readSpecEvolved(spark, path)
+      // lossless across the generation boundary
+      assert(read.count() == orders.count())
+      assert(read.select("o_orderkey").distinct().count() == orders.count(),
+        "no order may be doubled across generations")
+      // pruning: year is a listing-time partition filter on BOTH scans;
+      // o_orderstatus is a partition filter only on the evolved scan and a
+      // pushed parquet data filter on the original
+      val plan = read
+        .filter(col("year").isin(1996, 1999) && col("o_orderstatus") === "F")
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(scans.size == 2, s"expected two generation scans:\n$plan")
+      assert(scans.forall(_.contains("year")),
+        s"year must prune both generations at listing time:\n$plan")
+      assert(scans.exists(_.contains("o_orderstatus")),
+        s"status must prune the evolved generation at listing time:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("o_orderstatus")),
+        s"status must push as a data filter on the original generation:\n$plan")
+    }
+  }
+
   test("mipsAugmented: every augmented vector has squared norm = corpus max") {
     val aug = Similarity.mipsAugmented(embs)
     val norms = aug.select(
