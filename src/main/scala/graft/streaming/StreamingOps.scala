@@ -141,6 +141,36 @@ object StreamingOps {
       .select("user_id", "signup_id", "signup_ts", "purchase_id", "purchase_ts")
   }
 
+  /** [[conversionPairsStream]]'s LEFT OUTER form — the join surface inner
+    * joins cannot express on streams: every signup row is emitted, with
+    * its matched purchases when they exist and exactly ONE null-padded
+    * row when the watermark PROVES no purchase arrived inside the
+    * horizon. That proof is the point: a non-conversion is not knowable
+    * until event time has passed the window's end, so outer rows emit
+    * late by construction (one horizon behind the watermark) — the
+    * streaming shape of e26's `n_signups` denominator, where the inner
+    * join only ever yields the `n_converted` numerator. State bounds and
+    * late-side drop semantics are identical to the inner form.
+    */
+  def conversionFunnelStream(signups: DataFrame, purchases: DataFrame,
+                             horizon: String = "7 days"): DataFrame = {
+    val s = signups
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    s.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"interval $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("signup_id"), col("signup_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Persisted conversion-pair store fed by [[conversionPairsStream]] — the
     * serving layout for windowed-conversion attribution on streams (each
     * pair lands exactly once; the e26 cohort rollup is one |days|-keyed

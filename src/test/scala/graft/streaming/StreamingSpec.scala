@@ -310,6 +310,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversion funnel (left-outer): non-conversion emits exactly once, only when proven") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val sStream = MemoryStream[(Long, Timestamp, Long)]
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.conversionFunnelStream(
+        sStream.toDF().toDF("event_id", "ts", "user_id"),
+        pStream.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("convfunnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows() = spark.table("convfunnel")
+        .select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // user 1 converts; user 2 does not
+      sStream.addData(Seq((10L, t("2024-01-01 00:00:00"), 1L),
+        (11L, t("2024-01-01 00:00:00"), 2L)))
+      pStream.addData(Seq((20L, t("2024-01-02 00:00:00"), 1L)))
+      q.processAllAvailable()
+      // the match emits immediately; the NON-conversion is not knowable
+      // yet — no null row may exist before the watermark proves it
+      assert(rows() == Set((10L, 20L)),
+        s"only the proven match may emit before the watermark, got ${rows()}")
+      // advance both watermarks a month past signup 11's window
+      sStream.addData(Seq((12L, t("2024-02-10 00:00:00"), 99L)))
+      pStream.addData(Seq((21L, t("2024-02-10 00:00:00"), 98L)))
+      q.processAllAvailable()
+      // signup 11's null row is now proven and emitted exactly once;
+      // signup 12's own window is still open, so it stays pending
+      assert(rows() == Set((10L, 20L), (11L, -1L)),
+        s"exactly one proven null row, got ${rows()}")
+      // batch parity on the closed subset: the static left join agrees
+      val batch = StreamingOps.conversionFunnelStream(
+          Seq((10L, t("2024-01-01 00:00:00"), 1L), (11L, t("2024-01-01 00:00:00"), 2L))
+            .toDF("event_id", "ts", "user_id"),
+          Seq((20L, t("2024-01-02 00:00:00"), 1L)).toDF("event_id", "ts", "user_id"))
+        .select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(batch == Set((10L, 20L), (11L, -1L)))
+    } finally q.stop()
+  }
+
   test("conversion-pair ingest: both crash windows leave the store exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
