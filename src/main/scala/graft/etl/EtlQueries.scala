@@ -1131,8 +1131,36 @@ object EtlQueries {
       .orderBy("year", "status")
   }
 
+  // t33 — POINT LOOKUP through the KEY-INDEXED flat layout (scale layout
+  // #5): orders sorted-by-key with parquet bloom filters, probed by a
+  // small literal IN on o_orderkey — the "find one order in 100 TB"
+  // query, pruned by row-group stats + bloom instead of a per-key
+  // directory listing disaster. The probe keys derive from the data (min
+  // and max orderkey — present at any sf) the same way on both engines;
+  // the oracle recomputes from raw orders, so a row lost or mangled by
+  // the indexed round-trip hash-fails. Round12OpsSpec measures the
+  // skipping itself (indexed scan materializes a fraction of the rows an
+  // unsorted layout scans for the same probe).
+  private val t33 = q("t33_point_lookup_indexed",
+    """WITH ks AS (SELECT MIN(o_orderkey) AS k1, MAX(o_orderkey) AS k2 FROM orders)
+       SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
+       FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2)
+       ORDER BY orderkey""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-key-idx")
+      .toString + "/orders_keyed"
+    ParquetWarehouse.writeKeyIndexed(t.orders, path, "o_orderkey", files = 8)
+    val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    t.spark.read.parquet(path)
+      .filter(col("o_orderkey").isin(r.getLong(0), r.getLong(1)))
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .orderBy("orderkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, c01, c02, c03, c04, c05, c06, c07)
 }

@@ -523,6 +523,26 @@ object ParquetWarehouse {
     specs.map(d => spark.read.parquet(s"$path/$d")).reduce(_.unionByName(_))
   }
 
+  /** Scale layout #5 — KEY-INDEXED flat layout for POINT LOOKUPS on a
+    * non-partition key (the Delta/Iceberg "find one order in 100 TB"
+    * story, without a catalog): rows range-partitioned and sorted by the
+    * key, so every file and row group carries a TIGHT min/max interval in
+    * its parquet stats — a point or small-IN predicate prunes to ~one row
+    * group at read time — plus a parquet BLOOM FILTER on the key to kill
+    * the within-range false positives stats alone cannot (a row group
+    * whose [min,max] straddles the probe key but doesn't contain it).
+    * Partitioning by a unique key is the anti-pattern this layout
+    * replaces: one directory per key value is a listing disaster; sorted
+    * stats + bloom give the same pruning with flat files.
+    */
+  def writeKeyIndexed(df: DataFrame, path: String, keyCol: String,
+                      files: Int = 16): Unit =
+    df.repartitionByRange(files, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .parquet(path)
+
   /** Scale layout #2 — bucketed fact: pre-shuffled into N buckets by a join
     * key and sorted within buckets. Every subsequent aggregation or join ON
     * that key plans WITHOUT an exchange (the one-time shuffle at write

@@ -187,6 +187,46 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------ key-indexed point lookup (t33)
+
+  test("key-indexed layout: point lookup materializes a fraction; unsorted scans everything") {
+    import graft.warehouse.ParquetWarehouse
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head.metrics("numOutputRows").value
+    }
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val total = orders.count()
+    // probe MID-RANGE: a boundary key (min/max) is prunable by accident
+    // even without sorting, because only one hash-clustered file's
+    // [min,max] can contain the global extreme — the middle key is the
+    // honest contrast (every unsorted file's range straddles it)
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val key = (mm.getLong(0) + mm.getLong(1)) / 2
+    withTmpIndex { root =>
+      ParquetWarehouse.writeKeyIndexed(orders, s"$root/keyed", "o_orderkey", files = 8)
+      // contrast layout: same files, key order destroyed (hash clustering)
+      orders.repartition(8, col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$root/unsorted")
+      withConf("spark.sql.adaptive.enabled", "false") {
+        val keyed = scanRows(
+          spark.read.parquet(s"$root/keyed").filter(col("o_orderkey") === key))
+        val unsorted = scanRows(
+          spark.read.parquet(s"$root/unsorted").filter(col("o_orderkey") === key))
+        assert(keyed * 4 <= total,
+          s"sorted stats + bloom must prune the point lookup: scanned $keyed of $total")
+        assert(unsorted * 2 > total,
+          s"the unsorted layout has no stats to prune with: scanned $unsorted of $total")
+        assert(keyed < unsorted)
+      }
+      // losslessness of the indexed round-trip
+      assert(spark.read.parquet(s"$root/keyed").count() == total)
+    }
+  }
+
   test("mipsAugmented: every augmented vector has squared norm = corpus max") {
     val aug = Similarity.mipsAugmented(embs)
     val norms = aug.select(
