@@ -27,8 +27,14 @@ object SparkEntry {
     defs.map(d => d.name -> d.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops — and
+    * for adaptive-round defs whose run has NOT executed in this process
+    * (`oracleReady` false): their late-bound oracle would unroll a seeded
+    * fallback round count, which at a scale where the data-derived R
+    * differs is a falsely-failing oracle, worse than the driver's
+    * rows-only fallback (ADVICE r12 #3).
     */
   def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracleText.map(d.name -> _)).toMap
+    defs.flatMap(d =>
+      if (d.oracleReady()) d.oracleText.map(d.name -> _) else None).toMap
 }

@@ -1159,8 +1159,39 @@ object EtlQueries {
       .orderBy("orderkey")
   }
 
+  // t34 — POINT LOOKUP through the MANIFESTED layout (scale layout #6):
+  // same probe story as t33, but the per-file [min,max] manifest is
+  // consulted BEFORE the scan, so only the files that can contain the key
+  // are PLANNED into the read — at 100 TB the listing/footer traffic t33
+  // still pays per probe is gone (ManifestSpec measures planned-file
+  // counts: 1 of 8 vs all 8). The probe key is the largest orderkey at or
+  // below the keyspace midpoint — data-derived identically on both
+  // engines, guaranteed non-empty, and mid-range so boundary-file luck
+  // can't fake the pruning. The oracle recomputes from raw orders, so a
+  // row lost or mangled through the manifest path hash-fails.
+  private val t34 = q("t34_point_lookup_manifested",
+    """WITH mid AS (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS m FROM orders),
+       k AS (SELECT MAX(o_orderkey) AS key FROM orders, mid WHERE o_orderkey <= mid.m)
+       SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
+       FROM orders, k WHERE o_orderkey = k.key
+       ORDER BY orderkey""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest")
+      .toString + "/orders_manifested"
+    ParquetWarehouse.writeManifested(t.orders, path, "o_orderkey", files = 8)
+    val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val key = t.orders.filter(col("o_orderkey") <= mid)
+      .agg(max("o_orderkey")).head().getLong(0)
+    ParquetWarehouse.manifestProbe(t.spark, path, "o_orderkey", Seq(key))
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .orderBy("orderkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, t33, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, t34, c01, c02, c03, c04, c05, c06, c07)
 }

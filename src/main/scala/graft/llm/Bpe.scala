@@ -174,7 +174,33 @@ object Bpe {
     * the only pairs whose successors could newly outrank it (strictness
     * kills lex-order tie upsets). Pairs below the collect horizon are
     * bounded by the last collected count, so the guard closes over them
-    * too. The batch stops at the first pair failing the guard — worst case
+    * too.
+    *
+    * Three further conditions close the CONCATENATION-COLLISION holes
+    * (symbol-string disjointness alone is not enough once a merge's l+r
+    * can equal another symbol — ADVICE r12 #1, the (a,bc)/(abc,d) case):
+    * (d) neither component of a candidate may have been CREATED by an
+    * earlier pick of this batch — such a candidate's collected count is
+    * stale-low (the earlier pick mints new occurrences of that symbol),
+    * so ranking against it is meaningless; the batch stops before it.
+    * (e) a pick whose concatenation l+r already EXISTS as a symbol (every
+    * multi-char symbol is some prior accepted merge's concatenation, so
+    * the accumulated merge history decides this exactly) is accepted —
+    * its own count and the bound that admitted it are still sound — but
+    * ENDS the batch: applying it inflates pairs involving l+r, whose
+    * post-merge counts (old + newly minted) can exceed the threat max, so
+    * no later pick's guard would be trustworthy. Duplicate concatenations
+    * within one batch ((a,bc) and (ab,c) both minting "abc") hit the same
+    * rule: the second is accepted and ends the batch, since a symbol fed
+    * by two merges can push a created pair past any single threat bound.
+    * (f) a candidate whose concatenation equals an EARLIER pick's
+    * component is rejected (batch stops): the left-to-right fold in
+    * [[applyMerges]] would let the earlier pick consume adjacencies this
+    * pick creates mid-pass ((abc,d) picked before (a,bc) turns "a bc d"
+    * into "abcd" in one pass, where sequential application yields
+    * "abc d") — breaking bit-identity with [[train]].
+    *
+    * The batch stops at the first pair failing the guard — worst case
     * (every round degenerates to 1 merge) this IS sequential training with
     * a wider TakeOrdered; best case it cuts driver round-trips ~batch×.
     */
@@ -198,6 +224,11 @@ object Bpe {
     var rank = 1
     var rounds = 0
     var exhausted = false
+    // Every multi-char symbol in the vocabulary is the concatenation of
+    // some accepted merge (symbols are only ever minted by merges), so
+    // this set decides "does candidate l+r already exist?" exactly —
+    // guard condition (e) — without touching the distributed vocab.
+    val everCreated = scala.collection.mutable.Set.empty[String]
     while (rank <= numMerges && !exhausted) {
       val want = math.min(batch, numMerges - rank + 1)
       // 4× headroom so threat witnesses for a full batch usually sit inside
@@ -211,34 +242,11 @@ object Bpe {
       rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val truncated = top.length == horizon
-        val horizonCnt = if (truncated) top.last._3 else Long.MinValue
-        val sel = Seq.newBuilder[(String, String, Long)]
-        val batchSyms = scala.collection.mutable.Set.empty[String]
-        var i = 0
-        var n = 0
-        var stop = false
-        while (!stop && n < want && i < top.length) {
-          val (l, r, cnt) = top(i)
-          val disjoint = n == 0 || (!batchSyms(l) && !batchSyms(r))
-          lazy val threat = {
-            var t = horizonCnt
-            var j = i + 1
-            while (j < top.length) {
-              val (tl, tr, tc) = top(j)
-              if ((batchSyms(tl) || batchSyms(tr)) && tc > t) t = tc
-              j += 1
-            }
-            t
-          }
-          if (disjoint && (n == 0 || cnt > threat)) {
-            sel += ((l, r, cnt)); batchSyms += l; batchSyms += r
-            n += 1; i += 1
-          } else stop = true
-        }
-        val selected = sel.result()
+        val selected =
+          selectBatch(top.toIndexedSeq, want, top.length == horizon, everCreated)
         selected.foreach { case (l, r, cnt) =>
           merges += Merge(rank, l, r, cnt); rank += 1
+          everCreated += l + r
         }
         vocab = graft.operators.Materialize.cut(
           vocab.withColumn("syms",
@@ -246,6 +254,61 @@ object Bpe {
       }
     }
     (Model(merges.result(), vocab.select("word", "n", "syms")), rounds)
+  }
+
+  /** The batch-admission guard — conditions (a)–(f) of [[trainBatched]]'s
+    * scaladoc — over one collected candidate slice (ranked (l, r, cnt)
+    * triples). Returns the accepted PREFIX. Pure, so the collision cases
+    * that no small corpus reaches under the global greedy merge order
+    * (the (a,bc)/(abc,d) family — ADVICE r12 #1) are unit-testable
+    * directly. `everCreated` holds the concatenation of every merge this
+    * training run has accepted (= every multi-char symbol that can exist
+    * in the vocabulary).
+    */
+  private[llm] def selectBatch(top: IndexedSeq[(String, String, Long)],
+                               want: Int, truncated: Boolean,
+                               everCreated: collection.Set[String])
+      : Seq[(String, String, Long)] = {
+    val horizonCnt = if (truncated) top.last._3 else Long.MinValue
+    val sel = Seq.newBuilder[(String, String, Long)]
+    val batchSyms = scala.collection.mutable.Set.empty[String]
+    val createdThisBatch = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    var n = 0
+    var stop = false
+    while (!stop && n < want && i < top.length) {
+      val (l, r, cnt) = top(i)
+      val cat = l + r
+      val disjoint = n == 0 || (!batchSyms(l) && !batchSyms(r))
+      // (d) components minted earlier this batch → this count is stale
+      val freshComponents = !createdThisBatch(l) && !createdThisBatch(r)
+      // (f) an earlier pick would consume adjacencies this pick mints
+      // mid-fold — the single-pass applyMerges would diverge from
+      // sequential application
+      val noFoldHazard = !batchSyms(cat)
+      lazy val threat = {
+        var t = horizonCnt
+        var j = i + 1
+        while (j < top.length) {
+          val (tl, tr, tc) = top(j)
+          if ((batchSyms(tl) || batchSyms(tr)) && tc > t) t = tc
+          j += 1
+        }
+        t
+      }
+      if (disjoint && freshComponents && noFoldHazard &&
+          (n == 0 || cnt > threat)) {
+        sel += ((l, r, cnt)); batchSyms += l; batchSyms += r
+        n += 1; i += 1
+        // (e) l+r already exists as a symbol (prior round or earlier
+        // this batch): accept — its own admission bound is sound —
+        // but end the batch; pairs involving l+r can now rise past
+        // any threat computed from pre-batch counts.
+        if (everCreated(cat) || createdThisBatch(cat)) stop = true
+        createdThisBatch += cat
+      } else stop = true
+    }
+    sel.result()
   }
 
   /** Tokenize a corpus with a trained model: per-document BPE symbol count

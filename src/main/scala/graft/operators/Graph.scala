@@ -43,6 +43,24 @@ object Graph {
     p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** One power-iteration round's CONTRIBUTION AGGREGATION — the shared
+    * inner step of [[pageRank]] / [[pageRankConverged]] /
+    * [[personalizedPageRank]], factored out so its skew posture is pinned
+    * ONCE (GraphSpec): the `groupBy(dst)` sum plans a PARTIAL (map-side)
+    * aggregate before the exchange, so a 10⁴-degree hub's fan-in
+    * collapses to one row per map partition BEFORE it shuffles — per-key
+    * shuffle volume is O(partitions), not O(degree), and power-law hubs
+    * cannot straggle the round.
+    */
+  private[operators] def contribStep(e: DataFrame, ranks: DataFrame,
+                                     degN: DataFrame): DataFrame = {
+    val share = ranks.join(degN, "node")
+      .select(col("node"), expr("r div outdeg").as("share"))
+    e.join(share, e("src") === share("node"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum("share").as("contrib"))
+  }
+
   /** Fixed-point PageRank with damping `d = dampNum/100`.
     *
     * Recurrence (all integer arithmetic, `div` = floor division):
@@ -68,11 +86,7 @@ object Graph {
     var ranks = degN.select(col("node"),
       expr(s"${Scale}L div n_nodes").as("r"))
     for (_ <- 1 to iterations) {
-      val share = ranks.join(degN, "node")
-        .select(col("node"), expr("r div outdeg").as("share"))
-      val contrib = e.join(share, e("src") === share("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("share").as("contrib"))
+      val contrib = contribStep(e, ranks, degN)
       ranks = Materialize.cut(
         degN.join(contrib, Seq("node"), "left")
           .select(col("node"), (
@@ -108,6 +122,67 @@ object Graph {
     (r0 +: iters).mkString(",\n")
   }
 
+  /** [[pageRank]] run TO RESIDUAL (VERDICT r12 #4): rounds continue until
+    * max_v |r'(v) − r(v)| < `tolFp` (fixed-point units, Scale = 1e12 per
+    * unit rank), so the iteration count is derived from the data instead
+    * of fixed — the same convergence contract the fixpoint family
+    * (components/k-core/LPA/BFS) got in r12, completing the story for the
+    * power-iteration family. Returns (ranks, R); an oracle unrolls exactly
+    * R rounds of the identical integer recurrence, and because the
+    * recurrence is deterministic, the result is BIT-IDENTICAL to
+    * [[pageRank]](edges, R) (spec-pinned).
+    *
+    * The residual probe is a SEPARATE node-sized join of the two already-
+    * materialized rank frames (one filter+isEmpty — no extra edge scan, no
+    * collect), kept OUT of the state lineage deliberately: an INNER join
+    * of two frames descending from the same state leaf makes Catalyst's
+    * size-only stats (which multiply through inner joins and are preserved
+    * across checkpoints) SQUARE per round — digit count doubles, and by
+    * round ~25 planning grinds into million-digit BigInt multiplication.
+    * The state itself keeps [[pageRank]]'s exact per-round shape (left
+    * joins only — their stats don't multiply), so stats grow linearly as
+    * they do in the fixpoint family.
+    * Power iteration contracts the residual by ~damping per round
+    * (0.85^R), so R ≈ log(r0/tol)/log(1/0.85) regardless of diameter —
+    * ~20–40 rounds at practical tolerances, the same at 100× scale (the
+    * initial rank Scale/N SHRINKS with N, so absolute tolerance needs
+    * FEWER rounds on bigger graphs, never more). `maxRounds` is the
+    * throwing runaway backstop, not a semantic knob.
+    */
+  def pageRankConverged(edges: DataFrame, tolFp: Long = 10000000L,
+                        maxRounds: Int = 128,
+                        dampNum: Long = 85): (DataFrame, Int) = {
+    require(tolFp >= 1 && maxRounds >= 1 && dampNum >= 0 && dampNum <= 100)
+    val e = Materialize.cut(edges)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
+    var ranks = degN.select(col("node"),
+      expr(s"${Scale}L div n_nodes").as("r"))
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
+            "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
+            "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
+      val contrib = contribStep(e, ranks, degN)
+      val next = Materialize.cut(
+        degN.join(contrib, Seq("node"), "left")
+          .select(col("node"), (
+            expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+      rounds += 1
+      converged = next
+        .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"))
+        .filter(abs(col("r") - col("old_r")) >= tolFp).isEmpty
+      ranks = next
+    }
+    (ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r") / lit(Scale.toDouble)).as("rank")), rounds)
+  }
+
   /** PERSONALIZED PageRank (Haveliwala 2002): the teleport mass lands only
     * on the SEED set instead of uniformly — rank becomes proximity to the
     * seeds, the random-walk-with-restart behind "related items" and seed
@@ -138,11 +213,7 @@ object Graph {
     var ranks = degN.select(col("node"),
       expr(s"is_seed * (${Scale}L div n_seeds)").as("r"))
     for (_ <- 1 to iterations) {
-      val share = ranks.join(degN, "node")
-        .select(col("node"), expr("r div outdeg").as("share"))
-      val contrib = e.join(share, e("src") === share("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("share").as("contrib"))
+      val contrib = contribStep(e, ranks, degN)
       ranks = Materialize.cut(
         degN.join(contrib, Seq("node"), "left")
           .select(col("node"), (

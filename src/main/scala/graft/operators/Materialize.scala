@@ -30,6 +30,19 @@ object Materialize {
   /** Cut `df`'s lineage and eagerly materialize it: reliable `checkpoint`
     * when the SparkContext has a checkpoint dir configured, else
     * `localCheckpoint`. Returns the lineage-free frame.
+    *
+    * CAUTION (measured, round 13): the cut truncates the PLAN but
+    * PRESERVES the origin's computed size-only statistics (LogicalRDD
+    * keeps them), and inner-join stats MULTIPLY — so an iterative loop
+    * whose per-round lineage INNER-joins two frames descending from the
+    * same state cut makes sizeInBytes SQUARE per round: the BigInt digit
+    * count doubles, and by round ~25 every planning pass grinds through
+    * million-digit multiplication. Left/outer joins aggregate side sizes
+    * instead of multiplying and grow linearly (the connected-components
+    * shape). Reference the growing state at most once per round inside
+    * the next state's lineage; run any state-vs-state comparison (e.g. a
+    * convergence residual) as a separate, discarded query over the two
+    * already-cut frames — see [[Graph.pageRankConverged]].
     */
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)

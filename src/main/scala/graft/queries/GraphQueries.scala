@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, RoundCounter, Tables}
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -23,16 +23,18 @@ object GraphQueries {
     QueryDef(name, (s, dir) => f(Tables(s, dir)), oracle)
 
   /** Adaptive-iteration def: the run records its data-derived round count
-    * R (a [[java.util.concurrent.atomic.AtomicInteger]] the `oracle`
-    * thunk closes over), and the oracle SQL — resolved by [[graft.Verify]]
-    * only AFTER every query has run — unrolls exactly R rounds. The
-    * fallback value seeded into each counter is the round count the old
-    * fixed-iteration defs used, so an oracle dump without a prior run
-    * (e.g. `--only` of a different def) still emits valid SQL.
+    * R (a [[graft.RoundCounter]] the `oracle` thunk closes over), and the
+    * oracle SQL — resolved by [[graft.Verify]] only AFTER every query has
+    * run — unrolls exactly R rounds. A dump WITHOUT a prior run in this
+    * process would unroll the counter's seeded fallback — wrong at any
+    * scale where the data-derived R differs — so `oracleReady` reports
+    * whether the counter was set by a run and the dump path emits no
+    * oracle otherwise (ADVICE r12 #3; driver falls back to rows-only).
     */
-  private def qGen(name: String)(oracle: => String)(f: Tables => DataFrame): QueryDef =
+  private def qGen(name: String, rounds: RoundCounter)(oracle: => String)(
+      f: Tables => DataFrame): QueryDef =
     QueryDef(name, (s, dir) => f(Tables(s, dir)), None,
-      oracleGen = Some(() => oracle))
+      oracleGen = Some(() => oracle), oracleReady = () => rounds.ran)
 
   /** Distinct (customer, supplier) purchase pairs; nodes disambiguated by
     * parity (customer k → 2k, supplier k → 2k+1).
@@ -79,8 +81,8 @@ object GraphQueries {
   // a 100× graph with a larger diameter converges instead of silently
   // emitting partial labels; the reached round count R is recorded and
   // the oracle unrolls exactly R rounds.
-  private val g02Rounds = new java.util.concurrent.atomic.AtomicInteger(15)
-  private val g02 = qGen("g02_connected_components") {
+  private val g02Rounds = new RoundCounter(15)
+  private val g02 = qGen("g02_connected_components", g02Rounds) {
     val r = g02Rounds.get
     s"""WITH ${edgesCte(Some(48))},
         ${Graph.ccOracleCtes(iterations = r)}
@@ -131,8 +133,8 @@ object GraphQueries {
   // one layer per round) fully resolves at any scale; the recorded R
   // drives the oracle's unroll. The surviving (node, within-core degree)
   // rows are the dense backbone the leaf-cascade strips away.
-  private val g04Rounds = new java.util.concurrent.atomic.AtomicInteger(10)
-  private val g04 = qGen("g04_kcore") {
+  private val g04Rounds = new RoundCounter(10)
+  private val g04 = qGen("g04_kcore", g04Rounds) {
     val r = g04Rounds.get
     s"""WITH ${edgesCte(Some(48))},
         ${Graph.kCoreOracleCtes(k = 3, rounds = r)}
@@ -154,8 +156,8 @@ object GraphQueries {
   // unrolls exactly R rounds with the window-formulated argmax, so the
   // runtime's max(struct(count, -label)) plurality (no per-node window)
   // must reproduce the full labeling bit-for-bit.
-  private val g05Rounds = new java.util.concurrent.atomic.AtomicInteger(4)
-  private val g05 = qGen("g05_label_propagation") {
+  private val g05Rounds = new RoundCounter(4)
+  private val g05 = qGen("g05_label_propagation", g05Rounds) {
     val r = g05Rounds.get
     s"""WITH ${edgesCte(Some(48))},
         ${Graph.lpaOracleCtes(iterations = r)}
@@ -174,8 +176,8 @@ object GraphQueries {
   // eccentricity; the recorded R drives the oracle's unroll. Unreached
   // nodes are absent by contract; a node reached late, twice, or at the
   // wrong distance hash-fails.
-  private val g06Rounds = new java.util.concurrent.atomic.AtomicInteger(6)
-  private val g06 = qGen("g06_bfs_distances") {
+  private val g06Rounds = new RoundCounter(6)
+  private val g06 = qGen("g06_bfs_distances", g06Rounds) {
     val r = g06Rounds.get
     s"""WITH ${edgesCte(Some(48))},
         seeds AS MATERIALIZED (
@@ -241,5 +243,29 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+  // g09 — RESIDUAL-STOPPED PageRank over the sparse purchase graph
+  // (VERDICT r12 #4): g01/g07's fixed 5 iterations are the documented
+  // approximation knob; here the iteration count is data-derived — rounds
+  // continue until max |Δrank_fp| < 10⁷ (10⁻⁵ rank units) — and the
+  // late-bound oracle unrolls exactly the reached R. Power iteration
+  // contracts the residual by ~0.85 per round, so R ≈ 25–40 at this
+  // tolerance at ANY scale (the initial rank Scale/N shrinks with N, so
+  // absolute tolerance needs fewer rounds on bigger graphs, never more).
+  private val g09Rounds = new RoundCounter(30)
+  private val g09 = qGen("g09_pagerank_converged", g09Rounds) {
+    val r = g09Rounds.get
+    s"""WITH ${edgesCte(Some(48))},
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY 1),
+        ${Graph.pageRankOracleCtes(iterations = r)}
+        SELECT node, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r$r ORDER BY node"""
+  } { t =>
+    val (ranks, r) = Graph.pageRankConverged(purchaseEdges(t, Some(48)))
+    g09Rounds.set(r)
+    ranks.orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

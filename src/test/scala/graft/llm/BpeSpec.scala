@@ -127,6 +127,104 @@ class BpeSpec extends SparkSpec {
     assert(batched == sequential)
   }
 
+  // ---------------------- batch-admission guard (ADVICE r12 #1 + VERDICT r12 #3)
+
+  test("selectBatch: concatenation collision with a pre-existing symbol ends the batch") {
+    // The ADVICE r12 scenario: (a,bc) ranked first, (abc,d) next, with
+    // "abc" already a symbol (minted by an earlier (ab,c) merge). String
+    // disjointness alone admits both — but applying (a,bc) mints new
+    // "abc" occurrences, so (abc,d)'s collected count is stale-low and
+    // the threat scan (which keys on component overlap) never sees it.
+    // The guard must accept (a,bc) and STOP.
+    val top = IndexedSeq(("a", "bc", 100L), ("abc", "d", 90L), ("x", "y", 10L))
+    val got = Bpe.selectBatch(top, want = 3, truncated = false,
+      everCreated = Set("bc", "abc", "ab"))
+    assert(got == Seq(("a", "bc", 100L)),
+      s"batch must end at the colliding concatenation, got $got")
+  }
+
+  test("selectBatch: duplicate concatenation within one batch ends it at the second mint") {
+    // (a,bc) and (ab,c) both mint "abc": each admission bound is sound in
+    // isolation, but a symbol fed by TWO merges can push a created pair
+    // past any single threat bound — accept the second, then stop.
+    val top = IndexedSeq(
+      ("a", "bc", 100L), ("ab", "c", 90L), ("x", "y", 80L), ("p", "q", 10L))
+    val got = Bpe.selectBatch(top, want = 4, truncated = false,
+      everCreated = Set("ab", "bc"))
+    assert(got == Seq(("a", "bc", 100L), ("ab", "c", 90L)),
+      s"duplicate mint must close the batch, got $got")
+  }
+
+  test("selectBatch: a candidate whose components were minted this batch stops the batch") {
+    // (abc,d) after (a,bc) in the SAME slice: its collected count predates
+    // the "abc" mints, so ranking against it is meaningless.
+    val top = IndexedSeq(("a", "bc", 100L), ("abc", "d", 90L))
+    val got = Bpe.selectBatch(top, want = 2, truncated = false,
+      everCreated = Set("bc"))
+    assert(got == Seq(("a", "bc", 100L)), s"got $got")
+  }
+
+  test("selectBatch: a candidate equal to an earlier pick's component + fold hazard stops") {
+    // (abc,d) picked first, then (a,bc) whose concatenation "abc" IS an
+    // earlier pick's component: the left-to-right fold would let (abc,d)
+    // consume adjacencies (a,bc) mints mid-pass ("a bc d" → "abcd" in one
+    // pass vs sequential "abc d").
+    val top = IndexedSeq(("abc", "d", 100L), ("a", "bc", 90L), ("x", "y", 1L))
+    val got = Bpe.selectBatch(top, want = 3, truncated = false,
+      everCreated = Set("ab", "abc", "bc"))
+    assert(got == Seq(("abc", "d", 100L)), s"got $got")
+  }
+
+  test("selectBatch: fully conflicting slice degenerates to one merge (sequential)") {
+    // VERDICT r12 #3's degenerate case: every later candidate shares a
+    // symbol with the head — the batch is exactly the sequential argmax.
+    val top = IndexedSeq(
+      ("a", "b", 100L), ("b", "c", 90L), ("c", "a", 80L), ("a", "a", 70L))
+    val got = Bpe.selectBatch(top, want = 4, truncated = false,
+      everCreated = Set.empty[String])
+    assert(got == Seq(("a", "b", 100L)), s"got $got")
+  }
+
+  test("selectBatch: threat from a shared-symbol successor blocks, unrelated pairs pass") {
+    // (x,y) at 50 would be admitted after (a,b) — but (b,z) at 60 shares
+    // b with the batch and outranks it, so (x,y) must NOT be admitted
+    // (sequential round 2 might pick a risen b-pair instead).
+    val blocked = Bpe.selectBatch(
+      IndexedSeq(("a", "b", 100L), ("x", "y", 50L), ("b", "z", 60L)),
+      want = 3, truncated = false, everCreated = Set.empty[String])
+    assert(blocked == Seq(("a", "b", 100L)), s"got $blocked")
+    val admitted = Bpe.selectBatch(
+      IndexedSeq(("a", "b", 100L), ("x", "y", 50L), ("b", "z", 40L)),
+      want = 3, truncated = false, everCreated = Set.empty[String])
+    assert(admitted == Seq(("a", "b", 100L), ("x", "y", 50L)), s"got $admitted")
+  }
+
+  test("selectBatch: truncated slice bounds unseen pairs by the horizon count") {
+    // truncated=true → pairs below the collect horizon may hold up to the
+    // last collected count (30); (x,y) at 50 > 30 still passes, (p,q) at
+    // 25 ≤ 30 must not.
+    val top = IndexedSeq(
+      ("a", "b", 100L), ("x", "y", 50L), ("p", "q", 25L), ("m", "n", 30L))
+    val got = Bpe.selectBatch(top, want = 4, truncated = true,
+      everCreated = Set.empty[String])
+    assert(got == Seq(("a", "b", 100L), ("x", "y", 50L)), s"got $got")
+  }
+
+  test("trainBatched ≡ train on overlap-heavy corpora (greedy-steal adversarial family)") {
+    // Runs of repeated chars + alternations maximize overlapping-adjacency
+    // and mint-cascade pressure — the corpus family where a batched-round
+    // bug would surface as a hash divergence from sequential training.
+    val docs = Seq(
+      (1L, "aaa aaaa aaaaa aaaaaa aab abab ababab"),
+      (2L, "bbc bbbc bbbbc bbbbbc bcbc abc aabc"),
+      (3L, "aaab baab abba aabb bbaa abab baba"),
+      (4L, "xyxy xxyy xyyx yxxy xyx yxy")).toDF("doc_id", "text")
+    val seqSig = modelSignature(Bpe.train(docs, numMerges = 14))
+    for (b <- Seq(2, 3, 5, 8, 32))
+      assert(modelSignature(Bpe.trainBatched(docs, numMerges = 14, batch = b)) == seqSig,
+        s"batch=$b diverged from sequential on the adversarial corpus")
+  }
+
   test("tokenization plans as a broadcast join, not a corpus merge fold") {
     val docs = Seq((1L, "low lower")).toDF("doc_id", "text")
     val model = Bpe.train(docs, numMerges = 2)

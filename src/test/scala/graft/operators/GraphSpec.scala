@@ -230,6 +230,97 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hub-skew: 10⁴-degree hub collapses map-side; alternating CC stays O(log n)") {
+    // power-law shape (VERDICT r12 #5): one 10⁴-degree hub + a 20-node
+    // chain tail off the last leaf — the geometry where a naive
+    // groupBy(dst) would funnel 10⁴ rows into one reduce key
+    val pairs = (1L to 10000L).map(i => (0L, i)) ++
+      (10000L to 10019L).map(i => (i, i + 1))
+    val g = Graph.symmetrize(pairs.toDF("a", "b"), "a", "b").repartition(4)
+    val nNodes = 10021L
+    val edgeRows = g.count() // 2 × 10020 directed rows
+
+    withConf("spark.sql.adaptive.enabled", "false") {
+      // the REAL operator step (shared by pageRank/pageRankConverged/PPR),
+      // over cut inputs exactly as the operators run it — so the ONLY
+      // aggregation shuffle in the plan is the contribution sum itself
+      val e = Materialize.cut(g)
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      val degN = Materialize.cut(
+        deg.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes")))))
+      val ranks = degN.select(col("node"),
+        expr(s"${Graph.Scale}L div n_nodes").as("r"))
+      val contrib = Graph.contribStep(e, ranks, degN)
+      val rows = contrib.collect()
+      assert(rows.length == nNodes, "every node has in-neighbors on a symmetrized star+chain")
+      // map-side combine proof: a PARTIAL aggregate sits below the exchange…
+      val plan = contrib.queryExecution.executedPlan
+      assert(plan.toString.contains("partial_sum"),
+        s"contribution sum must partial-aggregate before shuffling:\n$plan")
+      // …and the hub's 10⁴ fan-in rows collapse to ≤ one per map partition
+      // BEFORE the wire: total shuffled records ≈ distinct (partition, dst)
+      // pairs — bounded by nodes + a few hub/chain duplicates across the 4
+      // partitions, far below the pre-combine edge count. Per-key volume
+      // after combine is ≤ #map-partitions, which IS the no-straggler
+      // bound: no reduce task can receive a degree-proportional row count.
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.WholeStageCodegenExec
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+        case w: WholeStageCodegenExec => w.child
+        case other => other
+      }
+      val aggExchanges = plan.collect {
+        case ex: ShuffleExchangeExec if unwrap(ex.child).isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.HashAggregateExec] => ex
+      }
+      assert(aggExchanges.nonEmpty, s"expected a shuffle under the final agg:\n$plan")
+      val written = aggExchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(written <= nNodes + 200,
+        s"combined shuffle volume must be ~nodes, got $written")
+      assert(written < edgeRows,
+        s"map-side combine must beat raw fan-in: $written vs $edgeRows edge rows")
+    }
+
+    // g08's algorithm keeps logarithmic rounds on the skewed geometry
+    val (cc, rounds) = Graph.connectedComponentsAlternating(g)
+    assert(rounds <= 8, s"alternating CC must stay O(log n) on a hub graph: $rounds")
+    assert(cc.filter(col("component") =!= 0L).isEmpty,
+      "one component, min id 0")
+    assert(cc.count() == nNodes)
+  }
+
+  test("pageRankConverged ≡ pageRank at the reached R; deep tolerance needs R > 5") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (3L, 6L))
+    val (conv, r) = Graph.pageRankConverged(g, tolFp = 10000000L)
+    // the documented 5-iteration knob is NOT at this residual: power
+    // iteration contracts by ~0.85/round, so 1e-5 needs far more rounds
+    assert(r > 5, s"rounds=$r — a 1e-5 residual cannot be reached in 5 rounds")
+    // bit-identity: the converged run IS the fixed-iteration run at R
+    val fixed = Graph.pageRank(g, iterations = r)
+    assert(conv.orderBy("node").as[(Long, Long, Double)].collect().toSeq ===
+      fixed.orderBy("node").as[(Long, Long, Double)].collect().toSeq)
+    // the reached state satisfies the residual contract: one more round
+    // moves no node by ≥ tol
+    val next = Graph.pageRank(g, iterations = r + 1)
+      .select(col("node"), col("rank_fp").as("nr"))
+    val moved = conv.join(next, "node")
+      .filter(abs(col("rank_fp") - col("nr")) >= 10000000L)
+    assert(moved.isEmpty, "post-convergence round moved a node beyond tol")
+    // the backstop throws rather than emitting an unconverged vector
+    assertThrows[IllegalStateException] {
+      Graph.pageRankConverged(g, tolFp = 1L, maxRounds = 3)
+    }
+  }
+
+  test("pageRankConverged is partitioning-independent (exact integers, same R)") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val (a, ra) = Graph.pageRankConverged(g)
+    val (b, rb) = Graph.pageRankConverged(g.repartition(7))
+    assert(ra === rb)
+    assert(a.orderBy("node").as[(Long, Long, Double)].collect().toSeq ===
+      b.orderBy("node").as[(Long, Long, Double)].collect().toSeq)
+  }
+
   test("kCoreConvergedRun: pendant path deeper than the old fixed 10 peels") {
     // triangle {1,2,3} with a 30-node pendant path off node 3: k=2 peeling
     // eats the path one node per round (~30 rounds ≫ the 10 g04 used)

@@ -1,0 +1,105 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Scale layout #6 — the manifested key layout (VERDICT r12 #6):
+  * planning-time FILE pruning from the per-file [min,max] manifest, vs
+  * t33's key-indexed layout which plans every file and prunes row groups
+  * only at read time.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTmp[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-spec")
+    try f(dir.toString) finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head.metrics("numFiles").value
+  }
+
+  test("manifest probe plans O(1) files; the flat key-indexed layout plans all of them") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    // largest existing key ≤ midpoint: mid-range, so boundary-file luck
+    // can't fake the pruning (same probe rule as t34)
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val key = orders.filter(col("o_orderkey") <= mid)
+      .agg(max("o_orderkey")).head().getLong(0)
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 8)
+      withConf("spark.sql.adaptive.enabled", "false") {
+        val probed = ParquetWarehouse.manifestProbe(
+          spark, path, "o_orderkey", Seq(key))
+        val manifested = plannedFiles(probed)
+        val flat = plannedFiles(
+          spark.read.parquet(s"$path/data").filter(col("o_orderkey") === key))
+        assert(flat == 8, s"the flat read must plan every data file, got $flat")
+        assert(manifested == 1,
+          s"the manifest must prune the plan to the one covering file, got $manifested")
+        // same answer through both paths
+        val a = probed.orderBy("o_orderkey").collect().toSeq
+        val b = spark.read.parquet(s"$path/data")
+          .filter(col("o_orderkey") === key).orderBy("o_orderkey").collect().toSeq
+        assert(a == b && a.nonEmpty)
+      }
+    }
+  }
+
+  test("manifest round-trip is lossless and a multi-key IN probe unions the covering files") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 8)
+      // manifest intervals cover every row exactly once
+      val man = spark.read.parquet(s"$path/_manifest")
+      assert(man.count() == 8)
+      assert(man.agg(sum("n_rows")).head().getLong(0) == orders.count())
+      // keys from opposite ends of the keyspace → two covering files
+      val probed = ParquetWarehouse.manifestProbe(
+        spark, path, "o_orderkey", Seq(lo, hi))
+      withConf("spark.sql.adaptive.enabled", "false") {
+        assert(plannedFiles(probed) == 2,
+          "extreme keys live in different range files")
+      }
+      assert(probed.select("o_orderkey").as[Long].collect().toSet == Set(lo, hi))
+    }
+  }
+
+  test("manifest probe outside every interval returns empty with the data schema") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val hi = orders.agg(max("o_orderkey")).head().getLong(0)
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 4)
+      val out = ParquetWarehouse.manifestProbe(
+        spark, path, "o_orderkey", Seq(hi + 1000000L))
+      assert(out.isEmpty)
+      assert(out.columns.toSeq == orders.columns.toSeq)
+    }
+  }
+
+  test("missing manifest fails fast instead of silently scanning the directory") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    withTmp { root =>
+      val path = s"$root/orders_plain"
+      ParquetWarehouse.writeKeyIndexed(orders, s"$path/data", "o_orderkey", files = 4)
+      assertThrows[IllegalArgumentException] {
+        ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(1L))
+      }
+    }
+  }
+}
