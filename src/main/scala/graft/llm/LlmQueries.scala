@@ -3288,12 +3288,18 @@ object LlmQueries {
   }
 
   // x46 — readability battery (Flesch reading ease + FK grade): exact
-  // integer sentence/word/vowel-group counts, fixed-order double formula,
-  // ROUND(4) — the oracle replays the identical heuristics, so a regex
-  // divergence, a different floor, or a reassociated multiply hash-fails.
-  // The corpus is punctuation-light word salad, so most docs floor at one
-  // sentence — the word/syllable ratios carry the signal; the injected
-  // '. ' suffix on every 6th doc exercises the sentence counter.
+  // integer sentence/word/vowel-group counts, and EXACT INTEGER scoring —
+  // each score is one common-denominator rational over the counts,
+  // rounded half-away-from-zero in integer arithmetic ((num·10⁴ ± den/2)
+  // // den; DuckDB `//` truncates toward zero exactly like Spark's `div`,
+  // verified on negatives) and rendered as the exact double scaled/10⁴.
+  // ROUND(double, 4) was the round-12 form and split 4.4262 vs 4.4263 on
+  // a half-boundary document at sf0.1 — Spark rounds the exact binary
+  // expansion, DuckDB scales in floating point. The oracle replays the
+  // identical integer formula, so a regex divergence, a different floor,
+  // or any arithmetic drift hash-fails. The corpus is punctuation-light
+  // word salad, so most docs floor at one sentence; the injected '. '
+  // suffix on every 6th doc exercises the sentence counter.
   private val x46 = q("x46_readability", Some(
     """WITH noisy AS (
          SELECT doc_id,
@@ -3301,22 +3307,25 @@ object LlmQueries {
          FROM documents),
        c AS (
          SELECT doc_id,
-           GREATEST(len(regexp_extract_all(nt, '[.!?]+')), 1) AS n_sentences,
-           len(string_split_regex(lower(nt), '\s+')) AS n_words,
-           list_sum(list_transform(string_split_regex(lower(nt), '\s+'),
-             x -> GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS n_syllables
-         FROM noisy)
+           CAST(GREATEST(len(regexp_extract_all(nt, '[.!?]+')), 1) AS BIGINT) AS s,
+           CAST(len(string_split_regex(lower(nt), '\s+')) AS BIGINT) AS w,
+           CAST(list_sum(list_transform(string_split_regex(lower(nt), '\s+'),
+             x -> GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS y
+         FROM noisy),
+       f AS (
+         SELECT doc_id, s, w, y,
+           206835 * w * s - 1015 * w * w - 84600 * y * s AS fnum,
+           1000 * w * s AS fden,
+           39 * w * w + 1180 * y * s - 1559 * w * s AS knum,
+           100 * w * s AS kden
+         FROM c)
        SELECT doc_id,
-         CAST(n_sentences AS BIGINT) AS n_sentences,
-         CAST(n_words AS BIGINT) AS n_words,
-         CAST(n_syllables AS BIGINT) AS n_syllables,
-         ROUND(CAST(206.835 AS DOUBLE)
-               - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-               - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch,
-         ROUND(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-               + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-               - CAST(15.59 AS DOUBLE), 4) AS fk_grade
-       FROM c ORDER BY doc_id""")) { t =>
+         s AS n_sentences, w AS n_words, y AS n_syllables,
+         CAST((fnum * 10000 + CASE WHEN fnum >= 0 THEN fden // 2 ELSE -(fden // 2) END)
+              // fden AS DOUBLE) / 10000.0 AS flesch,
+         CAST((knum * 10000 + CASE WHEN knum >= 0 THEN kden // 2 ELSE -(kden // 2) END)
+              // kden AS DOUBLE) / 10000.0 AS fk_grade
+       FROM f ORDER BY doc_id""")) { t =>
     val noisy = t.documents.select(col("doc_id"), concat(col("text"),
       when(col("doc_id") % 6 === 0, lit(" end. Really end! ok?")).otherwise(""))
       .as("nt"))

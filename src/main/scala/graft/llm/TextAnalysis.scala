@@ -1006,12 +1006,22 @@ object TextAnalysis {
     * with low training value). Counting is exact-integer and heuristic in
     * the standard way: sentences = `[.!?]+` runs (floored at 1), words =
     * whitespace tokens, syllables = vowel GROUPS (`[aeiouy]+`) per word
-    * floored at 1. The scores are fixed-order double arithmetic over those
-    * integers — both engines parse the same decimal literals to the same
-    * IEEE doubles and evaluate the same expression tree, so one final
-    * ROUND(4) is bit-stable cross-engine (the q19 treatment). Pure narrow
-    * map: one regex pass per doc + one fused per-token aggregate, zero
-    * exchanges at any scale.
+    * floored at 1.
+    *
+    * SCORING IS EXACT INTEGER ARITHMETIC (round-13 fix, caught by the
+    * whole-registry sf0.1 sweep): `round(double, 4)` is NOT bit-stable
+    * cross-engine at half-boundaries — Spark rounds the exact binary
+    * expansion via BigDecimal while DuckDB scales in floating point, and
+    * at sf0.1 one document's fk_grade landed on a boundary and split
+    * 4.4262 vs 4.4263. The scores here are rationals over integer counts,
+    * so each is computed as one common-denominator fraction and rounded
+    * half-away-from-zero IN INTEGERS — (num·10⁴ ± den/2) div den, with
+    * truncating integer division (Spark `div` ≡ DuckDB `//`, verified on
+    * negatives) — then rendered as the exact double `scaled / 10⁴`. Every
+    * step is engine-independent. Long-safe to ~10⁹ word·sentence product
+    * per document (a 100 MB single doc — far past any chunked corpus).
+    * Pure narrow map: one regex pass per doc + one fused per-token
+    * aggregate, zero exchanges at any scale.
     */
   def readability(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = TextFns.tokens(col(textCol))
@@ -1027,13 +1037,23 @@ object TextAnalysis {
         nSentences.cast("long").as("n_sentences"),
         size(t).cast("long").as("n_words"),
         nSyllables.as("n_syllables"))
-      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
-      .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+      // flesch = 206.835 − 1.015·w/s − 84.6·y/w
+      //        = (206835·w·s − 1015·w² − 84600·y·s) / (1000·w·s)
+      // fk     = 0.39·w/s + 11.8·y/w − 15.59
+      //        = (39·w² + 1180·y·s − 1559·w·s) / (100·w·s)
+      .withColumn("fnum", expr(
+        "206835L * n_words * n_sentences - 1015L * n_words * n_words" +
+          " - 84600L * n_syllables * n_sentences"))
+      .withColumn("fden", expr("1000L * n_words * n_sentences"))
+      .withColumn("knum", expr(
+        "39L * n_words * n_words + 1180L * n_syllables * n_sentences" +
+          " - 1559L * n_words * n_sentences"))
+      .withColumn("kden", expr("100L * n_words * n_sentences"))
       .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
-        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
-          .as("flesch"),
-        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
-          .as("fk_grade"))
+        (expr("""(fnum * 10000L + IF(fnum >= 0, fden div 2, -(fden div 2)))
+                 div fden""").cast("double") / lit(10000.0)).as("flesch"),
+        (expr("""(knum * 10000L + IF(knum >= 0, kden div 2, -(kden div 2)))
+                 div kden""").cast("double") / lit(10000.0)).as("fk_grade"))
   }
 
   // PII scrubbing patterns — the common subset of java.util.regex and RE2
