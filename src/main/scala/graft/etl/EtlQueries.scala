@@ -1190,8 +1190,41 @@ object EtlQueries {
       .orderBy("orderkey")
   }
 
+  // t35 — transactional APPEND to the manifested layout (t34's write
+  // path; the Iceberg snapshot-commit shape without a catalog): the lower
+  // keyspace half publishes as manifest v1, the upper half appends — new
+  // data files land first, their intervals (computed from ONLY the new
+  // files) union into manifest v2, and the pointer swaps LAST, so a crash
+  // anywhere leaves the appended files invisible rather than half-served
+  // (ManifestSpec fault-injects the crash window and the orphan-retry
+  // case). The def probes the global min (v1 file) and max (appended
+  // file) through the committed manifest; the oracle recomputes from raw
+  // orders, so a row lost, doubled, or mis-intervaled by the append
+  // hash-fails.
+  private val t35 = q("t35_manifested_append",
+    """WITH ks AS (SELECT MIN(o_orderkey) AS k1, MAX(o_orderkey) AS k2 FROM orders)
+       SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
+       FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2)
+       ORDER BY orderkey""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-app")
+      .toString + "/orders_manifested"
+    val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = (lo + hi) / 2
+    ParquetWarehouse.writeManifested(
+      t.orders.filter(col("o_orderkey") <= mid), path, "o_orderkey", files = 4)
+    ParquetWarehouse.appendManifested(
+      t.orders.filter(col("o_orderkey") > mid), path, "o_orderkey", files = 4)
+    ParquetWarehouse.manifestProbe(t.spark, path, "o_orderkey", Seq(lo, hi))
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .orderBy("orderkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, t34, t35, c01, c02, c03, c04, c05, c06, c07)
 }

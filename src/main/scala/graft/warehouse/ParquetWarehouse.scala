@@ -570,6 +570,8 @@ object ParquetWarehouse {
     * rewriting the manifest fails the probe loudly (missing file), never
     * silently mis-serves.
     */
+  private val ManifestPtr = "_MANIFEST_CURRENT"
+
   def writeManifested(df: DataFrame, path: String, keyCol: String,
                       files: Int = 16): Unit = {
     writeKeyIndexed(df, s"$path/data", keyCol, files)
@@ -578,7 +580,69 @@ object ParquetWarehouse {
       .agg(min(col(keyCol)).as("k_min"), max(col(keyCol)).as("k_max"),
         count(lit(1)).as("n_rows"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+      .write.mode("overwrite").parquet(s"$path/_manifests/v1")
+    AtomicPointer.write(s"$path/$ManifestPtr", "v1")
+  }
+
+  /** The manifest snapshot the pointer currently publishes. Fails fast on
+    * a non-manifested dir — scanning the data directory instead would
+    * silently throw away the layout's contract.
+    */
+  def currentManifest(spark: SparkSession, path: String): DataFrame = {
+    val v = AtomicPointer.read(s"$path/$ManifestPtr")
+    require(v.isDefined,
+      s"manifested layout: $path/$ManifestPtr missing — not a manifested table")
+    spark.read.parquet(s"$path/_manifests/${v.get.trim}")
+  }
+
+  /** Transactional APPEND to a manifested table — the Iceberg
+    * snapshot-commit shape without a catalog (scale layout #6's write
+    * path): (1) the new batch lands as NEW range-sorted data files
+    * (existing files untouched — uuid part names cannot collide); (2)
+    * their key intervals are computed by scanning ONLY the new files
+    * (directory listing anti-joined with the current manifest by file
+    * name — O(files) driver rows, bounded); (3) the union manifest is
+    * written as the NEXT version directory (skip-existing allocator, so a
+    * crashed attempt's leftover version is never reused); (4) the pointer
+    * swaps LAST via atomic rename. The pointer IS the commit point: a
+    * probe consults only the published manifest, so a crash anywhere
+    * before (4) leaves the new files INVISIBLE — never half-served — and
+    * prior manifest versions remain readable (index time travel). Orphan
+    * files from crashed attempts are NEVER adopted (the new-file set is
+    * the listing diff around THIS call's write, not a diff against the
+    * manifest — adopting orphans would double rows when the crashed batch
+    * is retried); they stay invisible until a vacuum. At 100 TB this is
+    * the only append shape that works: no re-scan of existing data, no
+    * listing on the read path, O(new files) work.
+    */
+  def appendManifested(df: DataFrame, path: String, keyCol: String,
+                       files: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val cur = currentManifest(spark, path)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot the listing BEFORE the write: new files = after − before,
+    // matched by the collision-free uuid part NAME (listing URIs and
+    // input_file_name URIs render differently; basenames are unique)
+    def names() = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val before = names().map(_.getName).toSet
+    df.repartitionByRange(files, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("append")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .parquet(s"$path/data")
+    val fresh = names().filterNot(p => before(p.getName)).map(_.toString)
+    require(fresh.nonEmpty, "appendManifested: the append produced no new files")
+    val freshIntervals = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("k_min"), max(col(keyCol)).as("k_max"),
+        count(lit(1)).as("n_rows"))
+    var n = 2
+    while (AtomicPointer.exists(s"$path/_manifests/v$n")) n += 1
+    cur.unionByName(freshIntervals).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifests/v$n")
+    AtomicPointer.write(s"$path/$ManifestPtr", s"v$n")
   }
 
   /** Point/small-IN probe through the manifest: read the O(files)-row
@@ -586,20 +650,14 @@ object ParquetWarehouse {
     * keep only files whose [k_min, k_max] interval can contain a probed
     * key, and plan ONLY those into the scan. The residual equality filter
     * still pushes into the pruned files (row-group stats + bloom finish
-    * the job inside the file). Fails fast if the manifest is missing —
-    * scanning the full directory instead would silently throw away the
-    * layout's contract.
+    * the job inside the file).
     */
   def manifestProbe(spark: SparkSession, path: String, keyCol: String,
                     keys: Seq[Long]): DataFrame = {
     require(keys.nonEmpty, "manifestProbe: no probe keys")
-    val mf = new org.apache.hadoop.fs.Path(s"$path/_manifest")
-    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(mf),
-      s"manifestProbe: $path/_manifest missing — not a manifested layout")
     val hit = keys.map(k => col("k_min") <= k && col("k_max") >= k)
       .reduce(_ || _)
-    val files = spark.read.parquet(s"$path/_manifest")
+    val files = currentManifest(spark, path)
       .filter(hit).select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       spark.read.parquet(s"$path/data").filter(lit(false))

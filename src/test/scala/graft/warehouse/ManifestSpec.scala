@@ -65,7 +65,7 @@ class ManifestSpec extends SparkSpec {
       val path = s"$root/orders_m"
       ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 8)
       // manifest intervals cover every row exactly once
-      val man = spark.read.parquet(s"$path/_manifest")
+      val man = ParquetWarehouse.currentManifest(spark, path)
       assert(man.count() == 8)
       assert(man.agg(sum("n_rows")).head().getLong(0) == orders.count())
       // keys from opposite ends of the keyspace → two covering files
@@ -100,6 +100,60 @@ class ManifestSpec extends SparkSpec {
       assertThrows[IllegalArgumentException] {
         ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(1L))
       }
+    }
+  }
+
+  test("append: pointer swap is the commit point — uncommitted files stay invisible") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = (lo + hi) / 2
+    val (lower, upper) =
+      (orders.filter(col("o_orderkey") <= mid), orders.filter(col("o_orderkey") > mid))
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(lower, path, "o_orderkey", files = 4)
+      // a CRASHED append = step (1) alone: data files landed, manifest
+      // never committed — the probe must not see them (the manifest, not
+      // the directory, is the source of truth)
+      upper.repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(s"$path/data")
+      assert(ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(hi)).isEmpty,
+        "files from an uncommitted append must be invisible to the probe")
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .agg(sum("n_rows")).head().getLong(0) == lower.count())
+      // the real append (a RETRY of the crashed batch) commits: new files
+      // + manifest v2 + pointer swap — and must NOT adopt the crashed
+      // attempt's orphan files, or the retried rows would double
+      ParquetWarehouse.appendManifested(upper, path, "o_orderkey", files = 2)
+      val seen = ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(lo, hi))
+        .select("o_orderkey").as[Long].collect().toSeq
+      assert(seen.sorted == Seq(lo, hi),
+        "keys from both halves serve, each exactly once (orphans stay invisible)")
+      val man = ParquetWarehouse.currentManifest(spark, path)
+      assert(man.agg(sum("n_rows")).head().getLong(0) == orders.count(),
+        "manifest covers base + retried rows exactly once, never the orphans")
+    }
+  }
+
+  test("append allocates the next manifest version; prior versions stay readable") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mid = {
+      val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      (mm.getLong(0) + mm.getLong(1)) / 2
+    }
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(
+        orders.filter(col("o_orderkey") <= mid), path, "o_orderkey", files = 2)
+      ParquetWarehouse.appendManifested(
+        orders.filter(col("o_orderkey") > mid), path, "o_orderkey", files = 2)
+      assert(AtomicPointer.read(s"$path/_MANIFEST_CURRENT").map(_.trim).contains("v2"))
+      val v1 = spark.read.parquet(s"$path/_manifests/v1")
+      val v2 = spark.read.parquet(s"$path/_manifests/v2")
+      assert(v1.count() < v2.count(), "the prior snapshot remains readable (index time travel)")
+      assert(v2.agg(sum("n_rows")).head().getLong(0) == orders.count())
     }
   }
 }
