@@ -645,6 +645,53 @@ object ParquetWarehouse {
     AtomicPointer.write(s"$path/$ManifestPtr", s"v$n")
   }
 
+  /** Reclaim a manifested table's dead bytes: data files NOT referenced
+    * by the CURRENT manifest (orphans from crashed appends — the files
+    * [[appendManifested]] deliberately never adopts) and manifest version
+    * dirs below the published one (superseded index snapshots — this
+    * reclaims index time travel by design, the same maintenance-window
+    * contract as [[vacuumSnapshots]]).
+    *
+    * Writer-safety: an IN-FLIGHT append has already landed data files
+    * that no manifest references yet — deleting those would let the
+    * append commit a manifest naming vanished files. The guard is the
+    * commit clock: only files whose modification time predates the
+    * pointer's last commit are orphan candidates (an uncommitted file
+    * older than the last commit can never become live, because appends
+    * only adopt files they themselves just wrote), and the pointer is
+    * re-read immediately before each delete. Returns (orphan data files
+    * deleted, manifest versions deleted).
+    */
+  def vacuumManifested(spark: SparkSession, path: String): (Int, Int) = {
+    val ptrPath = s"$path/$ManifestPtr"
+    val cur = AtomicPointer.read(ptrPath)
+    require(cur.isDefined,
+      s"vacuumManifested: $ptrPath missing — not a manifested table")
+    val curV = cur.get.trim
+    val live = currentManifest(spark, path).select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitTime = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(ptrPath)).getModificationTime
+    val orphans = fs.listStatus(dataDir)
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !live(st.getPath.getName) && st.getModificationTime < commitTime)
+    val nFiles = orphans.count { st =>
+      AtomicPointer.read(ptrPath).map(_.trim).contains(curV) &&
+        fs.delete(st.getPath, false)
+    }
+    val curN = curV.drop(1).toLong
+    val manifestsDir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    val oldVersions = fs.listStatus(manifestsDir).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") && p.getName.drop(1).toLong < curN)
+    val nVersions = oldVersions.count { p =>
+      AtomicPointer.read(ptrPath).map(_.trim).contains(curV) &&
+        fs.delete(p, true)
+    }
+    (nFiles, nVersions)
+  }
+
   /** Point/small-IN probe through the manifest: read the O(files)-row
     * manifest (a bounded driver materialization — one row per data file),
     * keep only files whose [k_min, k_max] interval can contain a probed

@@ -137,6 +137,41 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: reclaims crash orphans + superseded manifests, spares in-flight files") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = (lo + hi) / 2
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(
+        orders.filter(col("o_orderkey") <= mid), path, "o_orderkey", files = 4)
+      // crashed append: 2 orphan data files, never committed
+      orders.filter(col("o_orderkey") > mid)
+        .repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(s"$path/data")
+      // retried append commits (v2) — its OWN files, not the orphans
+      ParquetWarehouse.appendManifested(
+        orders.filter(col("o_orderkey") > mid), path, "o_orderkey", files = 2)
+      // an IN-FLIGHT append (files landed after the v2 commit, no manifest
+      // yet) must survive the vacuum
+      orders.limit(5).write.mode("append").parquet(s"$path/data")
+      val (files, versions) = ParquetWarehouse.vacuumManifested(spark, path)
+      assert(files == 2, s"exactly the crashed attempt's files reclaim, got $files")
+      assert(versions == 1, s"exactly the superseded v1 manifest reclaims, got $versions")
+      // the published snapshot still serves in full
+      val seen = ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(lo, hi))
+        .select("o_orderkey").as[Long].collect().toSeq
+      assert(seen.sorted == Seq(lo, hi))
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .agg(sum("n_rows")).head().getLong(0) == orders.count())
+      // idempotent: nothing left to reclaim (the in-flight files still
+      // postdate the commit, so they stay protected)
+      assert(ParquetWarehouse.vacuumManifested(spark, path) == ((0, 0)))
+    }
+  }
+
   test("append allocates the next manifest version; prior versions stay readable") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val mid = {
