@@ -570,6 +570,51 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous MANIFESTED-TABLE maintenance — the streaming write path of
+    * scale layout #6 (t34/t35): each micro-batch appends through
+    * [[graft.warehouse.ParquetWarehouse.appendManifested]], so point
+    * probes serve each batch the instant its pointer swap lands, planning
+    * O(1) files with no listing. Replay posture is the engine-standard
+    * protocol, with one structural simplification: the manifest POINTER
+    * is itself the atomic commit record, so the batch tag rides the
+    * pointer (one rename commits data visibility AND the tag together —
+    * no window between them). The crash cases:
+    *   - crash before the pointer swap → the batch's files are orphans
+    *     (invisible by t35's contract); the replay re-appends fresh files
+    *     and commits them — rows exactly once, orphans reclaimed by
+    *     [[graft.warehouse.ParquetWarehouse.vacuumManifested]];
+    *   - crash between the pointer swap and the high-water-mark commit →
+    *     the replayed batch finds its own tag on the pointer and only
+    *     re-commits the mark — a blind re-append would double every row
+    *     and no read-side dedup could tell.
+    * Empty micro-batches commit the mark without minting a manifest
+    * version.
+    */
+  def ingestManifestedStream(rows: DataFrame, storePath: String,
+                             keyCol: String, checkpoint: String,
+                             files: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyCommitted = p == Recover &&
+            graft.warehouse.ParquetWarehouse.manifestCommitTag(storePath)
+              .contains(tag)
+          if (!alreadyCommitted && !batch.isEmpty)
+            graft.warehouse.ParquetWarehouse.appendManifested(
+              batch, storePath, keyCol, files, tag = Some(tag))
+          guard.commit(batchId)
+      }
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous RANKED-index maintenance — [[ingestPostingsStream]]'s twin
     * for the BM25 store (x48's versioned protocol driven by a stream):
     * each micro-batch of WHOLE documents appends dl-carrying postings plus

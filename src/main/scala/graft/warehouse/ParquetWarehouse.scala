@@ -586,14 +586,31 @@ object ParquetWarehouse {
 
   /** The manifest snapshot the pointer currently publishes. Fails fast on
     * a non-manifested dir — scanning the data directory instead would
-    * silently throw away the layout's contract.
+    * silently throw away the layout's contract. The pointer's first token
+    * is the version; an optional second token is the committing writer's
+    * tag (see [[manifestCommitTag]]).
     */
   def currentManifest(spark: SparkSession, path: String): DataFrame = {
-    val v = AtomicPointer.read(s"$path/$ManifestPtr")
+    val v = currentManifestVersion(path)
     require(v.isDefined,
       s"manifested layout: $path/$ManifestPtr missing — not a manifested table")
-    spark.read.parquet(s"$path/_manifests/${v.get.trim}")
+    spark.read.parquet(s"$path/_manifests/${v.get}")
   }
+
+  private def pointerTokens(path: String): Option[Array[String]] =
+    AtomicPointer.read(s"$path/$ManifestPtr").map(_.trim.split("\\s+"))
+
+  def currentManifestVersion(path: String): Option[String] =
+    pointerTokens(path).map(_.head)
+
+  /** The tag the LAST COMMITTED append carried (None for untagged
+    * commits). Because the tag rides the pointer itself — one atomic
+    * rename — a streaming writer can decide "did my crashed attempt
+    * already commit?" with no window between data commit and tag record:
+    * the commit IS the record.
+    */
+  def manifestCommitTag(path: String): Option[String] =
+    pointerTokens(path).flatMap(_.lift(1))
 
   /** Transactional APPEND to a manifested table — the Iceberg
     * snapshot-commit shape without a catalog (scale layout #6's write
@@ -616,7 +633,7 @@ object ParquetWarehouse {
     * listing on the read path, O(new files) work.
     */
   def appendManifested(df: DataFrame, path: String, keyCol: String,
-                       files: Int = 4): Unit = {
+                       files: Int = 4, tag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val cur = currentManifest(spark, path)
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -642,7 +659,7 @@ object ParquetWarehouse {
     while (AtomicPointer.exists(s"$path/_manifests/v$n")) n += 1
     cur.unionByName(freshIntervals).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifests/v$n")
-    AtomicPointer.write(s"$path/$ManifestPtr", s"v$n")
+    AtomicPointer.write(s"$path/$ManifestPtr", s"v$n${tag.fold("")(" " + _)}")
   }
 
   /** Reclaim a manifested table's dead bytes: data files NOT referenced
@@ -664,10 +681,10 @@ object ParquetWarehouse {
     */
   def vacuumManifested(spark: SparkSession, path: String): (Int, Int) = {
     val ptrPath = s"$path/$ManifestPtr"
-    val cur = AtomicPointer.read(ptrPath)
+    val cur = currentManifestVersion(path)
     require(cur.isDefined,
       s"vacuumManifested: $ptrPath missing — not a manifested table")
-    val curV = cur.get.trim
+    val curV = cur.get
     val live = currentManifest(spark, path).select("file").collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -678,7 +695,7 @@ object ParquetWarehouse {
       .filter(st => st.getPath.getName.endsWith(".parquet") &&
         !live(st.getPath.getName) && st.getModificationTime < commitTime)
     val nFiles = orphans.count { st =>
-      AtomicPointer.read(ptrPath).map(_.trim).contains(curV) &&
+      currentManifestVersion(path).contains(curV) &&
         fs.delete(st.getPath, false)
     }
     val curN = curV.drop(1).toLong
@@ -686,7 +703,7 @@ object ParquetWarehouse {
     val oldVersions = fs.listStatus(manifestsDir).map(_.getPath)
       .filter(p => p.getName.matches("v\\d+") && p.getName.drop(1).toLong < curN)
     val nVersions = oldVersions.count { p =>
-      AtomicPointer.read(ptrPath).map(_.trim).contains(curV) &&
+      currentManifestVersion(path).contains(curV) &&
         fs.delete(p, true)
     }
     (nFiles, nVersions)

@@ -833,6 +833,76 @@ class StreamingSpec extends SparkSpec {
     assert(view() == expected, "a tag-detected replay must not double-count")
   }
 
+  test("manifested-table ingest: streamed appends serve point probes; replays never double rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.warehouse.ParquetWarehouse
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val rows = orders.as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest-stream").toString
+    val store = s"$root/store"
+    // the streaming maintainer appends; the table must pre-exist (v1)
+    val (seed, rest) = rows.splitAt(rows.length / 3)
+    ParquetWarehouse.writeManifested(
+      seed.toDF("o_orderkey", "o_totalprice"), store, "o_orderkey", files = 2)
+    val stream = MemoryStream[(Long, Double)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestManifestedStream(
+        stream.toDF().toDF("o_orderkey", "o_totalprice"), store, "o_orderkey",
+        s"$root/ckpt", files = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    // bounded probe (five keys spanning seed + both batches) plus the
+    // manifest's exact row accounting — a doubled or dropped batch moves
+    // the n_rows total even where the probe keys miss it
+    val probeKeys = Seq(rows.head._1, rows(rows.length / 4)._1,
+      rows(rows.length / 2)._1, rows(3 * rows.length / 4)._1, rows.last._1).distinct
+    val probeExpect = rows.filter(r => probeKeys.contains(r._1))
+    def served(): (Seq[(Long, Double)], Long) = (
+      ParquetWarehouse.manifestProbe(spark, store, "o_orderkey", probeKeys)
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1),
+      ParquetWarehouse.currentManifest(spark, store)
+        .agg(sum("n_rows")).head().getLong(0))
+    val want = (probeExpect, rows.length.toLong)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    stream.addData(b1); run()
+    stream.addData(b2); run()
+    assert(served() == want, "seed + two streamed batches serve every row exactly once")
+    // crash window A: the mark committed but Spark's commit log was lost —
+    // the restart re-delivers the last batch; the guard skips it outright
+    uncommit(1)
+    run()
+    assert(served() == want, "a mark-skipped replay must not re-append")
+    // crash window B: the POINTER swap landed (data committed) but the
+    // process died before the mark write — the replay finds its own tag ON
+    // the pointer and only re-commits the mark; a blind re-append would
+    // double every row of the batch
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/_streaming_hwm"))
+    assert(ParquetWarehouse.manifestCommitTag(store).contains("batch-1"))
+    run()
+    assert(served() == want, "a tag-detected replay must not double rows")
+    // crash window C (the manifested-specific one): data files landed but
+    // the POINTER never swapped — the files are orphans; the replay
+    // re-appends fresh files and commits them, rows exactly once
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/_streaming_hwm"))
+    // roll the pointer back to the pre-batch-1 manifest (v2 = batch 0's
+    // commit), stranding batch 1's files exactly as a pre-swap crash would
+    graft.warehouse.AtomicPointer.write(s"$store/_MANIFEST_CURRENT", "v2 batch-0")
+    run()
+    assert(served() == want,
+      "a pre-swap crash replay must re-land the batch exactly once (orphans invisible)")
+    // the stranded orphans are reclaimable and reclaim changes nothing served
+    val (orphans, _) = ParquetWarehouse.vacuumManifested(spark, store)
+    assert(orphans >= 2, s"the stranded attempt's files must reclaim, got $orphans")
+    assert(served() == want)
+  }
+
   test("steady-state vector ingest plans no scan over the stored vectors table") {
     implicit val sqlCtx = spark.sqlContext
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
