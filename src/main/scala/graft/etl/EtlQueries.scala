@@ -1223,8 +1223,50 @@ object EtlQueries {
       .orderBy("orderkey")
   }
 
+  // t36 — COMPACTION of the manifested layout (the maintenance pass that
+  // closes scale layout #6's lifecycle: write → append → probe → compact →
+  // vacuum): three overlapping-keyspan generations (base + two appends
+  // split by key mod 3, each spanning the whole key range — the realistic
+  // shape where probe fan-out decays toward one file per generation) are
+  // rewritten into ONE fresh range-sorted generation; the new manifest
+  // names only the fresh files, the pointer swap is the commit, and
+  // vacuum afterwards reclaims the superseded generations (ManifestSpec
+  // measures the fan-out decay + restore and fault-injects the crash
+  // window). The def probes min, mid, and max through the compacted +
+  // vacuumed table; the oracle recomputes from raw orders, so a row
+  // lost, doubled, or mis-intervaled by the rewrite hash-fails.
+  private val t36 = q("t36_manifested_compaction",
+    """WITH mid AS (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS m FROM orders),
+       ks AS (SELECT MIN(o_orderkey) AS k1,
+                     (SELECT MAX(o_orderkey) FROM orders, mid WHERE o_orderkey <= mid.m) AS k2,
+                     MAX(o_orderkey) AS k3 FROM orders)
+       SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
+       FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2, ks.k3)
+       ORDER BY orderkey""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-cpt")
+      .toString + "/orders_manifested"
+    ParquetWarehouse.writeManifested(
+      t.orders.filter(col("o_orderkey") % 3 === 0), path, "o_orderkey", files = 2)
+    (1 to 2).foreach { i =>
+      ParquetWarehouse.appendManifested(
+        t.orders.filter(col("o_orderkey") % 3 === i), path, "o_orderkey", files = 2)
+    }
+    ParquetWarehouse.compactManifested(t.spark, path, "o_orderkey", files = 4)
+    ParquetWarehouse.vacuumManifested(t.spark, path)
+    val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val midKey = t.orders.filter(col("o_orderkey") <= (lo + hi) / 2)
+      .agg(max("o_orderkey")).head().getLong(0)
+    ParquetWarehouse.manifestProbe(t.spark, path, "o_orderkey", Seq(lo, midKey, hi))
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .orderBy("orderkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34, t35, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, t34, t35, t36, c01, c02, c03, c04, c05, c06, c07)
 }

@@ -636,30 +636,92 @@ object ParquetWarehouse {
                        files: Int = 4, tag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val cur = currentManifest(spark, path)
+    val freshIntervals = writeGeneration(spark, path, keyCol,
+      "appendManifested: the append produced no new files") {
+      df.repartitionByRange(files, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("append")
+        .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+        .parquet(s"$path/data")
+    }
+    publishNextManifest(path, cur.unionByName(freshIntervals), tag)
+  }
+
+  /** Land one generation of data files and return their manifest rows:
+    * snapshot the listing BEFORE the write, run it, and diff — new files
+    * = after − before, matched by the collision-free uuid part NAME
+    * (listing URIs and input_file_name URIs render differently; basenames
+    * are unique). Intervals come from scanning ONLY the new files.
+    */
+  private def writeGeneration(spark: SparkSession, path: String,
+                              keyCol: String, emptyMsg: String)
+                             (write: => Unit): DataFrame = {
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // snapshot the listing BEFORE the write: new files = after − before,
-    // matched by the collision-free uuid part NAME (listing URIs and
-    // input_file_name URIs render differently; basenames are unique)
     def names() = fs.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val before = names().map(_.getName).toSet
-    df.repartitionByRange(files, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode("append")
-      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
-      .parquet(s"$path/data")
+    write
     val fresh = names().filterNot(p => before(p.getName)).map(_.toString)
-    require(fresh.nonEmpty, "appendManifested: the append produced no new files")
-    val freshIntervals = spark.read.parquet(fresh.toIndexedSeq: _*)
+    require(fresh.nonEmpty, emptyMsg)
+    spark.read.parquet(fresh.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("k_min"), max(col(keyCol)).as("k_max"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** Write `rows` as the next manifest version (skip-existing allocator,
+    * so a crashed attempt's leftover version dir is never reused) and
+    * swap the pointer LAST via atomic rename — the pointer IS the commit.
+    */
+  private def publishNextManifest(path: String, rows: DataFrame,
+                                  tag: Option[String]): Unit = {
     var n = 2
     while (AtomicPointer.exists(s"$path/_manifests/v$n")) n += 1
-    cur.unionByName(freshIntervals).coalesce(1)
+    rows.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifests/v$n")
     AtomicPointer.write(s"$path/$ManifestPtr", s"v$n${tag.fold("")(" " + _)}")
+  }
+
+  /** Small-file COMPACTION for the manifested layout — the maintenance
+    * pass that restores [[manifestProbe]]'s O(1)-files-per-probe contract
+    * after a run of appends: each [[appendManifested]] lands its own
+    * range-sorted file set over the batch's keyspan, so once batches'
+    * keyspans overlap, a point probe's covering-file count decays toward
+    * one file PER GENERATION (ManifestSpec measures the decay and the
+    * restore). Compaction rewrites the CURRENT manifest's live files into
+    * one fresh `files`-file range-partitioned sorted generation and
+    * publishes it as the next manifest version:
+    *   (1) read ONLY the files the current manifest names (orphans from
+    *       crashed attempts are never adopted — the append's rule);
+    *   (2) the rewrite lands as NEW data files beside the old (uuid part
+    *       names cannot collide; existing files untouched);
+    *   (3) a manifest naming ONLY the new generation publishes through
+    *       the shared allocator + pointer swap.
+    * The pointer IS the commit point: a crash anywhere leaves the old
+    * generation serving and the half-written rewrite invisible
+    * ([[vacuumManifested]] reclaims it as orphans); after the commit the
+    * OLD data files become unreferenced and the SAME vacuum reclaims
+    * them — compaction itself deletes nothing, so a reader holding the
+    * prior manifest version keeps a consistent snapshot until the
+    * maintenance window closes (Iceberg's rewrite_data_files / expire
+    * split). O(live bytes) work, one shuffle, no listing on the read
+    * side; single-maintainer contract, same as [[compactPartitions]].
+    */
+  def compactManifested(spark: SparkSession, path: String, keyCol: String,
+                        files: Int = 8, tag: Option[String] = None): Unit = {
+    val live = currentManifest(spark, path)
+      .select("file").collect().map(_.getString(0))
+    val intervals = writeGeneration(spark, path, keyCol,
+      "compactManifested: the rewrite produced no files") {
+      spark.read.parquet(live.toIndexedSeq: _*)
+        .repartitionByRange(files, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode("append")
+        .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+        .parquet(s"$path/data")
+    }
+    publishNextManifest(path, intervals, tag)
   }
 
   /** Reclaim a manifested table's dead bytes: data files NOT referenced

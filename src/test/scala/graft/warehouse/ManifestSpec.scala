@@ -172,6 +172,88 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("compaction restores the O(1)-probe contract and vacuum reclaims the superseded generations") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val mid = (lo + hi) / 2
+    val key = orders.filter(col("o_orderkey") <= mid)
+      .agg(max("o_orderkey")).head().getLong(0)
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      // 4 generations with OVERLAPPING keyspans (split by key mod 4, so
+      // every generation spans the whole key range — the realistic append
+      // shape where probe fan-out decays)
+      ParquetWarehouse.writeManifested(
+        orders.filter(col("o_orderkey") % 4 === 0), path, "o_orderkey", files = 2)
+      (1 to 3).foreach { i =>
+        ParquetWarehouse.appendManifested(
+          orders.filter(col("o_orderkey") % 4 === i), path, "o_orderkey", files = 2)
+      }
+      withConf("spark.sql.adaptive.enabled", "false") {
+        val decayed = plannedFiles(
+          ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(key)))
+        // one covering file per generation whose span contains the key —
+        // ≥2 proves the decay (a generation can miss only by the key
+        // falling in the gap between its two files' ranges)
+        assert(decayed >= 2 && decayed <= 4,
+          s"overlapping generations: the probe must plan one file per covering generation, got $decayed")
+        info(s"probe fan-out before compaction: $decayed files (4 generations)")
+        val expect = ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(key))
+          .orderBy("o_orderkey").collect().toSeq
+        ParquetWarehouse.compactManifested(spark, path, "o_orderkey", files = 4)
+        val probed = ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(key))
+        assert(plannedFiles(probed) == 1,
+          "after compaction a point probe plans exactly one file again")
+        assert(probed.orderBy("o_orderkey").collect().toSeq == expect && expect.nonEmpty,
+          "compaction must not change the served rows")
+      }
+      // the manifest names only the fresh generation, covering every row
+      val man = ParquetWarehouse.currentManifest(spark, path)
+      assert(man.count() == 4)
+      assert(man.agg(sum("n_rows")).head().getLong(0) == orders.count())
+      // vacuum reclaims the 8 superseded data files (2 per old generation)
+      // and the 4 superseded manifest versions; the snapshot still serves
+      val (files, versions) = ParquetWarehouse.vacuumManifested(spark, path)
+      assert(files == 8, s"the 4 old generations' data files reclaim, got $files")
+      assert(versions == 4, s"manifest versions v1..v4 reclaim, got $versions")
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .agg(sum("n_rows")).head().getLong(0) == orders.count())
+      assert(ParquetWarehouse.manifestProbe(spark, path, "o_orderkey", Seq(lo, hi))
+        .select("o_orderkey").as[Long].collect().toSet == Set(lo, hi))
+    }
+  }
+
+  test("compaction crash window: an uncommitted rewrite stays invisible and is never adopted") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 4)
+      val before = ParquetWarehouse.currentManifest(spark, path)
+        .orderBy("file").collect().toSeq
+      // a CRASHED compaction = the rewrite landed, pointer never swapped
+      orders.repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(s"$path/data")
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .orderBy("file").collect().toSeq == before,
+        "the published manifest is untouched by the crashed rewrite")
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .agg(sum("n_rows")).head().getLong(0) == orders.count(),
+        "served rows unchanged — the orphan generation is invisible")
+      // the RETRIED compaction reads only manifest-named files, so the
+      // orphans don't double the rows
+      ParquetWarehouse.compactManifested(spark, path, "o_orderkey", files = 2)
+      assert(ParquetWarehouse.currentManifest(spark, path)
+        .agg(sum("n_rows")).head().getLong(0) == orders.count(),
+        "retried compaction never adopts the crashed attempt's files")
+      // vacuum reclaims the crashed rewrite (2 files) + the 4 superseded
+      // originals + v1
+      val (files, versions) = ParquetWarehouse.vacuumManifested(spark, path)
+      assert(files == 6 && versions == 1, s"got ($files, $versions)")
+    }
+  }
+
   test("append allocates the next manifest version; prior versions stay readable") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val mid = {
