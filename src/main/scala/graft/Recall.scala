@@ -298,6 +298,76 @@ object Recall {
       inMem ++ stored
     }
 
+    // metadata-FILTERED ANN (s21): pushed-filter IVF graded against the
+    // exact FILTERED truth (s20's ranking) at two probe depths, beside
+    // the post-filter foil — the design that filters an unfiltered top-k
+    // after ranking and collapses for selective predicates (~1/m of the
+    // k survive; the other true filtered neighbors were discarded before
+    // the filter ran). Grading both makes the collapse a measured number.
+    // The label filter is ~1/10 selective on the uniform corpus (labels
+    // uncorrelated with geometry — the adversarial case) and one planted
+    // cluster on the clustered corpus (filter ≈ cell, the friendly case).
+    val filteredEntries = {
+      val filterPred =
+        if (embs.schema("label").dataType == org.apache.spark.sql.types.StringType)
+          col("label") === "c3" else col("label") === 3
+      val exactFiltered = Similarity
+        .bruteForceTopKFiltered(embs, pred, filterPred, 10).localCheckpoint(true)
+      val nFiltered = embs.filter(filterPred).count()
+      val filteredPairs = (nQ * nFiltered).toDouble
+      val assignedIds = Similarity.ivfAssign(embs.filter(filterPred), sampledCents)
+        .select("vec_id", "cell")
+      def entry(name: String, nProbe: Int) = {
+        val probes = Similarity.ivfProbes(embs, sampledCents, pred, nProbe)
+          .select("query_id", "cell")
+        val nCand = probes.join(assignedIds, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id")).count()
+        val recall = Similarity.recallAtK(exactFiltered,
+          Similarity.ivfTopKFilteredWith(embs, sampledCents, pred, filterPred, 10, nProbe))
+        (name + suffix) -> Seq(
+          "n_probe" -> nProbe.toDouble,
+          "recall_at_10" -> recall,
+          // vs ALL pairs (comparable to every other entry) and vs the
+          // filtered-exact scan (the honest speedup over the s20 baseline)
+          "candidate_fraction" -> nCand / allPairs,
+          "filtered_fraction" -> (if (filteredPairs == 0) 0.0 else nCand / filteredPairs))
+      }
+      // the stored form (s22): label landed beside the int8 codes at
+      // build time, predicate pushed into the cell-pruned parquet scan at
+      // serve time — recall additionally pays the int8 rounding (like s06
+      // vs s03)
+      val storedEntry = {
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-recall-filt")
+        try {
+          Similarity.writeIvfIndex(embs, idxDir.toString, metaCols = Seq("label"))
+          val approx = Similarity.ivfTopKQuantizedFromIndex(
+            embs.filter(pred), idxDir.toString, 10,
+            Similarity.IvfProbesRegistered, filter = Some(filterPred))
+          ("s22_knn_filtered_indexed" + suffix) -> Seq(
+            "n_probe" -> Similarity.IvfProbesRegistered.toDouble,
+            "recall_at_10" -> Similarity.recallAtK(exactFiltered, approx))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(idxDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      Seq(
+        entry("s21_knn_filtered_ivf", Similarity.IvfProbesRegistered),
+        entry("s21_knn_filtered_ivf_lowcost", Similarity.IvfProbes),
+        storedEntry,
+        ("s21_knn_filtered_postfoil" + suffix) -> {
+          val foil = Similarity.ivfTopKPostFiltered(
+            embs, pred, filterPred, 10, Similarity.IvfProbesRegistered)
+          Seq(
+            "n_probe" -> Similarity.IvfProbesRegistered.toDouble,
+            "recall_at_10" -> Similarity.recallAtK(exactFiltered, foil),
+            // survivors per query out of k=10 — the collapse's other face
+            "returned_per_query" ->
+              (if (nQ == 0) 0.0 else foil.count().toDouble / nQ))
+        })
+    }
+
     // PCA-reduced shortlist + exact re-rank (s13): like PQ a compression
     // path (full candidate fraction, 4× fewer bytes per scanned row at
     // 64→16) — the graded number is how much ranking quality the float
@@ -415,7 +485,7 @@ object Recall {
         kmeansCents, kmeansTwinCents),
       ivfEntry("s03_knn_ivf_kmeans_lowcost", Similarity.IvfProbes,
         kmeansCents, kmeansTwinCents),
-      quantEntry) ++ binaryEntries ++ mipsEntries ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
+      quantEntry) ++ binaryEntries ++ mipsEntries ++ filteredEntries ++ pcaEntries ++ pqEntries ++ ivfPqEntries ++ {
       val entries = ivfIndexEntries(Seq(
         "s06_knn_ivf_quantized_indexed" -> Similarity.IvfProbesRegistered,
         "s06_knn_ivf_quantized_indexed_lowcost" -> Similarity.IvfProbes))

@@ -1265,8 +1265,39 @@ object EtlQueries {
       .orderBy("orderkey")
   }
 
+  // t37 — RANGE SCAN through the manifest (the probe surface's interval
+  // form: t34 point, t35's min/max IN, now a keyspace band — the "scan
+  // one day of a year" shape at 100 TB): files whose [min,max] interval
+  // overlaps the band are planned, everything else never opens; because
+  // the data files are range-partitioned the planned count is
+  // proportional to band width, not table size (ManifestSpec measures
+  // 3-of-8 planned for a 25% band). The band bounds derive from the
+  // keyspace min/max in INTEGER arithmetic identical on both engines;
+  // the def aggregates the band by status so a row leaked, lost, or
+  // double-planned across a file boundary hash-fails vs the raw-orders
+  // oracle.
+  private val t37 = q("t37_manifested_range_scan",
+    s"""WITH mm AS (SELECT MIN(o_orderkey) AS klo, MAX(o_orderkey) AS khi FROM orders),
+       b AS (SELECT klo + (khi - klo) // 4 AS lo,
+                    klo + (khi - klo) // 2 AS hi FROM mm)
+       SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ${sqlDsum("o_totalprice")} AS total_spent
+       FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi
+       GROUP BY 1 ORDER BY 1""") { t =>
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-rng")
+      .toString + "/orders_manifested"
+    ParquetWarehouse.writeManifested(t.orders, path, "o_orderkey", files = 8)
+    val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (klo, khi) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (klo + (khi - klo) / 4, klo + (khi - klo) / 2)
+    ParquetWarehouse.manifestRangeScan(t.spark, path, "o_orderkey", lo, hi)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("status")
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34, t35, t36, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, t34, t35, t36, t37, c01, c02, c03, c04, c05, c06, c07)
 }

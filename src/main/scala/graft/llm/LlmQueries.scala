@@ -2936,6 +2936,65 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s20 — exact metadata-FILTERED top-k (the vector-DB "filtered search"
+  // workload: neighbors restricted to label = 3 — in production a
+  // language, source, or license-class predicate). The filter lands on
+  // the candidate side BEFORE the scoring cross join (1/m selectivity
+  // cuts the scored pairs by m — never score-then-discard); same total
+  // (cos desc, neighbor_id) order as s01, so the oracle is s01's SQL
+  // with the candidate CTE filtered.
+  private val s20 = q("s20_knn_filtered", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE label = 3),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
+    Similarity.bruteForceTopKFiltered(t.embeddings,
+      col("vec_id") % 100 === 0, col("label") === 3, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // s21 — filter-PUSHED IVF ANN (s20's sublinear form): the predicate
+  // applies inside the cell-pruned candidate scan (on the persisted
+  // layout: a pushed parquet filter within probed cells), centroids stay
+  // corpus-wide so cell geometry is filter-independent. Rows-only like
+  // the other approximate tiers; RECALL grades it vs the exact filtered
+  // truth at two probe depths AND grades the post-filter foil, so the
+  // classic recall collapse (filtering an unfiltered top-k after ranking)
+  // is a measured number. Full-probe ≡ s20 spec-pinned.
+  private val s21 = q("s21_knn_filtered_ivf", None) { t =>
+    Similarity.ivfTopKFiltered(t.embeddings,
+      col("vec_id") % 100 === 0, col("label") === 3, k = 10,
+      nProbe = Similarity.IvfProbesRegistered)
+      .orderBy("query_id", "rank")
+  }
+
+  // s22 — filtered search from the PERSISTED IVF index (s21's claim made
+  // a stored fact): the index is built with the label attribute landed
+  // beside each vector's int8 codes (metaCols), and the serve-time
+  // predicate reaches the parquet scan as a pushed DATA filter inside the
+  // probed cells' partition-pruned directories — Round13OpsSpec pins both
+  // plan facts (PartitionFilters on cell, dataFilters on label) and the
+  // full-probe equivalence to an index built over the pre-filtered
+  // corpus. Rows-only like the other stored tiers; recall graded in
+  // RECALL beside s21's in-memory form.
+  private val s22 = q("s22_knn_filtered_indexed", None) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-filt-idx").toString
+    Similarity.writeIvfIndex(t.embeddings, idx, metaCols = Seq("label"))
+    Similarity.ivfTopKQuantizedFromIndex(
+      t.embeddings.filter(col("vec_id") % 100 === 0), idx,
+      k = 10, nProbe = Similarity.IvfProbesRegistered,
+      filter = Some(col("label") === 3))
+      .orderBy("query_id", "rank")
+  }
+
   // m04 — video FRAME SAMPLING plumbing (rows-only, like the rest of the
   // m tier: the container is the deterministic GVID stand-in — no video
   // codec ships with the JDK — but the Spark-side schema, per-partition
@@ -3361,7 +3420,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)

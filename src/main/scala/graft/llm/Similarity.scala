@@ -68,6 +68,87 @@ object Similarity {
     rankTopK(scored, "cos", k)
   }
 
+  /** Exact metadata-FILTERED top-k cosine (s20) — the vector-DB "filtered
+    * search" workload (near-dups within one language, retrieval within one
+    * source or license class): neighbors restricted to corpus rows
+    * satisfying `filterPred`. The predicate lands on the candidate side
+    * BEFORE the scoring cross join, so a 1/m-selective filter cuts the
+    * scored pairs — and on the persisted layouts the scan itself — by m;
+    * score-then-discard would price the full corpus for a sliver of it.
+    * Same broadcast-small query contract and total (cos desc, neighbor_id)
+    * order as [[bruteForceTopK]], so the DuckDB oracle stays byte-exact.
+    */
+  def bruteForceTopKFiltered(embeddings: DataFrame, queryPred: Column,
+                             filterPred: Column, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.filter(filterPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    rankTopK(scored, "cos", k)
+  }
+
+  /** Filter-PUSHED IVF ANN (s21) — [[bruteForceTopKFiltered]]'s sublinear
+    * form. The metadata predicate applies INSIDE the cell-pruned candidate
+    * scan: here it precedes the narrow per-row assignment projection
+    * (equivalent, since assignment is per-row); on the persisted
+    * cell-partitioned layout the same predicate is a pushed parquet filter
+    * within the probed cells' files. Centroids are built over the FULL
+    * corpus — the index exists once while filters vary per query, so cell
+    * geometry must not depend on the predicate.
+    *
+    * This is the PRE-filter design. The tempting alternative — POST-
+    * filtering an unfiltered top-k — collapses for selective predicates:
+    * the unfiltered top-k holds only k rows, so a 1/m-selective filter
+    * leaves ~k/m of them and every other true filtered neighbor was
+    * already discarded before the filter ran (Round13OpsSpec pins the
+    * collapse; RECALL grades both designs as measured numbers). Probing
+    * every cell reproduces [[bruteForceTopKFiltered]] bit-for-bit
+    * (spec-pinned) — cell pruning is the only approximation.
+    */
+  def ivfTopKFiltered(embeddings: DataFrame, queryPred: Column,
+                      filterPred: Column, k: Int = 10,
+                      nProbe: Int = IvfProbes): DataFrame =
+    ivfTopKFilteredWith(embeddings, ivfCentroids(embeddings), queryPred,
+      filterPred, k, nProbe)
+
+  def ivfTopKFilteredWith(embeddings: DataFrame, centroidsIn: DataFrame,
+                          queryPred: Column, filterPred: Column, k: Int = 10,
+                          nProbe: Int = IvfProbes): DataFrame = {
+    val centroids = centroidsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val assigned = ivfAssign(embeddings.filter(filterPred), centroids)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_embv"), col("cell"))
+      val probes = ivfProbes(embeddings, centroids, queryPred, nProbe)
+      val scored = broadcast(probes).join(assigned, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("c_embv")).as("cos"))
+      graft.operators.Materialize.cut(rankTopK(scored, "cos", k))
+    } finally { centroids.unpersist(); () }
+  }
+
+  /** The POST-filter foil (measured, never registered): filter the
+    * UNFILTERED top-`k` result by neighbor metadata after ranking — the
+    * design [[ivfTopKFiltered]] exists to avoid. Kept as an operator so
+    * the recall collapse is a graded artifact number (RECALL s21 entries)
+    * and a pinned spec fact, not a claim in a comment.
+    */
+  def ivfTopKPostFiltered(embeddings: DataFrame, queryPred: Column,
+                          filterPred: Column, k: Int = 10,
+                          nProbe: Int = IvfProbes): DataFrame = {
+    val keep = embeddings.filter(filterPred)
+      .select(col("vec_id").as("neighbor_id"))
+    ivfTopKWith(embeddings, ivfCentroids(embeddings), queryPred, k, nProbe)
+      .join(keep, Seq("neighbor_id"), "left_semi")
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Exact maximum-inner-product top-k (MIPS) — retrieval over UNNORMALIZED
     * embeddings, where magnitude is signal (recommendation scores, learned
     * relevance embeddings): rank by the raw dot product instead of cosine.
@@ -1195,6 +1276,25 @@ object Similarity {
       graft.functions.IvfFns.ivfArgmax(col("embedding"), cents.toIndexedSeq).as("cell"))
   }
 
+  /** [[ivfAssign]] carrying extra METADATA columns through the narrow
+    * assignment projection (still zero-exchange — the argmax is per-row):
+    * the store-build path uses it to land filterable attributes (language,
+    * source, license class) beside each vector's int8 codes, so a
+    * serve-time metadata predicate can push into the cell-pruned parquet
+    * scan ([[IvfIndexHandle.topK]]'s `filter`).
+    */
+  def ivfAssignKeeping(embeddings: DataFrame, centroids: DataFrame,
+                       keep: Seq[String]): DataFrame = {
+    val cents = centroids.select(col("cell").cast("long"), col("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssignKeeping: empty centroid set")
+    embeddings.select(col("vec_id") +: col("embedding") +:
+      graft.functions.IvfFns.ivfArgmax(col("embedding"), cents.toIndexedSeq).as("cell") +:
+      keep.map(col): _*)
+  }
+
   def ivfAssign(embeddings: DataFrame): DataFrame =
     ivfAssign(embeddings, ivfCentroids(embeddings))
 
@@ -1290,12 +1390,13 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, path: String,
                     cells: Int = IvfCells, seed: Long = 42L,
                     quantizer: (DataFrame, Int, Long) => DataFrame =
-                      (e, c, s) => ivfCentroids(e, s, c)): Unit = {
+                      (e, c, s) => ivfCentroids(e, s, c),
+                    metaCols: Seq[String] = Nil): Unit = {
     val centroids = quantizer(embeddings, cells, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
-      appendToIvfIndex(embeddings, path, overwrite = true)
+      appendToIvfIndex(embeddings, path, overwrite = true, metaCols = metaCols)
     } finally { centroids.unpersist(); () }
     // a rebuild voids any prior ingest lineage: drop a streaming
     // high-water mark left beside the store (defense in depth — the mark
@@ -1315,12 +1416,14 @@ object Similarity {
     * Exposed for the plan spec: the build path must stay exchange-free up
     * to the final by-cell clustering.
     */
-  private[graft] def ivfIndexRows(batch: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def ivfIndexRows(batch: DataFrame, centroids: DataFrame,
+                                  metaCols: Seq[String] = Nil): DataFrame = {
     val scale = int8Scale
-    ivfAssign(batch, centroids).select(col("vec_id"), col("cell"),
-      scale.as("scale"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q"))
+    ivfAssignKeeping(batch, centroids, metaCols)
+      .select(col("vec_id") +: col("cell") +: scale.as("scale") +:
+        transform(col("embedding"),
+          x => floor(x.cast("double") * scale + lit(0.5)).cast("int")).as("q") +:
+        metaCols.map(col): _*)
   }
 
   /** Assign + quantize a batch against the STORED centroids and add it to
@@ -1332,10 +1435,11 @@ object Similarity {
     * ParquetWarehouse.writeFactPartitioned).
     */
   def appendToIvfIndex(batch: DataFrame, path: String,
-                       overwrite: Boolean = false): Unit = {
+                       overwrite: Boolean = false,
+                       metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    ivfIndexRows(batch, centroids)
+    ivfIndexRows(batch, centroids, metaCols)
       .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell")
@@ -1425,8 +1529,9 @@ object Similarity {
     */
   def ivfTopKQuantizedFromIndex(queries: DataFrame, indexPath: String,
                                 k: Int = 10,
-                                nProbe: Int = IvfProbes): DataFrame =
-    new IvfIndexHandle(queries.sparkSession, indexPath).topK(queries, k, nProbe)
+                                nProbe: Int = IvfProbes,
+                                filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    new IvfIndexHandle(queries.sparkSession, indexPath).topK(queries, k, nProbe, filter)
 
   /** Serving handle over a persisted IVF index (see [[writeIvfIndex]]):
     * float queries probe the stored centroids (broadcast — the only float
@@ -1460,7 +1565,8 @@ object Similarity {
       centroidRows.toDF("cell", "c_emb")
     }
 
-    def topK(queries: DataFrame, k: Int = 10, nProbe: Int = IvfProbes): DataFrame = {
+    def topK(queries: DataFrame, k: Int = 10, nProbe: Int = IvfProbes,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
       import spark.implicits._
       // the probe stage feeds the literal cell list AND the scored join —
       // one driver-side collect serves both (metadata-sized by the
@@ -1477,8 +1583,15 @@ object Similarity {
         transform(col("q_emb"),
           x => floor(x.cast("double") * int8ScaleOf(col("q_emb")) + lit(0.5))
             .cast("double")).as("q_q"))
-      val stored = spark.read.parquet(s"$indexPath/vectors")
+      // metadata `filter` (s22): applied to the store read BEFORE the
+      // projection and join, so it reaches the parquet scan as a pushed
+      // DATA filter INSIDE the probed cells' partition-pruned directories
+      // (both pins spec-asserted) — the stored-index realization of
+      // [[ivfTopKFiltered]]'s pre-filter contract. Requires the index to
+      // have been built with the attribute in `metaCols`.
+      val raw = spark.read.parquet(s"$indexPath/vectors")
         .filter(col("cell").isin(probedCells: _*))
+      val stored = filter.fold(raw)(raw.filter)
         .select(col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
           transform(col("q"), x => x.cast("double")).as("q_c"))
       val scored = broadcast(qQuant).join(stored, Seq("cell"))

@@ -792,6 +792,29 @@ object ParquetWarehouse {
         .filter(col(keyCol).isin(keys: _*))
   }
 
+  /** Range scan through the manifest — [[manifestProbe]]'s interval form
+    * (completing the serve surface: point, small-IN, range): plan ONLY the
+    * files whose [k_min, k_max] interval OVERLAPS [lo, hi]. Because the
+    * data files are range-partitioned and key-sorted, a band of the
+    * keyspace lives in a contiguous run of files, so the planned-file
+    * count is proportional to the band width, not the table — the
+    * "scan one day of a year" shape at 100 TB. The residual BETWEEN still
+    * pushes into the pruned files (row-group stats finish inside the
+    * boundary files).
+    */
+  def manifestRangeScan(spark: SparkSession, path: String, keyCol: String,
+                        lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"manifestRangeScan: empty interval [$lo, $hi]")
+    val files = currentManifest(spark, path)
+      .filter(col("k_min") <= hi && col("k_max") >= lo)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(s"$path/data").filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(keyCol).between(lo, hi))
+  }
+
   /** Scale layout #2 — bucketed fact: pre-shuffled into N buckets by a join
     * key and sorted within buckets. Every subsequent aggregation or join ON
     * that key plans WITHOUT an exchange (the one-time shuffle at write

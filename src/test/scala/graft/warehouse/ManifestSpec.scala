@@ -254,6 +254,33 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("range scan plans only the band's covering files; answers match the flat read") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (klo, khi) = (mm.getLong(0), mm.getLong(1))
+    // a ~25% band in the middle of the keyspace
+    val (lo, hi) = (klo + (khi - klo) / 4, klo + (khi - klo) / 2)
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      ParquetWarehouse.writeManifested(orders, path, "o_orderkey", files = 8)
+      withConf("spark.sql.adaptive.enabled", "false") {
+        val banded = ParquetWarehouse.manifestRangeScan(spark, path, "o_orderkey", lo, hi)
+        val planned = plannedFiles(banded)
+        assert(planned >= 1 && planned <= 4,
+          s"a 25% band over 8 range files must plan ~2-3 covering files, got $planned")
+        val flat = spark.read.parquet(s"$path/data")
+          .filter(col("o_orderkey").between(lo, hi))
+        assert(plannedFiles(flat) == 8, "the flat read plans every file")
+        val a = banded.orderBy("o_orderkey").collect().toSeq
+        val b = flat.orderBy("o_orderkey").collect().toSeq
+        assert(a == b && a.nonEmpty, "band answers must match the flat read")
+      }
+      // a band past the keyspace plans nothing and returns empty
+      assert(ParquetWarehouse.manifestRangeScan(
+        spark, path, "o_orderkey", khi + 1000L, khi + 2000L).isEmpty)
+    }
+  }
+
   test("append allocates the next manifest version; prior versions stay readable") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val mid = {
