@@ -659,6 +659,83 @@ object Graph {
     (b0 +: iters).mkString(",\n")
   }
 
+  /** Weighted single-source shortest paths — frontier-driven Bellman-Ford
+    * in the MIN-PLUS semiring ([[bfsDistancesConverged]]'s weighted
+    * generalization, a different algorithm class: BFS counts hops, this
+    * minimizes summed non-negative integer edge weights, so the best path
+    * can be LONGER in hops than the direct edge). Each round relaxes only
+    * edges out of nodes whose distance IMPROVED last round (SPFA-style);
+    * the run stops when a round improves nothing — and that is a true
+    * global fixpoint: a node not improved at round r had all its outgoing
+    * relaxations applied with its final distance when it last improved,
+    * so the frontier run is round-for-round EQUAL to full Bellman-Ford
+    * relaxation (the oracle unrolls the full form — GraphSpec pins the
+    * equality on a graph where the cheap path is hop-longer).
+    *
+    * Scale shape per round: one edge⋈frontier join (frontier shrinks as
+    * distances settle), a map-side-combined `min` keyed on the
+    * destination, and a node-keyed full merge; all intermediates are
+    * node-sized, distances are exact BIGINT sums (no float order), and
+    * per-round state is [[Materialize.cut]] so lineage stays flat. Rounds
+    * are bounded by the weighted-path hop diameter; hitting `maxRounds`
+    * THROWS instead of returning distances that silently stop short.
+    * Returns (dist over the seeds' reachable component, roundsRun) — the
+    * LAST round is the first that improved nothing, and the oracle's
+    * d{roundsRun} replays it as a no-op merge.
+    */
+  def ssspConverged(edges: DataFrame, seeds: DataFrame,
+                    maxRounds: Int = 64): (DataFrame, Int) = {
+    require(maxRounds >= 1)
+    val e = Materialize.cut(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+    var dist = Materialize.cut(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"ssspConverged: distances still improving after $maxRounds rounds " +
+            "— raise maxRounds (weighted hop diameter exceeds the backstop)")
+      val cand = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+        .groupBy("node").agg(min("d").as("d"))
+      val merged = Materialize.cut(
+        dist.join(cand, Seq("node"), "full")
+          .select(col("node"),
+            least(coalesce(col("dist"), lit(Long.MaxValue)),
+              coalesce(col("d"), lit(Long.MaxValue))).as("best"),
+            (col("d").isNotNull &&
+              (col("dist").isNull || col("d") < col("dist"))).as("improved")))
+      rounds += 1
+      frontier = merged.filter(col("improved"))
+        .select(col("node"), col("best").as("dist"))
+      dist = merged.select(col("node"), col("best").as("dist"))
+    }
+    (dist, rounds)
+  }
+
+  /** DuckDB unroll of [[ssspConverged]] as FULL Bellman-Ford relaxation
+    * (round-for-round equal to the frontier run — see the operator's
+    * scaladoc): `d0 .. d{rounds}` over caller-provided `edges(src,dst,w)`
+    * and `seeds(node)` CTEs; the served result reads `d{rounds}`.
+    */
+  def ssspOracleCtes(rounds: Int): String = {
+    val d0 =
+      "d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM seeds)"
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+              SELECT node, dist FROM d${r - 1}
+              UNION ALL
+              SELECT e.dst AS node, p.dist + e.w AS dist
+              FROM edges e JOIN d${r - 1} p ON e.src = p.node) z
+            GROUP BY node)"""
+    }
+    (d0 +: iters).mkString(",\n")
+  }
+
   /** Synchronous LABEL PROPAGATION communities (Raghavan et al. 2007), the
     * modularity-flavored sibling of [[connectedComponents]]: each round,
     * every node adopts the label carried by the PLURALITY of its

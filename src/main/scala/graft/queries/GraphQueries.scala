@@ -267,5 +267,61 @@ object GraphQueries {
     ranks.orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
+  /** (customer, supplier) purchase pairs carrying a WEIGHT: the pair's
+    * minimum line quantity (exact BIGINT — "the cheapest traversal this
+    * relationship ever offered"). Symmetrized with the weight on both
+    * directions; [[Graph.symmetrize]] is pair-only, so the mirror is
+    * inlined here.
+    */
+  private def weightedPurchaseEdges(t: Tables, minQty: Option[Int]): DataFrame = {
+    val li = minQty.fold(t.lineitem)(q => t.lineitem.filter(col("l_quantity") > q))
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(li.select("l_orderkey", "l_suppkey", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    pairs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+  }
+
+  private def weightedEdgesCte(minQty: Option[Int]): String = {
+    val filter = minQty.fold("")(q => s" WHERE l_quantity > $q")
+    s"""e0 AS MATERIALIZED (
+         SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+                CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+                MIN(CAST(l_quantity AS BIGINT)) AS w
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey$filter
+         GROUP BY 1, 2),
+       edges AS MATERIALIZED (
+         SELECT c AS src, s AS dst, w FROM e0
+         UNION ALL
+         SELECT s, c, w FROM e0)"""
+  }
+
+  // g10 — weighted single-source SHORTEST PATHS over the sparse purchase
+  // graph (the min-plus semiring — a different algorithm class from g06's
+  // hop-counting BFS: the cheapest path can be hop-LONGER than the direct
+  // edge; GraphSpec pins that case by hand). Edge weight = the pair's
+  // minimum line quantity; seed = the smallest node (data-derived
+  // identically on both engines). Frontier-driven Bellman-Ford runs until
+  // a round improves nothing, records R, and the late-bound oracle
+  // unrolls R rounds of FULL relaxation (round-for-round equal to the
+  // frontier run — see Graph.ssspConverged). Distances are exact BIGINT
+  // sums, so any dropped relaxation or order dependence hash-fails.
+  private val g10Rounds = new RoundCounter(10)
+  private val g10 = qGen("g10_weighted_sssp", g10Rounds) {
+    val r = g10Rounds.get
+    s"""WITH ${weightedEdgesCte(Some(48))},
+        seeds AS MATERIALIZED (SELECT MIN(src) AS node FROM edges),
+        ${Graph.ssspOracleCtes(r)}
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d$r ORDER BY node"""
+  } { t =>
+    val edges = weightedPurchaseEdges(t, Some(48))
+    val (dist, r) = Graph.ssspConverged(edges, edges.agg(min(col("src")).as("node")))
+    g10Rounds.set(r)
+    dist.orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
 }

@@ -407,4 +407,56 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  private def wEdges(rows: (Long, Long, Long)*): DataFrame = {
+    val d = rows.toDF("src", "dst", "w")
+    d.unionByName(d.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+  private def seed(n: Long): DataFrame = Seq(n).toDF("node")
+
+  test("ssspConverged: the cheap path is hop-LONGER than the direct edge (min-plus, not BFS)") {
+    // 1→4 direct costs 100; 1→2→3→4 costs 3. BFS would take the 1-hop
+    // edge; min-plus must take the 3-hop path.
+    val g = wEdges((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L))
+    val (dist, rounds) = Graph.ssspConverged(g, seed(1L))
+    val got = dist.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+    // node 4 improves twice (100 at round 1, 3 at round 3) — the frontier
+    // must re-expand from it, so node 5 lands at 4, not 101
+    assert(rounds >= 4, s"needs re-relaxation rounds, got $rounds")
+  }
+
+  test("ssspConverged ≡ the oracle's full Bellman-Ford unroll, round for round") {
+    val g = wEdges((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (10L, 11L, 7L))
+    val (dist, rounds) = Graph.ssspConverged(g, seed(1L))
+    // full relaxation in-spec (the oracle's recurrence, computed in Spark):
+    // d_r(v) = min(d_{r-1}(v), min over edges u→v of d_{r-1}(u)+w)
+    var full = Map(1L -> 0L)
+    val es = g.as[(Long, Long, Long)].collect().toSeq
+    for (_ <- 1 to rounds) {
+      val relaxed = es.flatMap { case (s, d, w) =>
+        full.get(s).map(ds => d -> (ds + w))
+      }
+      full = (full.toSeq ++ relaxed).groupBy(_._1).map { case (n, vs) =>
+        n -> vs.map(_._2).min
+      }
+    }
+    val got = dist.as[(Long, Long)].collect().toMap
+    assert(got === full, "frontier run must equal full relaxation at R rounds")
+    // the unreachable 10-11 component never appears
+    assert(!got.contains(10L) && !got.contains(11L))
+  }
+
+  test("ssspConverged throws instead of stopping short, and is repartition-deterministic") {
+    val chain = wEdges((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L), (4L, 5L, 2L))
+    assertThrows[IllegalStateException] {
+      Graph.ssspConverged(chain, seed(1L), maxRounds = 2)
+    }
+    val a = Graph.ssspConverged(chain, seed(1L))._1.orderBy("node").collect().toSeq
+    val b = Graph.ssspConverged(chain.repartition(7), seed(1L))._1
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
 }
