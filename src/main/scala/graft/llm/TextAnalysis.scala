@@ -53,6 +53,46 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Tokenizer FERTILITY per language (x49) — the mixture-design metric a
+    * multilingual tokenizer is judged by: BPE symbols per whitespace word
+    * and bytes per BPE symbol, rolled up by the corpus's language tag
+    * (`langCol` — crawl metadata in production; [[langId]] supplies a
+    * prediction where none exists). High fertility on a language means
+    * its text costs more sequence positions per unit of content — the
+    * signal that drives per-language vocab allocation and sampling
+    * temperature. Plan shape: the word explode joins the broadcast vocab
+    * (k·|vocab| rows, never corpus-sized), the language tag rides the
+    * doc_id equi-join, and everything collapses to one |langs|-keyed
+    * map-side-combined rollup; the two ratios are single double divisions
+    * of exact integer sums. Untrained words fall back to character
+    * symbols — the same rule as [[Bpe.tokenCounts]] (vacuous on the
+    * training corpus itself, where the vocab covers every word).
+    */
+  def tokenizerFertility(documents: DataFrame, model: Bpe.Model,
+                         langCol: String = "lang"): DataFrame = {
+    val lang = documents.select(col("doc_id"), col(langCol).as("lang"))
+    val words = documents.select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val perWord = words
+      .join(broadcast(model.vocab.select(col("word"), col("syms"))), Seq("word"), "left")
+      .select(col("doc_id"),
+        size(coalesce(col("syms"), split(col("word"), ""))).cast("long").as("n_syms"),
+        octet_length(col("word")).cast("long").as("n_bytes"))
+    perWord.join(lang, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_symbols"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_symbols"), col("n_bytes"),
+        (col("n_symbols").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_bytes").cast("double") / col("n_symbols").cast("double"))
+          .as("bytes_per_symbol"))
+  }
+
   /** The [[langId]] argmax as a standalone Column over a text column —
     * row-local (no join), for operators that need the language tag inline
     * (e.g. [[Sampling.temperatureMix]]'s per-language grouping).
