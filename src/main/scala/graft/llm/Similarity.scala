@@ -1439,7 +1439,26 @@ object Similarity {
                        metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    ivfIndexRows(batch, centroids, metaCols)
+    val rows = ivfIndexRows(batch, centroids, metaCols)
+    if (!overwrite) {
+      // COLUMN CONTRACT (one footer read per append): an append that
+      // omits the store's metadata columns — e.g. a streaming maintainer
+      // not told about metaCols — would land files parquet happily
+      // accepts, the union read would NULL-FILL the gap, and a serve-time
+      // metadata filter would then silently DROP that generation's rows
+      // from every filtered answer. Fail the append instead.
+      val have = try Some(spark.read.parquet(s"$path/vectors")
+        .schema.fieldNames.toSet - "cell")
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      have.foreach { h =>
+        val got = rows.schema.fieldNames.toSet - "cell"
+        require(got == h,
+          s"appendToIvfIndex: column contract mismatch — store carries " +
+            s"[${h.toSeq.sorted.mkString(",")}], batch writes " +
+            s"[${got.toSeq.sorted.mkString(",")}]; pass the store's metaCols")
+      }
+    }
+    rows
       .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell")

@@ -94,6 +94,30 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("append column contract: omitting a meta store's metaCols fails fast instead of null-filling") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-filt-contract").toString
+    val half = embs.filter(col("vec_id") % 2 === 0)
+    val rest = embs.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(half, idx, metaCols = Seq("label"))
+    // an append NOT carrying label would land files the union read
+    // null-fills — and a filtered serve would silently drop that
+    // generation's rows; the contract check refuses the append
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(rest, idx)
+    }
+    assert(e.getMessage.contains("column contract"))
+    // the correct append lands, and the filtered serve sees BOTH halves
+    Similarity.appendToIvfIndex(rest, idx, metaCols = Seq("label"))
+    val served = Similarity.ivfTopKQuantizedFromIndex(
+      embs.filter(pred), idx, k = 10, nProbe = Similarity.IvfCells,
+      filter = Some(filt))
+    val nbrs = served.select("neighbor_id").distinct()
+    val evenHit = nbrs.filter(col("neighbor_id") % 2 === 0).count()
+    val oddHit = nbrs.filter(col("neighbor_id") % 2 === 1).count()
+    assert(evenHit > 0 && oddHit > 0,
+      "filtered serve must draw neighbors from both appended generations")
+  }
+
   test("stored filtered serve at full probe ≡ unfiltered serve over an index of the filtered corpus") {
     // quantization is per-row (scale from each vector's own max), so the
     // store contents for the filtered rows are IDENTICAL in both indexes;
