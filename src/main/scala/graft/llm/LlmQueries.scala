@@ -3029,6 +3029,52 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s23 — HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
+  // 2009): the lexical ranking (token-set Jaccard vs the query document)
+  // and the semantic ranking (embedding cosine) fuse as
+  // 1/(60+r_lex) + 1/(60+r_sem) — rank fusion needs no cross-retriever
+  // score calibration, which is why it is the production default for
+  // lexical+vector stacks. Corpus = documents ⋈ embeddings (only items
+  // carrying both signals); both rankings are total orders over the same
+  // candidate universe, the fusion is two integer-rank reciprocals added
+  // in fixed order, and all three window ranks share ONE query_id
+  // exchange. The oracle replays both rankings and the fusion arithmetic
+  // verbatim, so a rank off by one anywhere hash-fails.
+  private val s23 = q("s23_hybrid_rrf", Some(
+    """WITH corp AS (
+          SELECT d.doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(d.text), '\s+'), t -> len(t) > 0)) AS tk,
+                 CAST(e.embedding AS DOUBLE[]) AS emb
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        q AS (SELECT doc_id AS query_id, tk AS q_tk, emb AS q_emb
+              FROM corp WHERE doc_id % 100 = 0),
+        sc AS (SELECT q.query_id, c.doc_id AS neighbor_id,
+                 CAST(len(list_intersect(q.q_tk, c.tk)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(q.q_tk, c.tk))) AS DOUBLE) AS jacc,
+                 list_dot_product(q.q_emb, c.emb) /
+                 (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                  sqrt(list_dot_product(c.emb, c.emb))) AS cos
+               FROM q, corp c WHERE c.doc_id <> q.query_id),
+        r AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jacc DESC, neighbor_id) AS lex_rank,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS sem_rank
+              FROM sc),
+        f AS (SELECT query_id, neighbor_id,
+                CAST(1 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE) +
+                CAST(1 AS DOUBLE) / CAST(60 + sem_rank AS DOUBLE) AS rrf,
+                lex_rank, sem_rank
+              FROM r),
+        rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+               FROM f)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf,
+               CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
+        FROM rr WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
+    Search.hybridRrf(t.documents, t.embeddings,
+      col("doc_id") % 100 === 0, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // m04 — video FRAME SAMPLING plumbing (rows-only, like the rest of the
   // m tier: the container is the deterministic GVID stand-in — no video
   // codec ships with the JDK — but the Spark-side schema, per-partition
@@ -3454,7 +3500,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)

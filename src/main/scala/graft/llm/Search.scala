@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Persisted inverted text index (term → postings) + conjunctive keyword
   * serve — the search-engine-shaped secondary index the store family was
@@ -417,5 +418,63 @@ object Search {
       .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
       .filter(col("n_terms") === lowered.size)
       .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** HYBRID retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+    * the modern "related documents" stack: a LEXICAL ranking (token-set
+    * Jaccard between the query document and each candidate — exact
+    * surface overlap) and a SEMANTIC ranking (embedding cosine) fused as
+    * rrf = 1/(rrfK + rank_lex) + 1/(rrfK + rank_sem), so a document only
+    * one retriever loves still surfaces while rank-1 agreement dominates.
+    * RRF fuses RANKS, not scores — no cross-retriever score calibration,
+    * which is why it is the production default for lexical+vector fusion.
+    *
+    * Corpus = documents ⋈ embeddings on doc_id = vec_id (only items
+    * carrying both signals can be ranked by both). Both rankings are
+    * total orders ((signal desc, neighbor_id)) over the SAME candidate
+    * universe, so the fused ranking is deterministic cross-engine; the
+    * fusion itself is two integer-rank reciprocals added in fixed order.
+    * Plan shape: the query side is broadcast-small (s01's contract); the
+    * two ranks and the final fused rank share ONE query_id exchange
+    * (three window sorts over the same partitioning). This exact form
+    * ranks the full universe per query — the oracle-able gold path; at
+    * 100 TB production fuses the indexed tiers' top-k shortlists (x45
+    * BM25 / s06 ANN) with identical rank arithmetic, trading the exact
+    * tail for the pruned scans those stores exist to provide.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                queryPred: Column, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val corp = documents.select(col("doc_id"), col("text"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(filter(TextFns.tokens(col("text")),
+          t => length(t) > 0)).as("tk"),
+        col("embedding"))
+    val q = corp.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("tk").as("q_tk"),
+        col("embedding").as("q_emb"))
+    val c = corp.select(col("doc_id").as("neighbor_id"), col("tk").as("c_tk"),
+      col("embedding").as("c_emb"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (size(array_intersect(col("q_tk"), col("c_tk"))).cast("double") /
+          size(array_union(col("q_tk"), col("c_tk"))).cast("double")).as("jacc"),
+        Similarity.cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val byQuery = Window.partitionBy("query_id")
+    val lexW = byQuery.orderBy(col("jacc").desc, col("neighbor_id"))
+    val semW = byQuery.orderBy(col("cos").desc, col("neighbor_id"))
+    val fused = scored
+      .withColumn("lex_rank", row_number().over(lexW))
+      .withColumn("sem_rank", row_number().over(semW))
+      .withColumn("rrf",
+        lit(1.0) / (lit(rrfK) + col("lex_rank")).cast("double") +
+          lit(1.0) / (lit(rrfK) + col("sem_rank")).cast("double"))
+    fused
+      .withColumn("rank",
+        row_number().over(byQuery.orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf", "lex_rank", "sem_rank")
   }
 }
