@@ -780,7 +780,8 @@ object StreamingOps {
     */
   def ingestVectorsStream(embeddings: DataFrame, indexPath: String,
                           checkpoint: String,
-                          compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+                          compactEvery: Int = 0,
+                          metaCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     val guard = new ReplayGuard(indexPath, checkpoint)
     guard.acquireLock() // one writer per sink — checked, not assumed (r8 #6)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => guard.posture(batchId) match {
@@ -788,7 +789,12 @@ object StreamingOps {
       case p =>
         val rows = ingestVectorRows(batch.dropDuplicates("vec_id"), indexPath,
           recover = p == Recover)
-        if (!rows.isEmpty) graft.llm.Similarity.appendToIvfIndex(rows, indexPath)
+        // metaCols MUST match the store's build-time set — a maintainer
+        // not told about them would strand a null-filled generation that
+        // filtered serves silently drop; appendToIvfIndex's column
+        // contract fails THIS batch loudly instead (spec-pinned)
+        if (!rows.isEmpty)
+          graft.llm.Similarity.appendToIvfIndex(rows, indexPath, metaCols = metaCols)
         guard.commit(batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           graft.llm.Similarity.compactIvfIndex(batch.sparkSession, indexPath)
