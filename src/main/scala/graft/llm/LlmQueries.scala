@@ -3426,6 +3426,42 @@ object LlmQueries {
     Events.trendingDecay(eventsTs(t)).orderBy("event_type")
   }
 
+  // e27 — per-type value percentiles served from the PERSISTED quantile-
+  // histogram store (operators/QuantileStore): the event log lands in
+  // three appends (event_id % 3 — mirrors batch arrival), each folding to
+  // a |types|·|cent-buckets| histogram version under the CountStore
+  // protocol, and the serve reads ONLY the merged histogram — never an
+  // event. Ranks are integer arithmetic on cumulative counts ((q·(n−1))
+  // div 100 / mod 100), doubles only in the final lo + frac·(hi−lo)
+  // render; the oracle quantizes identically and replays the identical
+  // rank/interpolation formulas (no built-in percentile on either side),
+  // so a lost bucket, a double-counted append, or any interpolation drift
+  // hash-fails. At 100 TB: appends shuffle bucket partials, the serve is
+  // a metadata-scale rollup, and the quantization scale is the documented
+  // accuracy knob (exact for quantized values, ±½ bucket of raw).
+  private val e27 = q("e27_quantile_store", Some(
+    s"""WITH h AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vcents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        histcum AS (
+          SELECT event_type, vcents, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY vcents) AS cum
+          FROM h),
+        ${graft.operators.QuantileStore.quantileOracleTail("event_type", Seq(25, 50, 75, 90))}
+        ORDER BY event_type, pct""")) { t =>
+    val ev = eventsTs(t)
+    val root = java.nio.file.Files.createTempDirectory("graft-qstore").toString
+    graft.operators.QuantileStore.write(
+      ev.filter(col("event_id") % 3 === 0), "event_type", "value", root)
+    graft.operators.QuantileStore.append(
+      ev.filter(col("event_id") % 3 === 1), "event_type", "value", root)
+    graft.operators.QuantileStore.append(
+      ev.filter(col("event_id") % 3 === 2), "event_type", "value", root)
+    graft.operators.QuantileStore.serve(t.spark, root, Seq(25, 50, 75, 90))
+      .orderBy("event_type", "pct")
+  }
+
   // x46 — readability battery (Flesch reading ease + FK grade): exact
   // integer sentence/word/vowel-group counts, and EXACT INTEGER scoring —
   // each score is one common-denominator rational over the counts,
@@ -3502,6 +3538,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }
