@@ -640,6 +640,83 @@ object Graph {
     bfsDistances(edges, seeds, maxDepth + 1)
       .filter(col("dist") === maxDepth + 1).isEmpty
 
+  /** PER-SEED BFS to convergence — [[bfsDistancesConverged]] with the seed
+    * identity kept in the state, the primitive behind sampled-pivot
+    * centrality (Eppstein & Wang 2001): K pivots' full distance vectors in
+    * ONE frontier loop, state keyed (seed, node) so the K searches share
+    * every edge scan instead of running K jobs. Returns ((seed, node,
+    * dist) for every reached pair, roundsRun) — rounds stop when NO
+    * seed's frontier grows, so the recorded R is the max eccentricity
+    * over the pivots and the oracle's unroll replays every seed exactly.
+    *
+    * Scale shape per round: one frontier-sized equi-join on `src` (the
+    * only edge-table touch), one distinct and one anti-join keyed
+    * (seed, node) — state is ≤ K·|V| rows, the knob being K = O(log n/ε²)
+    * for ±ε·diameter centrality error at ANY graph size. Hitting
+    * `maxRounds` THROWS rather than emitting truncated distance sums
+    * (a silently-short sum_dist would BIAS every estimate upward).
+    */
+  def bfsPerSeedConverged(edges: DataFrame, seeds: DataFrame,
+                          maxRounds: Int = 64): (DataFrame, Int) = {
+    require(maxRounds >= 1)
+    val e = Materialize.cut(edges)
+    var reached = Materialize.cut(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .select(col("node").as("seed"), col("node"), lit(0).as("dist")))
+    var frontier = reached.select("seed", "node")
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"bfsPerSeedConverged: frontier alive after $maxRounds rounds " +
+            "— raise maxRounds (pivot eccentricity exceeds the backstop)")
+      val nbrs = e.join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = nbrs.join(reached, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(rounds + 1))
+      reached = Materialize.cut(reached.unionByName(fresh))
+      rounds += 1
+      frontier = reached.filter(col("dist") === rounds).select("seed", "node")
+    }
+    (reached, rounds)
+  }
+
+  /** DuckDB unroll of [[bfsPerSeedConverged]]: `b0 .. b{maxDepth}` over
+    * caller-provided `edges(src,dst)` and `seeds(node)` CTEs, state keyed
+    * (seed, node); the served result reads `b{maxDepth}`.
+    */
+  def bfsPerSeedOracleCtes(maxDepth: Int): String = {
+    val b0 =
+      "b0 AS MATERIALIZED (SELECT DISTINCT node AS seed, node, 0 AS dist FROM seeds)"
+    val iters = (1 to maxDepth).map { d =>
+      s"""b$d AS MATERIALIZED (
+            SELECT seed, node, dist FROM b${d - 1}
+            UNION ALL
+            SELECT f.seed, f.node, $d AS dist FROM (
+              SELECT DISTINCT p.seed, e.dst AS node FROM edges e
+              JOIN b${d - 1} p ON e.src = p.node AND p.dist = ${d - 1}) f
+            WHERE NOT EXISTS (SELECT 1 FROM b${d - 1} r
+                              WHERE r.seed = f.seed AND r.node = f.node))"""
+    }
+    (b0 +: iters).mkString(",\n")
+  }
+
+  /** Sampled-pivot CLOSENESS estimates from [[bfsPerSeedConverged]]'s
+    * output: per node, the pivots reaching it, their exact BIGINT distance
+    * sum, and ĉ(v) = (n−1)·K_v / (n·S_v) — the Eppstein-Wang estimator
+    * with Σ_u d(v,u) ≈ (n/K_v)·S_v, exact integers until the single final
+    * double division. Nodes no pivot reaches at positive distance are
+    * absent (S_v = 0 has no finite closeness).
+    */
+  def pivotCloseness(perSeedDists: DataFrame, nNodes: DataFrame): DataFrame =
+    perSeedDists.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist").cast("long")).as("sum_dist"))
+      .filter(col("sum_dist") > 0)
+      .crossJoin(broadcast(nNodes))
+      .select(col("node"), col("n_reached"), col("sum_dist"),
+        (((col("n") - 1) * col("n_reached")).cast("double") /
+          (col("n") * col("sum_dist")).cast("double")).as("closeness"))
+
   /** DuckDB unroll of [[bfsDistances]]: `b0 .. b{maxDepth}` over
     * caller-provided `edges(src,dst)` and `seeds(node)` CTEs; the served
     * result reads `b{maxDepth}`. Each b_d carries every node reached

@@ -323,5 +323,42 @@ object GraphQueries {
     dist.orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
+  // g11 — sampled-pivot CLOSENESS CENTRALITY over the sparse purchase
+  // graph (Eppstein & Wang 2001 — the estimator that makes centrality
+  // feasible at all: exact closeness is all-pairs BFS, O(n·m); K pivots
+  // give ±ε·diameter error with K = O(log n/ε²) INDEPENDENT of graph
+  // size). Pivots = the 8 smallest node ids (data-derived identically on
+  // both engines); ONE frontier loop carries all 8 BFS frontiers keyed
+  // (seed, node), runs to convergence, records R. Per node: the pivots
+  // reaching it, their exact BIGINT distance sum, and the single-division
+  // estimate ĉ(v) = (n−1)·K_v / (n·S_v). The late-bound oracle unrolls
+  // R rounds of the per-seed recurrence, so a distance wrong for ANY
+  // (pivot, node) pair — not just a biased average — hash-fails.
+  private val g11Rounds = new RoundCounter(8)
+  private val g11 = qGen("g11_closeness_sampled", g11Rounds) {
+    val r = g11Rounds.get
+    s"""WITH ${edgesCte(Some(48))},
+        seeds AS MATERIALIZED (
+          SELECT src AS node FROM edges GROUP BY 1 ORDER BY 1 LIMIT 8),
+        ${Graph.bfsPerSeedOracleCtes(maxDepth = r)},
+        agg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                 CAST(SUM(dist) AS BIGINT) AS sum_dist
+          FROM b$r GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM edges)
+        SELECT node, n_reached, sum_dist,
+               CAST((n - 1) * n_reached AS DOUBLE) /
+               CAST(n * sum_dist AS DOUBLE) AS closeness
+        FROM agg CROSS JOIN nn WHERE sum_dist > 0 ORDER BY node"""
+  } { t =>
+    val edges = purchaseEdges(t, Some(48))
+    val seeds = edges.select("src").distinct().orderBy("src").limit(8)
+      .select(col("src").as("node"))
+    val (dists, r) = Graph.bfsPerSeedConverged(edges, seeds)
+    g11Rounds.set(r)
+    val nNodes = edges.agg(countDistinct(col("src")).as("n"))
+    Graph.pivotCloseness(dists, nNodes).orderBy("node")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
 }

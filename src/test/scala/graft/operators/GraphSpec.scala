@@ -459,4 +459,43 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  test("bfsPerSeedConverged: each pivot keeps its OWN distances (not the nearest-seed min)") {
+    // path 1-2-3-4-5, pivots 1 and 5: node 3 is at distance 2 from BOTH,
+    // node 2 at (1, 3) — bfsDistances would collapse that pair to 1.
+    val chain = chainEdges(5)
+    val seeds = Seq(1L, 5L).toDF("node")
+    val (dists, r) = Graph.bfsPerSeedConverged(chain, seeds)
+    val got = dists.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r == 5, s"4 growth rounds + the empty proof round, got $r")
+    assert(got((1L, 2L)) == 1 && got((5L, 2L)) == 3)
+    assert(got((1L, 3L)) == 2 && got((5L, 3L)) == 2)
+    assert(got((1L, 1L)) == 0 && got((5L, 5L)) == 0)
+    assert(got.size == 10, "2 pivots x 5 nodes, every pair exactly once")
+  }
+
+  test("pivotCloseness: exact closeness when the pivots are ALL nodes (estimator sanity)") {
+    // path 1-2-3: true closeness c(v) = (n-1)/sum_dist with n=3:
+    //   ends: sum 1+2=3 → 2/3; middle: sum 1+1=2 → 1.0.
+    // With K = n pivots the estimator is exact: (n−1)·n/(n·S) = (n−1)/S.
+    val chain = chainEdges(3)
+    val allNodes = Seq(1L, 2L, 3L).toDF("node")
+    val (dists, _) = Graph.bfsPerSeedConverged(chain, allNodes)
+    val n = chain.agg(countDistinct(col("src")).as("n"))
+    val got = Graph.pivotCloseness(dists, n).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 2.0 / 3)) && got(3L) == ((3L, 3L, 2.0 / 3)))
+    assert(got(2L) == ((3L, 2L, 1.0)))
+  }
+
+  test("bfsPerSeedConverged is deterministic under repartitioning") {
+    val chain = chainEdges(12)
+    val seeds = Seq(1L, 7L, 12L).toDF("node")
+    val a = Graph.bfsPerSeedConverged(chain, seeds)._1
+      .orderBy("seed", "node").collect().toSeq
+    val b = Graph.bfsPerSeedConverged(chain.repartition(7), seeds)._1
+      .orderBy("seed", "node").collect().toSeq
+    assert(a === b)
+  }
 }
