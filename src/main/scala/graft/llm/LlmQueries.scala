@@ -3029,6 +3029,49 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s24 — DELETE lifecycle for the persisted vector index (the takedown/
+  // GDPR path every production vector DB needs): build the IVF int8
+  // store, tombstone every 7th id (deleteFromIvfIndex — a metadata write,
+  // no data file opened), serve THROUGH the store at full probe. Deleted
+  // vectors must never rank and every live vector must still rank in
+  // exact quantized-cosine order, so the oracle is s05's quantized
+  // brute-force SQL with the candidate CTE filtered to the live set —
+  // a tombstone missed anywhere, or a live row lost by the delete path,
+  // hash-fails. Round13bOpsSpec pins the MoR/purge equivalence (purge
+  // rewrites ONLY touched cells, drops fully-emptied dirs, serves
+  // identically) and partial-probe delete masking; bounded-tombstone
+  // serving is the documented cadence contract (purge folds the
+  // anti-join state away).
+  private val s24 = q("s24_knn_index_deletes", Some(
+    """WITH pk AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> floor(x * scale + 0.5)) AS q
+         FROM (SELECT vec_id, embedding,
+                      CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) <> 0
+                           THEN 127.0 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+                      END AS scale
+               FROM embeddings) m),
+        q AS (SELECT vec_id AS query_id, q AS qq FROM pk WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, q AS qc FROM pk WHERE vec_id % 7 <> 0),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qq, qc) /
+                     (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qc, qc))) AS qcos
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-del-idx").toString
+    Similarity.writeIvfIndex(t.embeddings, idx)
+    Similarity.deleteFromIvfIndex(
+      t.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"), idx)
+    Similarity.ivfTopKQuantizedFromIndex(
+      t.embeddings.filter(col("vec_id") % 100 === 0), idx,
+      k = 10, nProbe = Similarity.IvfCells)
+      .orderBy("query_id", "rank")
+  }
+
   // s23 — HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
   // 2009): the lexical ranking (token-set Jaccard vs the query document)
   // and the semantic ranking (embedding cosine) fuse as
@@ -3536,7 +3579,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)

@@ -1400,8 +1400,13 @@ object Similarity {
     } finally { centroids.unpersist(); () }
     // a rebuild voids any prior ingest lineage: drop a streaming
     // high-water mark left beside the store (defense in depth — the mark
-    // is also checkpoint-scoped, see StreamingOps.ReplayGuard)
+    // is also checkpoint-scoped, see StreamingOps.ReplayGuard) AND any
+    // MoR tombstones (they referenced the replaced generation; carrying
+    // them over would mask freshly-ingested ids forever)
     graft.warehouse.AtomicPointer.delete(s"$path/_streaming_hwm")
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    delDir.getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(delDir, true)
   }
 
   /** [[writeIvfIndex]]'s k-means quantizer, signature-adapted. */
@@ -1488,6 +1493,89 @@ object Similarity {
                       minFiles: Int = 2): graft.warehouse.ParquetWarehouse.CompactionStats =
     graft.warehouse.ParquetWarehouse.compactPartitioned(
       spark, s"$path/vectors", Seq("cell"), targetFileBytes, minFiles)
+
+  /** MERGE-ON-READ deletes for the persisted IVF index — the vector-DB
+    * lifecycle step the store family was missing (t20 is the same shape
+    * for warehouse snapshots): a takedown/expiry batch lands as a
+    * TOMBSTONE file under `$path/deletes` (ids only — no data file is
+    * opened, let alone rewritten), every serve anti-joins the tombstone
+    * set, and [[purgeIvfIndexDeletes]] later folds the deletes into the
+    * data rewriting ONLY the touched cell directories. At 100 TB a
+    * GDPR-delete of a few thousand vectors is a metadata write, not a
+    * store rewrite. Idempotent: re-deleting an id (or a replayed batch)
+    * adds rows the read-side distinct collapses. Tombstones mask by ID —
+    * an id re-ingested while its tombstone is live stays masked until
+    * [[purgeIvfIndexDeletes]] folds the delete (re-insert-after-delete
+    * callers should purge first); a full [[writeIvfIndex]] rebuild voids
+    * all tombstones with the generation they referenced.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+
+  /** The current tombstone set (distinct), or None when nothing was ever
+    * deleted — serves check existence with one driver fs call so the
+    * no-deletes path plans no extra scan at all.
+    */
+  private[graft] def ivfIndexDeletes(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+    else None
+  }
+
+  /** Fold the tombstones into the data files — the maintenance pass that
+    * keeps serve-time anti-join state bounded: only cell directories that
+    * actually HOLD a deleted vector are read back, filtered, and swapped
+    * via dynamic partition overwrite (exactly [[graft.warehouse
+    * .ParquetWarehouse.upsertPartitioned]]'s contract — untouched cells'
+    * files are never opened), then the tombstone dir drops. Crash order
+    * is safe at every window: before the overwrite commits, old files +
+    * tombstones still serve the correct live set; between commit and
+    * tombstone drop, the anti-join is a no-op over already-purged rows;
+    * a re-run is idempotent. Returns the number of rows purged.
+    */
+  def purgeIvfIndexDeletes(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Long = {
+    val dels = ivfIndexDeletes(spark, path).getOrElse(return 0L)
+    val delsB = broadcast(dels)
+    val vectors = spark.read.parquet(s"$path/vectors")
+    // one pre-rewrite scan answers both "which cells" and "how many rows"
+    // (≤ |cells| rows to the driver — metadata, not data)
+    val hits = vectors.join(delsB, Seq("vec_id"))
+      .groupBy(col("cell").cast("long").as("cell")).count().collect()
+    val touched = hits.map(_.getLong(0)).sorted
+    val purged = hits.map(_.getLong(1)).sum
+    if (touched.nonEmpty) {
+      // literal cell list → planning-time pruning on the read-back, the
+      // same posture as the serve path's probe predicate
+      val kept = graft.operators.Materialize.cut(
+        vectors.filter(col("cell").isin(touched.map(Long.box): _*))
+          .join(delsB, Seq("vec_id"), "left_anti"))
+      kept
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(s"$path/vectors")
+      // a FULLY-emptied cell writes no rows, so dynamic overwrite never
+      // replaces its directory — drop it explicitly, BEFORE the
+      // tombstones (a crash in between still masks via the anti-join;
+      // the reversed order would resurrect the rows)
+      val keptCells = kept.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val vfs = new org.apache.hadoop.fs.Path(s"$path/vectors")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(keptCells).foreach { c =>
+        vfs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cell=$c"), true); ()
+      }
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    purged
+  }
 
   /** Cell-occupancy report for a persisted IVF index — the DRIFT MONITOR
     * (VERDICT r8 #4): the centroid geometry is fixed at [[writeIvfIndex]]
@@ -1610,7 +1698,13 @@ object Similarity {
       // have been built with the attribute in `metaCols`.
       val raw = spark.read.parquet(s"$indexPath/vectors")
         .filter(col("cell").isin(probedCells: _*))
-      val stored = filter.fold(raw)(raw.filter)
+      // MoR tombstones (deleteFromIvfIndex): a deleted vector must never
+      // rank, whatever cell it sits in — broadcast anti-join on the
+      // candidate side BEFORE scoring (tombstone cardinality is bounded
+      // by the purge cadence; the no-deletes path is one driver fs check)
+      val undeleted = ivfIndexDeletes(spark, indexPath).fold(raw)(d =>
+        raw.join(broadcast(d), Seq("vec_id"), "left_anti"))
+      val stored = filter.fold(undeleted)(undeleted.filter)
         .select(col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"),
           transform(col("q"), x => x.cast("double")).as("q_c"))
       val scored = broadcast(qQuant).join(stored, Seq("cell"))
