@@ -2372,6 +2372,62 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // x50 — interpolated KNESER-NEY bigram surprisal (the smoothing KenLM
+  // ships — what CCNet-style perplexity filters actually run; x24's
+  // stupid backoff is the cheap foil): unseen-pair mass comes from the
+  // CONTINUATION distribution N1+(·w)/B, so a frequent-but-predictable
+  // word ("Francisco", only ever after "San") backs off near zero where
+  // count-based smoothing overrates it. D = 3/4 clears every probability
+  // to a ratio of two exact BIGINTs ((4c−3)·B + 3·N1p(u)·Ncont(w) over
+  // 4·B·c(u)); per-context normalization Σ_w P(w|u) = 1 is spec-pinned.
+  // Determinism is the x16/x24 treatment (integer-ratio doubles, one ln,
+  // DECIMAL(18,8) quantize, exact accumulation, ONE ROUND(4)); the
+  // oracle replays train counts, all three KN statistics, the scoring
+  // ladder, and the fold verbatim. Train = even docs, score = odd docs.
+  private val x50 = q("x50_kneser_ney", Some(
+    """WITH mw AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                   FROM documents WHERE doc_id % 2 = 0),
+        sw AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE doc_id % 2 = 1),
+        mb AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])) AS bg FROM mw),
+        bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg FROM mb GROUP BY 1),
+        bfs AS (SELECT bg, n_bg, string_split(bg, ' ')[1] AS w1,
+                       string_split(bg, ' ')[2] AS w2 FROM bf),
+        ctx AS (SELECT w1, CAST(SUM(n_bg) AS BIGINT) AS n_ctx,
+                       CAST(COUNT(*) AS BIGINT) AS n1p FROM bfs GROUP BY 1),
+        cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont FROM bfs GROUP BY 1),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bf),
+        bglut AS (SELECT bg,
+                    CAST(ln(CAST(4 * b * n_ctx AS DOUBLE) /
+                            CAST((4 * n_bg - 3) * b + 3 * n1p * n_cont AS DOUBLE))
+                      AS DECIMAL(18,8)) AS ln_kn
+                  FROM bfs JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nb),
+        oov AS (SELECT CAST(ln(CAST(4 * b AS DOUBLE)) AS DECIMAL(18,8)) AS ln_oov FROM nb),
+        db AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS bg FROM sw) z
+               GROUP BY 1, 2),
+        sc AS (SELECT db.doc_id, db.c,
+                 COALESCE(bglut.ln_kn,
+                   CASE WHEN ctx.n_ctx IS NOT NULL AND cont.n_cont IS NOT NULL
+                        THEN CAST(ln(CAST(4 * nb.b * ctx.n_ctx AS DOUBLE) /
+                                     CAST(3 * ctx.n1p * cont.n_cont AS DOUBLE))
+                               AS DECIMAL(18,8))
+                        ELSE oov.ln_oov END) AS lnv
+               FROM db LEFT JOIN bglut USING (bg)
+               LEFT JOIN ctx ON string_split(db.bg, ' ')[1] = ctx.w1
+               LEFT JOIN cont ON string_split(db.bg, ' ')[2] = cont.w2
+               CROSS JOIN nb CROSS JOIN oov)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(c * lnv) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS kn_surprisal
+        FROM sc GROUP BY 1 ORDER BY doc_id""")) { t =>
+    TextAnalysis.kneserNeyScore(
+      t.documents.filter(col("doc_id") % 2 === 1),
+      t.documents.filter(col("doc_id") % 2 === 0))
+      .orderBy("doc_id")
+  }
+
   // x49 — tokenizer FERTILITY per language (the mixture-design metric a
   // multilingual tokenizer is judged by): BPE symbols per whitespace word
   // + bytes per symbol, rolled up by the corpus's language tag (en
@@ -3580,7 +3636,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
 }

@@ -504,6 +504,87 @@ object TextAnalysis {
           .as("sb_surprisal"))
   }
 
+  /** Interpolated KNESER-NEY bigram surprisal (Kneser & Ney 1995; the
+    * smoothing KenLM ships and CCNet-style perplexity filters actually
+    * run) — [[stupidBackoffScore]]'s principled sibling: instead of a
+    * fixed backoff penalty, unseen-pair mass comes from the CONTINUATION
+    * distribution (how many distinct contexts a word follows — "Francisco"
+    * is frequent but follows only "San", so its continuation probability
+    * is tiny; that distinction is why KN wins). With discount D = 3/4,
+    *
+    *   P(w|u) = (max(c(uw)−D, 0) + D·N1+(u·)·N1+(·w)/B) / c(u)
+    *
+    * which clears to the EXACT integer ratio
+    * ((4·c(uw)−3)·B + 3·N1+(u·)·N1+(·w)) / (4·B·c(u)) for seen pairs and
+    * 3·N1+(u·)·N1+(·w) / (4·B·c(u)) for unseen pairs under a seen
+    * context (B = distinct training bigram types) — the model sums to
+    * exactly 1 over the seen-continuation vocabulary per context
+    * (spec-pinned). Scoring ladder: seen bigram → KN ratio; seen context
+    * + seen continuation → backoff ratio; anything else → the fixed
+    * ln(4·B) floor. Determinism is the x16/x24 treatment: every ln is
+    * taken of a ratio of two exact BIGINTs (headroom note: the cleared
+    * numerator is O(c·B) — at corpora where that approaches 2⁶³ the
+    * products move to DECIMAL(38,0), same formulas), quantized to
+    * DECIMAL(18,8), accumulated exactly, ONE final ROUND(4).
+    *
+    * Scale shape: model counts are vocabulary/bigram-bounded map-side-
+    * combined aggregates off one training scan; the context and
+    * continuation statistics ride the SAME bigram frame (no second corpus
+    * scan); scoring is one (doc_id, bigram) shuffle plus LUT equi-joins —
+    * raw text never shuffles.
+    */
+  def kneserNeyScore(scored: DataFrame, model: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    def bigramRows(df: DataFrame) =
+      df.select(col("doc_id"), explode(bigrams).as("bg"))
+    val bgFreq = graft.operators.Materialize.cut(
+      bigramRows(model).groupBy("bg").agg(count(lit(1)).as("n_bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1)))
+    // one frame feeds all three statistics: totals + distinct-successor
+    // counts per context, distinct-predecessor counts per continuation,
+    // and the global bigram-type count
+    val ctx = bgFreq.groupBy("w1")
+      .agg(sum("n_bg").as("n_ctx"), count(lit(1)).as("n1p"))
+    val cont = bgFreq.groupBy("w2").agg(count(lit(1)).as("n_cont"))
+    val nB = bgFreq.agg(count(lit(1)).as("b"))
+    val bgLut = bgFreq.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(nB))
+      .select(col("bg"),
+        log((lit(4) * col("b") * col("n_ctx")).cast("double") /
+          ((lit(4) * col("n_bg") - 3) * col("b") +
+            lit(3) * col("n1p") * col("n_cont")).cast("double"))
+          .cast(DecimalType(18, 8)).as("ln_kn"))
+    val oov = nB.select(
+      log((lit(4) * col("b")).cast("double"))
+        .cast(DecimalType(18, 8)).as("ln_oov"))
+    val db = bigramRows(scored).groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    db
+      .join(bgLut, Seq("bg"), "left")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nB))
+      .crossJoin(broadcast(oov))
+      .withColumn("lnv", coalesce(col("ln_kn"),
+        when(col("n_ctx").isNotNull && col("n_cont").isNotNull,
+          log((lit(4) * col("b") * col("n_ctx")).cast("double") /
+            (lit(3) * col("n1p") * col("n_cont")).cast("double"))
+            .cast(DecimalType(18, 8))),
+        col("ln_oov")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnv")).as("sdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sdec").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("kn_surprisal"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw-corpus document by
     * the log importance ratio of a TARGET distribution over the raw one,

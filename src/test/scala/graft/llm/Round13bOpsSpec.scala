@@ -102,6 +102,43 @@ class Round13bOpsSpec extends SparkSpec {
       "a purged vector ranked after its cell dropped")
   }
 
+  test("kneserNeyScore: hand-computed ladder on a toy corpus; model sums to 1 per context") {
+    import spark.implicits._
+    // train "a b a c": bigrams {a b, b a, a c} each once → B = 3;
+    // ctx a: n_ctx=2, N1+(a·)=2; cont: each of a/b/c follows exactly 1 ctx.
+    // Seen pair (a,b):   P = ((4−3)·3 + 3·2·1)/(4·3·2) = 9/24
+    // Unseen pair (a,a): P = 3·2·1/24 = 6/24
+    // → Σ_w P(w|a) over the vocab = 9/24 + 9/24 + 6/24 = 1 (KN mass law)
+    val model = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b"), // seen bigram        → ln(24/9)
+      (3L, "a a"), // backoff            → ln(24/6) = ln 4
+      (5L, "z z")  // OOV                → ln(4·B)  = ln 12
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyScore(scored, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(1L) == ((1L, r4(math.log(24.0 / 9)))))
+    assert(got(3L) == ((1L, r4(math.log(4.0)))))
+    assert(got(5L) == ((1L, r4(math.log(12.0)))))
+  }
+
+  test("kneserNeyScore ranks in-domain text as less surprising than shuffled text") {
+    // the property a perplexity FILTER needs: fluent in-domain bigrams
+    // score lower than the same tokens in scrambled order
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val model = docs.filter(col("doc_id") % 2 === 0)
+    val fluent = docs.filter(col("doc_id") % 2 === 1)
+    val shuffled = fluent.select(col("doc_id"),
+      concat_ws(" ", reverse(org.apache.spark.sql.functions.split(
+        lower(col("text")), "\\s+"))).as("text"))
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.kneserNeyScore(df, model)
+        .agg(avg("kn_surprisal")).collect().head.getDouble(0)
+    val (f, s) = (mean(fluent), mean(shuffled))
+    assert(f < s, s"fluent $f must be less surprising than shuffled $s")
+  }
+
   test("a rebuild voids stale tombstones") {
     val idx = freshIndex()
     Similarity.deleteFromIvfIndex(
