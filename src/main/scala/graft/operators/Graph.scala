@@ -736,6 +736,80 @@ object Graph {
     (b0 +: iters).mkString(",\n")
   }
 
+  /** K-TRUSS decomposition to convergence — EDGE-centric peeling (Cohen
+    * 2008), a different algorithm class from [[kCore]]'s node peeling:
+    * every surviving edge must close ≥ k−2 triangles WITHIN the surviving
+    * set, so rounds alternate triangle-support counting and edge removal
+    * until stable (removals cascade — losing one edge can starve
+    * another's support). The truss is the community backbone degree-based
+    * cores can't isolate: a hub with many non-mutual neighbors survives
+    * k-core but carries no triangles.
+    *
+    * Input: canonical UNDIRECTED pairs (x < y, distinct). Per round: one
+    * wedge join (edge ⋈ adjacency ⋈ adjacency — O(Σ_e deg) candidate
+    * wedges, the m^1.5-bounded shape of [[triangleCount]]), one map-side-
+    * combined count keyed on the edge, one filter. Zero-support edges
+    * leave via the inner join itself (support 0 < k−2 for every k ≥ 3,
+    * the identical rule on both engines). State is edge-sized and
+    * [[Materialize.cut] per round; the stop probe is one count. Returns
+    * ((x, y, support) of the stable truss, roundsRun) — the LAST round is
+    * the first that removed nothing, so the reported support values are
+    * the stable ones; hitting `maxRounds` THROWS rather than emitting a
+    * half-peeled edge set.
+    */
+  def kTrussConverged(pairs: DataFrame, k: Int,
+                      maxRounds: Int = 32): (DataFrame, Int) = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = Materialize.cut(
+      pairs.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+        .filter(col("x") < col("y")).distinct())
+    var n = e.count()
+    var rounds = 0
+    var stable = false
+    var supported: DataFrame = null
+    while (!stable) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kTrussConverged: still peeling after $maxRounds rounds " +
+            "— raise maxRounds (cascade depth exceeds the backstop)")
+      val sym = e.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(e.select(col("y").as("u"), col("x").as("v")))
+      val sup = e
+        .join(sym.as("s1"), col("x") === col("s1.u"))
+        .join(sym.as("s2"),
+          col("y") === col("s2.u") && col("s1.v") === col("s2.v"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+      supported = Materialize.cut(sup.filter(col("support") >= k - 2))
+      val m = supported.count()
+      rounds += 1
+      if (m == n) stable = true
+      n = m
+      e = supported.select("x", "y")
+    }
+    (supported, rounds)
+  }
+
+  /** DuckDB unroll of [[kTrussConverged]]: `t0 .. t{rounds}` plus
+    * `sup1 .. sup{rounds}` over a caller-provided `t0(x, y)` canonical-
+    * pair CTE; the served result reads `sup{rounds}` (support ≥ k−2 —
+    * the stable frame, since round `rounds` removed nothing).
+    */
+  def kTrussOracleCtes(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""sym$r AS (SELECT x AS u, y AS v FROM t${r - 1}
+                    UNION ALL SELECT y, x FROM t${r - 1}),
+          sup$r AS MATERIALIZED (
+            SELECT e.x, e.y, CAST(COUNT(*) AS BIGINT) AS support
+            FROM t${r - 1} e
+            JOIN sym$r s1 ON s1.u = e.x
+            JOIN sym$r s2 ON s2.u = e.y AND s2.v = s1.v
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= ${k - 2}),
+          t$r AS (SELECT x, y FROM sup$r)"""
+    }
+    iters.mkString(",\n")
+  }
+
   /** Weighted single-source shortest paths — frontier-driven Bellman-Ford
     * in the MIN-PLUS semiring ([[bfsDistancesConverged]]'s weighted
     * generalization, a different algorithm class: BFS counts hops, this

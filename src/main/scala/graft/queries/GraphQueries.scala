@@ -360,5 +360,52 @@ object GraphQueries {
     Graph.pivotCloseness(dists, nNodes).orderBy("node")
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
+  /** g03's rare-part co-purchase graph as canonical (x < y) pairs — the
+    * triangle-bearing geometry the truss family needs (the customer–
+    * supplier purchase graph is bipartite: no odd cycles, no triangles,
+    * every k-truss trivially empty).
+    */
+  private def coPurchasePairs(t: Tables): DataFrame = {
+    val rare = t.lineitem.filter(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_partkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c")).distinct()
+    rare.as("a")
+      .join(rare.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("x"), col("b.c").as("y")).distinct()
+  }
+
+  private val coPurchaseCte: String =
+    """co0 AS (
+         SELECT DISTINCT l_partkey AS p, o_custkey AS c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity >= 49),
+       t0 AS MATERIALIZED (
+         SELECT DISTINCT a.c AS x, b.c AS y
+         FROM co0 a JOIN co0 b ON a.p = b.p AND a.c < b.c)"""
+
+  // g12 — 4-TRUSS of the rare-part co-purchase graph: EDGE-centric
+  // peeling (Cohen 2008) — the 12th algorithm and a new class beside
+  // g04's node peeling: every surviving edge must close ≥ 2 triangles
+  // within the surviving set, removals cascade, rounds run until stable
+  // (R recorded, late-bound oracle unrolls the identical wedge-join +
+  // HAVING recurrence). The truss is the community backbone k-core
+  // can't isolate — a hub with many non-mutual neighbors survives
+  // degree peeling but carries no triangles. Output = the stable truss
+  // edges WITH their support, so one wrong triangle count anywhere —
+  // not just a wrong survivor set — hash-fails.
+  private val g12Rounds = new RoundCounter(3)
+  private val g12 = qGen("g12_ktruss", g12Rounds) {
+    val r = g12Rounds.get
+    s"""WITH $coPurchaseCte,
+        ${Graph.kTrussOracleCtes(k = 4, rounds = r)}
+        SELECT x, y, support FROM sup$r ORDER BY x, y"""
+  } { t =>
+    val (truss, r) = Graph.kTrussConverged(coPurchasePairs(t), k = 4)
+    g12Rounds.set(r)
+    truss.orderBy("x", "y")
+  }
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12)
 }

@@ -535,6 +535,46 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous QUANTILE-HISTOGRAM maintenance — the percentile twin of
+    * [[ingestDsirCountsStream]] (same additive [[graft.operators
+    * .CountStore]] protocol, same replay posture): each micro-batch folds
+    * to a |keys|·|cent-buckets| histogram version, and percentile serves
+    * ([[graft.operators.QuantileStore.serve]]) read ONLY the merged
+    * histogram — the event stream is scanned once at ingest and never
+    * again. Replay safety is the additive-state discipline: the
+    * [[ReplayGuard]] high-water mark skips fully-committed replays O(1),
+    * and the one batch that can straddle a crash is checked against the
+    * store's committed batch TAG before appending (a double-appended
+    * histogram shifts every percentile and no read-side dedup could
+    * tell). `compactEvery` > 0 folds the version list every that-many
+    * batches, AFTER the mark commits.
+    */
+  def ingestQuantilesStream(rows: DataFrame, storePath: String,
+                            checkpoint: String, keyCol: String,
+                            valueCol: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new ReplayGuard(storePath, checkpoint)
+    guard.acquireLock()
+    val step: (DataFrame, Long) => Unit = (batch, batchId) =>
+      guard.posture(batchId) match {
+        case Skip => ()
+        case p =>
+          val tag = s"batch-$batchId"
+          val alreadyAppended =
+            p == Recover && graft.operators.CountStore.hasTag(storePath, tag)
+          if (!alreadyAppended)
+            graft.operators.QuantileStore.append(
+              batch, keyCol, valueCol, storePath, Some(tag))
+          guard.commit(batchId)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.CountStore.compact(batch.sparkSession, storePath)
+      }
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous inverted-index maintenance — the text-retrieval twin of
     * [[ingestDsirCountsStream]]: each micro-batch's postings land as one
     * bucket-partitioned version of the [[graft.llm.Search]] store, and

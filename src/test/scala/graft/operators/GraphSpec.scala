@@ -489,6 +489,53 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == ((3L, 2L, 1.0)))
   }
 
+  private def cPairs(pairs: (Long, Long)*): DataFrame =
+    pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toDF("x", "y")
+
+  test("kTruss: K4 is a stable 4-truss (support 2); an attached triangle strips") {
+    // K4 on {1,2,3,4}: every edge closes 2 triangles → survives k=4.
+    // Triangle {4,5,6} hangs off node 4: each of its edges closes only 1
+    // → stripped, and the strip must NOT disturb K4's supports.
+    val g = cPairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val (truss, _) = Graph.kTrussConverged(g, k = 4)
+    val got = truss.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got.values.forall(_ == 2L), "every K4 edge closes exactly 2 triangles")
+  }
+
+  test("kTruss: removal CASCADES — an edge can starve after its support leaves") {
+    // (1,2),(1,3),(2,3) + (2,4),(3,4): edge (2,3) starts with support 2
+    // (via 1 AND 4), every other edge with 1. Round one strips the
+    // support-1 edges; (2,3) then has NO wedge left and must follow.
+    val g = cPairs((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (truss, r) = Graph.kTrussConverged(g, k = 4)
+    assert(truss.isEmpty, "the cascade must empty the graph")
+    assert(r >= 2, s"support-(2,3) only starves AFTER round one, got R=$r")
+  }
+
+  test("kTruss: a triangle-free hub strips at k=3 where degree peeling keeps it") {
+    // star center 1 → leaves 2..9 (degree 8, survives 3-core trivially? no
+    // — k-core also peels leaves; the CONTRAST is an edge-local one: the
+    // star has no triangle, so even k=3 truss (support ≥ 1) drops ALL of
+    // it while the disjoint triangle {20,21,22} survives intact)
+    val star = (2L to 9L).map(l => (1L, l))
+    val g = cPairs(star :+ (20L, 21L) :+ (20L, 22L) :+ (21L, 22L): _*)
+    val (truss, _) = Graph.kTrussConverged(g, k = 3)
+    val got = truss.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 21L), (20L, 22L), (21L, 22L)))
+  }
+
+  test("kTrussConverged is deterministic under repartitioning") {
+    val g = cPairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val a = Graph.kTrussConverged(g, k = 4)._1.orderBy("x", "y").collect().toSeq
+    val b = Graph.kTrussConverged(g.repartition(7), k = 4)._1
+      .orderBy("x", "y").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("bfsPerSeedConverged is deterministic under repartitioning") {
     val chain = chainEdges(12)
     val seeds = Seq(1L, 7L, 12L).toDF("node")

@@ -833,6 +833,51 @@ class StreamingSpec extends SparkSpec {
     assert(view() == expected, "a tag-detected replay must not double-count")
   }
 
+  test("quantile-histogram ingest: streamed percentiles equal the batch serve; replays never shift them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_type", "value")
+    val rows = events.as[(String, Double)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+    val stream = MemoryStream[(String, Double)]
+    def run(): Unit = {
+      val q = StreamingOps.ingestQuantilesStream(
+        stream.toDF().toDF("event_type", "value"), s"$root/store", s"$root/ckpt",
+        keyCol = "event_type", valueCol = "value")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def uncommit(id: Long): Unit = Seq(s"$id", s".$id.crc").foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/ckpt/commits/$f"))
+    }
+    def served(): Seq[(String, Int, Long, Double)] =
+      graft.operators.QuantileStore.serve(spark, s"$root/store", Seq(25, 50, 75, 90))
+        .orderBy("event_type", "pct")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a); run()
+    stream.addData(b); run()
+    val full = java.nio.file.Files.createTempDirectory("graft-q-full").toString
+    graft.operators.QuantileStore.write(events, "event_type", "value", full)
+    val expected = graft.operators.QuantileStore.serve(spark, full, Seq(25, 50, 75, 90))
+      .orderBy("event_type", "pct")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(served() == expected,
+      "two streamed appends must serve the one-shot percentiles exactly")
+    // crash window A: mark committed, Spark commit log lost — guard skips
+    uncommit(1)
+    run()
+    assert(served() == expected, "a mark-skipped replay must not re-append")
+    // crash window B: append landed, process died before the mark — the
+    // TAG detects it (a double-appended histogram shifts every rank)
+    uncommit(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/store/_streaming_hwm"))
+    run()
+    assert(served() == expected, "a tag-detected replay must not double-count")
+  }
+
   test("manifested-table ingest: streamed appends serve point probes; replays never double rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
