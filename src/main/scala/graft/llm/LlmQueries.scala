@@ -2467,6 +2467,48 @@ object LlmQueries {
   // with Efraimidis–Spirakis weights; TopKPerGroup keeps a hot source off
   // a single task's window). The oracle recomputes the priorities and the
   // per-source rank boundary with the same total order.
+  // p11 — DoReMi-style domain reweighting (Xie et al. 2023): one
+  // multiplicative-weights round over the source mixture — domains whose
+  // text the reference (corpus-unigram) model finds harder than average
+  // get up-weighted from the token-share baseline, w_s ∝ n_tokens_s ·
+  // exp(0.1·(L_s − L̄)), normalized. The complement of p04's temperature
+  // mix (a FIXED flattening): DoReMi moves weight by measured model
+  // difficulty, the modern mixture-design loop. Exact decimal loss sums
+  // off the x16 LUT, one exp per DOMAIN quantized DECIMAL(18,12), exact
+  // decimal normalizer, one double division per output; the oracle
+  // replays the LM, both loss levels, the update, and the normalization.
+  private val p11 = q("p11_doremi_weights", Some(
+    """WITH dt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) z
+          GROUP BY 1, 2),
+        freq AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n_w FROM dt GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM freq),
+        lut AS (SELECT tok,
+                  CAST(ln(CAST(n_total AS DOUBLE) / CAST(n_w AS DOUBLE)) AS DECIMAL(18,8)) AS lnv
+                FROM freq, tot),
+        pd AS (SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, SUM(c * lnv) AS sdec
+               FROM dt JOIN lut USING (tok) GROUP BY 1),
+        ps AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, SUM(sdec) AS sdec
+               FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+        g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS g_tokens, SUM(sdec) AS g_sdec FROM ps),
+        sc AS (SELECT source, n_docs, n_tokens,
+                      CAST(sdec AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS l_s,
+                      CAST(g_sdec AS DOUBLE) / CAST(g_tokens AS DOUBLE) AS l_bar
+               FROM ps CROSS JOIN g),
+        u AS (SELECT source, n_docs, n_tokens, l_s,
+                     CAST(n_tokens AS DECIMAL(18,0)) *
+                     CAST(exp(0.1 * (l_s - l_bar)) AS DECIMAL(18,12)) AS unnorm
+              FROM sc),
+        z AS (SELECT SUM(unnorm) AS z FROM u)
+        SELECT source, n_docs, n_tokens, ROUND(l_s, 4) AS mean_surprisal,
+               ROUND(CAST(unnorm AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+        FROM u CROSS JOIN z ORDER BY source""")) { t =>
+    TextAnalysis.doremiMixtureWeights(t.documents).orderBy("source")
+  }
+
   private val p10 = q("p10_priority_per_source", Some(
     s"""WITH w AS (SELECT doc_id, source,
             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
@@ -3128,6 +3170,56 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s25 — vector UPSERT (the re-embedding path: a model refresh
+  // re-encodes every 13th vector — here the deterministic stand-in is
+  // the reversed embedding, exact in float and in SQL's list_reverse):
+  // tombstone → purge → append composed from the store's own primitives
+  // (tombstones mask by ID, so the fold must land before the new copy —
+  // Similarity.upsertIvfIndex documents idempotence under retry at every
+  // crash window). Serve at full probe through the upserted store must
+  // equal exact quantized brute force over the UPDATED corpus: a stale
+  // copy surviving, both copies ranking, or the new geometry landing in
+  // an unprobed cell all hash-fail. Completes the store's CRUD story:
+  // write/append (s06), delete (s24), upsert (here), compact, vacuum.
+  private val s25 = q("s25_knn_index_upsert", Some(
+    """WITH u AS (
+         SELECT vec_id,
+                CASE WHEN vec_id % 13 = 0 THEN list_reverse(embedding)
+                     ELSE embedding END AS embedding
+         FROM embeddings),
+        pk AS (
+         SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> floor(x * scale + 0.5)) AS q
+         FROM (SELECT vec_id, embedding,
+                      CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) <> 0
+                           THEN 127.0 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+                      END AS scale
+               FROM u) m),
+        q AS (SELECT vec_id AS query_id, q AS qq FROM pk WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id AS neighbor_id, q AS qc FROM pk),
+        p AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qq, qc) /
+                     (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qc, qc))) AS qcos
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
+    val idx = java.nio.file.Files.createTempDirectory("graft-ups-idx").toString
+    Similarity.writeIvfIndex(t.embeddings, idx)
+    Similarity.upsertIvfIndex(
+      t.embeddings.filter(col("vec_id") % 13 === 0)
+        .withColumn("embedding", reverse(col("embedding"))), idx)
+    val corpus = t.embeddings.withColumn("embedding",
+      when(col("vec_id") % 13 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    Similarity.ivfTopKQuantizedFromIndex(
+      corpus.filter(col("vec_id") % 100 === 0), idx,
+      k = 10, nProbe = Similarity.IvfCells)
+      .orderBy("query_id", "rank")
+  }
+
   // s23 — HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
   // 2009): the lexical ranking (token-set Jaccard vs the query document)
   // and the semantic ranking (embedding cosine) fuse as
@@ -3635,8 +3727,8 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, m01, m02, m03, m04)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04)
 }

@@ -1577,6 +1577,30 @@ object Similarity {
     purged
   }
 
+  /** Vector UPSERT — the re-embedding path (a model refresh re-encodes
+    * documents; their ids keep serving, their geometry moves): composed
+    * from the store's own primitives as tombstone batch ids → purge →
+    * append-with-stored-centroids, because tombstones mask by ID — an
+    * append under a live tombstone would mask BOTH copies, so the fold
+    * must land first. The composition is IDEMPOTENT UNDER RETRY at every
+    * crash window: before purge, a replay re-tombstones and re-purges the
+    * same ids; between purge and append, a replay's delete+purge are
+    * no-ops over the already-removed rows and the append lands the batch
+    * once; after append, a replay tombstones the fresh copies, purges
+    * them, and re-appends — one copy survives every path. (Mid-flight
+    * reads can observe the delete-before-append gap; a reader needing
+    * snapshot isolation across upserts wants the warehouse pointer
+    * pattern (t18), not a cell-partitioned index.) Note the purge folds
+    * ALL pending tombstones, not just this batch's — they were due at
+    * the next purge anyway.
+    */
+  def upsertIvfIndex(batch: DataFrame, path: String,
+                     metaCols: Seq[String] = Nil): Unit = {
+    deleteFromIvfIndex(batch.select("vec_id"), path)
+    purgeIvfIndexDeletes(batch.sparkSession, path)
+    appendToIvfIndex(batch, path, metaCols = metaCols)
+  }
+
   /** Cell-occupancy report for a persisted IVF index — the DRIFT MONITOR
     * (VERDICT r8 #4): the centroid geometry is fixed at [[writeIvfIndex]]
     * time, so a drifting embedding stream silently degrades cell balance

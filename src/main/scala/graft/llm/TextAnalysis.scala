@@ -190,6 +190,64 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining") — ONE
+    * multiplicative-weights round of the algorithm's update rule with the
+    * corpus unigram LM standing in for the proxy model: domains whose
+    * text the reference model finds HARDER than average (excess loss
+    * L_s − L̄ > 0) get up-weighted from the token-share baseline,
+    *
+    *   w_s ∝ n_tokens_s · exp(η · (L_s − L̄)),   normalized to Σ w = 1
+    *
+    * where L_s is the domain's mean token surprisal under the corpus LM
+    * (the full DoReMi loop re-trains the proxy between rounds; the
+    * update arithmetic — the part an engine owns — is identical every
+    * round). η = 0.1 keeps exp in single-digit range (DECIMAL(18,12)
+    * quantization headroom documents the bound).
+    *
+    * Determinism: per-domain loss numerators are exact decimal sums of
+    * the x16 LUT products; L_s, L̄ are single double divisions; exp is
+    * computed once per DOMAIN (|domains| rows) and quantized to
+    * DECIMAL(18,12), so the unnormalized weights and their total are
+    * exact decimals — the normalization is one double division per
+    * domain. Scale shape: everything beyond the x16 (doc_id, token)
+    * shuffle is |docs|- then |domains|-keyed; raw text never shuffles.
+    */
+  def doremiMixtureWeights(documents: DataFrame, eta: Double = 0.1): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy("tok").agg(sum("c").as("n_w"))
+    val totals = freq.agg(sum("n_w").as("n_total"))
+    val lut = freq.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log(col("n_total").cast("double") / col("n_w").cast("double"))
+          .cast(DecimalType(18, 8)).as("lnv"))
+    val perDoc = docTok.join(lut, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c").cast(DecimalType(12, 0)) * col("lnv")).as("sdec"))
+    val perSrc = perDoc
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("sdec").as("sdec"))
+    val glob = perSrc.agg(sum("n_tokens").as("g_tokens"), sum("sdec").as("g_sdec"))
+    val scored = perSrc.crossJoin(broadcast(glob))
+      .withColumn("l_s", col("sdec").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("l_bar",
+        col("g_sdec").cast("double") / col("g_tokens").cast("double"))
+      .withColumn("boost",
+        exp(lit(eta) * (col("l_s") - col("l_bar"))).cast(DecimalType(18, 12)))
+      .withColumn("unnorm", col("n_tokens").cast(DecimalType(18, 0)) * col("boost"))
+    val z = scored.agg(sum("unnorm").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("l_s"), 4).as("mean_surprisal"),
+        round(col("unnorm").cast("double") / col("z").cast("double"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
     * 2010, "Intelligent Selection of Language Model Training Data"): score
     * every document by H_in(doc) − H_gen(doc), the difference between its

@@ -102,6 +102,31 @@ class Round13bOpsSpec extends SparkSpec {
       "a purged vector ranked after its cell dropped")
   }
 
+  test("upsertIvfIndex: retry converges to one copy at every crash window") {
+    val idx = freshIndex()
+    val batch = embs.filter(col("vec_id") % 13 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    def serveNow() = Similarity.ivfTopKQuantizedFromIndex(
+      embs.filter(queries), idx, k = 10, nProbe = Similarity.IvfCells)
+      .orderBy("query_id", "rank").collect().toSeq
+    Similarity.upsertIvfIndex(batch, idx)
+    val want = serveNow()
+    // crash-after-append replay: the whole upsert runs again
+    Similarity.upsertIvfIndex(batch, idx)
+    assert(serveNow() == want, "a replayed upsert must not double or lose rows")
+    // crash-between-purge-and-append replay: rows already removed when
+    // the retry's delete+purge run — they must no-op and the append land
+    Similarity.deleteFromIvfIndex(batch.select("vec_id"), idx)
+    Similarity.purgeIvfIndexDeletes(spark, idx)
+    Similarity.upsertIvfIndex(batch, idx)
+    assert(serveNow() == want, "a mid-gap replay must land the batch exactly once")
+    // exactly one copy of every upserted id in the store
+    val copies = spark.read.parquet(s"$idx/vectors")
+      .join(batch.select("vec_id"), Seq("vec_id"))
+      .groupBy("vec_id").count().filter(col("count") =!= 1).count()
+    assert(copies == 0, "an upserted id must have exactly one stored copy")
+  }
+
   test("kneserNeyScore: hand-computed ladder on a toy corpus; model sums to 1 per context") {
     import spark.implicits._
     // train "a b a c": bigrams {a b, b a, a c} each once → B = 3;
@@ -137,6 +162,34 @@ class Round13bOpsSpec extends SparkSpec {
         .agg(avg("kn_surprisal")).collect().head.getDouble(0)
     val (f, s) = (mean(fluent), mean(shuffled))
     assert(f < s, s"fluent $f must be less surprising than shuffled $s")
+  }
+
+  test("doremiMixtureWeights: a distribution that up-weights exactly the hard domains") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = TextAnalysis.doremiMixtureWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // each published weight rounds to 6 dp → the sum can drift |domains|·5e-7
+    assert(math.abs(w.map(_._4).sum - 1.0) < w.length * 5e-7,
+      "weights must normalize to 1 within rounding")
+    val totTok = w.map(_._2).sum.toDouble
+    val lBar = {
+      // token-weighted corpus mean of the per-domain means
+      w.map { case (_, n, ls, _) => n * ls }.sum / totTok
+    }
+    w.foreach { case (s, n, ls, wt) =>
+      val share = n / totTok
+      if (ls > lBar + 1e-9)
+        assert(wt > share, s"hard domain $s must up-weight from its token share")
+      if (ls < lBar - 1e-9)
+        assert(wt < share, s"easy domain $s must down-weight from its token share")
+    }
+    // η = 0 degenerates to the token-share baseline exactly
+    val base = TextAnalysis.doremiMixtureWeights(docs, eta = 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    w.foreach { case (s, n, _, _) =>
+      assert(math.abs(base(s) - n / totTok) < 5e-7,
+        s"eta=0 must return the token share for $s")
+    }
   }
 
   test("a rebuild voids stale tombstones") {
