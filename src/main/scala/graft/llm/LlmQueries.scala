@@ -3653,6 +3653,46 @@ object LlmQueries {
       .orderBy("event_type", "pct")
   }
 
+  // e28 — ROLLING 7-day value percentiles (p50/p90 per window day) via
+  // HISTOGRAM MERGE — the sliding-window order statistic that defeats
+  // naive engines at scale (a per-window re-sort is O(|window| log) per
+  // day over raw events): daily cent-bucket histograms are built ONCE
+  // (one map-side-combined pass over the event log), each window is the
+  // ADDITIVE merge of its ≤7 daily histograms (the associativity e27's
+  // store banks on, here as a bounded |days|·7·|buckets| range join),
+  // and the e27 rank/interpolation arithmetic serves the percentiles —
+  // raw events are never revisited. The oracle replays the identical
+  // bucketing, window merge, and shared interpolation formulas
+  // (QuantileStore.quantileOracleTail), so a day leaking into the wrong
+  // window or a drifted rank hash-fails.
+  private val e28 = q("e28_rolling_quantiles", Some(
+    s"""WITH d AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(value * 100) AS BIGINT) AS vcents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day AS win_day FROM d),
+        h AS (SELECT win_day, vcents, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM days JOIN d ON d.day >= win_day - 6 AND d.day <= win_day
+              GROUP BY 1, 2),
+        histcum AS (
+          SELECT win_day, vcents, cnt,
+                 SUM(cnt) OVER (PARTITION BY win_day ORDER BY vcents) AS cum
+          FROM h),
+        ${graft.operators.QuantileStore.quantileOracleTail("win_day", Seq(50, 90))}
+        ORDER BY win_day, pct""")) { t =>
+    val daily = eventsTs(t)
+      .groupBy(to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("vcents"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val days = daily.select(col("day").as("win_day")).distinct()
+    val hist = daily.join(days,
+      col("day") >= date_sub(col("win_day"), 6) && col("day") <= col("win_day"))
+      .groupBy("win_day", "vcents").agg(sum("cnt").as("cnt"))
+    graft.operators.QuantileStore.quantilesOf(hist, "win_day", Seq(50, 90))
+      .orderBy("win_day", "pct")
+  }
+
   // x46 — readability battery (Flesch reading ease + FK grade): exact
   // integer sentence/word/vowel-group counts, and EXACT INTEGER scoring —
   // each score is one common-denominator rational over the counts,
@@ -3729,6 +3769,6 @@ object LlmQueries {
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
-      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
+      e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04)
 }
