@@ -527,6 +527,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((20L, 21L), (20L, 22L), (21L, 22L)))
   }
 
+  test("seeded property: kTruss matches a naive driver-side peeler on random graphs") {
+    def naive(edges: Set[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+      var e = edges
+      var done = false
+      var sup = Map.empty[(Long, Long), Int]
+      while (!done) {
+        val adj = e.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+          .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+        sup = e.map { case (x, y) =>
+          (x, y) -> (adj(x) & adj(y)).size
+        }.toMap
+        val keep = sup.filter(_._2 >= k - 2).keySet
+        if (keep == e) done = true else e = keep
+      }
+      sup.filter(_._2 >= k - 2)
+    }
+    val rnd = new java.util.Random(1123L)
+    for (round <- 1 to 6) {
+      val nNodes = 6 + rnd.nextInt(10)
+      val pairsSet = (for {
+        x <- 1L to nNodes; y <- (x + 1) to nNodes
+        if rnd.nextDouble() < 0.35
+      } yield (x, y)).toSet
+      if (pairsSet.nonEmpty) {
+        val k = 3 + rnd.nextInt(2)
+        val want = naive(pairsSet, k)
+        val got = Graph.kTrussConverged(cPairs(pairsSet.toSeq: _*), k)._1
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+        assert(got == want, s"round $round (k=$k, ${pairsSet.size} edges)")
+      }
+    }
+  }
+
   test("kTrussConverged is deterministic under repartitioning") {
     val g = cPairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))

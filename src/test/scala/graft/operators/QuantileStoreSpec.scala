@@ -59,6 +59,34 @@ class QuantileStoreSpec extends SparkSpec {
       "additive histogram merge must make incremental ≡ from-scratch")
   }
 
+  test("seeded property: quantilesOf matches a naive sort-based reference on random data") {
+    val rnd = new java.util.Random(421L)
+    for (round <- 1 to 8) {
+      val n = 1 + rnd.nextInt(400)
+      val vals = Seq.fill(n)((rnd.nextGaussian() * 50 + rnd.nextInt(3) * 100) match {
+        case v => math.rint(v * 100) / 100.0 // arbitrary doubles are fine too; keep a mix
+      }) ++ Seq.fill(rnd.nextInt(5))(rnd.nextDouble() * 1e-3 - 5e-4)
+      val df = vals.map(("k", _)).toDF("k", "value")
+      val p = tmp()
+      QuantileStore.write(df, "k", "value", p)
+      val got = QuantileStore.serve(spark, p, Seq(10, 25, 50, 75, 90, 100))
+        .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+      // naive reference over the SAME quantization: sort cents, integer
+      // rank split, interpolate
+      val cents = vals.map(v => math.floor(v * 100).toLong).sorted
+      val m = cents.length
+      for (pct <- Seq(10, 25, 50, 75, 90, 100)) {
+        val pos = pct.toLong * (m - 1)
+        val rlo = (pos / 100).toInt
+        val rhi = math.min(rlo + 1, m - 1)
+        val frac = (pos % 100).toDouble / 100.0
+        val want = (cents(rlo).toDouble + frac * (cents(rhi) - cents(rlo)).toDouble) / 100.0
+        assert(got(pct) == want,
+          s"round $round pct $pct: got ${got(pct)}, naive $want (n=$m)")
+      }
+    }
+  }
+
   test("the store view is bucket-sized, not event-sized") {
     val df = (1 to 2000).map(i => ("k", (i % 50) * 0.5)).toDF("k", "value")
     val p = tmp()
