@@ -3681,10 +3681,14 @@ object LlmQueries {
           FROM h),
         ${graft.operators.QuantileStore.quantileOracleTail("win_day", Seq(50, 90))}
         ORDER BY win_day, pct""")) { t =>
-    val daily = eventsTs(t)
+    // the daily histogram materializes ONCE: deriving the window-day list
+    // from the lazy frame would re-plan a SECOND full event-log scan
+    // (column pruning makes the two subtrees differ, so no exchange
+    // reuse) — at 100 TB the one-scan contract is the operator's point
+    val daily = graft.operators.Materialize.cut(eventsTs(t)
       .groupBy(to_date(col("ts")).as("day"),
         floor(col("value") * 100).cast("long").as("vcents"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
+      .agg(count(lit(1)).cast("long").as("cnt")))
     val days = daily.select(col("day").as("win_day")).distinct()
     val hist = daily.join(days,
       col("day") >= date_sub(col("win_day"), 6) && col("day") <= col("win_day"))
