@@ -55,7 +55,8 @@ class QueryDefSpec extends AnyFunSuite {
     // adaptive family is exactly the known g-defs.)
     val adaptive = SparkEntry.defs.filter(_.oracleGen.isDefined).map(_.name)
     assert(adaptive.toSet == Set("g02_connected_components", "g04_kcore",
-      "g05_label_propagation", "g06_bfs_distances", "g09_pagerank_converged"),
+      "g05_label_propagation", "g06_bfs_distances", "g09_pagerank_converged",
+      "g10_weighted_sssp", "g11_closeness_sampled", "g12_ktruss"),
       s"unexpected adaptive-oracle defs: $adaptive — wire new ones through RoundCounter")
   }
 }
