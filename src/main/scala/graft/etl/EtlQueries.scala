@@ -326,6 +326,37 @@ object EtlQueries {
       .orderBy("category_key")
   }
 
+  // t38 — DYNAMIC partition pruning through the gate (t13 proves the
+  // STATIC form — a literal year/month filter pruned at planning time;
+  // here the selective predicate lives on a DIM attribute, quarter, so
+  // no literal partition filter exists until RUNTIME): the broadcast
+  // month-dim build is reused as a pruning subquery on the fact scan's
+  // (year, month) partition columns, and only the qualifying quarter's
+  // month directories are read — the star-schema access path every
+  // "rollup where dim-attribute = X" query takes at 100 TB. The oracle
+  // recomputes the quarter rollup from the dirty CTE, so a partition
+  // wrongly pruned (or wrongly kept) hash-fails on the counts;
+  // ScaleOpsSpec pins `dynamicpruning` in the scan's PartitionFilters
+  // and the all-partitions fallback when the feature is disabled.
+  private val t38 = q("t38_dynamic_partition_pruning",
+    s"""$withPrefix
+       SELECT CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_txns, ${sqlDsum("amount")} AS total_amount
+       FROM valid WHERE quarter(date) = 2
+       GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
+    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dimDate = TxnPipeline.dimDate(valid)
+    val fact = TxnPipeline.buildFact(valid,
+      TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
+      TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid), dimDate)
+    val path = java.nio.file.Files.createTempDirectory("graft-fact-dpp")
+      .toString + "/fact_by_month"
+    try ParquetWarehouse.writeFactPartitioned(fact, dimDate, path)
+    finally { valid.unpersist(); () }
+    ParquetWarehouse.quarterRollupDpp(t.spark, path, dimDate, quarter = 2)
+  }
+
   // t14 — small-file COMPACTION through the correctness gate: write the
   // valid transactions date-partitioned but deliberately FRAGMENTED (8
   // writer tasks × every year — the incremental-append anti-pattern),
@@ -1299,5 +1330,5 @@ object EtlQueries {
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-      t31, t32, t33, t34, t35, t36, t37, c01, c02, c03, c04, c05, c06, c07)
+      t31, t32, t33, t34, t35, t36, t37, t38, c01, c02, c03, c04, c05, c06, c07)
 }

@@ -464,6 +464,36 @@ object ParquetWarehouse {
       .partitionBy("year", "month")
       .parquet(path)
 
+  /** Star-join rollup over the [[writeFactPartitioned]] layout whose
+    * partition pruning is DYNAMIC (runtime), not static: the selective
+    * predicate lives on a DIM attribute (`quarter`), so no literal
+    * partition filter exists at planning time — Spark's dynamic partition
+    * pruning reuses the broadcast dim build as a pruning SUBQUERY on the
+    * fact scan's partition columns, and only the qualifying month
+    * directories are read (plan-pinned in ScaleOpsSpec: the scan's
+    * PartitionFilters carry `dynamicpruning`, and disabling the feature
+    * measurably scans every partition). At 100 TB this is THE star-schema
+    * access path: every "rollup where dim-attribute = X" query prunes the
+    * fact by the dim's selectivity without materializing a key list.
+    * The join rides both partition columns (year, month) against the
+    * quarter-filtered month dimension derived from dim_date.
+    */
+  def quarterRollupDpp(spark: SparkSession, path: String, dimDate: DataFrame,
+                       quarter: Int): DataFrame = {
+    val md = dimDate
+      .select(col("year").as("dd_year"), col("month").as("dd_month"), col("quarter"))
+      .distinct()
+      .filter(col("quarter") === quarter)
+    val fact = spark.read.parquet(path)
+    fact.join(broadcast(md),
+        fact("year") === md("dd_year") && fact("month") === md("dd_month"))
+      .groupBy(fact("year").cast("int").as("year"),
+        fact("month").cast("int").as("month"))
+      .agg(count(lit(1)).as("n_txns"),
+        graft.functions.Det.dsum(col("amount")).as("total_amount"))
+      .orderBy("year", "month")
+  }
+
   /** The [[writeFactPartitioned]] layout applied to the EVENT tier — a
     * day-partitioned event store (`path/event_date=…/…`). Event logs are the
     * table that actually reaches 100 TB first, and their dominant query

@@ -53,6 +53,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salts(base) == salts(base.repartition(13)))
   }
 
+  test("dynamic partition pruning fires on the dim-attribute star join; disabling it scans everything") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/t"
+    // 24 months of data, partitioned by (year, month); the filter lives on
+    // a dim attribute (quarter), never on the partition columns directly
+    val rows = (0 until 2400).map { i =>
+      val m = i % 24
+      (2000 + m / 12, 1 + m % 12, i.toLong)
+    }.toDF("year", "month", "v")
+    rows.repartition(col("year"), col("month"))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(root)
+    // the dim must be a real source (not a LocalRelation — a folded-away
+    // literal filter leaves no selective predicate for the DPP heuristic)
+    val dimPath = root + "_dim"
+    (0 until 24).map(m => (2000 + m / 12, 1 + m % 12))
+      .toDF("dd_year", "dd_month")
+      .withColumn("quarter", ((col("dd_month") - 1) / 3 + 1).cast("int"))
+      .write.mode("overwrite").parquet(dimPath)
+    def rollup() = {
+      val fact = spark.read.parquet(root)
+      val dim = spark.read.parquet(dimPath).filter(col("quarter") === 2)
+      fact.join(broadcast(dim),
+        fact("year") === col("dd_year") && fact("month") === col("dd_month"))
+    }
+    val q = rollup()
+    q.collect() // resolve the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"the fact scan must carry a runtime pruning subquery:\n${plan.take(4000)}")
+    // the pruned scan reads 6 of 24 month directories — measured via the
+    // scan metrics after execution
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val pruned = filesRead(q)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try {
+      val full = filesRead(rollup())
+      assert(pruned * 2 <= full,
+        s"DPP must cut files read (quarter = 6/24 months): pruned=$pruned full=$full")
+      assert(rollup().count() == q.count())
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
   test("bucketed tables co-locate the join: zero exchange in the plan") {
     val n = 10000
     spark.sql("DROP TABLE IF EXISTS bkt_fact")
