@@ -1561,6 +1561,34 @@ object LlmQueries {
       .orderBy("asset_id")
   }
 
+  // m05 — exact BINARY asset dedup through the gate (the crawl-stage
+  // zero for media: identical bytes ⇒ identical asset, no normalization
+  // — d01's keep-first shape, but over opaque payload BYTES, so only
+  // 16-byte md5 digests ever reach an exchange; at 100 TB of media the
+  // payloads staying put IS the operator). Duplicate payloads are
+  // planted deterministically: every asset in a 4-block carries the
+  // block head's payload (left join + coalesce handles absent heads
+  // identically on both engines), so blocks collapse to one
+  // representative with n_copies = block size. The oracle replays the
+  // plant and the digest grouping; a payload hashed, routed, or counted
+  // differently anywhere hash-fails.
+  private val m05 = q("m05_binary_dedup", Some(
+    """WITH b AS (SELECT doc_id, text FROM documents),
+        w AS (SELECT d.doc_id AS asset_id, COALESCE(h.text, d.text) AS payload
+              FROM b d LEFT JOIN b h ON h.doc_id = d.doc_id - (d.doc_id % 4))
+        SELECT MIN(asset_id) AS rep_id, md5(payload) AS checksum,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM w GROUP BY md5(payload) ORDER BY rep_id""")) { t =>
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val heads = docs.select(col("doc_id").as("base_id"), col("text").as("base_text"))
+    val assets = docs
+      .withColumn("base_id", col("doc_id") - pmod(col("doc_id"), lit(4)))
+      .join(heads, Seq("base_id"), "left")
+      .select(col("doc_id").as("asset_id"),
+        encode(coalesce(col("base_text"), col("text")), "UTF-8").as("payload"))
+    Multimodal.exactBinaryDedup(assets).orderBy("rep_id")
+  }
+
   // m02 — perceptual IMAGE dedup (rows-only like the other
   // non-SQL-expressible tiers — DuckDB cannot decode PNGs; MultimodalSpec
   // carries the semantics): a deterministic synthetic image corpus (one
@@ -3774,5 +3802,5 @@ object LlmQueries {
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04, m05)
 }

@@ -44,6 +44,22 @@ object Multimodal {
   /** Synthesize an asset table from the documents table (text bytes stand in
     * for media payloads; deterministic, so tests and benchmarks are stable).
     */
+  /** Exact BINARY dedup — d01's keep-first semantics over OPAQUE asset
+    * payloads (the crawl-stage zero for images/audio/video, where no
+    * text normalization applies: identical bytes ⇒ identical asset):
+    * one narrow map computes the md5 checksum per payload, the groupBy
+    * shuffles 16-byte digests — payload bytes NEVER reach an exchange,
+    * which at 100 TB of media is the entire point. Returns
+    * (rep_id = smallest asset id, checksum, n_copies) per distinct
+    * payload.
+    */
+  def exactBinaryDedup(assets: DataFrame, idCol: String = "asset_id",
+                       payloadCol: String = "payload"): DataFrame =
+    assets.select(col(idCol), md5(col(payloadCol)).as("checksum"))
+      .groupBy("checksum")
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select("rep_id", "checksum", "n_copies")
+
   def syntheticAssets(documents: DataFrame): Dataset[Asset] = {
     import documents.sparkSession.implicits._
     documents.select(
