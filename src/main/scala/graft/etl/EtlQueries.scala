@@ -315,8 +315,7 @@ object EtlQueries {
     val fact = TxnPipeline.buildFact(valid,
       TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
       TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid), dimDate)
-    val path = java.nio.file.Files.createTempDirectory("graft-fact-part")
-      .toString + "/fact_by_month"
+    val path = graft.TempDirs.scoped("graft-fact-part") + "/fact_by_month"
     try ParquetWarehouse.writeFactPartitioned(fact, dimDate, path)
     finally { valid.unpersist(); () }
     t.spark.read.parquet(path)
@@ -350,8 +349,7 @@ object EtlQueries {
     val fact = TxnPipeline.buildFact(valid,
       TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
       TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid), dimDate)
-    val path = java.nio.file.Files.createTempDirectory("graft-fact-dpp")
-      .toString + "/fact_by_month"
+    val path = graft.TempDirs.scoped("graft-fact-dpp") + "/fact_by_month"
     try ParquetWarehouse.writeFactPartitioned(fact, dimDate, path)
     finally { valid.unpersist(); () }
     ParquetWarehouse.quarterRollupDpp(t.spark, path, dimDate, quarter = 2)
@@ -375,8 +373,7 @@ object EtlQueries {
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
-    val path = java.nio.file.Files.createTempDirectory("graft-compact-gate")
-      .toString + "/txns_by_year"
+    val path = graft.TempDirs.scoped("graft-compact-gate") + "/txns_by_year"
     valid.repartition(8).write.partitionBy("year").parquet(path)
     ParquetWarehouse.compactPartitioned(t.spark, path, Seq("year"))
     t.spark.read.parquet(path)
@@ -589,7 +586,7 @@ object EtlQueries {
         FROM orders
         WHERE o_custkey BETWEEN 100 AND 400
           AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""") { t =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val dir = graft.TempDirs.scoped("graft-zorder")
     val withDay = t.orders.withColumn("o_date", to_date(col("o_orderdate")))
     graft.operators.ZOrder.writeZOrdered(
       withDay, dir, col("o_custkey"), col("o_date"), numFiles = 32)
@@ -614,7 +611,7 @@ object EtlQueries {
           AS total_spent,
         CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
         FROM orders""") { t =>
-    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val root = graft.TempDirs.scoped("graft-upsert")
     ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
     val updates = t.orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
@@ -638,7 +635,7 @@ object EtlQueries {
     s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS priority,
         CAST(COUNT(*) AS BIGINT) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spent
         FROM orders GROUP BY 1 ORDER BY priority ASC NULLS FIRST""") { t =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val dir = graft.TempDirs.scoped("graft-evolve")
     t.orders.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
       .write.mode("overwrite").parquet(dir)
     t.orders.filter(col("o_orderkey") % 2 === 1)
@@ -667,7 +664,7 @@ object EtlQueries {
         CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
         CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0""") { t =>
-    val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val root = graft.TempDirs.scoped("graft-mor")
     ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
     ParquetWarehouse.deleteFromSnapshot(root, "orders",
       t.orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), "o_orderkey")
@@ -697,7 +694,7 @@ object EtlQueries {
         ${sqlDsum("CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 AND month(CAST(o_orderdate AS DATE)) = 3 THEN o_totalprice * 2 ELSE o_totalprice END")}
           AS total_spent
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-partup").toString + "/orders"
+    val dir = graft.TempDirs.scoped("graft-partup") + "/orders"
     val base = t.orders
       .withColumn("o_year", year(col("o_orderdate")))
       .withColumn("o_month", month(col("o_orderdate")))
@@ -730,7 +727,7 @@ object EtlQueries {
        CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice * 2 END AS new_price
        FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 10 = 0
        ORDER BY o_orderkey""") { t =>
-    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+    val root = graft.TempDirs.scoped("graft-snapdiff")
     val base = t.orders.select("o_orderkey", "o_totalprice")
     ParquetWarehouse.publishSnapshot(root, Map("orders" -> base))
     ParquetWarehouse.upsertSnapshot(root, "orders",
@@ -891,7 +888,7 @@ object EtlQueries {
       dims("dim_category"), dims("dim_merchant"), dims("dim_payment_method"),
       dims("dim_user"), dims("dim_date"))
     val star = dims + ("fact_transactions" -> fact)
-    val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+    val root = graft.TempDirs.scoped("graft-wap")
     val good = ParquetWarehouse.publishAudited(root, star, StarIntegrity.allClean)
     require(good.isRight, s"clean star must publish, got $good")
     // poison batch: every fact category key orphaned — must NOT publish.
@@ -973,7 +970,7 @@ object EtlQueries {
           dsum6Partial(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("rev_dec"))
     val cutoff = lit("1997-01-01").cast("date")
-    val dir = java.nio.file.Files.createTempDirectory("graft-iagg").toString
+    val dir = graft.TempDirs.scoped("graft-iagg")
     partial(col("l_shipdate") < cutoff).write.mode("overwrite").parquet(dir)
     val stored = t.spark.read.parquet(dir)
     val delta = partial(col("l_shipdate") >= cutoff)
@@ -991,7 +988,7 @@ object EtlQueries {
         ${sqlDsum("o_totalprice")} AS total_spent,
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
         FROM orders GROUP BY 1 ORDER BY o_custkey""") { t =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val dir = graft.TempDirs.scoped("graft-bucketed")
     graft.warehouse.ParquetWarehouse.writeFactBucketed(
       t.orders.select("o_custkey", "o_totalprice", "o_orderstatus"),
       "graft_t16_orders_by_cust", "o_custkey", nBuckets = 16,
@@ -1020,7 +1017,7 @@ object EtlQueries {
           AS total_spent,
         CAST(1 AS BIGINT) AS n_vacuumed
         FROM orders""") { t =>
-    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val root = graft.TempDirs.scoped("graft-vacuum")
     ParquetWarehouse.publishSnapshot(root, Map("orders" -> t.orders))
     val updates = t.orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
@@ -1053,7 +1050,7 @@ object EtlQueries {
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY 1 ORDER BY c_custkey""") { t =>
     val owner = s"graft_t30_${java.lang.Long.toHexString(System.nanoTime())}"
-    val dir = java.nio.file.Files.createTempDirectory("graft-cobkt").toString
+    val dir = graft.TempDirs.scoped("graft-cobkt")
     ParquetWarehouse.writeFactBucketed(
       t.orders, s"${owner}_orders", "o_custkey", 16, Some(s"$dir/orders"))
     ParquetWarehouse.writeFactBucketed(
@@ -1086,7 +1083,7 @@ object EtlQueries {
                ${sqlDsum("o_totalprice")} AS total_spent
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY 1, 2 ORDER BY year, month""") { t =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val dir = graft.TempDirs.scoped("graft-orc")
     t.orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(dir)
     t.spark.read.orc(dir)
       .filter(col("o_orderstatus") === "F")
@@ -1111,7 +1108,7 @@ object EtlQueries {
           AS total_spent
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY segment""") { t =>
-    val root = java.nio.file.Files.createTempDirectory("graft-incpub").toString
+    val root = graft.TempDirs.scoped("graft-incpub")
     def noOrphans(s: Map[String, org.apache.spark.sql.DataFrame]): Boolean =
       s("orders").select("o_custkey")
         .join(s("customer").select("c_custkey"),
@@ -1148,8 +1145,7 @@ object EtlQueries {
         FROM orders
         WHERE year(o_orderdate) IN (1996, 1999) AND o_orderstatus IN ('F', 'O')
         GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-spec-evo")
-      .toString + "/orders_evolved"
+    val path = graft.TempDirs.scoped("graft-spec-evo") + "/orders_evolved"
     val o = t.orders.withColumn("year", year(col("o_orderdate")).cast("int"))
     ParquetWarehouse.writeSpecEvolved(Seq(
       (o.filter(col("year") < 1998), Seq("year")),
@@ -1178,8 +1174,7 @@ object EtlQueries {
               o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
        FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2)
        ORDER BY orderkey""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-key-idx")
-      .toString + "/orders_keyed"
+    val path = graft.TempDirs.scoped("graft-key-idx") + "/orders_keyed"
     ParquetWarehouse.writeKeyIndexed(t.orders, path, "o_orderkey", files = 8)
     val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
     t.spark.read.parquet(path)
@@ -1207,8 +1202,7 @@ object EtlQueries {
               o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
        FROM orders, k WHERE o_orderkey = k.key
        ORDER BY orderkey""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-manifest")
-      .toString + "/orders_manifested"
+    val path = graft.TempDirs.scoped("graft-manifest") + "/orders_manifested"
     ParquetWarehouse.writeManifested(t.orders, path, "o_orderkey", files = 8)
     val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
     val mid = (r.getLong(0) + r.getLong(1)) / 2
@@ -1238,8 +1232,7 @@ object EtlQueries {
               o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
        FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2)
        ORDER BY orderkey""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-manifest-app")
-      .toString + "/orders_manifested"
+    val path = graft.TempDirs.scoped("graft-manifest-app") + "/orders_manifested"
     val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val mid = (lo + hi) / 2
@@ -1275,8 +1268,7 @@ object EtlQueries {
               o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS total
        FROM orders, ks WHERE o_orderkey IN (ks.k1, ks.k2, ks.k3)
        ORDER BY orderkey""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-manifest-cpt")
-      .toString + "/orders_manifested"
+    val path = graft.TempDirs.scoped("graft-manifest-cpt") + "/orders_manifested"
     ParquetWarehouse.writeManifested(
       t.orders.filter(col("o_orderkey") % 3 === 0), path, "o_orderkey", files = 2)
     (1 to 2).foreach { i =>
@@ -1315,8 +1307,7 @@ object EtlQueries {
               ${sqlDsum("o_totalprice")} AS total_spent
        FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi
        GROUP BY 1 ORDER BY 1""") { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-manifest-rng")
-      .toString + "/orders_manifested"
+    val path = graft.TempDirs.scoped("graft-manifest-rng") + "/orders_manifested"
     ParquetWarehouse.writeManifested(t.orders, path, "o_orderkey", files = 8)
     val r = t.orders.agg(min("o_orderkey"), max("o_orderkey")).head()
     val (klo, khi) = (r.getLong(0), r.getLong(1))

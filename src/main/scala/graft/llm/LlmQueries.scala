@@ -58,9 +58,18 @@ object LlmQueries {
     Dedup.nearDupPairs(t.documents, threshold = 0.8).orderBy("doc_a", "doc_b")
   }
 
-  // d03 — SimHash fingerprints (no DuckDB twin for xxhash64 → rows-only;
-  // Hamming-distance behavior is covered by DedupSpec).
-  private val d03 = q("d03_simhash", None) { t =>
+  // d03 — SimHash fingerprints, ORACLE-EXACT (VERDICT r13 #3): the base
+  // hash is the engine-portable double poly fold (SimhashFns.tokenHash),
+  // so DuckDB replays token hash → 64 ±1-vote tallies → sign-threshold
+  // assembly bit-for-bit; a single flipped fingerprint bit hash-fails.
+  private val d03 = q("d03_simhash", Some(
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents)
+        SELECT doc_id, simhash
+        FROM (${graft.functions.SimhashFns.sqlSimhashFromTokens(
+            "doc_id", "tok", "SELECT doc_id, tok FROM tok")}) fp
+        ORDER BY doc_id""")) { t =>
     Dedup.simhash(t.documents).orderBy("doc_id")
   }
 
@@ -815,8 +824,7 @@ object LlmQueries {
         ${sqlDsum("value")} AS total_value
         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
         GROUP BY 1 ORDER BY event_type""")) { t =>
-    val path = java.nio.file.Files.createTempDirectory("graft-events-part")
-      .toString + "/events_by_day"
+    val path = graft.TempDirs.scoped("graft-events-part") + "/events_by_day"
     graft.warehouse.ParquetWarehouse.writeEventsPartitioned(eventsTs(t), path)
     t.spark.read.parquet(path)
       .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-10")))
@@ -1063,7 +1071,7 @@ object LlmQueries {
   // read-index-and-join tail (asserted cheaper-in-plan by Round6OpsSpec:
   // the indexed plan scans no `text` column on the corpus side).
   private val d09 = q("d09_incremental_dedup_indexed", Some(crossDedupOracle)) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    val idx = graft.TempDirs.scoped("graft-dedup-idx")
     Dedup.writeCorpusIndex(t.documents.filter(col("doc_id") % 3 =!= 0), idx)
     val (pairs, release) = Dedup.crossNearDupPairsAgainstIndexWithCleanup(
       t.documents.filter(col("doc_id") % 3 === 0), idx, threshold = 0.8)
@@ -1132,7 +1140,7 @@ object LlmQueries {
   // and planted-twin + index-reuse asserted in Round6OpsSpec. The def
   // rebuilds the index per run, so its bench time INCLUDES the build.
   private val s06 = q("s06_knn_ivf_quantized_indexed", None) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val idx = graft.TempDirs.scoped("graft-ivf-idx")
     Similarity.writeIvfIndex(t.embeddings, idx)
     Similarity.ivfTopKQuantizedFromIndex(
       t.embeddings.filter(col("vec_id") % 100 === 0), idx,
@@ -1205,7 +1213,7 @@ object LlmQueries {
   // s09 RECALL entries grade this def too. The def rebuilds its index per
   // run, so its bench time INCLUDES the build.
   private val s10 = q("s10_knn_ivfpq_indexed", None) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    val idx = graft.TempDirs.scoped("graft-ivfpq-idx")
     Similarity.writeIvfPqIndex(t.embeddings, idx,
       booksIn = Some(Similarity.pqCodebooksKMeans(t.embeddings)))
     Similarity.ivfPqTopKFromIndex(
@@ -1427,7 +1435,7 @@ object LlmQueries {
   // from-scratch, this time on an UNBOUNDED (vocabulary) key space,
   // showing the additive-store pattern is not bucket-specific.
   private val x28 = q("x28_surprisal_incremental", Some(unigramSurprisalOracleSql)) { t =>
-    val store = java.nio.file.Files.createTempDirectory("graft-uni-idx").toString
+    val store = graft.TempDirs.scoped("graft-uni-idx")
     graft.operators.CountStore.write(
       TextAnalysis.unigramCounts(t.documents.filter(col("doc_id") % 2 === 0)), store)
     graft.operators.CountStore.append(
@@ -1582,7 +1590,9 @@ object LlmQueries {
     val docs = t.documents.select(col("doc_id"), col("text"))
     val heads = docs.select(col("doc_id").as("base_id"), col("text").as("base_text"))
     val assets = docs
-      .withColumn("base_id", col("doc_id") - pmod(col("doc_id"), lit(4)))
+      // `%` (truncated toward zero) matches DuckDB's `%` for negative ids
+      // too; pmod would diverge (pmod(-3,4)=1 vs -3%4=-3) if ids go negative.
+      .withColumn("base_id", col("doc_id") - (col("doc_id") % lit(4)))
       .join(heads, Seq("base_id"), "left")
       .select(col("doc_id").as("asset_id"),
         encode(coalesce(col("base_text"), col("text")), "UTF-8").as("payload"))
@@ -1736,7 +1746,7 @@ object LlmQueries {
   // sum associatively, so incremental ≡ batch bit-for-bit, and this def
   // PROVES it at the hash level.
   private val x27 = q("x27_dsir_incremental", Some(dsirOracleSql)) { t =>
-    val store = java.nio.file.Files.createTempDirectory("graft-dsir-idx").toString
+    val store = graft.TempDirs.scoped("graft-dsir-idx")
     graft.operators.CountStore.write(
       TextAnalysis.dsirBucketCounts(t.documents.filter(col("doc_id") % 2 === 0)), store)
     graft.operators.CountStore.append(
@@ -2901,7 +2911,7 @@ object LlmQueries {
   // and ±1% of e11's exact counts (spec-graded).
   private val e19 = q("e19_wau_sketch_store", None) { t =>
     val ev = eventsTs(t)
-    val root = java.nio.file.Files.createTempDirectory("graft-skstore").toString
+    val root = graft.TempDirs.scoped("graft-skstore")
     graft.operators.SketchStore.write(
       Events.dailyUserSketches(ev.filter(col("user_id") % 2 === 0)), root)
     graft.operators.SketchStore.append(
@@ -2928,7 +2938,7 @@ object LlmQueries {
        FROM m GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id"""
 
   private val x39 = q("x39_keyword_search", Some(keywordSearchOracleSql)) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-text-idx").toString
+    val idx = graft.TempDirs.scoped("graft-text-idx")
     Search.writeIndex(t.documents, idx)
     Search.searchAll(t.spark, idx, Seq("spark", "window", "merge")).orderBy("doc_id")
   }
@@ -2941,7 +2951,7 @@ object LlmQueries {
   // hash-proves incremental ≡ from-scratch — the x27/x28/d08 pattern, now
   // for the text-retrieval store.
   private val x42 = q("x42_search_incremental", Some(keywordSearchOracleSql)) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-text-idx-inc").toString
+    val idx = graft.TempDirs.scoped("graft-text-idx-inc")
     Search.initIndex(t.documents.filter(col("doc_id") % 2 === 0), idx)
     Search.appendToIndex(t.documents.filter(col("doc_id") % 2 === 1), idx)
     Search.searchAllIndexed(t.spark, idx, Seq("spark", "window", "merge"))
@@ -3088,7 +3098,7 @@ object LlmQueries {
   // magnitude-sensitive). Rows-only; recall vs exact s16 graded in
   // RECALL at two probe depths.
   private val s19 = q("s19_knn_mips_indexed", None) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-mips-idx").toString
+    val idx = graft.TempDirs.scoped("graft-mips-idx")
     Similarity.writeMipsIndex(t.embeddings, idx)
     Similarity.mipsTopKFromIndex(
       t.embeddings.filter(col("vec_id") % 100 === 0), idx,
@@ -3146,7 +3156,7 @@ object LlmQueries {
   // corpus. Rows-only like the other stored tiers; recall graded in
   // RECALL beside s21's in-memory form.
   private val s22 = q("s22_knn_filtered_indexed", None) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-filt-idx").toString
+    val idx = graft.TempDirs.scoped("graft-filt-idx")
     Similarity.writeIvfIndex(t.embeddings, idx, metaCols = Seq("label"))
     Similarity.ivfTopKQuantizedFromIndex(
       t.embeddings.filter(col("vec_id") % 100 === 0), idx,
@@ -3188,7 +3198,7 @@ object LlmQueries {
               FROM p)
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
         FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-del-idx").toString
+    val idx = graft.TempDirs.scoped("graft-del-idx")
     Similarity.writeIvfIndex(t.embeddings, idx)
     Similarity.deleteFromIvfIndex(
       t.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"), idx)
@@ -3234,7 +3244,7 @@ object LlmQueries {
               FROM p)
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
         FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-ups-idx").toString
+    val idx = graft.TempDirs.scoped("graft-ups-idx")
     Similarity.writeIvfIndex(t.embeddings, idx)
     Similarity.upsertIvfIndex(
       t.embeddings.filter(col("vec_id") % 13 === 0)
@@ -3391,13 +3401,25 @@ object LlmQueries {
   }
 
   // d23 — SimHash near-dup pairs by banded Hamming search (Manku et al.
-  // 2007; rows-only like d03 — xxhash64 has no DuckDB twin): candidate
-  // generation IS the 8-byte fingerprint (no shingle pass, the cheapest
-  // near-dup exchange in the tier), pigeonhole banding recall 1.0, exact
-  // popcount verify; one banded-Hamming implementation now serves text +
-  // image + audio. Radius behavior and twin recovery spec-pinned in
-  // Round12OpsSpec.
-  private val d23 = q("d23_simhash_neardup", None) { t =>
+  // 2007): candidate generation IS the 8-byte fingerprint (no shingle
+  // pass, the cheapest near-dup exchange in the tier), pigeonhole banding
+  // recall 1.0, exact popcount verify; one banded-Hamming implementation
+  // serves text + image + audio. ORACLE-EXACT (VERDICT r13 #3): the
+  // portable fingerprint lets DuckDB recompute EVERY fingerprint and then
+  // enumerate ALL pairs at Hamming ≤ 3 by brute force — a hash match
+  // proves the 4×16 pigeonhole banding dropped no qualifying pair (the
+  // recall-1.0 claim, now gate-checked, not just spec-pinned).
+  private val d23 = q("d23_simhash_neardup", Some(
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents),
+        fp AS (${graft.functions.SimhashFns.sqlSimhashFromTokens(
+            "doc_id", "tok", "SELECT doc_id, tok FROM tok")})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")) { t =>
     Dedup.simhashNearDupPairs(t.documents, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
   }
@@ -3486,7 +3508,7 @@ object LlmQueries {
         FROM sc ORDER BY bm25 DESC, doc_id LIMIT 25"""
 
   private val x45 = q("x45_bm25_search", Some(bm25SearchOracleSql)) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-idx").toString
+    val idx = graft.TempDirs.scoped("graft-ranked-idx")
     Search.writeRankedIndex(t.documents, idx)
     Search.searchRanked(t.spark, idx,
       Seq("spark", "join", "window", "shuffle"), k = 25)
@@ -3501,7 +3523,7 @@ object LlmQueries {
   // pattern, now for RANKED retrieval (idf/avgdl must come out identical
   // from merged stats, not just the tf sums).
   private val x48 = q("x48_bm25_incremental", Some(bm25SearchOracleSql)) { t =>
-    val idx = java.nio.file.Files.createTempDirectory("graft-ranked-inc").toString
+    val idx = graft.TempDirs.scoped("graft-ranked-inc")
     Search.initRankedIndex(t.documents.filter(col("doc_id") % 2 === 0), idx)
     Search.appendToRankedIndex(t.documents.filter(col("doc_id") % 2 === 1), idx)
     Search.searchRankedIndexed(t.spark, idx,
@@ -3670,7 +3692,7 @@ object LlmQueries {
         ${graft.operators.QuantileStore.quantileOracleTail("event_type", Seq(25, 50, 75, 90))}
         ORDER BY event_type, pct""")) { t =>
     val ev = eventsTs(t)
-    val root = java.nio.file.Files.createTempDirectory("graft-qstore").toString
+    val root = graft.TempDirs.scoped("graft-qstore")
     graft.operators.QuantileStore.write(
       ev.filter(col("event_id") % 3 === 0), "event_type", "value", root)
     graft.operators.QuantileStore.append(

@@ -1593,6 +1593,18 @@ object Similarity {
     * pattern (t18), not a cell-partitioned index.) Note the purge folds
     * ALL pending tombstones, not just this batch's — they were due at
     * the next purge anyway.
+    *
+    * SINGLE WRITER REQUIRED (store-level contract, ADVICE r13): because
+    * the purge step folds the WHOLE shared `deletes/` directory and then
+    * removes it, a concurrent [[deleteFromIvfIndex]] landing between this
+    * upsert's purge and its append can have its tombstone dir deleted
+    * mid-write (the delete is then silently lost) or folded before its
+    * writer considers it committed. All mutators of one index path —
+    * delete, purge, compact, upsert, streaming maintainers — must be
+    * serialized by the caller (one maintenance job per index, the same
+    * posture every LSM/iceberg-style store takes for compaction). Readers
+    * are unaffected: serves only ever see (data ∖ tombstones) at some
+    * point in the serialized history.
     */
   def upsertIvfIndex(batch: DataFrame, path: String,
                      metaCols: Seq[String] = Nil): Unit = {

@@ -12,8 +12,12 @@ class SimhashSpec extends SparkSpec {
 
   test("bit-identical to the explode/groupBy aggregation on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fold(base: Int, mod: Long) = aggregate(
+      transform(split(col("token"), ""), c => ascii(c).cast("long")),
+      lit(0L), (h, c) => (h * base + c) % mod)
     val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h",
+        fold(31, SimhashFns.P1) * lit(4294967296L) + fold(131, SimhashFns.P2))
     val bitSums = (0 until 64).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k"))
     val assembled = (0 until 64).map(k =>
