@@ -3636,15 +3636,42 @@ object LlmQueries {
     Events.windowedConversion(eventsTs(t)).orderBy("cohort_day")
   }
 
-  // d24 — MinHash-ESTIMATED near-dup pairs (rows-only like d03/d23: the
-  // xxhash64 signature family has no DuckDB twin): the at-scale verify
-  // path when even candidate-restricted exact-Jaccard is too expensive —
-  // est_j = matching-signature-component fraction, unbiased with std-err
-  // √(j(1−j)/64); the measured estimate error and the identical-doc
-  // est=1.0 guarantee are spec-pinned in LlmSpec against exact Jaccard.
-  private val d24 = q("d24_neardup_estimated", None) { t =>
-    Dedup.estimatedNearDupPairs(t.documents, threshold = 0.8)
-      .orderBy("doc_a", "doc_b")
+  // d24 — MinHash-ESTIMATED near-dup pairs: the at-scale verify path when
+  // even candidate-restricted exact-Jaccard is too expensive — est_j =
+  // matching-signature-component fraction, unbiased with std-err
+  // √(j(1−j)/64). ORACLE-EXACT (VERDICT r13 #3): the portable signature
+  // family (MinhashFns — affine maps over the poly-fold base hash) lets
+  // DuckDB recompute every signature, replay the 16×4 banding as a raw
+  // slice-equality join, and re-derive the estimator; output parity is
+  // EXACT, not probabilistic — any pair at est_j ≥ 0.8 has ≤ 12 mismatched
+  // components, so ≥ 4 of 16 bands are intact and BOTH engines surface it
+  // (pigeonhole). The measured estimate error vs exact Jaccard stays
+  // spec-pinned in DedupSpec.
+  private val d24 = {
+    val k = Dedup.MinhashBands * Dedup.MinhashRows
+    q("d24_neardup_estimated", Some(
+      s"""WITH sh AS (${TextFns.sqlShingleRows("doc_id", "text", "documents")}),
+          comp AS (${graft.functions.MinhashFns.sqlSigComponents(
+              "doc_id", "SELECT doc_id, shingle FROM sh", k)}),
+          band AS (SELECT doc_id, s // ${Dedup.MinhashRows} AS band,
+                          list(v ORDER BY s) AS slice
+                   FROM comp GROUP BY doc_id, (s // ${Dedup.MinhashRows})),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM band a JOIN band b
+                     ON a.band = b.band AND a.slice = b.slice
+                        AND a.doc_id < b.doc_id),
+          est AS (SELECT c.doc_a, c.doc_b,
+                         CAST(SUM(CASE WHEN ca.v = cb.v THEN 1 ELSE 0 END) AS DOUBLE)
+                           / ${k}.0 AS est_j
+                  FROM cand c
+                  JOIN comp ca ON ca.doc_id = c.doc_a
+                  JOIN comp cb ON cb.doc_id = c.doc_b AND cb.s = ca.s
+                  GROUP BY 1, 2)
+          SELECT doc_a, doc_b, est_j FROM est WHERE est_j >= 0.8
+          ORDER BY doc_a, doc_b""")) { t =>
+      Dedup.estimatedNearDupPairs(t.documents, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   // e24 — recency-weighted trending score per event type: counts decayed

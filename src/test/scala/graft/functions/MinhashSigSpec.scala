@@ -5,8 +5,8 @@ import graft.llm.{Dedup, TextFns}
 import org.apache.spark.sql.functions._
 
 /** The fused minhash_sig expression must be bit-identical to the
-  * transform/array_min HOF formulation it replaced (same XXH64 family,
-  * same seed chaining, same null-skip rule).
+  * transform/array_min HOF formulation of the same portable family (same
+  * poly-fold base hash, same per-seed affine map, same null rule).
   */
 class MinhashSigSpec extends SparkSpec {
 
@@ -14,12 +14,18 @@ class MinhashSigSpec extends SparkSpec {
 
   test("bit-identical to the HOF formulation on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fold(tok: org.apache.spark.sql.Column, base: Int, mod: Long) = aggregate(
+      transform(split(tok, ""), c => ascii(c).cast("long")),
+      lit(0L), (h, c) => (h * base + c) % mod)
     val hofSig = (0 until K).map { s =>
-      array_min(transform(col("hs"), h => xxhash64(lit(s), h)))
+      array_min(transform(col("hs"),
+        h => (lit(MinhashFns.seedA(s)) * h + lit(MinhashFns.seedB(s))) % MinhashFns.P))
     }
     val mismatches = docs
       .select(col("doc_id"), TextFns.shingles(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
+      .withColumn("hs", transform(col("sh"), x =>
+        (fold(x, 31, SimhashFns.P1) * lit(4294967296L) + fold(x, 131, SimhashFns.P2))
+          % MinhashFns.P))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         MinhashFns.minhashSig(col("sh"), K).as("native"),
