@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * Contract (the Debezium LSN model): every change row carries the FULL
   * after-image for I/U (payload columns null for D), and `(key, seq)` is
   * unique — a CDC log totally orders each key's history. Like
-  * [[ScdDim.applyBatch]], the uniqueness contract is enforced fail-fast
-  * (one eager aggregate over the batch; silently nondeterministic netting
-  * would be worse than the job).
+  * [[ScdDim.applyBatch]], the uniqueness contract is enforced inside the
+  * plan (a key-partitioned window count + raising filter, so the refusal
+  * fires at action time without any plan-construction job; silently
+  * nondeterministic netting would be worse than either).
   *
   * Scale shape: netting is ONE hash aggregation on the key (max_by of the
   * (seq, row) struct — map-side combinable, no per-key sort, no window);
@@ -34,14 +35,21 @@ object Cdc {
     */
   def netChanges(changes: DataFrame, keyCols: Seq[String], seqCol: String,
                  opCol: String): DataFrame = {
-    val dup = changes.groupBy(keyCols.map(col) :+ col(seqCol): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"duplicate (${keyCols.mkString(",")}, $seqCol) in changelog batch: " +
-        s"${dup.headOption.map(_.toString).getOrElse("")} — " +
-        "a CDC log must totally order each key's history")
+    // (key, seq) uniqueness enforced INSIDE the plan (the ScdDim.applyBatch
+    // treatment, VERDICT r13 #5): the former eager count+collect ran a job
+    // at call time; now a (key, seq)-partitioned window count guards every
+    // change row through a filter that raises at action time. Same total
+    // shuffle work (the eager job shuffled too), zero plan-construction jobs.
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col) :+ col(seqCol): _*)
+    val checked = changes
+      .withColumn("__n", count(lit(1)).over(dupW))
+      .filter(when(col("__n") <= 1, lit(true)).otherwise(raise_error(lit(
+        s"duplicate (${keyCols.mkString(",")}, $seqCol) in changelog batch — " +
+          "a CDC log must totally order each key's history")).cast("boolean")))
+      .drop("__n")
     val payload = changes.columns.filterNot(c => c == seqCol || keyCols.contains(c))
-    changes
+    checked
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct((payload :+ seqCol).map(col): _*), col(seqCol)).as("w"))
       .select(keyCols.map(col) ++ (payload :+ seqCol).map(c => col(s"w.$c")): _*)

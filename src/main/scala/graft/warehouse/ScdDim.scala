@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: ONE full-outer shuffle join on the business key decides
   * every row's fate; history rows never enter the join (filtered out up
   * front and unioned back), closures/openings/keeps are narrow projections
-  * of that single join, and the unions are partition-local. No windows, no
-  * driver materialization — the dimension can be arbitrarily large.
+  * of that single join, and the unions are partition-local. The only
+  * window is the key-partitioned batch-uniqueness guard (same hash as the
+  * join, never single-partition); no driver materialization — the
+  * dimension can be arbitrarily large.
   */
 object ScdDim {
 
@@ -56,20 +58,29 @@ object ScdDim {
       s"current dim must carry ${outCols.mkString(", ")}")
     // key-unique batch contract (the upsertSnapshot rule): a duplicated
     // business key would fan out through the full-outer join into
-    // conflicting versions. NOTE: this check is an EAGER action at
-    // call time (one count job over the batch), the price upsertSnapshot
-    // also pays — callers constructing plans without executing still run it
-    val dupes = updates.groupBy(businessKey.map(col): _*)
-      .count().filter(col("count") > 1)
-    require(dupes.isEmpty,
-      s"applyBatch: duplicate business keys in the update batch — merge is ambiguous")
-
+    // conflicting versions. Enforced INSIDE the merge plan (VERDICT r13
+    // #5 — the former eager count job ran at plan-CONSTRUCTION time, so
+    // callers composing multi-batch histories paid one job per batch even
+    // when the plan never executed): a count over the batch's key
+    // partitions guards every update row through a filter predicate that
+    // raises at ACTION time. The filter sits on the u side, so every
+    // update row evaluates it before the join (a guard column would be
+    // prunable on branches that never project it); the window partitions
+    // by the business key — the same hash the join needs — never a
+    // single-partition funnel.
     val eff = effectiveDate.cast("date")
     val cur = current.filter(col("is_current")).withColumn("__c", lit(true))
     val hist = current.filter(!col("is_current")).select(outCols.map(col): _*)
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(businessKey.map(col): _*)
     // updates' attrs renamed so the using-join keeps both versions visible
     val u = updates.select(
       businessKey.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")): _*)
+      .withColumn("__u_n", count(lit(1)).over(keyW))
+      .filter(when(col("__u_n") <= 1, lit(true)).otherwise(raise_error(lit(
+        "applyBatch: duplicate business keys in the update batch — merge is ambiguous"))
+        .cast("boolean")))
+      .drop("__u_n")
       .withColumn("__u", lit(true))
 
     val j = cur.join(u, businessKey, "full_outer")
