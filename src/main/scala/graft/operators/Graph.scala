@@ -148,11 +148,22 @@ object Graph {
     * initial rank Scale/N SHRINKS with N, so absolute tolerance needs
     * FEWER rounds on bigger graphs, never more). `maxRounds` is the
     * throwing runaway backstop, not a semantic knob.
+    *
+    * PROBE CADENCE (VERDICT r13 #6): the residual probe is itself a
+    * node×node shuffle join — one extra job per round. Residuals under
+    * damping shrink geometrically, so the probe fires only every
+    * `probeEvery` rounds (and at the maxRounds backstop): probe jobs drop
+    * ~4× for an overshoot of at most `probeEvery − 1` extra power
+    * iterations, and the recorded R is still the EXECUTED round count, so
+    * the late-bound oracle unrolls exactly what ran (bit-identity with
+    * [[pageRank]](edges, R) is cadence-independent).
     */
   def pageRankConverged(edges: DataFrame, tolFp: Long = 10000000L,
                         maxRounds: Int = 128,
-                        dampNum: Long = 85): (DataFrame, Int) = {
-    require(tolFp >= 1 && maxRounds >= 1 && dampNum >= 0 && dampNum <= 100)
+                        dampNum: Long = 85,
+                        probeEvery: Int = 4): (DataFrame, Int) = {
+    require(tolFp >= 1 && maxRounds >= 1 && dampNum >= 0 && dampNum <= 100 &&
+      probeEvery >= 1)
     val e = Materialize.cut(edges)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
@@ -162,11 +173,6 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged) {
-      if (rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
-            "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
-            "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
       val contrib = contribStep(e, ranks, degN)
       val next = Materialize.cut(
         degN.join(contrib, Seq("node"), "left")
@@ -174,9 +180,16 @@ object Graph {
             expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
               expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
       rounds += 1
-      converged = next
-        .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"))
-        .filter(abs(col("r") - col("old_r")) >= tolFp).isEmpty
+      if (rounds % probeEvery == 0 || rounds >= maxRounds) {
+        converged = next
+          .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"))
+          .filter(abs(col("r") - col("old_r")) >= tolFp).isEmpty
+        if (!converged && rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
+              "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
+              "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
+      }
       ranks = next
     }
     (ranks.select(col("node"), col("r").as("rank_fp"),
@@ -645,9 +658,11 @@ object Graph {
     * centrality (Eppstein & Wang 2001): K pivots' full distance vectors in
     * ONE frontier loop, state keyed (seed, node) so the K searches share
     * every edge scan instead of running K jobs. Returns ((seed, node,
-    * dist) for every reached pair, roundsRun) — rounds stop when NO
-    * seed's frontier grows, so the recorded R is the max eccentricity
-    * over the pivots and the oracle's unroll replays every seed exactly.
+    * dist) for every reached pair, roundsRun) — rounds stop once a probe
+    * finds no seed's frontier grew, so the recorded R is the max pivot
+    * eccentricity rounded up to the probe cadence (trailing rounds are
+    * no-ops) and the oracle's unroll replays every seed — and the no-op
+    * tail — exactly.
     *
     * Scale shape per round: one frontier-sized equi-join on `src` (the
     * only edge-table touch), one distinct and one anti-join keyed
@@ -657,19 +672,18 @@ object Graph {
     * (a silently-short sum_dist would BIAS every estimate upward).
     */
   def bfsPerSeedConverged(edges: DataFrame, seeds: DataFrame,
-                          maxRounds: Int = 64): (DataFrame, Int) = {
-    require(maxRounds >= 1)
+                          maxRounds: Int = 64,
+                          probeEvery: Int = 4): (DataFrame, Int) = {
+    require(maxRounds >= 1 && probeEvery >= 1)
     val e = Materialize.cut(edges)
     var reached = Materialize.cut(
       seeds.select(col("node").cast("long").as("node")).distinct()
         .select(col("node").as("seed"), col("node"), lit(0).as("dist")))
     var frontier = reached.select("seed", "node")
     var rounds = 0
-    while (!frontier.isEmpty) {
-      if (rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"bfsPerSeedConverged: frontier alive after $maxRounds rounds " +
-            "— raise maxRounds (pivot eccentricity exceeds the backstop)")
+    // probe cadence: see [[ssspConverged]] (VERDICT r13 #6)
+    var done = frontier.isEmpty
+    while (!done) {
       val nbrs = e.join(frontier, e("src") === frontier("node"))
         .select(col("seed"), col("dst").as("node")).distinct()
       val fresh = nbrs.join(reached, Seq("seed", "node"), "left_anti")
@@ -677,6 +691,13 @@ object Graph {
       reached = Materialize.cut(reached.unionByName(fresh))
       rounds += 1
       frontier = reached.filter(col("dist") === rounds).select("seed", "node")
+      if (rounds % probeEvery == 0 || rounds >= maxRounds) {
+        done = frontier.isEmpty
+        if (!done && rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"bfsPerSeedConverged: frontier alive after $maxRounds rounds " +
+              "— raise maxRounds (pivot eccentricity exceeds the backstop)")
+      }
     }
     (reached, rounds)
   }
@@ -831,12 +852,13 @@ object Graph {
     * are bounded by the weighted-path hop diameter; hitting `maxRounds`
     * THROWS instead of returning distances that silently stop short.
     * Returns (dist over the seeds' reachable component, roundsRun) — the
-    * LAST round is the first that improved nothing, and the oracle's
-    * d{roundsRun} replays it as a no-op merge.
+    * trailing rounds (at most the probe cadence) improve nothing, and the
+    * oracle's d{roundsRun} replays them as no-op merges.
     */
   def ssspConverged(edges: DataFrame, seeds: DataFrame,
-                    maxRounds: Int = 64): (DataFrame, Int) = {
-    require(maxRounds >= 1)
+                    maxRounds: Int = 64,
+                    probeEvery: Int = 4): (DataFrame, Int) = {
+    require(maxRounds >= 1 && probeEvery >= 1)
     val e = Materialize.cut(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
     var dist = Materialize.cut(
@@ -844,11 +866,12 @@ object Graph {
         .withColumn("dist", lit(0L)))
     var frontier = dist
     var rounds = 0
-    while (!frontier.isEmpty) {
-      if (rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"ssspConverged: distances still improving after $maxRounds rounds " +
-            "— raise maxRounds (weighted hop diameter exceeds the backstop)")
+    // emptiness probed every `probeEvery` rounds (VERDICT r13 #6): skipped
+    // probes trade ≤ probeEvery−1 no-op rounds (empty-frontier relaxations —
+    // the joins see an empty side) for 4× fewer probe jobs; the recorded R
+    // counts executed rounds, so the oracle's unroll replays the no-ops too.
+    var done = frontier.isEmpty
+    while (!done) {
       val cand = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
         .groupBy("node").agg(min("d").as("d"))
@@ -863,6 +886,13 @@ object Graph {
       frontier = merged.filter(col("improved"))
         .select(col("node"), col("best").as("dist"))
       dist = merged.select(col("node"), col("best").as("dist"))
+      if (rounds % probeEvery == 0 || rounds >= maxRounds) {
+        done = frontier.isEmpty
+        if (!done && rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"ssspConverged: distances still improving after $maxRounds rounds " +
+              "— raise maxRounds (weighted hop diameter exceeds the backstop)")
+      }
     }
     (dist, rounds)
   }

@@ -468,7 +468,9 @@ class GraphSpec extends SparkSpec {
     val (dists, r) = Graph.bfsPerSeedConverged(chain, seeds)
     val got = dists.collect()
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
-    assert(r == 5, s"4 growth rounds + the empty proof round, got $r")
+    // 4 growth rounds; the round-4 probe still sees a frontier, so the
+    // next probe (cadence 4) lands at 8 after three no-op rounds
+    assert(r == 8, s"4 growth rounds + no-op tail to the round-8 probe, got $r")
     assert(got((1L, 2L)) == 1 && got((5L, 2L)) == 3)
     assert(got((1L, 3L)) == 2 && got((5L, 3L)) == 2)
     assert(got((1L, 1L)) == 0 && got((5L, 5L)) == 0)
