@@ -9,8 +9,16 @@ import org.apache.spark.sql.DataFrame
   *   - one unmeasured warm-up pass absorbs JVM/codegen/parquet-footer warm-up
   *     so the first measured query isn't charged for it;
   *   - each query is measured `SPARK_GRAFT_REPS` times (default 3) and
-  *     reported as the MEDIAN — the documented ±30% box noise made single
-  *     runs unreadable round-over-round (ADVICE r2);
+  *     reported as the MEDIAN in `queries` plus the MIN in `queries_min`
+  *     (VERDICT r13 #1: on a contended box the min is the closest thing to
+  *     the uncontended truth, and the min↔median gap sizes the contention);
+  *     temp workspaces are purged between reps so store-building defs
+  *     never accumulate state across reps;
+  *   - `delta_vs_prev` carries each def's median ratio vs the previous
+  *     committed artifact (read from SPARK_GRAFT_BENCH_PREV, default the
+  *     bench-out path before this run overwrites it), with
+  *     `delta_median_vs_prev` (uniform box drift) and `n_delta_over_2x`
+  *     (the all-reps-slow alarm) as tail-safe summaries;
   *   - execution is a noop-format write, which runs the FULL physical plan —
   *     `.count()` would let Catalyst eliminate top-level sorts and prune every
   *     column, leaving ORDER BY and projection cost unmeasured;
@@ -77,10 +85,31 @@ object Bench {
     })
   }
 
+  /** The previous artifact's per-def medians, for `delta_vs_prev` (VERDICT
+    * r13 #1): cross-round regressions must be visible IN the artifact, not
+    * reconstructed by diffing rounds by hand — r13 carried a 68× outlier
+    * (t24) that no within-run rule could flag because all its reps were
+    * slow. Parsed with a two-line extractor (our own format, flat map);
+    * any parse failure degrades to an empty map, never a crashed bench.
+    */
+  private def prevMedians(path: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val i = txt.indexOf("\"queries\":{")
+    if (i < 0) Map.empty
+    else "\"([^\"]+)\":([0-9.eE+\\-]+)".r
+      .findAllMatchIn(txt.substring(i + 11, txt.indexOf('}', i)))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    // read BEFORE this run overwrites it: the driver benches once per round
+    // from the committed tree, so the default prev IS the last committed
+    // artifact; local iteration can pin SPARK_GRAFT_BENCH_PREV at a tag.
+    val prev = prevMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", benchOut))
     val spark = GraftSession.getOrCreate()
 
     val defs = SparkEntry.defs.filter(d => only.forall(_.contains(d.name)))
@@ -92,8 +121,12 @@ object Bench {
     val results: Seq[(String, Option[(Double, Double, Seq[Double])])] = defs.map { d =>
       val times = (1 to reps).flatMap { _ =>
         // drop any persisted cut-points a previous run registered, so each
-        // measurement pays its query's full cost (warm JVM, cold data)
+        // measurement pays its query's full cost (warm JVM, cold data);
+        // purge temp workspaces so a store-building def's rep N+1 never
+        // inherits rep N's on-disk state (VERDICT r13 #9 — t38's reps grew
+        // 11→45→93 s under load; growth must be box noise, never carryover)
         spark.catalog.clearCache()
+        TempDirs.purgeAll()
         val t0 = System.nanoTime()
         try { exec(d.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -120,11 +153,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val spreads = results.collect { case (k, Some((_, s, _))) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
+    val mins = results.collect { case (k, Some((_, _, ts))) => "\"" + k + "\":" + f"${ts.min}%.2f" }
+      .mkString("{", ",", "}")
     val qs = results.collect { case (k, Some((v, _, _))) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
+    // cross-round regression signal (VERDICT r13 #1): per-def median ratio
+    // vs the previous committed artifact, the summary ratio-median (box
+    // drift moves it uniformly; a plan regression moves one def), and the
+    // count of defs over 2× (the t24-shape alarm: all-reps-slow with no
+    // within-run spread evidence)
+    val deltas = results.collect {
+      case (k, Some((m, _, _))) if prev.get(k).exists(_ > 0) => k -> (m / prev(k))
+    }
+    val deltaMap = deltas.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val deltaMedian = if (deltas.isEmpty) 0.0 else median(deltas.map(_._2))
+    val deltaOver2x = deltas.count(_._2 > 2.0)
     // Key order matters operationally: the driver archives only the LAST 2 kB
     // of stdout, and with 70+ queries the line exceeds that — so the headline
     // metric/value/unit go LAST to survive the tail truncation (every
@@ -134,12 +181,11 @@ object Bench {
     val nQueries = results.count(_._2.isDefined)
     val calib = calibrate() // after the measured runs: a fully warmed JVM
     val line =
-      f"""{"noisy_reps":$noisy,"spread":$spreads,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"noisy_reps":$noisy,"delta_vs_prev":$deltaMap,"spread":$spreads,"queries_min":$mins,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"delta_median_vs_prev":$deltaMedian%.2f,"n_delta_over_2x":$deltaOver2x,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for the repo (the stdout tail is lossy). The
     // path is anchored (env-overridable), not CWD-relative — a run launched
     // outside the repo root must not strand the archived copy elsewhere.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try {
       val w = new java.io.PrintWriter(benchOut)
       try w.println(line) finally w.close()
