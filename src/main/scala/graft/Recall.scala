@@ -352,9 +352,36 @@ object Recall {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
+      // the ADAPTIVE serve (VERDICT r13 #4): probe depth widens per query
+      // until the filtered candidate mass clears the floor — graded at the
+      // LOWCOST probe floor, where the fixed-depth serve collapses on
+      // filter-disjoint geometry; candidate fractions keep it honest (the
+      // cost must stay well under the exact filtered scan)
+      def adaptiveEntry(minCand: Int) = {
+        val probes = Similarity.ivfFilteredAdaptiveProbes(embs, sampledCents,
+          pred, filterPred, Similarity.IvfProbes, minCandidates = minCand)
+          .select("query_id", "cell")
+        val nCand = probes.join(assignedIds, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id")).count()
+        val recall = Similarity.recallAtK(exactFiltered,
+          Similarity.ivfTopKFilteredAdaptiveWith(embs, sampledCents, pred,
+            filterPred, 10, Similarity.IvfProbes, minCandidates = minCand))
+        (s"s21_knn_filtered_adaptive_c$minCand" + suffix) -> Seq(
+          "n_probe_floor" -> Similarity.IvfProbes.toDouble,
+          "min_candidates" -> minCand.toDouble,
+          "recall_at_10" -> recall,
+          // the floor is an ABSOLUTE candidate budget: at these test SFs
+          // the filtered corpora are 50–200 rows so filtered_fraction is
+          // floor-dominated (≈ minCand/|filtered|); at scale it → 0 while
+          // the fixed-depth serve's recall collapse is scale-independent
+          "candidate_fraction" -> nCand / allPairs,
+          "filtered_fraction" -> (if (filteredPairs == 0) 0.0 else nCand / filteredPairs))
+      }
       Seq(
         entry("s21_knn_filtered_ivf", Similarity.IvfProbesRegistered),
         entry("s21_knn_filtered_ivf_lowcost", Similarity.IvfProbes),
+        adaptiveEntry(80),
+        adaptiveEntry(32),
         storedEntry,
         ("s21_knn_filtered_postfoil" + suffix) -> {
           val foil = Similarity.ivfTopKPostFiltered(

@@ -3146,6 +3146,21 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s26 — ADAPTIVE-probe filtered ANN (VERDICT r13 #4, s21's fix for the
+  // filter-disjoint geometry where any fixed probe depth collapses): each
+  // query widens its probe ring until the ring holds ≥ minCandidates
+  // filter-passing rows, so cost is bounded by candidate COUNT and recall
+  // holds on both geometries (RECALL s21_adaptive entries: 0.72/1.0 at the
+  // floor where the fixed-depth serve reads 0.32/0.00). Rows-only like the
+  // other approximate tiers — the result depends on data-derived probe
+  // depths; recall + candidate-fraction are the graded artifact.
+  private val s26 = q("s26_knn_filtered_adaptive", None) { t =>
+    Similarity.ivfTopKFilteredAdaptive(t.embeddings,
+      col("vec_id") % 100 === 0, col("label") === 3, k = 10,
+      nProbeFloor = Similarity.IvfProbes, minCandidates = 32)
+      .orderBy("query_id", "rank")
+  }
+
   // s22 — filtered search from the PERSISTED IVF index (s21's claim made
   // a stored fact): the index is built with the label attribute landed
   // beside each vector's int8 codes (metaCols), and the serve-time
@@ -3848,7 +3863,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
-      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
+      s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
       x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04, m05)

@@ -133,6 +133,95 @@ object Similarity {
     } finally { centroids.unpersist(); () }
   }
 
+  /** ADAPTIVE-probe filtered IVF (VERDICT r13 #4) — [[ivfTopKFiltered]]
+    * with DATA-DEPENDENT probe depth. Fixed-depth filtered search has a
+    * geometry failure mode the RECALL artifact grades honestly: when the
+    * filter is disjoint from the query's neighborhood (the clustered
+    * corpus's planted-cluster filter), the nProbe closest cells contain
+    * ~zero filter-passing rows and recall collapses (lowcost read 0.32
+    * uniform / 0.00 clustered). The remedy is to widen the probe ring
+    * until the FILTERED candidate mass clears a floor:
+    *
+    *   1. one narrow pass counts filter-passing rows per cell (a
+    *      (cell, count) frame of at most C rows — broadcastable);
+    *   2. each query ranks ALL C cells by centroid cosine (C ~ √N is
+    *      small by construction; the ranking is the same broadcast cross
+    *      join [[ivfProbes]] does, just untruncated);
+    *   3. the query's depth is the smallest rank whose CUMULATIVE
+    *      filtered-candidate count reaches `minCandidates` (floored at
+    *      `nProbeFloor`, capped at C when the whole filtered corpus is
+    *      smaller than the floor);
+    *   4. candidates are scored exactly as in [[ivfTopKFiltered]], each
+    *      query against its own probe ring.
+    *
+    * A filter-friendly query keeps the cheap fixed depth; a filter-
+    * disjoint query walks down its cell ranking exactly far enough to see
+    * `minCandidates` real candidates — the per-query cost is bounded by
+    * candidate COUNT, not cell count, so the scored fraction stays ≪ the
+    * exact filtered scan while recall holds on both geometries (RECALL
+    * s21_adaptive entries). All per-query state is (query × C) rows wide;
+    * windows partition by query_id — never single-partition.
+    */
+  def ivfTopKFilteredAdaptive(embeddings: DataFrame, queryPred: Column,
+                              filterPred: Column, k: Int = 10,
+                              nProbeFloor: Int = IvfProbes,
+                              minCandidates: Int = 80): DataFrame =
+    ivfTopKFilteredAdaptiveWith(embeddings, ivfCentroids(embeddings),
+      queryPred, filterPred, k, nProbeFloor, minCandidates)
+
+  def ivfTopKFilteredAdaptiveWith(embeddings: DataFrame, centroidsIn: DataFrame,
+                                  queryPred: Column, filterPred: Column,
+                                  k: Int = 10, nProbeFloor: Int = IvfProbes,
+                                  minCandidates: Int = 80): DataFrame = {
+    val centroids = centroidsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probes = ivfFilteredAdaptiveProbes(embeddings, centroids,
+        queryPred, filterPred, nProbeFloor, minCandidates)
+      // pass 2: score filter-passing candidates in each query's probe ring
+      val assigned = ivfAssign(embeddings.filter(filterPred), centroids)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_embv"), col("cell"))
+      val scored = broadcast(probes).join(assigned, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("c_embv")).as("cos"))
+      graft.operators.Materialize.cut(rankTopK(scored, "cos", k))
+    } finally { centroids.unpersist(); () }
+  }
+
+  /** The adaptive probe ring — (query_id, q_emb, cell) rows with each
+    * query's data-dependent depth applied. Shared by the serve and by
+    * [[graft.Recall]]'s candidate-fraction accounting.
+    */
+  def ivfFilteredAdaptiveProbes(embeddings: DataFrame, centroids: DataFrame,
+                                queryPred: Column, filterPred: Column,
+                                nProbeFloor: Int = IvfProbes,
+                                minCandidates: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pass 1 (narrow, no embedding shuffle): filtered mass per cell
+    val cellCounts = ivfAssign(embeddings.filter(filterPred), centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n_filt"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("cell"))
+    val wCum = Window.partitionBy("query_id").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wQ = Window.partitionBy("query_id")
+    val ranked = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+      .withColumn("rnk", row_number().over(wRank))
+      .join(broadcast(cellCounts), Seq("cell"), "left")
+      .withColumn("cum", sum(coalesce(col("n_filt"), lit(0L))).over(wCum))
+    val depth = greatest(lit(nProbeFloor),
+      coalesce(min(when(col("cum") >= minCandidates, col("rnk"))).over(wQ),
+        max(col("rnk")).over(wQ)))
+    ranked.withColumn("depth", depth)
+      .filter(col("rnk") <= col("depth"))
+      .select("query_id", "q_emb", "cell")
+  }
+
   /** The POST-filter foil (measured, never registered): filter the
     * UNFILTERED top-`k` result by neighbor metadata after ranking — the
     * design [[ivfTopKFiltered]] exists to avoid. Kept as an operator so
