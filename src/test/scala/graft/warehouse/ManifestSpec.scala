@@ -300,4 +300,55 @@ class ManifestSpec extends SparkSpec {
       assert(v2.agg(sum("n_rows")).head().getLong(0) == orders.count())
     }
   }
+
+  test("concurrent committers: the claim gate fails the loser loudly, losing nothing (VERDICT r13 #7)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val third = lo + (hi - lo) / 3
+    val twoThird = lo + 2 * (hi - lo) / 3
+    withTmp { root =>
+      val path = s"$root/orders_m"
+      val a = orders.filter(col("o_orderkey") <= third)
+      val b = orders.filter(col("o_orderkey") > third && col("o_orderkey") <= twoThird)
+      val c = orders.filter(col("o_orderkey") > twoThird)
+      ParquetWarehouse.writeManifested(a, path, "o_orderkey", files = 2)
+
+      // fault injection: another writer holds the v2 claim (in-flight OR
+      // already committed and this writer's base is stale — the gate
+      // cannot and need not distinguish). The append must fail loudly,
+      // publish NOTHING, and leave the v1 serve intact.
+      val claim = new java.io.File(ParquetWarehouse.manifestClaimFile(path, 2))
+      assert(claim.createNewFile())
+      val e = intercept[IllegalStateException] {
+        ParquetWarehouse.appendManifested(b, path, "o_orderkey", files = 2)
+      }
+      assert(e.getMessage.contains("claim"), s"wrong failure: ${e.getMessage}")
+      assert(ParquetWarehouse.currentManifestVersion(path).contains("v1"),
+        "a failed commit must not move the pointer")
+      assert(ParquetWarehouse.manifestRangeScan(spark, path, "o_orderkey", lo, hi)
+        .count() == a.count(),
+        "the loser's data files must stay invisible orphans")
+
+      // crashed-holder recovery: removing the stale claim (the documented
+      // manual action) unblocks; the retry commits v2 losslessly
+      assert(claim.delete())
+      ParquetWarehouse.appendManifested(b, path, "o_orderkey", files = 2)
+      assert(ParquetWarehouse.currentManifestVersion(path).contains("v2"))
+
+      // serialized appends (each reading the then-current manifest) lose
+      // nothing: the claim for every committed version exists and the
+      // final manifest covers every committed row exactly once. NOTE the
+      // retried batch b: its loser-attempt files are orphans and must NOT
+      // have been adopted — a double-adopt would show as duplicate rows.
+      ParquetWarehouse.appendManifested(c, path, "o_orderkey", files = 2)
+      assert(ParquetWarehouse.currentManifestVersion(path).contains("v3"))
+      assert(new java.io.File(ParquetWarehouse.manifestClaimFile(path, 3)).exists(),
+        "every committed version leaves its claim as the permanent gate record")
+      val served = ParquetWarehouse.manifestRangeScan(spark, path, "o_orderkey", lo, hi)
+      assert(served.count() == orders.count(), "all three batches serve exactly once")
+      assert(served.groupBy("o_orderkey").count().filter(col("count") > 1).isEmpty,
+        "no orphan adoption: the failed attempt's files never double-serve")
+    }
+  }
 }
