@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE trainer at PRODUCTION VOCAB SCALE (VERDICT r13 #8): the batch guard
+  * is proven exact to 512 merges on the test corpus (which exhausts at 89
+  * learnable merges), but a real tokenizer train is 32k merges — thousands
+  * of driver round-trips if batching degenerates. This main measures a
+  * ≥4k-merge train with batch ≥256 on a synthetic corpus rich enough to
+  * sustain it, and writes the wall/round-trip numbers as a committed
+  * artifact (BPE_SCALE.json).
+  *
+  * The corpus is deterministic (no Date/random): ~`nWords` distinct
+  * base-26 words derived from xxhash64 of a range id, one word per
+  * document row — wordVocab collapses repetition into counts, so corpus
+  * size beyond distinctness only scales the ONE wordVocab aggregation,
+  * not the training rounds. Two count DISTRIBUTIONS, because batch
+  * admission is distribution-dependent (measured, r14): the guard admits
+  * a pair only while its count dominates every possible threat, including
+  * the uncollected tail bound — under near-FLAT counts (uniform 1..16
+  * repeats) the tail bound ties everything and batches collapse to ~2
+  * (the adversarial data point), while ZIPFIAN counts (real corpora)
+  * decay fast enough for wide batches to clear the bound. Oracle
+  * machinery is untouched: this measures the same trainBatchedCounted
+  * the x-family defs gate-check at small scale.
+  */
+object BpeScale {
+
+  def main(args: Array[String]): Unit = {
+    val dist = args.headOption.getOrElse("zipf") // zipf | flat
+    val nWords = args.lift(1).map(_.toInt).getOrElse(60000)
+    val nMerges = args.lift(2).map(_.toInt).getOrElse(4096)
+    val batch = args.lift(3).map(_.toInt).getOrElse(256)
+    val spark = GraftSession.getOrCreate()
+    val words = spark.range(0, nWords.toLong)
+      .select(col("id"),
+        conv(shiftrightunsigned(xxhash64(col("id")), 1).cast("string"),
+          10, 26).as("word"))
+    val reps = dist match {
+      case "flat" => lit(1) + pmod(xxhash64(col("word")), lit(16)).cast("int")
+      case _ => greatest(lit(1),
+        (lit(20000.0) / pow(col("id").cast("double") + 2.0, 1.05)).cast("int"))
+    }
+    val docs = words
+      .select(col("word"), explode(sequence(lit(1), reps)).as("rep"))
+      .select(col("word").as("text"))
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val (model, rounds) = llm.Bpe.trainBatchedCounted(docs, nMerges, batch)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val learned = model.merges.size
+    val line =
+      f"""{"dist":"$dist","n_distinct_words":$nWords,"n_word_instances":$nDocs,"merges_requested":$nMerges,"merges_learned":$learned,"batch":$batch,"rounds":$rounds,"avg_realized_batch":${learned.toDouble / rounds}%.1f,"roundtrips_per_merge":${rounds.toDouble / learned}%.4f,"wall_sec":$wall%.1f,"sec_per_merge":${wall / learned}%.4f}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BPE_OUT",
+      s"/root/repo/BPE_SCALE_$dist.json")
+    try {
+      val w = new java.io.PrintWriter(out)
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bpe-scale] $out: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -727,7 +727,11 @@ object ParquetWarehouse {
     * blocks the next append equally loudly; the error names the claim
     * file, and removing it (after confirming no writer is live) unblocks —
     * the deliberate single-writer-per-version posture every manifest-based
-    * table format takes, made explicit instead of assumed.
+    * table format takes, made explicit instead of assumed. One exception:
+    * a TAGGED writer (the streaming maintainer) re-takes a crashed claim
+    * whose recorded tag is its own — replay-after-crash re-appends instead
+    * of bricking the store, and reuse is still one logical writer per
+    * version.
     */
   private def publishNextManifest(path: String, rows: DataFrame,
                                   tag: Option[String]): Unit = {
@@ -740,9 +744,23 @@ object ParquetWarehouse {
     val claim = new org.apache.hadoop.fs.Path(manifestClaimFile(path, target))
     val fs = claim.getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
     val claimed =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!claimed)
+      try {
+        val out = fs.create(claim, false)
+        try tag.foreach(t => out.write(t.getBytes("UTF-8"))) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    // A TAGGED writer may re-take its OWN crashed claim (the streaming
+    // maintainer's replay protocol: crash between claim and pointer swap
+    // must re-append, not brick the store — the tag identifies the one
+    // logical writer, so reuse is still single-writer-per-version).
+    val ownCrashedClaim = !claimed && tag.exists { t =>
+      val in = fs.open(claim)
+      val content = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      content == t
+    }
+    if (!claimed && !ownCrashedClaim)
       throw new IllegalStateException(
         s"manifested commit conflict: ${claim} is already claimed — either a " +
           s"concurrent append committed v$target after this one read v$base " +
