@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
   * base-26 words derived from xxhash64 of a range id, one word per
   * document row — wordVocab collapses repetition into counts, so corpus
   * size beyond distinctness only scales the ONE wordVocab aggregation,
-  * not the training rounds. Two count DISTRIBUTIONS, because batch
-  * admission is distribution-dependent (measured, r14): the guard admits
-  * a pair only while its count dominates every possible threat, including
-  * the uncollected tail bound — under near-FLAT counts (uniform 1..16
-  * repeats) the tail bound ties everything and batches collapse to ~2
-  * (the adversarial data point), while ZIPFIAN counts (real corpora)
-  * decay fast enough for wide batches to clear the bound. Oracle
-  * machinery is untouched: this measures the same trainBatchedCounted
-  * the x-family defs gate-check at small scale.
+  * not the training rounds. Two count DISTRIBUTIONS (flat and Zipf) —
+  * and the r14 measurement shows both collapse to ~2 merges/round, so
+  * the narrow admission is STRUCTURAL, not distributional: early in
+  * training every symbol is one of ~26 characters, the top-ranked pairs
+  * densely share symbols, and the exactness guard must end the batch at
+  * the first candidate whose count does not dominate every
+  * symbol-sharing pair (those counts genuinely change when the batch
+  * applies — the guard is sound, just priced). Production 32k trains
+  * want a relaxed batch-local-recount mode (industry standard, not
+  * bit-identical to sequential); this artifact is the measured case for
+  * it. Oracle machinery is untouched: this measures the same
+  * trainBatchedCounted the x-family defs gate-check at small scale.
   */
 object BpeScale {
 
