@@ -34,6 +34,7 @@ object BpeScale {
     val nWords = args.lift(1).map(_.toInt).getOrElse(60000)
     val nMerges = args.lift(2).map(_.toInt).getOrElse(4096)
     val batch = args.lift(3).map(_.toInt).getOrElse(256)
+    val mode = args.lift(4).getOrElse("exact") // exact | relaxed
     val spark = GraftSession.getOrCreate()
     val words = spark.range(0, nWords.toLong)
       .select(col("id"),
@@ -49,14 +50,16 @@ object BpeScale {
       .select(col("word").as("text"))
     val nDocs = docs.count()
     val t0 = System.nanoTime()
-    val (model, rounds) = llm.Bpe.trainBatchedCounted(docs, nMerges, batch)
+    val (model, rounds) =
+      if (mode == "relaxed") llm.Bpe.trainBatchedRelaxedCounted(docs, nMerges, batch)
+      else llm.Bpe.trainBatchedCounted(docs, nMerges, batch)
     val wall = (System.nanoTime() - t0) / 1e9
     val learned = model.merges.size
     val line =
-      f"""{"dist":"$dist","n_distinct_words":$nWords,"n_word_instances":$nDocs,"merges_requested":$nMerges,"merges_learned":$learned,"batch":$batch,"rounds":$rounds,"avg_realized_batch":${learned.toDouble / rounds}%.1f,"roundtrips_per_merge":${rounds.toDouble / learned}%.4f,"wall_sec":$wall%.1f,"sec_per_merge":${wall / learned}%.4f}"""
+      f"""{"dist":"$dist","mode":"$mode","n_distinct_words":$nWords,"n_word_instances":$nDocs,"merges_requested":$nMerges,"merges_learned":$learned,"batch":$batch,"rounds":$rounds,"avg_realized_batch":${learned.toDouble / rounds}%.1f,"roundtrips_per_merge":${rounds.toDouble / learned}%.4f,"wall_sec":$wall%.1f,"sec_per_merge":${wall / learned}%.4f}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BPE_OUT",
-      s"/root/repo/BPE_SCALE_$dist.json")
+      s"/root/repo/BPE_SCALE_$dist${if (mode == "relaxed") "_relaxed" else ""}.json")
     try {
       val w = new java.io.PrintWriter(out)
       try w.println(line) finally w.close()

@@ -42,4 +42,35 @@ class BpeScaleSpec extends SparkSpec {
     assert(sigs.distinct.size == 1,
       "batch widths 64/128/256 must produce one identical merge sequence")
   }
+
+  test("RELAXED trainer: wide realized batches, first merge sequential, deterministic (r14)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqFirst = Bpe.train(docs, numMerges = 1).merges.head
+    val (model, rounds) = Bpe.trainBatchedRelaxedCounted(docs, numMerges = 64, batch = 32)
+    info(f"relaxed: ${model.merges.size} merges in $rounds rounds " +
+      f"(${model.merges.size.toDouble / rounds}%.1f merges/round)")
+    // the round-1 top pair has no batch context — it must be sequential's
+    assert(model.merges.head.copy(mergeRank = seqFirst.mergeRank) == seqFirst,
+      "relaxed round 1 must open with the sequential top pair")
+    // relaxation exists to make batches WIDE: far beyond exact's ~2/round
+    assert(model.merges.size.toDouble / rounds >= 4.0,
+      s"relaxed must realize wide batches: ${model.merges.size} merges in $rounds rounds")
+    // no duplicate mints, ever
+    val cats = model.merges.map(m => m.lhs + m.rhs)
+    assert(cats.distinct.size == cats.size, "duplicate mint in relaxed train")
+    // deterministic under repartitioning (selection is a pure function of
+    // the deterministically-ordered ranking)
+    val again = Bpe.trainBatchedRelaxedCounted(
+      docs.repartition(7), numMerges = 64, batch = 32)._1
+    assert(again.merges == model.merges, "relaxed train must be repartition-deterministic")
+  }
+
+  test("RELAXED trainer tokenizes losslessly (symbols reassemble every word)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.trainBatchedRelaxed(docs, numMerges = 48, batch = 16)
+    import org.apache.spark.sql.functions._
+    val bad = model.vocab
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(bad == 0, "every word must reassemble from its BPE symbols")
+  }
 }
