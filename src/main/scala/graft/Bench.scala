@@ -4,32 +4,53 @@ import org.apache.spark.sql.DataFrame
 
 /** Per-round benchmark main (driver contract — prints ONE JSON line on stdout).
   *
-  * Harness rules (fixes the r1/r2 measurement bugs):
-  *   - queries run in DECLARED registration order, not Map iteration order;
-  *   - one unmeasured warm-up pass absorbs JVM/codegen/parquet-footer warm-up
-  *     so the first measured query isn't charged for it;
-  *   - each query is measured `SPARK_GRAFT_REPS` times (default 3) and
-  *     reported as the MEDIAN in `queries` plus the MIN in `queries_min`
-  *     (VERDICT r13 #1: on a contended box the min is the closest thing to
-  *     the uncontended truth, and the min↔median gap sizes the contention);
-  *     temp workspaces are purged between reps so store-building defs
-  *     never accumulate state across reps;
-  *   - `delta_vs_prev` carries each def's median ratio vs the previous
-  *     committed artifact (read from SPARK_GRAFT_BENCH_PREV, default the
-  *     bench-out path before this run overwrites it), with
-  *     `delta_median_vs_prev` (uniform box drift) and `n_delta_over_2x`
-  *     (the all-reps-slow alarm) as tail-safe summaries;
+  * PROTOCOL (r15): the registry outgrew the driver's wall budget — r14's
+  * official run was killed at timeout (BENCH_r14.json rc=124) because the
+  * r13/r14 protocol executed every def 4× (one unmeasured warm-up pass plus
+  * 3 measured reps): 237 defs × 4 ≈ 23 min of pure query time before compile,
+  * JVM start, and per-rep workspace purges, on a contended box. The r15
+  * protocol bounds measured time explicitly:
+  *
+  *   1. GENERIC WARM-UP (seconds, not a full pass): a handful of small
+  *      throwaway plans (scan→agg→noop, broadcast join, window) warm the
+  *      parquet reader, codegen infra, shuffle and noop-commit machinery.
+  *      Per-def codegen still lands in each def's first rep — see (3).
+  *   2. PASS 1: every def measured exactly ONCE, in declared registration
+  *      order, with cache-clear + temp-workspace purge before each so no
+  *      def inherits another's state.
+  *   3. RERUN PHASE under a measured-time budget (`SPARK_GRAFT_BENCH_BUDGET`,
+  *      seconds, default 600 including pass 1): defs that deserve better
+  *      statistics get up to 2 extra reps — first REGRESSION SUSPECTS
+  *      (pass-1 time > 1.5× the previous committed artifact's median,
+  *      cheapest first, so a fast def whose single cold rep carries codegen
+  *      cost self-corrects to its warm median instead of false-alarming
+  *      `n_delta_over_2x`), then the HEAVY TAIL (pass-1 time ≥ 1 s,
+  *      costliest first — the defs where one rep is least trustworthy).
+  *      The phase stops when the budget is spent; pass 1 always completes
+  *      regardless, so the artifact is always whole. `budget_hit` + `n_rep1`
+  *      record how far the rerun phase got.
+  *
+  *   - a def's reported `queries` value is the MEDIAN of its 1–3 reps (for
+  *     3 reps that discards the cold first rep); `queries_min` the min;
+  *     `spread` max−min (0 for single-rep defs);
   *   - execution is a noop-format write, which runs the FULL physical plan —
   *     `.count()` would let Catalyst eliminate top-level sorts and prune every
   *     column, leaving ORDER BY and projection cost unmeasured;
-  *   - a query that throws is reported in a "failed" list and EXCLUDED from
+  *   - a def that throws is reported in a "failed" list and EXCLUDED from
   *     the per-query map and the total, so a crashed run can't masquerade as
   *     a fast one (ADVICE r2);
+  *   - `delta_vs_prev` carries each def's final-median ratio vs the previous
+  *     committed artifact (SPARK_GRAFT_BENCH_PREV, default the bench-out path
+  *     before this run overwrites it); defs whose previous median is under
+  *     0.05 s are skipped (ADVICE r14 #4: 2-decimal serialization quantized
+  *     sub-0.1 s ratios into false 3× alarms — medians are now serialized at
+  *     3 decimals AND floored out of the delta set);
   *   - the metric JSON is the only stdout line (Spark logs go to stderr).
   *
-  * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_REPS (measured
-  * repetitions), SPARK_GRAFT_ONLY (comma-separated query-name filter, for
-  * local iteration on a subset).
+  * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_REPS (max reps,
+  * default 3; 1 disables the rerun phase), SPARK_GRAFT_BENCH_BUDGET
+  * (measured-seconds budget, default 600), SPARK_GRAFT_ONLY (comma-separated
+  * def filter for local iteration).
   *
   * READING AN ARTIFACT FROM A CONTENDED BOX (the driver shares its machine;
   * VERDICT r12 #8's playbook, so box noise never has to be re-litigated):
@@ -43,11 +64,11 @@ import org.apache.spark.sql.DataFrame
   *      fast reps + one outlier) is scheduler/GC interference; a real plan
   *      regression moves every rep together.
   *   3. Known-sensitive def classes, in noise order: stateful/session ops
-  *      (e05 session_window: state-store + GC sensitivity — r12 spread
-  *      5.0 on a 4.75 median on the driver vs 0.42/0.93 on the builder,
-  *      identical code), many-small-job iterative graph loops (g01–g09:
-  *      dozens of sub-second jobs magnify per-job scheduling jitter),
-  *      first-in-registration-order defs (inherit any residual warm-up).
+  *      (e05), many-small-job iterative graph loops (g01–g12), and — new
+  *      with the r15 protocol — ANY single-rep def, whose one measurement
+  *      includes its codegen compile (typically +50–200 ms; material only
+  *      under ~0.5 s, and such defs re-rep via the suspects queue when it
+  *      makes them look regressed).
   *   4. Cross-box comparisons are only valid on calib-normalized numbers
   *      of the SAME def set (`n_queries` guards the denominator).
   */
@@ -87,23 +108,50 @@ object Bench {
 
   /** The previous artifact's per-def medians, for `delta_vs_prev` (VERDICT
     * r13 #1): cross-round regressions must be visible IN the artifact, not
-    * reconstructed by diffing rounds by hand — r13 carried a 68× outlier
-    * (t24) that no within-run rule could flag because all its reps were
-    * slow. Parsed with a two-line extractor (our own format, flat map);
-    * any parse failure degrades to an empty map, never a crashed bench.
+    * reconstructed by diffing rounds by hand. Parsed with a two-line
+    * extractor (our own format, flat map); a parse failure degrades to an
+    * empty map — LOGGED to stderr (ADVICE r14 #4: a silent empty map drops
+    * the regression signal without notice), never a crashed bench.
     */
   private def prevMedians(path: String): Map[String, Double] = try {
     val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val i = txt.indexOf("\"queries\":{")
-    if (i < 0) Map.empty
-    else "\"([^\"]+)\":([0-9.eE+\\-]+)".r
+    if (i < 0) {
+      System.err.println(s"[bench] prev artifact $path has no queries map — deltas disabled")
+      Map.empty
+    } else "\"([^\"]+)\":([0-9.eE+\\-]+)".r
       .findAllMatchIn(txt.substring(i + 11, txt.indexOf('}', i)))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  } catch { case _: Throwable => Map.empty }
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] prev artifact $path unreadable (${e.getMessage}) — deltas disabled")
+      Map.empty
+  }
+
+  /** Throwaway plans that warm the machinery every def shares — parquet
+    * footer/reader paths, whole-stage codegen infra, shuffle exchange, the
+    * noop commit protocol, broadcast build — in seconds instead of the old
+    * full unmeasured registry pass (~6 min at r14 size, the single biggest
+    * line in the wall-budget overrun).
+    */
+  private def genericWarmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    try {
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      exec(nation.groupBy(col("n_regionkey")).agg(count(lit(1)).as("c")).orderBy(col("n_regionkey")))
+      exec(nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name")))
+      exec(nation.select(col("n_nationkey"),
+        sum(col("n_nationkey")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))).as("rt")))
+    } catch { case e: Throwable => System.err.println(s"[bench warmup] ${e.getMessage}") }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     // read BEFORE this run overwrites it: the driver benches once per round
@@ -113,67 +161,89 @@ object Bench {
     val spark = GraftSession.getOrCreate()
 
     val defs = SparkEntry.defs.filter(d => only.forall(_.contains(d.name)))
-    // warm-up: one full unmeasured pass in declared order.
-    defs.foreach { d =>
-      try exec(d.run(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench warmup] ${d.name}: ${e.getMessage}") }
-    }
-    val results: Seq[(String, Option[(Double, Double, Seq[Double])])] = defs.map { d =>
-      val times = (1 to reps).flatMap { _ =>
-        // drop any persisted cut-points a previous run registered, so each
-        // measurement pays its query's full cost (warm JVM, cold data);
-        // purge temp workspaces so a store-building def's rep N+1 never
-        // inherits rep N's on-disk state (VERDICT r13 #9 — t38's reps grew
-        // 11→45→93 s under load; growth must be box noise, never carryover)
-        spark.catalog.clearCache()
-        TempDirs.purgeAll()
-        val t0 = System.nanoTime()
-        try { exec(d.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
-            None
-        }
+    genericWarmup(spark, sfDir)
+
+    // one measured rep: cold data, purged workspaces (VERDICT r13 #9 — a
+    // store-building def's rep N+1 must never inherit rep N's on-disk state)
+    def measure(d: QueryDef): Option[Double] = {
+      spark.catalog.clearCache()
+      TempDirs.purgeAll()
+      val t0 = System.nanoTime()
+      try { exec(d.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
+          None
       }
-      // median AND spread (max-min over the reps): the spread separates a
-      // real plan regression from the documented ±30% box noise when
-      // reading round-over-round deltas (VERDICT r7 #2)
-      d.name -> (if (times.size == reps)
-        Some((median(times), times.max - times.min, times.toSeq)) else None)
     }
-    // Raw rep times for any def whose spread exceeds its median (VERDICT
-    // r12 #2): a bimodal def (one 5 s rep against two 0.5 s reps — the
-    // e05-under-contention shape) is self-explaining in the artifact
+
+    // PASS 1: every def once.
+    var spent = 0.0
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val crashed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val byName = defs.map(d => d.name -> d).toMap
+    defs.foreach { d =>
+      measure(d) match {
+        case Some(t) => times(d.name) = List(t); spent += t
+        case None    => crashed += d.name
+      }
+    }
+
+    // RERUN PHASE: regression suspects (cheapest first — mostly codegen-cold
+    // fast defs self-correcting), then the heavy tail (costliest first).
+    var budgetHit = false
+    if (maxReps > 1) {
+      val t1 = times.toMap.view.mapValues(_.head).toMap
+      val suspects = t1.collect {
+        case (k, t) if prev.get(k).exists(p => p >= 0.05 && t / p > 1.5) => k
+      }.toSeq.sortBy(t1)
+      val heavy = t1.collect { case (k, t) if t >= 1.0 => k }.toSeq.sortBy(k => -t1(k))
+      val queue = (suspects ++ heavy).distinct
+      queue.foreach { name =>
+        val est = t1(name) * (maxReps - 1)
+        if (spent + est <= budgetSec) {
+          (2 to maxReps).foreach { _ =>
+            measure(byName(name)).foreach { t => times(name) = times(name) :+ t; spent += t }
+          }
+        } else budgetHit = true
+      }
+    }
+
+    val results: Seq[(String, Option[(Double, Double, Seq[Double])])] =
+      defs.map { d =>
+        d.name -> times.get(d.name).map(ts => (median(ts), ts.max - ts.min, ts))
+      }
+    // Raw rep times for any multi-rep def whose spread exceeds its median
+    // (VERDICT r12 #2): a bimodal def is self-explaining in the artifact
     // instead of needing a builder-box re-run to adjudicate. First in the
     // line = first truncated by the driver's stdout tail; the full line
     // always lands in bench_last.json.
     val noisy = results.collect {
-      case (k, Some((m, s, ts))) if s > m =>
-        "\"" + k + "\":" + ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      case (k, Some((m, s, ts))) if ts.size > 1 && s > m =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Some((_, s, _))) => "\"" + k + "\":" + f"$s%.2f" }
+    val spreads = results.collect { case (k, Some((_, s, _))) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
-    val mins = results.collect { case (k, Some((_, _, ts))) => "\"" + k + "\":" + f"${ts.min}%.2f" }
+    val mins = results.collect { case (k, Some((_, _, ts))) => "\"" + k + "\":" + f"${ts.min}%.3f" }
       .mkString("{", ",", "}")
-    val qs = results.collect { case (k, Some((v, _, _))) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.collect { case (k, Some((v, _, _))) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = crashed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
     // cross-round regression signal (VERDICT r13 #1): per-def median ratio
-    // vs the previous committed artifact, the summary ratio-median (box
-    // drift moves it uniformly; a plan regression moves one def), and the
-    // count of defs over 2× (the t24-shape alarm: all-reps-slow with no
-    // within-run spread evidence)
+    // vs the previous committed artifact (floored at prev ≥ 0.05 s — ADVICE
+    // r14 #4), the summary ratio-median (box drift moves it uniformly; a
+    // plan regression moves one def), and the count of defs over 2×.
     val deltas = results.collect {
-      case (k, Some((m, _, _))) if prev.get(k).exists(_ > 0) => k -> (m / prev(k))
+      case (k, Some((m, _, _))) if prev.get(k).exists(_ >= 0.05) => k -> (m / prev(k))
     }
     val deltaMap = deltas.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val deltaMedian = if (deltas.isEmpty) 0.0 else median(deltas.map(_._2))
     val deltaOver2x = deltas.count(_._2 > 2.0)
+    val nRep1 = results.count(_._2.exists(_._3.size == 1))
     // Key order matters operationally: the driver archives only the LAST 2 kB
-    // of stdout, and with 70+ queries the line exceeds that — so the headline
+    // of stdout, and with 200+ queries the line exceeds that — so the headline
     // metric/value/unit go LAST to survive the tail truncation (every
     // BENCH_r{1..4}.json lost them at the front of the line); per-def spreads
     // are the most expendable and go first (the full line always lands in
@@ -181,7 +251,7 @@ object Bench {
     val nQueries = results.count(_._2.isDefined)
     val calib = calibrate() // after the measured runs: a fully warmed JVM
     val line =
-      f"""{"noisy_reps":$noisy,"delta_vs_prev":$deltaMap,"spread":$spreads,"queries_min":$mins,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"delta_median_vs_prev":$deltaMedian%.2f,"n_delta_over_2x":$deltaOver2x,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"noisy_reps":$noisy,"delta_vs_prev":$deltaMap,"spread":$spreads,"queries_min":$mins,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"n_rep1":$nRep1,"budget_sec":$budgetSec%.0f,"budget_hit":$budgetHit,"measured_sec":$spent%.1f,"delta_median_vs_prev":$deltaMedian%.2f,"n_delta_over_2x":$deltaOver2x,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for the repo (the stdout tail is lossy). The
     // path is anchored (env-overridable), not CWD-relative — a run launched

@@ -28,16 +28,28 @@ object TempDirs {
 
   /** Recursively delete every registered root now (bench reps call this
     * between iterations so rep N+1 never pays for rep N's on-disk state).
+    * Each root is purged independently (ADVICE r14 #3): a root that vanished
+    * externally (tmpwatch) or turned unreadable mid-walk must not abort the
+    * loop before `roots.clear()` — that crashed the bench rep loop and left
+    * stale registrations behind.
     */
   def purgeAll(): Unit = synchronized {
-    roots.foreach(deleteTree)
+    roots.foreach { p =>
+      try deleteTree(p)
+      catch { case e: Throwable => System.err.println(s"[tempdirs] purge $p: ${e.getMessage}") }
+    }
     roots.clear()
   }
 
   private def deleteTree(p: Path): Unit = {
     if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteTree(_)) finally s.close()
+      // Files.list throws NoSuchFileException (not caught by the delete
+      // guard below) if the directory vanishes between the check and the
+      // walk — tolerate it: gone is the goal state.
+      try {
+        val s = Files.list(p)
+        try s.forEach(deleteTree(_)) finally s.close()
+      } catch { case _: java.io.IOException => () }
     }
     try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
   }

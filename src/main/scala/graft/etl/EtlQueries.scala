@@ -40,9 +40,12 @@ object EtlQueries {
        CAST(weekofyear(date) AS INT) AS week_of_year,
        isodow(date) IN (6, 7) AS is_weekend"""
 
-  /** Shared WITH prefix recomputing the whole pipeline in DuckDB. */
-  private val withPrefix: String =
-    s"""WITH dirty AS (${DirtyTxns.oracleCte}),
+  /** Shared WITH prefix recomputing the whole pipeline in DuckDB, over a
+    * caller-chosen dirty source CTE (the full derivation by default; t26
+    * passes a deterministic slice — see [[withPrefixQuarter]]).
+    */
+  private def mkPrefix(dirtyCte: String): String =
+    s"""WITH dirty AS ($dirtyCte),
     dedup AS (
       SELECT * FROM (
         SELECT d.*, ROW_NUMBER() OVER (PARTITION BY transaction_id ORDER BY seq) AS rn
@@ -121,6 +124,17 @@ object EtlQueries {
       JOIN dim_payment_method dp ON v.payment_method = dp.payment_method_name
       JOIN dim_user du ON v.user_id = du.user_id
       JOIN dim_date dd ON v.date = dd.date)"""
+
+  private val withPrefix: String = mkPrefix(DirtyTxns.oracleCte)
+
+  /** t26's prefix: the dirty source sliced to every 4th ORDER (seq div 2 is
+    * the originating o_orderkey, so a duplicate row rides with its primary
+    * and the dedup stage still sees pairs). The WAP def proves the
+    * audit/publish protocol, not the star build — a quarter-sized star
+    * carries the same proof at a quarter of the bench cost (VERDICT r14 #8).
+    */
+  private val withPrefixQuarter: String =
+    mkPrefix(s"SELECT * FROM (${DirtyTxns.oracleCte}) WHERE (seq // 2) % 4 = 0")
 
   // -------------------------------------------------------------- QueryDefs
 
@@ -868,15 +882,20 @@ object EtlQueries {
   // catch the orphaned keys), and must leave the good version live. The
   // def reads the CURRENT snapshot after both attempts, so a premature
   // pointer swap (serving the corrupt batch) hash-fails against the
-  // clean-star oracle.
+  // clean-star oracle. Input is the quarter slice (every 4th order, dup
+  // rows riding with their primaries): the def proves WAP's audit/swap
+  // protocol, which is star-size-independent — the full-size star build
+  // is already gated by t01–t10 (VERDICT r14 #8: t26 was the single
+  // heaviest bench def at 12.4 s, most of it re-building the full star).
   private val t26 = q("t26_wap_publish",
-    s"""$withPrefix
+    s"""$withPrefixQuarter
        SELECT CAST(COUNT(*) AS BIGINT) AS n_facts,
               ${sqlDsum("amount")} AS total_amount,
               CAST(COUNT(DISTINCT category_key) AS BIGINT) AS n_categories
        FROM fact""") { t =>
     import graft.warehouse.StarIntegrity
-    val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
+    val valid = TxnPipeline.cleanValid(
+        DirtyTxns(t.orders).filter(expr("(seq div 2) % 4 = 0")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = Map(
       "dim_category" -> TxnPipeline.dimCategory(valid),

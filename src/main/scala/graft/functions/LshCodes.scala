@@ -41,12 +41,24 @@ object LshFns {
     * expression here and the driver-side multi-probe margin loop both
     * read it, which is what keeps probe codes bit-exact to stored codes.
     */
-  def planeComponent(plane: Int, d: Int): Double = {
+  def planeComponent(plane: Int, d: Int): Double =
+    (planeM(plane, d).toDouble / 1000003.0) - 0.5
+
+  /** The integer residue behind [[planeComponent]]: planeComponent(p,d) =
+    * planeM(p,d)/1000003 − 0.5. SQL oracle twins inline THESE integers
+    * (≤ 7 digits each) instead of 17-digit double literals and rebuild the
+    * component as `CAST(m AS DOUBLE)/1000003.0 - 0.5` — cast, divide and
+    * subtract are the same IEEE-754 double ops in DuckDB and the JVM, so
+    * the reconstructed plane family is bit-identical to the one the
+    * [[LshCodes]] expression projects with (which is what lets an LSH
+    * def's bucket-dependent OUTPUT through the hash gate).
+    */
+  def planeM(plane: Int, d: Int): Long = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (java.lang.Math.floorMod(z, 1000003L).toDouble / 1000003.0) - 0.5
+    java.lang.Math.floorMod(z, 1000003L)
   }
 
   /** Flat row-major [(table*nBits + bit) * dim + d] plane family. Cached:

@@ -77,11 +77,26 @@ object SimhashFns {
     out
   }
 
-  /** DuckDB replay of [[tokenHash]] over a token-string SQL expression. */
+  /** DuckDB replay of [[tokenHash]] over a token-string SQL expression.
+    *
+    * CODE-POINT parity (ADVICE r14 #2): the Scala fold walks Unicode CODE
+    * POINTS (codePointAt/charCount), so the SQL twin must be defined in
+    * code points too. `regexp_extract_all(tok, '.')` is that by
+    * construction — RE2's `.` matches exactly one rune (tokens come from
+    * \\s+ splits, so the no-newline caveat never bites). The previous
+    * `split(tok, '')` form relied on DuckDB splitting the empty separator
+    * per code point — TRUE of the current engine (measured: ZWJ emoji and
+    * combining sequences hash identically under both forms and match the
+    * Scala fold bit-for-bit), but grapheme-cluster splitting would be an
+    * equally defensible implementation choice, and `ascii()` reads only a
+    * cluster's FIRST code point — so the replay now states the code-point
+    * contract explicitly instead of inheriting it from an unspecified
+    * behavior.
+    */
   def sqlTokenHash(tok: String): String = {
     def fold(base: Int, mod: Long) =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         list_transform(split($tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+         list_transform(regexp_extract_all($tok, '.'), c -> CAST(ascii(c) AS BIGINT))),
          (h, c) -> (h * $base + c) % $mod)"""
     s"(${fold(31, P1)} * 4294967296 + ${fold(131, P2)})"
   }

@@ -486,4 +486,93 @@ object Bpe {
           CAST(COUNT(*) AS BIGINT) AS n_words
         FROM dw JOIN s$numMerges s ON dw.word = s.word
         GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+
+  /** DuckDB twin of the RELAXED batched trainer (VERDICT r14 #7) — the
+    * whole loop unrolled: per round, the ranked top-`4·want+1` candidate
+    * window (the Spark collect's exact horizon and (cnt DESC, l, r)
+    * order), then `want` ADMISSION CTEs replaying
+    * [[selectBatchRelaxed]]'s sequential scan — selection j is the
+    * lowest-ranked candidate whose symbols are disjoint from selections
+    * 1..j−1's {l, r, l·r} and whose concatenation was never minted — and
+    * ONE batch fold per round replaying [[applyMerges]] (membership test
+    * against the round's pair list; disjointness makes the single pass ≡
+    * sequential). STATIC SHAPE CONTRACT: the unroll assumes every round
+    * admits exactly `want` merges (rounds = numMerges/batch, numMerges a
+    * multiple of batch); the Spark def `require`s the realized shape, so
+    * a corpus where admission stalls fails LOUDLY instead of drifting
+    * from the oracle.
+    */
+  def sqlMergesRelaxed(table: String, textCol: String,
+                       numMerges: Int, batch: Int): String = {
+    require(numMerges % batch == 0,
+      s"static relaxed oracle needs batch | numMerges; got $numMerges/$batch")
+    val rounds = numMerges / batch
+    val horizon = 4 * batch + 1
+    val v0 =
+      s"""v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split_regex(lower($textCol), '\\s+')) AS word
+                FROM $table) z
+          WHERE len(word) > 0 GROUP BY word),
+          s0 AS MATERIALIZED (SELECT word, n, split(word, '') AS syms FROM v0)"""
+    def selName(i: Int, j: Int) = s"sel${i}_$j"
+    // symbols claimed by this round's selections 1..j-1 (l, r, and the mint)
+    def batchSymsUnion(i: Int, j: Int): String =
+      (1 until j).flatMap { jj =>
+        Seq(s"SELECT l AS s FROM ${selName(i, jj)}",
+          s"SELECT r AS s FROM ${selName(i, jj)}",
+          s"SELECT l || r AS s FROM ${selName(i, jj)}")
+      }.mkString(" UNION ALL ")
+    // every symbol minted by earlier rounds
+    def priorCatsUnion(i: Int): String =
+      (1 until i).flatMap { ii =>
+        (1 to batch).map(jj => s"SELECT l || r AS s FROM ${selName(ii, jj)}")
+      }.mkString(" UNION ALL ")
+    val stages = (1 to rounds).map { i =>
+      val p = i - 1
+      val cand =
+        s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, SUM(n) AS cnt FROM (
+              SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+                j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+              FROM s$p) z GROUP BY 1, 2),
+            cand$i AS MATERIALIZED (SELECT l, r, CAST(cnt AS BIGINT) AS cnt,
+                              ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rn
+                       FROM p$i ORDER BY cnt DESC, l, r LIMIT $horizon)"""
+      val sels = (1 to batch).map { j =>
+        val conds = Seq.newBuilder[String]
+        val bs = batchSymsUnion(i, j)
+        if (bs.nonEmpty) {
+          conds += s"c.l NOT IN ($bs)"
+          conds += s"c.r NOT IN ($bs)"
+        }
+        val mintSources = Seq(bs, priorCatsUnion(i)).filter(_.nonEmpty)
+        if (mintSources.nonEmpty)
+          conds += s"c.l || c.r NOT IN (${mintSources.mkString(" UNION ALL ")})"
+        val where = {
+          val cs = conds.result()
+          if (cs.isEmpty) "" else cs.mkString("WHERE ", " AND ", "")
+        }
+        s"""${selName(i, j)} AS MATERIALIZED (SELECT l, r, cnt, rn FROM cand$i c
+            $where ORDER BY rn LIMIT 1)"""
+      }
+      val batList = (1 to batch).map(j => s"SELECT l, r FROM ${selName(i, j)}")
+        .mkString(" UNION ALL ")
+      val fold =
+        s"""bat$i AS MATERIALIZED (SELECT list(l || chr(1) || r) AS prs FROM ($batList) z),
+            s$i AS MATERIALIZED (SELECT s.word, s.n,
+              list_reduce(
+                list_prepend(CAST([] AS VARCHAR[]), list_transform(s.syms, x -> [x])),
+                (acc, x) -> CASE WHEN len(acc) > 0
+                                  AND list_contains(b.prs, acc[-1] || chr(1) || x[1])
+                            THEN list_append(acc[1:len(acc)-1], acc[-1] || x[1])
+                            ELSE list_concat(acc, x) END) AS syms
+              FROM s$p s, bat$i b)"""
+      (cand +: sels :+ fold).mkString(",\n")
+    }
+    val union = (for (i <- 1 to rounds; j <- 1 to batch) yield
+      s"SELECT ${(i - 1) * batch + j} AS merge_rank, l AS lhs, r AS rhs, " +
+        s"cnt AS pair_count FROM ${selName(i, j)}").mkString(" UNION ALL ")
+    s"""${(v0 +: stages).mkString("WITH ", ",\n", "")}
+        SELECT merge_rank, lhs, rhs, pair_count FROM ($union) u
+        ORDER BY merge_rank"""
+  }
 }

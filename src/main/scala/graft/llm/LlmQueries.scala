@@ -290,23 +290,94 @@ object LlmQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
-  // s02 — hyperplane-LSH bucketed ANN (approximate → rows-only; planted-twin
-  // recovery asserted in LlmSpec). Registered at the HIGH-RECALL config
-  // (48 tables × 6 bits — recall@10 ≈ 0.93 on the near-uniform synthetic
-  // corpus, vs 0.105 at the 8×8 low-cost default): a gate def should return
-  // defensible neighbors. Both curve points stay measured per-round in the
-  // RECALL artifact; real clustered corpora reach high recall at the
-  // low-cost config's far smaller candidate fraction.
-  private val s02 = q("s02_knn_lsh", None) { t =>
+  // s02 — hyperplane-LSH bucketed ANN, THROUGH the hash gate (VERDICT r14
+  // #4): the plane family is deterministic, so the oracle rebuilds it from
+  // the inlined integer residues (LshFns.planeM — component =
+  // m/1000003 − 0.5, the same IEEE double ops in both engines), recomputes
+  // every bucket code with the identical left-to-right dot, replays the
+  // same-bucket candidate join and the exact cosine re-rank. "Approximate"
+  // here means approximate W.R.T. exact knn — the LSH computation itself
+  // is deterministic and now exactly gated; recall vs s01 stays graded in
+  // RECALL. Registered at the HIGH-RECALL config (48 tables × 6 bits —
+  // recall@10 ≈ 0.93 on the near-uniform synthetic corpus, vs 0.105 at
+  // the 8×8 low-cost default): a gate def should return defensible
+  // neighbors. Degenerate embeddings (wrong length / null element) code
+  // to all-zero buckets in the Spark expression; the corpus tables carry
+  // none, so the oracle skips that branch.
+  private def lshPlaneValues(nTables: Int, nBits: Int): String =
+    (0 until nTables * nBits).map { p =>
+      val ms = (0 until Similarity.Dim)
+        .map(d => graft.functions.LshFns.planeM(p, d)).mkString("[", ",", "]")
+      s"(${p / nBits},${p % nBits},$ms)"
+    }.mkString(",")
+
+  private val s02 = q("s02_knn_lsh", Some(
+    s"""WITH planes AS (
+          SELECT tbl, bit, list_transform(ms, m -> CAST(m AS DOUBLE)/1000003.0 - 0.5) AS pv
+          FROM (VALUES ${lshPlaneValues(Similarity.LshTablesRegistered, Similarity.LshBitsRegistered)})
+               AS t(tbl, bit, ms)),
+        e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        codes AS MATERIALIZED (
+          SELECT e.vec_id, p.tbl,
+                 SUM(CASE WHEN list_dot_product(e.emb, p.pv) >= 0 THEN 1 << p.bit ELSE 0 END) AS bucket
+          FROM e, planes p GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+          FROM codes qc JOIN codes cc ON qc.tbl = cc.tbl AND qc.bucket = cc.bucket
+          WHERE qc.vec_id % 100 = 0 AND qc.vec_id <> cc.vec_id),
+        p AS (SELECT c.query_id, c.neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) /
+                     (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+              FROM cand c JOIN e qe ON c.query_id = qe.vec_id
+                          JOIN e ce ON c.neighbor_id = ce.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.lshTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10,
       nTables = Similarity.LshTablesRegistered, nBits = Similarity.LshBitsRegistered)
       .orderBy("query_id", "rank")
   }
 
-  // s03 — IVF bucketed ANN (cell-probe scale path; approximate → rows-only).
+  // s03 — IVF bucketed ANN (cell-probe scale path), THROUGH the hash gate
+  // (VERDICT r14 #5): the seeded-sample quantizer is now the
+  // engine-portable affine scramble (Similarity.sampleHashSql — the d24
+  // recipe), so the oracle replays centroid SELECTION, every cell
+  // assignment (argmax cosine, ties to the smaller cell), the per-query
+  // probe ranking, and the exact cosine top-k over probed cells.
   // Registered at nProbe=24 of 32 cells (recall@10 ≈ 0.97 vs 0.36 at the
-  // 4-probe default) — same rationale as s02.
-  private val s03 = q("s03_knn_ivf", None) { t =>
+  // 4-probe default); recall vs s01 stays graded in RECALL.
+  private val s03 = q("s03_knn_ivf", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, emb AS c_emb FROM e
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        ac AS MATERIALIZED (
+          SELECT e.vec_id, c.cell,
+                 list_dot_product(e.emb, c.c_emb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS score
+          FROM e, cent c),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE vec_id % 100 = 0) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) /
+                     (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN e qe ON qe.vec_id = pr.query_id
+              JOIN e ce ON ce.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.ivfTopK(t.embeddings, col("vec_id") % 100 === 0, k = 10,
       nProbe = Similarity.IvfProbesRegistered)
       .orderBy("query_id", "rank")
@@ -1136,10 +1207,53 @@ object LlmQueries {
   // query-many-batches production shape, the ANN twin of d09's dedup
   // index), queries probe the stored centroids and fine-rank against the
   // probed cells' int8 codes — corpus floats never read at query time.
-  // Approximate → rows-only; recall graded per-round in RECALL (s06 entry)
-  // and planted-twin + index-reuse asserted in Round6OpsSpec. The def
-  // rebuilds the index per run, so its bench time INCLUDES the build.
-  private val s06 = q("s06_knn_ivf_quantized_indexed", None) { t =>
+  // THROUGH the hash gate since r15: the stored serve is the s03 recipe
+  // (scramble centroids, argmax assignment, probe ranking) scored with
+  // s05's quantized cosine (int8 codes as exactly-representable doubles,
+  // scales cancel) — the INDEX is only a layout, so the oracle recomputes
+  // the identical answer with no store at all, which is itself the
+  // served-equals-in-memory claim the spec pins, now hash-gated per run.
+  // Recall stays graded per-round in RECALL (s06 entry). The def rebuilds
+  // the index per run, so its bench time INCLUDES the build.
+  private val s06 = q("s06_knn_ivf_quantized_indexed", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        qk AS MATERIALIZED (
+          SELECT vec_id, list_transform(emb, x -> floor(x * scale + 0.5)) AS q
+          FROM (SELECT vec_id, emb,
+                       CASE WHEN list_max(list_transform(emb, v -> abs(v))) <> 0
+                            THEN 127.0 / list_max(list_transform(emb, v -> abs(v)))
+                       END AS scale
+                FROM e) z),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, emb AS c_emb FROM e
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        ac AS MATERIALIZED (
+          SELECT e.vec_id, c.cell,
+                 list_dot_product(e.emb, c.c_emb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS score
+          FROM e, cent c),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE vec_id % 100 = 0) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qq.q, qc.q) /
+                     (sqrt(list_dot_product(qq.q, qq.q)) * sqrt(list_dot_product(qc.q, qc.q))) AS qcos
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN qk qq ON qq.vec_id = pr.query_id
+              JOIN qk qc ON qc.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     val idx = graft.TempDirs.scoped("graft-ivf-idx")
     Similarity.writeIvfIndex(t.embeddings, idx)
     Similarity.ivfTopKQuantizedFromIndex(
@@ -2410,6 +2524,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // x51 — the RELAXED batched BPE trainer through the correctness gate
+  // (VERDICT r14 #7: the production 32k-vocab path shipped in r14 with
+  // spec pins but no oracled def). The oracle independently replays the
+  // relaxed loop — ranked candidate window at the collect's exact horizon,
+  // the sequential symbol-disjoint admission scan, the one-pass batch fold
+  // — so a divergence in ANY admitted merge, its rank, or its winning
+  // count hash-fails. The unrolled SQL assumes full rounds
+  // (rounds = merges/batch); the Spark side REQUIREs the realized shape so
+  // a corpus where admission stalls fails loudly instead of silently
+  // drifting from the oracle (Bpe.sqlMergesRelaxed scaladoc).
+  private val x51 = q("x51_bpe_merges_relaxed",
+    Some(Bpe.sqlMergesRelaxed("documents", "text", numMerges = 8, batch = 4))) { t =>
+    val (model, rounds) =
+      Bpe.trainBatchedRelaxedCounted(t.documents, numMerges = 8, batch = 4)
+    require(rounds == 2 && model.merges.size == 8,
+      s"x51 static-oracle contract violated: rounds=$rounds " +
+        s"merges=${model.merges.size} (expected 2 full rounds of 4)")
+    model.mergesDf(t.documents.sparkSession).orderBy("merge_rank")
+  }
+
   // x50 — interpolated KNESER-NEY bigram surprisal (the smoothing KenLM
   // ships — what CCNet-style perplexity filters actually run; x24's
   // stupid backoff is the cheap foil): unseen-pair mass comes from the
@@ -3064,12 +3198,39 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  // s17 — sign-bit BINARY-quantized ANN (rows-only like the other
-  // approximate tiers — recall priced in RECALL): one long per 64-dim
+  // s17 — sign-bit BINARY-quantized ANN, THROUGH the hash gate (VERDICT
+  // r14 #4: exact integer arithmetic end-to-end): one long per 64-dim
   // vector (32× compression, no trained state), xor+popcount Hamming
-  // shortlist, exact cosine re-rank. The 1-bit end of the compression
-  // ladder s04 (int8) and s08 (PQ) started.
-  private val s17 = q("s17_knn_binary", None) { t =>
+  // shortlist, exact cosine re-rank — the 1-bit end of the compression
+  // ladder s04 (int8) and s08 (PQ) started. The oracle never rebuilds the
+  // 64-bit code (bit 63 would overflow DuckDB's checked BIGINT) — it maps
+  // signs to ±1 doubles, where hamming = (64 − dot)/2 exactly (small-int
+  // double sums are exact), replays the (hamming ASC, neighbor_id)
+  // shortlist of 100 and the cosine re-rank. Recall vs s01 stays graded
+  // in RECALL.
+  private val s17 = q("s17_knn_binary", Some(
+    s"""WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS sgn
+          FROM embeddings),
+        h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST((${Similarity.Dim} - list_dot_product(q.sgn, c.sgn)) / 2 AS BIGINT) AS ham
+              FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % 100 = 0),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS hrank
+                 FROM h) z
+               WHERE hrank <= ${Similarity.BinaryShortlist}),
+        p AS (SELECT s.query_id, s.neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) /
+                     (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+              FROM sl s JOIN e qe ON s.query_id = qe.vec_id
+                        JOIN e ce ON s.neighbor_id = ce.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.knnBinaryReranked(t.embeddings, col("vec_id") % 100 === 0, k = 10)
       .orderBy("query_id", "rank")
   }
@@ -3080,9 +3241,54 @@ object LlmQueries {
   // monotone in the true inner product, and the coarse cells prune the
   // scan to ~nProbe/C. Probed candidates rank by the TRUE inner product
   // over the original embeddings (s16's exact tie order; full-probe ≡ s16
-  // spec-pinned). Rows-only: recall vs s16 graded in RECALL at two probe
-  // depths on both geometries.
-  private val s18 = q("s18_knn_mips_ivf", None) { t =>
+  // spec-pinned). THROUGH the hash gate since r15: every augmentation
+  // step is exact replayable arithmetic — M² is a double max, the
+  // augmented component rounds through FLOAT32 exactly as Spark's
+  // `.cast("float")` does (CAST(… AS REAL) in DuckDB), and the scramble
+  // centroids/assignment/probes follow the s03 recipe in the augmented
+  // geometry. Recall vs s16 stays graded in RECALL at two probe depths.
+  private val s18 = q("s18_knn_mips_ivf", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        m AS MATERIALIZED (SELECT MAX(list_dot_product(emb, emb)) AS m2 FROM e),
+        aug AS MATERIALIZED (
+          SELECT e.vec_id, e.emb,
+                 list_append(e.emb, CAST(CAST(
+                   sqrt(greatest(m.m2 - list_dot_product(e.emb, e.emb), 0.0))
+                   AS REAL) AS DOUBLE)) AS aemb
+          FROM e, m),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, aemb AS c_emb FROM aug
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT a.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                     list_dot_product(a.aemb, c.c_emb) /
+                     (sqrt(list_dot_product(a.aemb, a.aemb)) * sqrt(list_dot_product(c.c_emb, c.c_emb)))
+                     DESC, c.cell) AS rn
+            FROM aug a, cent c) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_dot_product(q.qaug, c.c_emb) /
+                     (sqrt(list_dot_product(q.qaug, q.qaug)) * sqrt(list_dot_product(c.c_emb, c.c_emb)))
+                     DESC, c.cell) AS rn
+            FROM (SELECT vec_id, list_append(emb, 0.0) AS qaug FROM e
+                  WHERE vec_id % 100 = 0) q, cent c) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) AS ip
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN e qe ON qe.vec_id = pr.query_id
+              JOIN e ce ON ce.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ip
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.mipsTopKIvf(t.embeddings, col("vec_id") % 100 === 0, k = 10,
       nProbe = Similarity.IvfProbesRegistered)
       .orderBy("query_id", "rank")
@@ -3097,7 +3303,60 @@ object LlmQueries {
   // dequantized inner product (scales must NOT cancel — MIPS is
   // magnitude-sensitive). Rows-only; recall vs exact s16 graded in
   // RECALL at two probe depths.
-  private val s19 = q("s19_knn_mips_indexed", None) { t =>
+  // THROUGH the hash gate since r15: s18's augmented-geometry probe
+  // machinery scored with the DEQUANTIZED inner product (scales must NOT
+  // cancel in MIPS — ip ≈ q·(code/scale)); the M² anchor round-trips
+  // through Double.toString exactly, so serve-side geometry equals
+  // build-side bit-for-bit and the whole serve is replayable arithmetic.
+  private val s19 = q("s19_knn_mips_indexed", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        m AS MATERIALIZED (SELECT MAX(list_dot_product(emb, emb)) AS m2 FROM e),
+        aug AS MATERIALIZED (
+          SELECT e.vec_id, e.emb,
+                 list_append(e.emb, CAST(CAST(
+                   sqrt(greatest(m.m2 - list_dot_product(e.emb, e.emb), 0.0))
+                   AS REAL) AS DOUBLE)) AS aemb
+          FROM e, m),
+        pk AS MATERIALIZED (
+          SELECT vec_id, scale, list_transform(emb, x -> floor(x * scale + 0.5)) AS q
+          FROM (SELECT vec_id, emb,
+                       CASE WHEN list_max(list_transform(emb, v -> abs(v))) <> 0
+                            THEN 127.0 / list_max(list_transform(emb, v -> abs(v)))
+                       END AS scale
+                FROM e) z),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, aemb AS c_emb FROM aug
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT a.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                     list_dot_product(a.aemb, c.c_emb) /
+                     (sqrt(list_dot_product(a.aemb, a.aemb)) * sqrt(list_dot_product(c.c_emb, c.c_emb)))
+                     DESC, c.cell) AS rn
+            FROM aug a, cent c) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_dot_product(q.qaug, c.c_emb) /
+                     (sqrt(list_dot_product(q.qaug, q.qaug)) * sqrt(list_dot_product(c.c_emb, c.c_emb)))
+                     DESC, c.cell) AS rn
+            FROM (SELECT vec_id, list_append(emb, 0.0) AS qaug FROM e
+                  WHERE vec_id % 100 = 0) q, cent c) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe.emb, qc.q) / qc.scale AS ip
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN e qe ON qe.vec_id = pr.query_id
+              JOIN pk qc ON qc.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ip
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     val idx = graft.TempDirs.scoped("graft-mips-idx")
     Similarity.writeMipsIndex(t.embeddings, idx)
     Similarity.mipsTopKFromIndex(
@@ -3134,12 +3393,46 @@ object LlmQueries {
   // s21 — filter-PUSHED IVF ANN (s20's sublinear form): the predicate
   // applies inside the cell-pruned candidate scan (on the persisted
   // layout: a pushed parquet filter within probed cells), centroids stay
-  // corpus-wide so cell geometry is filter-independent. Rows-only like
-  // the other approximate tiers; RECALL grades it vs the exact filtered
-  // truth at two probe depths AND grades the post-filter foil, so the
-  // classic recall collapse (filtering an unfiltered top-k after ranking)
-  // is a measured number. Full-probe ≡ s20 spec-pinned.
-  private val s21 = q("s21_knn_filtered_ivf", None) { t =>
+  // corpus-wide so cell geometry is filter-independent. THROUGH the hash
+  // gate since r15 (the s03 recipe + the filter): the oracle replays the
+  // corpus-wide scramble-sampled centroids, the filtered corpus's cell
+  // assignment, the probe ranking, and the exact cosine top-k. RECALL
+  // still grades it vs the exact filtered truth at two probe depths AND
+  // grades the post-filter foil, so the classic recall collapse
+  // (filtering an unfiltered top-k after ranking) stays a measured
+  // number. Full-probe ≡ s20 spec-pinned.
+  private val s21 = q("s21_knn_filtered_ivf", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, emb AS c_emb FROM e
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        ac AS MATERIALIZED (
+          SELECT e.vec_id, e.label, c.cell,
+                 list_dot_product(e.emb, c.c_emb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS score
+          FROM e, cent c),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE label = 3) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE vec_id % 100 = 0) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) /
+                     (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN e qe ON qe.vec_id = pr.query_id
+              JOIN e ce ON ce.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.ivfTopKFiltered(t.embeddings,
       col("vec_id") % 100 === 0, col("label") === 3, k = 10,
       nProbe = Similarity.IvfProbesRegistered)
@@ -3170,7 +3463,50 @@ object LlmQueries {
   // full-probe equivalence to an index built over the pre-filtered
   // corpus. Rows-only like the other stored tiers; recall graded in
   // RECALL beside s21's in-memory form.
-  private val s22 = q("s22_knn_filtered_indexed", None) { t =>
+  // THROUGH the hash gate since r15: s06's stored-serve oracle with the
+  // metadata predicate applied to the candidate side — per-vector cell
+  // assignment is independent of every other vector, so filtering the
+  // stored rows at serve time is identical to filtering before
+  // assignment, and the whole serve is replayable arithmetic.
+  private val s22 = q("s22_knn_filtered_indexed", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        qk AS MATERIALIZED (
+          SELECT vec_id, list_transform(emb, x -> floor(x * scale + 0.5)) AS q
+          FROM (SELECT vec_id, emb,
+                       CASE WHEN list_max(list_transform(emb, v -> abs(v))) <> 0
+                            THEN 127.0 / list_max(list_transform(emb, v -> abs(v)))
+                       END AS scale
+                FROM e) z),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, emb AS c_emb FROM e
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        ac AS MATERIALIZED (
+          SELECT e.vec_id, e.label, c.cell,
+                 list_dot_product(e.emb, c.c_emb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS score
+          FROM e, cent c),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE label = 3) z WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE vec_id % 100 = 0) z
+          WHERE rn <= ${Similarity.IvfProbesRegistered}),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qq.q, qc.q) /
+                     (sqrt(list_dot_product(qq.q, qq.q)) * sqrt(list_dot_product(qc.q, qc.q))) AS qcos
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN qk qq ON qq.vec_id = pr.query_id
+              JOIN qk qc ON qc.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     val idx = graft.TempDirs.scoped("graft-filt-idx")
     Similarity.writeIvfIndex(t.embeddings, idx, metaCols = Seq("label"))
     Similarity.ivfTopKQuantizedFromIndex(
@@ -3864,7 +4200,7 @@ object LlmQueries {
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
       s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50,
+      x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51,
       e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, m01, m02, m03, m04, m05)
 }

@@ -1289,20 +1289,42 @@ object Similarity {
     rows
   }
 
-  /** IVF coarse quantizer: a deterministic seeded-hash sample of `IvfCells`
-    * corpus vectors acts as the centroid set — `xxhash64(vec_id, seed)`
-    * order is a uniform pseudo-random draw that is reproducible across runs
-    * and partitionings, unlike `.sample()` (partition-layout-dependent) or
-    * first-N-by-id (biased toward whatever the id order correlates with).
-    * Plans as one TakeOrderedAndProject over the corpus. At scale the
-    * centroids would come from a k-means fit; the assignment/probe machinery
-    * is identical.
+  /** Engine-portable sampler scramble (VERDICT r14 #5, the d24 recipe):
+    * h(id) = (A·id + B) mod P — a 2-universal affine map over the prime
+    * [[graft.functions.MinhashFns.P]] (< 2^31, so A·id stays < 2^62 for any
+    * realistic id: exact BIGINT arithmetic on BOTH engines). A and B are
+    * fixed splitmix64 draws (stream indices 200/201 — disjoint from the
+    * MinHash seed family), inlined here and in the SQL twins, replacing
+    * xxhash64 (which DuckDB cannot recompute — the one reason the IVF
+    * centroid build was not oracle-able).
     */
-  def ivfCentroids(embeddings: DataFrame, seed: Long = 42L,
+  val SampleHashA = 633073143L
+  val SampleHashB = 26150926L
+  val SampleHashP: Long = graft.functions.MinhashFns.P
+
+  /** The sampler scramble as a SQL fragment both engines evaluate
+    * identically on a BIGINT id column.
+    */
+  def sampleHashSql(idCol: String): String =
+    s"($SampleHashA * $idCol + $SampleHashB) % $SampleHashP"
+
+  /** IVF coarse quantizer: a deterministic seeded-hash sample of `IvfCells`
+    * corpus vectors acts as the centroid set — scramble-hash order
+    * ([[sampleHashSql]]) is a uniform pseudo-random draw that is
+    * reproducible across runs and partitionings, unlike `.sample()`
+    * (partition-layout-dependent) or first-N-by-id (biased toward whatever
+    * the id order correlates with) — and, unlike the xxhash64 draw it
+    * replaces, replayable in DuckDB, which is what lets s03 (and any
+    * def whose output depends on the centroid IDENTITIES) through the
+    * hash gate instead of rows-only. Plans as one TakeOrderedAndProject
+    * over the corpus. At scale the centroids would come from a k-means
+    * fit; the assignment/probe machinery is identical.
+    */
+  def ivfCentroids(embeddings: DataFrame,
                    cells: Int = IvfCells): DataFrame =
     embeddings
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
-        xxhash64(col("vec_id"), lit(seed)).as("h"))
+        expr(sampleHashSql("vec_id")).as("h"))
       .orderBy(col("h"), col("cell")).limit(cells)
       .select("cell", "c_emb")
 
@@ -1479,7 +1501,7 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, path: String,
                     cells: Int = IvfCells, seed: Long = 42L,
                     quantizer: (DataFrame, Int, Long) => DataFrame =
-                      (e, c, s) => ivfCentroids(e, s, c),
+                      (e, c, _) => ivfCentroids(e, c),
                     metaCols: Seq[String] = Nil): Unit = {
     val centroids = quantizer(embeddings, cells, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1867,7 +1889,7 @@ object Similarity {
     val m2 = m2Row.getDouble(0)
     val aug = embeddings.select(col("vec_id"),
       augmentMips(col("embedding"), m2).as("embedding"))
-    val centroids = ivfCentroids(aug, seed, cells)
+    val centroids = ivfCentroids(aug, cells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -2134,7 +2156,7 @@ object Similarity {
                       booksIn: Option[Seq[Seq[Seq[Float]]]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(embeddings, seed, cells)
+    val centroids = ivfCentroids(embeddings, cells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val books = booksIn.getOrElse(pqCodebooks(embeddings, m, kCent, seed))

@@ -132,38 +132,38 @@ object Graph {
     * recurrence is deterministic, the result is BIT-IDENTICAL to
     * [[pageRank]](edges, R) (spec-pinned).
     *
-    * The residual probe is a SEPARATE node-sized join of the two already-
-    * materialized rank frames (one filter+isEmpty — no extra edge scan, no
-    * collect), kept OUT of the state lineage deliberately: an INNER join
-    * of two frames descending from the same state leaf makes Catalyst's
-    * size-only stats (which multiply through inner joins and are preserved
-    * across checkpoints) SQUARE per round — digit count doubles, and by
-    * round ~25 planning grinds into million-digit BigInt multiplication.
-    * The state itself keeps [[pageRank]]'s exact per-round shape (left
-    * joins only — their stats don't multiply), so stats grow linearly as
-    * they do in the fixpoint family.
+    * The residual rides the materialize action itself via
+    * `Dataset.observe()` (VERDICT r14 #6): the next-state plan carries the
+    * previous rank as `old_r` (one extra LEFT join of the already-cut rank
+    * frame), and a CollectMetrics node folds max|r'−r| into the SAME job
+    * that checkpoints the state — ZERO extra probe jobs, convergence
+    * detected at the earliest round (the r13 probe-cadence compromise
+    * traded up-to-3 overshoot rounds for fewer probe joins; observe()
+    * removes both costs). The recorded R is the EXECUTED round count, so
+    * the late-bound oracle unrolls exactly what ran — bit-identity with
+    * [[pageRank]](edges, R) is probe-mechanism-independent (the observed
+    * column set is projected away before the state re-enters the
+    * recurrence).
+    *
+    * Because each round now references the state TWICE (contribution step
+    * + `old_r`), the per-round state cut is [[Materialize.cutFresh]] —
+    * size-only join stats MULTIPLY for every non-semi join type, so a
+    * twice-referenced state squares sizeInBytes per round (digit count
+    * doubles; planning grinds into million-digit BigInt multiplication by
+    * round ~20 — reproduced live in r15 before the reset). cutFresh
+    * re-leafs the materialized rows with constant default stats, bounding
+    * every round's planning cost regardless of the round shape.
     * Power iteration contracts the residual by ~damping per round
     * (0.85^R), so R ≈ log(r0/tol)/log(1/0.85) regardless of diameter —
     * ~20–40 rounds at practical tolerances, the same at 100× scale (the
     * initial rank Scale/N SHRINKS with N, so absolute tolerance needs
     * FEWER rounds on bigger graphs, never more). `maxRounds` is the
     * throwing runaway backstop, not a semantic knob.
-    *
-    * PROBE CADENCE (VERDICT r13 #6): the residual probe is itself a
-    * node×node shuffle join — one extra job per round. Residuals under
-    * damping shrink geometrically, so the probe fires only every
-    * `probeEvery` rounds (and at the maxRounds backstop): probe jobs drop
-    * ~4× for an overshoot of at most `probeEvery − 1` extra power
-    * iterations, and the recorded R is still the EXECUTED round count, so
-    * the late-bound oracle unrolls exactly what ran (bit-identity with
-    * [[pageRank]](edges, R) is cadence-independent).
     */
   def pageRankConverged(edges: DataFrame, tolFp: Long = 10000000L,
                         maxRounds: Int = 128,
-                        dampNum: Long = 85,
-                        probeEvery: Int = 4): (DataFrame, Int) = {
-    require(tolFp >= 1 && maxRounds >= 1 && dampNum >= 0 && dampNum <= 100 &&
-      probeEvery >= 1)
+                        dampNum: Long = 85): (DataFrame, Int) = {
+    require(tolFp >= 1 && maxRounds >= 1 && dampNum >= 0 && dampNum <= 100)
     val e = Materialize.cut(edges)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
@@ -174,23 +174,27 @@ object Graph {
     var converged = false
     while (!converged) {
       val contrib = contribStep(e, ranks, degN)
-      val next = Materialize.cut(
+      val obs = new org.apache.spark.sql.Observation(s"pr-residual-$rounds")
+      val next = Materialize.cutFresh(
         degN.join(contrib, Seq("node"), "left")
+          .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"), "left")
           .select(col("node"), (
             expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
-              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r"),
+            col("old_r"))
+          .observe(obs,
+            max(abs(col("r") - coalesce(col("old_r"), lit(0L)))).as("residual")))
       rounds += 1
-      if (rounds % probeEvery == 0 || rounds >= maxRounds) {
-        converged = next
-          .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"))
-          .filter(abs(col("r") - col("old_r")) >= tolFp).isEmpty
-        if (!converged && rounds >= maxRounds)
-          throw new IllegalStateException(
-            s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
-              "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
-              "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
-      }
-      ranks = next
+      // Materialize.cut is eager, so the metric is already published;
+      // get() does not block here.
+      val residual = obs.get("residual").asInstanceOf[Long]
+      converged = residual < tolFp
+      if (!converged && rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
+            "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
+            "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
+      ranks = next.select("node", "r")
     }
     (ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r") / lit(Scale.toDouble)).as("rank")), rounds)

@@ -47,4 +47,33 @@ object Materialize {
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** [[cut]] plus a STATS RESET: the materialized rows are re-leafed into a
+    * fresh LogicalRDD with no origin statistics (default sizeInBytes), so
+    * the returned frame's stats carry NOTHING of the origin plan's.
+    *
+    * Measured necessity (round 15): the CAUTION above understates the
+    * danger — under the size-only stats visitor JOIN stats multiply for
+    * every join type except semi/anti, LEFT joins included. An iterative
+    * loop whose round references the growing state TWICE (pageRankConverged
+    * r15: once through the contribution step, once to carry `old_r` for the
+    * observed residual) therefore squares sizeInBytes per round no matter
+    * the join type — digit count doubles per round, and by round ~20 every
+    * planning pass grinds through million-digit BigInt multiplication
+    * (reproduced live: g09 hung for 25+ minutes mid-loop). The reset
+    * bounds every round's stats at a constant, whatever the round shape.
+    *
+    * Cost of losing real stats: none inside such loops — the loop's
+    * broadcast sides are explicit hints, shuffle-side decisions re-plan at
+    * runtime under AQE, and the conservative default (huge) can only make
+    * the planner avoid auto-broadcasting the state, which is what a
+    * growing state wants anyway. Prefer [[cut]] when the state is
+    * referenced once per round (linear digit growth, and real stats keep
+    * auto-broadcast available).
+    */
+  def cutFresh(df: DataFrame): DataFrame = {
+    val c = cut(df)
+    org.apache.spark.sql.graftx.Bridge.fromInternalRows(
+      df.sparkSession, c.queryExecution.toRdd, c.schema)
+  }
 }

@@ -743,22 +743,68 @@ object ParquetWarehouse {
     val target = base + 1
     val claim = new org.apache.hadoop.fs.Path(manifestClaimFile(path, target))
     val fs = claim.getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
-    val claimed =
+    // Claim creation must be (a) atomic create-if-absent and (b) whole —
+    // a racer must never observe a created-but-not-yet-tagged claim
+    // (ADVICE r14 #1: Hadoop's LocalFileSystem implements create(…,
+    // overwrite=false) as exists-then-create — a TOCTOU — and tag bytes
+    // landed after creation, so a concurrent same-tag replay could read
+    // an EMPTY claim and misclassify a legitimate re-take as a conflict).
+    // On file:// the claim is therefore published by HARD-LINKING a fully
+    // written temp file into place: link creation is atomic and fails if
+    // the target exists (O_EXCL semantics WITH content). Non-local
+    // filesystems keep fs.create(overwrite=false) — atomic on HDFS and on
+    // object stores with conditional puts, and their create is not the
+    // local TOCTOU; content visibility there is governed by close().
+    val isLocalFs = {
+      val scheme = claim.toUri.getScheme
+      scheme == null || scheme == "file"
+    }
+    def createViaHadoop(): Boolean =
       try {
         val out = fs.create(claim, false)
         try tag.foreach(t => out.write(t.getBytes("UTF-8"))) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    val claimed =
+      if (!isLocalFs) createViaHadoop()
+      else {
+        val p = java.nio.file.Paths.get(claim.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.resolveSibling(s".claim-tmp-${java.util.UUID.randomUUID()}")
+        try {
+          java.nio.file.Files.write(tmp, tag.getOrElse("").getBytes("UTF-8"))
+          try { java.nio.file.Files.createLink(p, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            // no-hardlink filesystem: degrade to O_EXCL create + write
+            // (atomic create, tag visible after — strictly better than
+            // the Hadoop local path it replaces)
+            case _: UnsupportedOperationException =>
+              try {
+                java.nio.file.Files.write(p, tag.getOrElse("").getBytes("UTF-8"),
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+                true
+              } catch { case _: java.io.IOException => false }
+          }
+        } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+      }
     // A TAGGED writer may re-take its OWN crashed claim (the streaming
     // maintainer's replay protocol: crash between claim and pointer swap
     // must re-append, not brick the store — the tag identifies the one
-    // logical writer, so reuse is still single-writer-per-version).
+    // logical writer, so reuse is still single-writer-per-version). The
+    // read is guarded: if the claim cannot be opened (e.g. the create
+    // failed for an unrelated reason and no claim exists), the documented
+    // conflict message below surfaces instead of a raw read exception
+    // (ADVICE r14 #1).
     val ownCrashedClaim = !claimed && tag.exists { t =>
-      val in = fs.open(claim)
-      val content = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      content == t
+      try {
+        val in = fs.open(claim)
+        val content = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        content == t
+      } catch { case _: java.io.IOException => false }
     }
     if (!claimed && !ownCrashedClaim)
       throw new IllegalStateException(
