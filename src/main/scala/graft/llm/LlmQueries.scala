@@ -3443,11 +3443,57 @@ object LlmQueries {
   // filter-disjoint geometry where any fixed probe depth collapses): each
   // query widens its probe ring until the ring holds ≥ minCandidates
   // filter-passing rows, so cost is bounded by candidate COUNT and recall
-  // holds on both geometries (RECALL s21_adaptive entries: 0.72/1.0 at the
-  // floor where the fixed-depth serve reads 0.32/0.00). Rows-only like the
-  // other approximate tiers — the result depends on data-derived probe
-  // depths; recall + candidate-fraction are the graded artifact.
-  private val s26 = q("s26_knn_filtered_adaptive", None) { t =>
+  // holds on both geometries (RECALL s21_adaptive entries). THROUGH the
+  // hash gate since r15: the "data-derived" probe depth is itself exact
+  // replayable arithmetic — the oracle recomputes the per-cell filtered
+  // mass, each query's full cell ranking, the cumulative-mass depth rule
+  // (floor 4, first rank whose cum ≥ 32, capped at C), and the exact
+  // cosine top-k over each query's OWN ring. A wrong depth anywhere
+  // changes some query's candidate set and hash-fails.
+  private val s26 = q("s26_knn_filtered_adaptive", Some(
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                                FROM embeddings),
+        cent AS MATERIALIZED (
+          SELECT vec_id AS cell, emb AS c_emb FROM e
+          ORDER BY ${Similarity.sampleHashSql("vec_id")}, vec_id
+          LIMIT ${Similarity.IvfCells}),
+        ac AS MATERIALIZED (
+          SELECT e.vec_id, e.label, c.cell,
+                 list_dot_product(e.emb, c.c_emb) /
+                 (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS score
+          FROM e, cent c),
+        assign AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM ac WHERE label = 3) z WHERE rn = 1),
+        cellcnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_filt FROM assign GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT query_id, cell, rnk,
+                 SUM(COALESCE(n_filt, 0)) OVER (PARTITION BY query_id ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (SELECT vec_id AS query_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rnk
+                FROM ac WHERE vec_id % 100 = 0) r
+          LEFT JOIN cellcnt USING (cell)),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT query_id, cell, rnk,
+                   GREATEST(${Similarity.IvfProbes},
+                     COALESCE(MIN(CASE WHEN cum >= 32 THEN rnk END)
+                                OVER (PARTITION BY query_id),
+                              MAX(rnk) OVER (PARTITION BY query_id))) AS depth
+            FROM ranked) z WHERE rnk <= depth),
+        p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe.emb, ce.emb) /
+                     (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+              FROM probes pr
+              JOIN assign a ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+              JOIN e qe ON qe.vec_id = pr.query_id
+              JOIN e ce ON ce.vec_id = a.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank""")) { t =>
     Similarity.ivfTopKFilteredAdaptive(t.embeddings,
       col("vec_id") % 100 === 0, col("label") === 3, k = 10,
       nProbeFloor = Similarity.IvfProbes, minCandidates = 32)
