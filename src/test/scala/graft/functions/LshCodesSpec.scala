@@ -94,4 +94,17 @@ class LshCodesSpec extends SparkSpec {
       assert(pairs.contains((0L, 999L)))
     } finally release()
   }
+
+  test("planeM is the exact integer residue behind planeComponent (the s02 oracle contract)") {
+    // the SQL twin reconstructs the family as m/1000003 − 0.5 from inlined
+    // planeM integers; the two must agree bit-for-bit for every plane the
+    // registered s02 config uses, and the residue must stay in [0, 1000003)
+    for (p <- 0 until Similarity.LshTablesRegistered * Similarity.LshBitsRegistered;
+         d <- 0 until Dim) {
+      val m = LshFns.planeM(p, d)
+      assert(m >= 0 && m < 1000003L, s"residue out of range at ($p,$d): $m")
+      assert(LshFns.planeComponent(p, d) === (m.toDouble / 1000003.0) - 0.5,
+        s"planeComponent/planeM disagree at ($p,$d)")
+    }
+  }
 }

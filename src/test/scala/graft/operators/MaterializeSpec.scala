@@ -64,4 +64,43 @@ class MaterializeSpec extends SparkSpec {
       assert(reliable === local)
     } finally sc.setCheckpointDir(prior)
   }
+
+  test("cutFresh: same rows as cut, stats reset to a plan-independent constant") {
+    val cut = Materialize.cut(frame())
+    val fresh = Materialize.cutFresh(frame())
+    assert(fresh.orderBy("n").collect().toSeq === cut.orderBy("n").collect().toSeq)
+    // the reset: a cut preserves the origin's computed sizeInBytes, so two
+    // cuts of different-sized plans differ; cutFresh's leaves carry the
+    // session default regardless of what produced them
+    val freshSmall = Materialize.cutFresh(frame().limit(3))
+    assert(freshSmall.queryExecution.optimizedPlan.stats.sizeInBytes ===
+      fresh.queryExecution.optimizedPlan.stats.sizeInBytes,
+      "cutFresh stats must not depend on the origin plan")
+  }
+
+  test("cutFresh: twice-referenced iterative state keeps stats bit-width bounded") {
+    // the r15 g09 hazard in miniature: per round the next state references
+    // the previous state TWICE (join stats multiply for every non-semi join
+    // type), so plain cut() squares sizeInBytes per round — digit count
+    // doubles and planning grinds. cutFresh must hold it constant.
+    var state = Materialize.cutFresh(
+      (1L to 50L).toDF("node").withColumn("r", col("node") * 10))
+    val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (round <- 1 to 6) {
+      val contrib = state.groupBy((col("node") % 7).as("node"))
+        .agg(sum(col("r")).as("contrib"))
+      val next = Materialize.cutFresh(
+        state.select(col("node"), col("r").as("old_r"))
+          .join(contrib, Seq("node"), "left")
+          .join(state, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("contrib"), lit(0L)) + col("r")).as("r")))
+      dims += next.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      state = next
+    }
+    // constant leaf stats → constant state bit-width; squaring growth
+    // would double the bit-length every round (≥ 2^6× by round 6)
+    assert(dims.distinct.size === 1,
+      s"state stats bit-widths must stay constant, got $dims")
+  }
 }
