@@ -11,22 +11,33 @@ import org.apache.spark.sql.DataFrame
   * JVM start, and per-rep workspace purges, on a contended box. The r15
   * protocol bounds measured time explicitly:
   *
-  *   1. GENERIC WARM-UP (seconds, not a full pass): a handful of small
-  *      throwaway plans (scan→agg→noop, broadcast join, window) warm the
-  *      parquet reader, codegen infra, shuffle and noop-commit machinery.
-  *      Per-def codegen still lands in each def's first rep — see (3).
+  *   1. SMOKE-SF WARM-UP (unmeasured, ~2 min): every def runs once against
+  *      `SPARK_GRAFT_WARMUP_DIR` (default the sf0.001 smoke data). The
+  *      plans differ from the measured pass only in file paths, so the
+  *      GENERATED code is identical and janino's codegen cache is hot for
+  *      pass 1 — measured r15: cold per-def planning+codegen is ~0.5–1.5 s
+  *      × 238 defs ≈ half of a cold pass-1, and WHICH defs escaped it (via
+  *      the rerun queue) was luck, swinging the total-of-medians 381↔662 s
+  *      between otherwise-identical runs. Warming at the smoke SF buys the
+  *      old full-warm-up statistics at ~1/4 the cost; sf0.1 DATA stays
+  *      cold, which is the part a benchmark should measure. A handful of
+  *      generic throwaway plans additionally warm the shared machinery
+  *      (parquet footers, shuffle, noop commit). Skipped automatically if
+  *      the warmup dir is missing or equals the measured dir.
   *   2. PASS 1: every def measured exactly ONCE, in declared registration
   *      order, with cache-clear + temp-workspace purge before each so no
   *      def inherits another's state.
   *   3. RERUN PHASE under a measured-time budget (`SPARK_GRAFT_BENCH_BUDGET`,
-  *      seconds, default 600 including pass 1): defs that deserve better
-  *      statistics get up to 2 extra reps — first REGRESSION SUSPECTS
-  *      (pass-1 time > 1.5× the previous committed artifact's median,
-  *      cheapest first, so a fast def whose single cold rep carries codegen
-  *      cost self-corrects to its warm median instead of false-alarming
-  *      `n_delta_over_2x`), then the HEAVY TAIL (pass-1 time ≥ 1 s,
-  *      costliest first — the defs where one rep is least trustworthy).
-  *      The phase stops when the budget is spent; pass 1 always completes
+  *      seconds, default 900 including pass 1): defs that deserve better
+  *      statistics get up to 2 extra reps — REGRESSION SUSPECTS (pass-1
+  *      time > 1.5× the previous committed artifact's median, cheapest
+  *      first, so a def whose first rep hit residual cold cost
+  *      self-corrects instead of false-alarming `n_delta_over_2x`)
+  *      INTERLEAVED round-robin with the HEAVY TAIL (pass-1 time ≥ 1 s,
+  *      costliest first — the defs where one rep is least trustworthy and
+  *      whose values dominate the judged totals), so neither queue can
+  *      starve the other when pass 1 eats most of the budget. The phase
+  *      stops when the budget is spent; pass 1 always completes
   *      regardless, so the artifact is always whole. `budget_hit` + `n_rep1`
   *      record how far the rerun phase got.
   *
@@ -151,7 +162,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
+    // 900 s measured ≈ 16 min wall locally / ~20 min on the 1.3×-slower
+    // driver box — pass 1 (~390 s) plus enough rerun budget to give nearly
+    // every ≥1 s def its median-of-3, while staying under half of r13's
+    // successful 44:45 wall (r14's 4-pass protocol is what hit the cap).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     // read BEFORE this run overwrites it: the driver benches once per round
@@ -162,6 +177,18 @@ object Bench {
 
     val defs = SparkEntry.defs.filter(d => only.forall(_.contains(d.name)))
     genericWarmup(spark, sfDir)
+    // smoke-SF warm-up: identical generated code, tiny data — hot codegen
+    // cache for pass 1 without spending measured budget on compilation
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      defs.foreach { d =>
+        spark.catalog.clearCache()
+        TempDirs.purgeAll()
+        try exec(d.run(spark, warmDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench warmup] ${d.name}: ${e.getMessage}")
+        }
+      }
 
     // one measured rep: cold data, purged workspaces (VERDICT r13 #9 — a
     // store-building def's rep N+1 must never inherit rep N's on-disk state)
@@ -189,8 +216,12 @@ object Bench {
       }
     }
 
-    // RERUN PHASE: regression suspects (cheapest first — mostly codegen-cold
-    // fast defs self-correcting), then the heavy tail (costliest first).
+    // RERUN PHASE: regression suspects (cheapest first — residual cold
+    // cost self-correcting) round-robin with the heavy tail (costliest
+    // first) — interleaved so neither queue starves the other when pass 1
+    // consumed most of the budget (measured r15: a suspects-first queue
+    // left every heavy def single-rep in one run, a heavy-first queue
+    // left every suspect uncorrected in another).
     var budgetHit = false
     if (maxReps > 1) {
       val t1 = times.toMap.view.mapValues(_.head).toMap
@@ -198,7 +229,8 @@ object Bench {
         case (k, t) if prev.get(k).exists(p => p >= 0.05 && t / p > 1.5) => k
       }.toSeq.sortBy(t1)
       val heavy = t1.collect { case (k, t) if t >= 1.0 => k }.toSeq.sortBy(k => -t1(k))
-      val queue = (suspects ++ heavy).distinct
+      val queue = suspects.map(Some(_)).zipAll(heavy.map(Some(_)), None, None)
+        .flatMap { case (a, b) => Seq(a, b).flatten }.distinct
       queue.foreach { name =>
         val est = t1(name) * (maxReps - 1)
         if (spent + est <= budgetSec) {
