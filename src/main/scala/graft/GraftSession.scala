@@ -47,6 +47,12 @@ object GraftSession {
       // contention (VERDICT r12 #2: e05 spread 5.0 on a contended
       // driver; measured here 0.45-0.85 s → 0.42-0.44 s with the merge).
       .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
+      // Let the planner pick SHUFFLED HASH over sort-merge when its size
+      // conditions are met (guide §9 baseline; §3.1: "often faster when one
+      // side is moderately small per partition" — no sort on either side).
+      // Results are join-strategy-independent; the size conditions bound the
+      // build side, and AQE's skew split still applies to SHJ in Spark 4.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()

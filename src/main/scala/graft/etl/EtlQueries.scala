@@ -910,17 +910,23 @@ object EtlQueries {
     val root = graft.TempDirs.scoped("graft-wap")
     val good = ParquetWarehouse.publishAudited(root, star, StarIntegrity.allClean)
     require(good.isRight, s"clean star must publish, got $good")
+    valid.unpersist()
     // poison batch: every fact category key orphaned — must NOT publish.
     // Staged incrementally: ONLY the fact writes; the audit catches the
-    // orphans against the CARRIED dims.
+    // orphans against the CARRIED dims. The batch derives from the
+    // PUBLISHED fact's bytes, not the fact's build lineage (r16, guide
+    // §1.2: don't recompute what is already materialized): re-publishing
+    // reads the current table — the realistic incremental-republish shape
+    // — instead of re-running the five dim builds + star join a second
+    // time. Rows are identical to the staged fact by the publish contract.
     val bad = ParquetWarehouse.publishAuditedIncremental(root,
       Map("fact_transactions" ->
-        fact.withColumn("category_key", col("category_key") + 999999)),
+        ParquetWarehouse.readTable(t.spark, root, "fact_transactions")
+          .withColumn("category_key", col("category_key") + 999999)),
       StarIntegrity.allClean)
     require(bad.isLeft, "poisoned star must fail the audit")
     require(ParquetWarehouse.currentVersion(root) == good.toOption,
       "failed audit must leave the good version live")
-    valid.unpersist()
     ParquetWarehouse.readTable(t.spark, root, "fact_transactions")
       .agg(count(lit(1)).as("n_facts"),
         dsum(col("amount")).as("total_amount"),

@@ -1497,6 +1497,12 @@ object Similarity {
     * the RECALL artifact). Either way the stored layout and every
     * query/append path are identical — the quantizer only decides the
     * (≤ cells row) centroid table written at build time.
+    *
+    * `seed` feeds ONLY the quantizer: the default seeded-hash sample is
+    * seedless (fixed scramble constants), so a custom seed changes nothing
+    * there — it exists for trained quantizers ([[KMeansQuantizer]]) and
+    * future PQ codebooks (ADVICE r15: documented rather than dropped, so
+    * the build signature stays stable for callers already passing it).
     */
   def writeIvfIndex(embeddings: DataFrame, path: String,
                     cells: Int = IvfCells, seed: Long = 42L,

@@ -53,13 +53,23 @@ object Graph {
     * cannot straggle the round.
     */
   private[operators] def contribStep(e: DataFrame, ranks: DataFrame,
-                                     degN: DataFrame): DataFrame = {
-    val share = ranks.join(degN, "node")
-      .select(col("node"), expr("r div outdeg").as("share"))
-    e.join(share, e("src") === share("node"))
+                                     degN: DataFrame): DataFrame =
+    contribFromShares(e, ranks.join(degN, "node")
+      .select(col("node"), expr("r div outdeg").as("share")))
+
+  /** The contribution sum over a state frame that ALREADY carries each
+    * node's out-share (r16 fusion, guide §2.4 "remove shuffles outright"):
+    * the power-iteration loops carry `share = r div outdeg` IN the
+    * materialized state — computed for free in the update projection, where
+    * `outdeg` is already joined — so each round spends ONE edge-scan join +
+    * the combined contribution sum, with no per-round ranks⋈degN join at
+    * all. Arithmetic is unchanged (`share` is the identical integer), so
+    * ranks are bit-identical to the unfused form (spec-pinned).
+    */
+  private[operators] def contribFromShares(e: DataFrame, shares: DataFrame): DataFrame =
+    e.join(shares, e("src") === shares("node"))
       .groupBy(col("dst").as("node"))
       .agg(sum("share").as("contrib"))
-  }
 
   /** Fixed-point PageRank with damping `d = dampNum/100`.
     *
@@ -84,17 +94,42 @@ object Graph {
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
     var ranks = degN.select(col("node"),
-      expr(s"${Scale}L div n_nodes").as("r"))
+      expr(s"${Scale}L div n_nodes").as("r"),
+      expr(s"(${Scale}L div n_nodes) div outdeg").as("share"))
     for (_ <- 1 to iterations) {
-      val contrib = contribStep(e, ranks, degN)
+      val contrib = contribFromShares(e, ranks.select("node", "share"))
       ranks = Materialize.cut(
         degN.join(contrib, Seq("node"), "left")
-          .select(col("node"), (
+          .withColumn("r",
             expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
-              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100"))
+          .select(col("node"), col("r"), expr("r div outdeg").as("share")))
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** Plan-evidence probe (r16): ONE [[pageRank]] round composed LAZILY —
+    * the same contribution + update expressions the loop materializes per
+    * round — so `explain` shows the per-round exchange/join structure that
+    * the loop's cut frames (LogicalRDD leaves) hide. Not part of any query
+    * path; consumed by [[graft.PlanDump]] only.
+    */
+  private[graft] def pageRankRoundProbe(edges: DataFrame,
+                                        dampNum: Long = 85): DataFrame = {
+    val e = Materialize.cut(edges)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
+    val ranks = degN.select(col("node"),
+      expr(s"${Scale}L div n_nodes").as("r"),
+      expr(s"(${Scale}L div n_nodes) div outdeg").as("share"))
+    val contrib = contribFromShares(e, ranks.select("node", "share"))
+    degN.join(contrib, Seq("node"), "left")
+      .withColumn("r",
+        expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
+          expr(s"($dampNum * coalesce(contrib, 0L)) div 100"))
+      .select(col("node"), col("r"), expr("r div outdeg").as("share"))
   }
 
   /** DuckDB oracle fragment replaying the identical fixed-point recurrence:
@@ -169,32 +204,37 @@ object Graph {
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val degN = Materialize.cut(deg.crossJoin(broadcast(n)))
     var ranks = degN.select(col("node"),
-      expr(s"${Scale}L div n_nodes").as("r"))
+      expr(s"${Scale}L div n_nodes").as("r"),
+      expr(s"(${Scale}L div n_nodes) div outdeg").as("share"))
     var rounds = 0
     var converged = false
     while (!converged) {
-      val contrib = contribStep(e, ranks, degN)
+      val contrib = contribFromShares(e, ranks.select("node", "share"))
       val obs = new org.apache.spark.sql.Observation(s"pr-residual-$rounds")
       val next = Materialize.cutFresh(
         degN.join(contrib, Seq("node"), "left")
           .join(ranks.select(col("node"), col("r").as("old_r")), Seq("node"), "left")
-          .select(col("node"), (
+          .withColumn("r",
             expr(s"(${100 - dampNum} * ${Scale}L) div (100 * n_nodes)") +
-              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r"),
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100"))
+          .select(col("node"), col("r"), expr("r div outdeg").as("share"),
             col("old_r"))
           .observe(obs,
             max(abs(col("r") - coalesce(col("old_r"), lit(0L)))).as("residual")))
       rounds += 1
       // Materialize.cut is eager, so the metric is already published;
-      // get() does not block here.
-      val residual = obs.get("residual").asInstanceOf[Long]
+      // get() does not block here. On an EMPTY graph the observed
+      // max(abs(...)) is null — treat it as converged (residual 0) instead
+      // of an opaque cast NPE (ADVICE r15).
+      val residual = Option(obs.get("residual"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = residual < tolFp
       if (!converged && rounds >= maxRounds)
         throw new IllegalStateException(
           s"pageRankConverged: residual still ≥ $tolFp after $maxRounds rounds " +
             "— raise maxRounds or loosen tolFp (damping bounds rounds at " +
             "~log(Scale/tol)/log(100/dampNum), independent of graph size)")
-      ranks = next.select("node", "r")
+      ranks = next.select("node", "r", "share")
     }
     (ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r") / lit(Scale.toDouble)).as("rank")), rounds)
@@ -228,14 +268,16 @@ object Graph {
       .na.fill(0L, Seq("is_seed"))
       .crossJoin(broadcast(ns)))
     var ranks = degN.select(col("node"),
-      expr(s"is_seed * (${Scale}L div n_seeds)").as("r"))
+      expr(s"is_seed * (${Scale}L div n_seeds)").as("r"),
+      expr(s"(is_seed * (${Scale}L div n_seeds)) div outdeg").as("share"))
     for (_ <- 1 to iterations) {
-      val contrib = contribStep(e, ranks, degN)
+      val contrib = contribFromShares(e, ranks.select("node", "share"))
       ranks = Materialize.cut(
         degN.join(contrib, Seq("node"), "left")
-          .select(col("node"), (
+          .withColumn("r",
             expr(s"is_seed * ((${100 - dampNum} * ${Scale}L) div (100 * n_seeds))") +
-              expr(s"($dampNum * coalesce(contrib, 0L)) div 100")).as("r")))
+              expr(s"($dampNum * coalesce(contrib, 0L)) div 100"))
+          .select(col("node"), col("r"), expr("r div outdeg").as("share")))
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r") / lit(Scale.toDouble)).as("rank"))
