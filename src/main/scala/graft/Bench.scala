@@ -28,7 +28,7 @@ import org.apache.spark.sql.DataFrame
   *      order, with cache-clear + temp-workspace purge before each so no
   *      def inherits another's state.
   *   3. RERUN PHASE under a measured-time budget (`SPARK_GRAFT_BENCH_BUDGET`,
-  *      seconds, default 900 including pass 1): defs that deserve better
+  *      seconds, default 1200 since r16 including pass 1): defs that deserve better
   *      statistics get up to 2 extra reps — REGRESSION SUSPECTS (pass-1
   *      time > 1.5× the previous committed artifact's median, cheapest
   *      first, so a def whose first rep hit residual cold cost
@@ -60,7 +60,7 @@ import org.apache.spark.sql.DataFrame
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_REPS (max reps,
   * default 3; 1 disables the rerun phase), SPARK_GRAFT_BENCH_BUDGET
-  * (measured-seconds budget, default 900), SPARK_GRAFT_ONLY (comma-separated
+  * (measured-seconds budget, default 1200), SPARK_GRAFT_ONLY (comma-separated
   * def filter for local iteration).
   *
   * r16 protocol amendments (OPTIMIZATION_r16.md §bench):
@@ -175,11 +175,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // 900 s measured ≈ 16 min wall locally / ~20 min on the 1.3×-slower
-    // driver box — pass 1 (~390 s) plus enough rerun budget to give nearly
-    // every ≥1 s def its median-of-3, while staying under half of r13's
-    // successful 44:45 wall (r14's 4-pass protocol is what hit the cap).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
+    // Default raised 900 → 1200 in r16 (VERDICT r15 #6, arithmetic in
+    // SURVEY §8): at 238 defs a clean pass 1 alone is ~310–420 s measured
+    // (×1.3–1.5 on the driver's contended box ≈ 500–600 s), so a 900 s
+    // budget left the rerun phase a sliver and the r15 official run
+    // starved it entirely. 1200 s measured ≈ 26 min wall here / ~35 min on
+    // a 1.4×-slower box — still well under r13's accepted 44:45 — and on
+    // this box it completes with budget_hit=false and every ≥1 s def
+    // re-repped (n_rep1 ≈ 124, all sub-second defs).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     // read BEFORE this run overwrites it: the driver benches once per round
@@ -218,6 +222,15 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       TempDirs.purgeAll()
+      // NOT here: System.gc() (r16, measured and rejected). The idea was to
+      // nudge the ContextCleaner so dead broadcast/shuffle blocks from
+      // earlier defs get reclaimed (full-run pass-1 reps of mid-registry
+      // defs ran up to 4× their isolated cost — d15 6.1 s vs 1.5 s clean —
+      // which smells like accumulated state). A forced full GC per def made
+      // the run 31% SLOWER overall (306 → 409 s, uniform ~+0.25 s/def,
+      // worst on the smallest defs): it evicts the weak/soft-referenced
+      // generated-code classes, so every def pays codegen again — exactly
+      // the cost the smoke warm-up exists to amortize.
     }
     def measure(d: QueryDef): Option[Double] = {
       isolate()
