@@ -42,6 +42,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.ccConverged(Graph.symmetrize(pairs, "c", "s"), iterations = 15))
   }
 
+  test("pageRank round: fused out-share state plans exactly 2 joins (r16)") {
+    // The r16 fusion carries share = r div outdeg IN the loop state, so a
+    // power-iteration round is ONE edge⋈share join + the contribution sum
+    // + the degN update join — the pre-fusion shape joined ranks⋈degN per
+    // round as well (3 joins). Pinned on the OPTIMIZED LOGICAL plan (AQE
+    // may collapse exchanges at runtime; the join count is the invariant).
+    val round = Graph.pageRankRoundProbe(edges((1L, 2L), (2L, 3L), (10L, 11L)))
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"a fused PageRank round must plan 2 joins, got ${joins.size}:\n" +
+        round.queryExecution.optimizedPlan)
+  }
+
   test("pageRank: hand-computed fixed-point recurrence on a 3-node path") {
     // path 1-2-3 symmetrized: deg(1)=1, deg(2)=2, deg(3)=1, N=3
     // r0 = Scale div 3 = 333333333333
