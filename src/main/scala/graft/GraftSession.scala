@@ -53,6 +53,13 @@ object GraftSession {
       // Results are join-strategy-independent; the size conditions bound the
       // build side, and AQE's skew split still applies to SHJ in Spark 4.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // NOT set: spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+      // (the AQE runtime SMJ→SHJ rewrite, guide §3.1). Measured r16 at 64m
+      // on the iterative-loop defs: every loop REGRESSED (g08 1.61×, g09
+      // 1.27×, g12 1.33× vs an immediately-preceding control run, while
+      // g02/g05 stayed flat) — in these loops the runtime rewrite displaces
+      // the cheaper AQE broadcast conversion the tiny per-round states
+      // otherwise get. Left at the 0 default.
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
