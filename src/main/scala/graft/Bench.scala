@@ -76,6 +76,18 @@ import org.apache.spark.sql.DataFrame
   *     pairs at 1/3 and 2/3 of pass 1), so a box-contention window is
   *     identifiable from the artifact alone (VERDICT r15 #2b).
   *
+  * r17 protocol amendments (OPTIMIZATION_r17.md §bench):
+  *   - NOISY-DEF ADJUDICATION (VERDICT r16 #8): after the rerun queue, any
+  *     multi-rep def whose spread still exceeds its median (and median
+  *     ≥ 0.5 s) gets up to 2 more reps within the budget, worst
+  *     spread/median first — a median-of-5 outvotes a twice-landed
+  *     contention outlier that a median-of-3 cannot (r16: g12 [2.8,7.6,1.6]).
+  *   - the session now runs with `spark.cleaner.periodicGC.interval=2min`
+  *     (GraftSession, VERDICT r16 #1): dead broadcast/shuffle blocks are
+  *     reclaimed ~every 2 min instead of accumulating across the whole
+  *     registry — the mechanism behind mid-registry defs measuring 4–6×
+  *     their isolated cost on rep 1 in full runs.
+  *
   * READING AN ARTIFACT FROM A CONTENDED BOX (the driver shares its machine;
   * VERDICT r12 #8's playbook, so box noise never has to be re-litigated):
   *   1. Divide totals by `calib_sec` before comparing across artifacts —
@@ -298,6 +310,27 @@ object Bench {
             measure(byName(name)).foreach { t => times(name) = times(name) :+ t; spent += t }
           }
         } else budgetHit = true
+      }
+      // NOISY-DEF ADJUDICATION (r17, VERDICT r16 #8): a multi-rep def whose
+      // spread still EXCEEDS its median after the rerun phase (r16: g12 reps
+      // [2.8, 7.6, 1.6]) carries one contention-poisoned rep that a
+      // median-of-3 cannot outvote when the poison lands twice. Within the
+      // remaining budget, give such defs up to 2 more reps (median-of-5
+      // adjudicates), worst spread/median ratio first. Only defs with a
+      // median ≥ 0.5 s qualify — sub-second spread is scheduler noise the
+      // protocol deliberately doesn't chase.
+      val noisyQueue = times.toSeq.collect {
+        case (k, ts) if ts.size > 1 && {
+          val m = median(ts); m >= 0.5 && (ts.max - ts.min) > m
+        } => k -> ((times(k).max - times(k).min) / median(times(k)))
+      }.sortBy(-_._2).map(_._1)
+      noisyQueue.foreach { name =>
+        val est = median(times(name)) * 2
+        if (spent + est <= rerunCap) {
+          (1 to 2).foreach { _ =>
+            measure(byName(name)).foreach { t => times(name) = times(name) :+ t; spent += t }
+          }
+        }
       }
     }
     if (spent > budgetSec) budgetHit = true

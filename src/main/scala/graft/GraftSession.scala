@@ -47,12 +47,34 @@ object GraftSession {
       // contention (VERDICT r12 #2: e05 spread 5.0 on a contended
       // driver; measured here 0.45-0.85 s → 0.42-0.44 s with the merge).
       .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
-      // Let the planner pick SHUFFLED HASH over sort-merge when its size
-      // conditions are met (guide §9 baseline; §3.1: "often faster when one
-      // side is moderately small per partition" — no sort on either side).
-      // Results are join-strategy-independent; the size conditions bound the
-      // build side, and AQE's skew split still applies to SHJ in Spark 4.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // NOT set: spark.sql.join.preferSortMergeJoin=false (the r16 SHJ
+      // permission, guide §9/§3.1) — REVERTED r17 per VERDICT r16 #2
+      // ("prove or revert"). Proof attempt failed on every candidate the
+      // r16 subset named: the FINAL adaptive plans of s03/x45/p01/d02/q19
+      // are byte-identical under both settings (zero ShuffledHashJoin,
+      // zero SortMergeJoin — every join in this suite broadcasts;
+      // plans/r17/shj_*), and a 4-run order-alternated A/B shows the r16
+      // "−8%" tracks RUN POSITION, not the config (totals 8.94/10.56/
+      // 8.96/10.68 for off/on/on/off — the box alternates fast/slow).
+      // A config that provably changes no plan stays out of the tree; the
+      // at-scale SHJ-vs-SMJ choice is re-decidable with real evidence on a
+      // workload whose joins actually shuffle.
+      // Bound dead-block accumulation in long single-JVM runs (VERDICT r16
+      // #1): Spark's ContextCleaner only reclaims dead broadcast/shuffle
+      // blocks when a DRIVER GC collects their weak references, and a
+      // large-heap JVM can go the whole 238-def registry without one — the
+      // accumulated blocks then compete with shuffle memory exactly in the
+      // heavy tail (mid-registry defs measured 4–6× their isolated cost on
+      // rep 1). A PERIODIC GC bounds the count at ~1 per 2 min (≈13 per
+      // full bench) — unlike the rejected per-def System.gc() (476 GCs,
+      // +31% total from re-paying codegen after every eviction). Cluster
+      // posture: same mechanism on a long-lived driver; 2 min is Spark's
+      // own floor for this knob's usefulness (default 30 min). The env
+      // override exists ONLY for A/B measurement (plans/r17): operator
+      // A/Bs pin it at Spark's 30min default on both sides so a GC-policy
+      // delta never contaminates an operator delta.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       // NOT set: spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
       // (the AQE runtime SMJ→SHJ rewrite, guide §3.1). Measured r16 at 64m
       // on the iterative-loop defs: every loop REGRESSED (g08 1.61×, g09

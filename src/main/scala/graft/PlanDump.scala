@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * structurally plan-free): `probe:pr_round` dumps ONE power-iteration
   * round's lazy plan (contribution sum + rank update) exactly as
   * [[graft.operators.Graph.pageRank]] composes it, which is where the
-  * per-round join/exchange count lives.
+  * per-round join/exchange count lives; `probe:prc_round` the converged
+  * variant's round ([[graft.operators.Graph.pageRankConverged]], r17).
+  *
+  * A `final:` prefix (r17) EXECUTES the def's frame through the noop sink
+  * first and dumps the FINAL adaptive plan (`explain` pre-execution shows
+  * the initial plan only — a join strategy AQE picks at runtime, e.g.
+  * SMJ→SHJ under preferSortMergeJoin=false, is only visible post-run).
   *
   * NOTE: defs that execute work inside their `run` (store builds,
   * publishes) run that work here too — the dumped plan is the SERVED
@@ -38,14 +44,21 @@ object PlanDump {
     names.foreach { n =>
       try {
         val plan = n match {
-          case "probe:pr_round" => fmt(prRound(spark, sfDir))
+          case "probe:pr_round"  => fmt(prRound(spark, sfDir))
+          case "probe:prc_round" => fmt(prcRound(spark, sfDir))
           case _ =>
             spark.catalog.clearCache()
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
             TempDirs.purgeAll()
-            fmt(byName(n).run(spark, sfDir))
+            if (n.startsWith("final:")) {
+              val df = byName(n.stripPrefix("final:")).run(spark, sfDir)
+              df.write.format("noop").mode("overwrite").save()
+              df.queryExecution.executedPlan.toString
+            } else fmt(byName(n).run(spark, sfDir))
         }
-        Files.writeString(Paths.get(s"$outDir/$n.txt".replace("probe:", "probe_")), plan)
+        Files.writeString(
+          Paths.get(s"$outDir/$n.txt".replace("probe:", "probe_").replace("final:", "final_")),
+          plan)
         System.err.println(s"[plandump] wrote $n")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $n failed: ${e.getMessage}")
@@ -67,5 +80,19 @@ object PlanDump {
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
     val edges = graft.operators.Graph.symmetrize(pairs, "c", "s")
     graft.operators.Graph.pageRankRoundProbe(edges)
+  }
+
+  /** One CONVERGED-loop PageRank round (see [[Graph.pageRankConvergedRoundProbe]]),
+    * over the same derived edge set as [[prRound]].
+    */
+  private def prcRound(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val pairs = t.orders.select("o_orderkey", "o_custkey")
+      .join(t.lineitem.select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+    val edges = graft.operators.Graph.symmetrize(pairs, "c", "s")
+    graft.operators.Graph.pageRankConvergedRoundProbe(edges)
   }
 }

@@ -228,13 +228,18 @@ object EtlQueries {
   private val t10 = q("t10_fact_build",
     s"$withPrefix SELECT * FROM fact ORDER BY transaction_key",
     headline = true) { t =>
-    // six consumers of the valid set (5 dims + fact) — persist the cut
+    // six consumers of the valid set (5 dims + fact) — persist the cut;
+    // the two bounded domains collect in ONE fused job (r17, §1.2). The
+    // scalable dims stay LAZY here: they are consumed exactly twice (the
+    // fact's dense-key offsets job + the output job), and an A/B measured
+    // cutting them as a net LOSS for this shape (3 extra checkpoint jobs
+    // vs a partial recompute saved — t10 3.2→4.5 s); the cut pays only in
+    // the write/read lifecycles (t13/t38/t26), see starDims.
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    TxnPipeline.buildFact(valid,
-      TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
-      TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid),
-      TxnPipeline.dimDate(valid))
+    val (dc, dp) = TxnPipeline.dimsBoundedFused(valid)
+    TxnPipeline.buildFact(valid, dc, TxnPipeline.dimMerchant(valid),
+      dp, TxnPipeline.dimUser(valid), TxnPipeline.dimDate(valid))
       .orderBy("transaction_key")
   }
 
@@ -325,10 +330,11 @@ object EtlQueries {
        GROUP BY 1 ORDER BY 1""") { t =>
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dimDate = TxnPipeline.dimDate(valid)
-    val fact = TxnPipeline.buildFact(valid,
-      TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
-      TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid), dimDate)
+    // starDims (r17): fused bounded-dim job + cut scalable/date dims — the
+    // partitioned write and the pruned read-back both consume materialized
+    // dims instead of re-deriving them (guide §1.2)
+    val (dc, dm, dp, du, dimDate) = TxnPipeline.starDims(valid)
+    val fact = TxnPipeline.buildFact(valid, dc, dm, dp, du, dimDate)
     val path = graft.TempDirs.scoped("graft-fact-part") + "/fact_by_month"
     try ParquetWarehouse.writeFactPartitioned(fact, dimDate, path)
     finally { valid.unpersist(); () }
@@ -359,10 +365,11 @@ object EtlQueries {
        GROUP BY 1, 2 ORDER BY 1, 2""") { t =>
     val valid = TxnPipeline.cleanValid(DirtyTxns(t.orders))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dimDate = TxnPipeline.dimDate(valid)
-    val fact = TxnPipeline.buildFact(valid,
-      TxnPipeline.dimCategory(valid), TxnPipeline.dimMerchant(valid),
-      TxnPipeline.dimPayment(valid), TxnPipeline.dimUser(valid), dimDate)
+    // starDims (r17): the DPP rollup's dim side is a cut (materialized)
+    // date dim — the runtime pruning subquery reads dim rows, not a
+    // re-derivation of the whole valid pipeline (guide §1.2)
+    val (dc, dm, dp, du, dimDate) = TxnPipeline.starDims(valid)
+    val fact = TxnPipeline.buildFact(valid, dc, dm, dp, du, dimDate)
     val path = graft.TempDirs.scoped("graft-fact-dpp") + "/fact_by_month"
     try ParquetWarehouse.writeFactPartitioned(fact, dimDate, path)
     finally { valid.unpersist(); () }
@@ -897,15 +904,13 @@ object EtlQueries {
     val valid = TxnPipeline.cleanValid(
         DirtyTxns(t.orders).filter(expr("(seq div 2) % 4 = 0")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // starDims (r17): each dim feeds its own publish write AND the fact
+    // build — cut dims are computed once, not once per consumer (§1.2)
+    val (dc, dm, dp, du, dd) = TxnPipeline.starDims(valid)
     val dims = Map(
-      "dim_category" -> TxnPipeline.dimCategory(valid),
-      "dim_merchant" -> TxnPipeline.dimMerchant(valid),
-      "dim_payment_method" -> TxnPipeline.dimPayment(valid),
-      "dim_user" -> TxnPipeline.dimUser(valid),
-      "dim_date" -> TxnPipeline.dimDate(valid))
-    val fact = TxnPipeline.buildFact(valid,
-      dims("dim_category"), dims("dim_merchant"), dims("dim_payment_method"),
-      dims("dim_user"), dims("dim_date"))
+      "dim_category" -> dc, "dim_merchant" -> dm,
+      "dim_payment_method" -> dp, "dim_user" -> du, "dim_date" -> dd)
+    val fact = TxnPipeline.buildFact(valid, dc, dm, dp, du, dd)
     val star = dims + ("fact_transactions" -> fact)
     val root = graft.TempDirs.scoped("graft-wap")
     val good = ParquetWarehouse.publishAudited(root, star, StarIntegrity.allClean)

@@ -213,6 +213,53 @@ object TxnPipeline {
   def dimFromScalable(valid: DataFrame, natCol: String, keyName: String, nameCol: String): DataFrame =
     withDenseKey(valid.select(col(natCol).as(nameCol)).distinct(), keyName, nameCol)
 
+  /** BOTH bounded-domain dims in ONE job (r17, guide §1.2 — don't scan the
+    * valid set twice for two ≤cap-value domains): a single partial-combined
+    * aggregation collects the category AND payment-method domains together
+    * (`collect_set` buffers are bounded by the validation allowlists — the
+    * same by-construction cap [[dimFromBounded]] enforces, re-checked
+    * here), then each domain ranks on the driver exactly as
+    * [[dimFromBounded]] does. Output is bit-identical to calling
+    * [[dimCategory]] + [[dimPayment]] (same distinct sets, same sort, same
+    * 1-based ranks) at half the valid-set scans.
+    */
+  def dimsBoundedFused(valid: DataFrame): (DataFrame, DataFrame) = {
+    val spark = valid.sparkSession
+    import spark.implicits._
+    val row = valid.agg(
+      collect_set(col("category").cast("string")).as("cats"),
+      collect_set(col("payment_method").cast("string")).as("pays")).head()
+    def mk(vals: Seq[String], cap: Int, natCol: String,
+           keyName: String, nameCol: String): DataFrame = {
+      require(vals.length <= cap,
+        s"dimsBoundedFused($natCol): domain exceeds cap=$cap — use dimFromScalable")
+      vals.sorted.zipWithIndex.map { case (v, i) => (i + 1, v) }.toSeq
+        .toDF(keyName, nameCol)
+    }
+    (mk(row.getSeq[String](0), AllowedCategories.size,
+        "category", "category_key", "category_name"),
+      mk(row.getSeq[String](1), AllowedPayments.size,
+        "payment_method", "payment_method_key", "payment_method_name"))
+  }
+
+  /** The five star dims shaped for MULTI-CONSUMER fact builds (r17, guide
+    * §1.2/§6 — VERDICT r16 #4): bounded dims from the fused single-job
+    * collect above; the scalable/date dims lineage-CUT once (dim-sized
+    * materializations), so the fact build's dense-key offsets job, the
+    * fact write, and any post-write read-back (t13/t38's partitioned
+    * publish, DPP rollups) consume materialized dim rows instead of
+    * re-running each dim's distinct + range-shuffle + sort per action.
+    * Rows are identical to the per-dim builders' (cut preserves rows;
+    * the builders are deterministic).
+    */
+  def starDims(valid: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (dc, dp) = dimsBoundedFused(valid)
+    val dm = graft.operators.Materialize.cut(dimMerchant(valid))
+    val du = graft.operators.Materialize.cut(dimUser(valid))
+    val dd = graft.operators.Materialize.cut(dimDate(valid))
+    (dc, dm, dp, du, dd)
+  }
+
   /** Category/payment pass validation only if they are IN the allowlist —
     * the domain bound the fast path's cap enforces. */
   def dimCategory(valid: DataFrame): DataFrame =
@@ -307,8 +354,7 @@ object TxnPipeline {
   def buildStar(raw: DataFrame): Map[String, DataFrame] = {
     val valid = cleanValid(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dc, dm, dp, du, dd) =
-      (dimCategory(valid), dimMerchant(valid), dimPayment(valid), dimUser(valid), dimDate(valid))
+    val (dc, dm, dp, du, dd) = starDims(valid)
     Map(
       "valid" -> valid, "dim_category" -> dc, "dim_merchant" -> dm,
       "dim_payment_method" -> dp, "dim_user" -> du, "dim_date" -> dd,

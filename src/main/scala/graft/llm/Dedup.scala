@@ -248,7 +248,14 @@ object Dedup {
                                    sym: Boolean): (DataFrame, DataFrame) = {
     val sh = documents.select(col("doc_id"),
       explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle-set size WITHOUT a third explode pipeline (r17, guide
+    // §2.3/§2.4): [[TextFns.shingles]] returns the DISTINCT set, so
+    // |S(doc)| is size(array) — one narrow projection per doc row, no
+    // Generate, no count exchange. Docs with < n words (size 0) never
+    // appear in `inter` (no shingle to share), so the inner joins below see
+    // identical rows to the old explode+groupBy form.
+    val counts = documents.select(col("doc_id"),
+      size(TextFns.shingles(col("text"), shingleN)).cast("long").as("n"))
     val cond =
       if (sym) col("a.doc_id") < col("b.doc_id")
       else col("a.doc_id") =!= col("b.doc_id")
@@ -274,7 +281,11 @@ object Dedup {
                        shingleN: Int = 3): DataFrame = {
     val sh = documents.select(col("doc_id"),
       explode(TextFns.shingles(col("text"), shingleN)).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |S(inner)| as size(distinct-shingle array) — see shingleIntersections
+    // (r17): replaces the third scan+shingle+Generate+count pipeline with
+    // one narrow per-doc projection.
+    val counts = documents.select(col("doc_id"),
+      size(TextFns.shingles(col("text"), shingleN)).cast("long").as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))

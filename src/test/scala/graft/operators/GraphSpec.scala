@@ -57,6 +57,22 @@ class GraphSpec extends SparkSpec {
         round.queryExecution.optimizedPlan)
   }
 
+  test("pageRankConverged round: state-carried degN plans exactly 2 joins (r17)") {
+    // The r17 fusion carries outdeg/n_nodes (and the previous rank, as the
+    // update's left side) IN the converged loop's state, so a round is ONE
+    // edge⋈share join + the contribution sum + ONE state⋈contrib update
+    // join — the r16 shape planned 3 (degN⋈contrib, then ⋈old ranks for
+    // the residual's old_r). Pinned on the OPTIMIZED LOGICAL plan.
+    val round = Graph.pageRankConvergedRoundProbe(
+      edges((1L, 2L), (2L, 3L), (10L, 11L)))
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 2,
+      s"a fused converged-PageRank round must plan 2 joins, got ${joins.size}:\n" +
+        round.queryExecution.optimizedPlan)
+  }
+
   test("pageRank: hand-computed fixed-point recurrence on a 3-node path") {
     // path 1-2-3 symmetrized: deg(1)=1, deg(2)=2, deg(3)=1, N=3
     // r0 = Scale div 3 = 333333333333
