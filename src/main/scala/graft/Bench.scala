@@ -352,6 +352,12 @@ object Bench {
       .mkString("{", ",", "}")
     val mins = results.collect { case (k, Some((_, _, ts))) => "\"" + k + "\":" + f"${ts.min}%.3f" }
       .mkString("{", ",", "}")
+    // pass-1 (first) rep per def (r17, additions-only): the full-run
+    // first-rep inflation VERDICT r16 #1 tracks is only adjudicable if
+    // rep 1 is visible in the artifact — median/min/spread cannot
+    // reconstruct it for 3+ rep defs.
+    val rep1s = results.collect { case (k, Some((_, _, ts))) => "\"" + k + "\":" + f"${ts.head}%.3f" }
+      .mkString("{", ",", "}")
     val qs = results.collect { case (k, Some((v, _, _))) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = crashed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -381,7 +387,7 @@ object Bench {
     val calibMids = calibMid.map { case (o, c) => f"[$o%.1f,$c%.3f]" }
       .mkString("[", ",", "]")
     val line =
-      f"""{"t_off":$offMap,"noisy_reps":$noisy,"delta_vs_prev":$deltaMap,"spread":$spreads,"queries_min":$mins,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"n_rep1":$nRep1,"budget_sec":$budgetSec%.0f,"budget_hit":$budgetHit,"measured_sec":$spent%.1f,"calib_mid":$calibMids,"delta_median_vs_prev":$deltaMedian%.2f,"n_delta_over_2x":$deltaOver2x,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
+      f"""{"t_off":$offMap,"queries_rep1":$rep1s,"noisy_reps":$noisy,"delta_vs_prev":$deltaMap,"spread":$spreads,"queries_min":$mins,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":$nQueries,"n_rep1":$nRep1,"budget_sec":$budgetSec%.0f,"budget_hit":$budgetHit,"measured_sec":$spent%.1f,"calib_mid":$calibMids,"delta_median_vs_prev":$deltaMedian%.2f,"n_delta_over_2x":$deltaOver2x,"calib_sec":$calib%.3f,"metric":"total","value":$total%.2f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for the repo (the stdout tail is lossy). The
     // path is anchored (env-overridable), not CWD-relative — a run launched

@@ -4164,8 +4164,18 @@ object LlmQueries {
         floor(col("value") * 100).cast("long").as("vcents"))
       .agg(count(lit(1)).cast("long").as("cnt")))
     val days = daily.select(col("day").as("win_day")).distinct()
-    val hist = daily.join(days,
-      col("day") >= date_sub(col("win_day"), 6) && col("day") <= col("win_day"))
+    // window membership by EXPLODE-to-grain + EQUI semi-join (r17, §3 /
+    // the RangeJoin binning idea): each daily row contributes to exactly
+    // the ≤7 window days [day, day+6], so expanding those and semi-joining
+    // the observed-day list replaces the old range-predicate join — which
+    // planned as a broadcast nested loop, O(|daily|·|days|) comparisons,
+    // quadratic in the day span at scale — with |daily|·7 rows and one
+    // equi join. Row set identical: (win_day ∈ days, day ∈ [win_day−6,
+    // win_day]) ⇔ (win_day ∈ [day, day+6] ∩ days).
+    val hist = daily
+      .withColumn("win_day",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(days, Seq("win_day"), "left_semi")
       .groupBy("win_day", "vcents").agg(sum("cnt").as("cnt"))
     graft.operators.QuantileStore.quantilesOf(hist, "win_day", Seq(50, 90))
       .orderBy("win_day", "pct")

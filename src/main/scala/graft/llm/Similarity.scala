@@ -1658,12 +1658,19 @@ object Similarity {
     val dels = ivfIndexDeletes(spark, path).getOrElse(return 0L)
     val delsB = broadcast(dels)
     val vectors = spark.read.parquet(s"$path/vectors")
-    // one pre-rewrite scan answers both "which cells" and "how many rows"
-    // (≤ |cells| rows to the driver — metadata, not data)
-    val hits = vectors.join(delsB, Seq("vec_id"))
-      .groupBy(col("cell").cast("long").as("cell")).count().collect()
-    val touched = hits.map(_.getLong(0)).sorted
-    val purged = hits.map(_.getLong(1)).sum
+    // ONE pre-rewrite scan answers "which cells", "how many rows purged"
+    // AND "which touched cells empty out" (r17, §1.2 — the previous form
+    // ran a second post-rewrite job just to list surviving cells):
+    // per-cell (total, deleted) from a broadcast left join over the 2
+    // pruned columns; ≤ |cells| rows to the driver — metadata, not data
+    val stats = vectors
+      .join(delsB.withColumn("_del", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("_del"), lit(0L))).as("deleted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val touched = stats.collect { case (c, _, d) if d > 0 => c }.sorted
+    val purged = stats.map(_._3).sum
     if (touched.nonEmpty) {
       // literal cell list → planning-time pruning on the read-back, the
       // same posture as the serve path's probe predicate
@@ -1679,12 +1686,12 @@ object Similarity {
       // a FULLY-emptied cell writes no rows, so dynamic overwrite never
       // replaces its directory — drop it explicitly, BEFORE the
       // tombstones (a crash in between still masks via the anti-join;
-      // the reversed order would resurrect the rows)
-      val keptCells = kept.select(col("cell").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet
+      // the reversed order would resurrect the rows). Emptied = every
+      // row deleted, known from the same pre-rewrite scan.
+      val emptied = stats.collect { case (c, t, d) if d > 0 && d == t => c }
       val vfs = new org.apache.hadoop.fs.Path(s"$path/vectors")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(keptCells).foreach { c =>
+      emptied.foreach { c =>
         vfs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cell=$c"), true); ()
       }
     }
