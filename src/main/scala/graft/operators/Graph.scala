@@ -468,12 +468,24 @@ object Graph {
       val nbrMin = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nbr_label"))
+      // the "did anything change" probe rides the materialize action via
+      // observe() (r17, §1.2 — the same zero-extra-jobs mechanism
+      // pageRankConverged has used since r14): count of changed labels
+      // folds into the SAME job that checkpoints the state, so the old
+      // per-round filter+isEmpty driver job disappears. Detection value
+      // identical (sum > 0 ⇔ the filter was non-empty; null on an empty
+      // graph ⇒ 0 ⇒ fixpoint), so the recorded R is unchanged.
+      val obs = new org.apache.spark.sql.Observation(s"cc-changed-$rounds")
       val next = Materialize.cut(
         labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .observe(obs,
+            sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
+              .as("n_changed")))
       rounds += 1
-      changed = !next.filter(col("label") =!= col("old_label")).isEmpty
+      changed = Option(obs.get("n_changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) > 0
       labels = next.select("node", "label")
     }
     (labels.select(col("node"), col("label").as("component")), rounds)
@@ -669,11 +681,16 @@ object Graph {
             "— raise maxRounds (cascade depth exceeds the backstop)")
       val keep = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
+      // surviving-edge count rides the materialize action via observe()
+      // (r17, §1.2): no per-round count() job — identical value, same R
+      val obs = new org.apache.spark.sql.Observation(s"kcore-n-$rounds")
       e = Materialize.cut(
         e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .observe(obs, count(lit(1)).as("n_edges")))
       rounds += 1
-      val cur = e.count()
+      val cur = Option(obs.get("n_edges"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       changed = cur != prev
       prev = cur
     }
@@ -935,8 +952,13 @@ object Graph {
         .join(sym.as("s2"),
           col("y") === col("s2.u") && col("s1.v") === col("s2.v"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
-      supported = Materialize.cut(sup.filter(col("support") >= k - 2))
-      val m = supported.count()
+      // surviving-edge count rides the materialize action via observe()
+      // (r17, §1.2): no per-round count() job — identical value, same R
+      val obs = new org.apache.spark.sql.Observation(s"ktruss-n-$rounds")
+      supported = Materialize.cut(sup.filter(col("support") >= k - 2)
+        .observe(obs, count(lit(1)).as("n_edges")))
+      val m = Option(obs.get("n_edges"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       rounds += 1
       if (m == n) stable = true
       n = m
@@ -1131,12 +1153,23 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("new_label"))
+      // fixpoint probe rides the materialize action via observe() (r17,
+      // §1.2 — see connectedComponentsConverged): same detection value,
+      // same R, one fewer driver job per round. The period-2 cycle check
+      // below stays its own node-sized job — it only runs on rounds that
+      // DID change, and it compares against prev2, which is not part of
+      // this materialization.
+      val obs = new org.apache.spark.sql.Observation(s"lpa-changed-$rounds")
       val next = Materialize.cut(
         labels.join(best, Seq("node"), "left")
           .select(col("node"), col("label").as("old_label"),
-            coalesce(col("new_label"), col("label")).as("label")))
+            coalesce(col("new_label"), col("label")).as("label"))
+          .observe(obs,
+            sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L))
+              .as("n_changed")))
       rounds += 1
-      if (next.filter(col("label") =!= col("old_label")).isEmpty) done = true
+      if (Option(obs.get("n_changed"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L) == 0L) done = true
       else if (prev2 != null &&
         next.select("node", "label")
           .join(prev2.withColumnRenamed("label", "label2"), "node")
